@@ -1,0 +1,104 @@
+"""CPU golden MMQ references — byte-exact quantized matmuls on raw GGUF bytes.
+
+These define the correctness contract the Pallas kernels must reproduce, the
+same role kernels/cpu_impls/ plays in the reference
+(/root/reference/kernels/cpu_impls/mmq_q8_0_q8_1_cpu.py:5,
+ mmq_q4_k_q8_1_cpu.py:61, mmq_q6_k_q8_1_cpu.py:84). Unlike the deliberately
+slow per-element torch loops there, these are vectorized numpy — but the math
+is the same: exact int32 dots per quantization block, scaled by the per-block
+fp16 scales in float32.
+
+Shared contract (same as the reference kernels' docstrings):
+    A: quantized weight bytes, M rows x K cols
+    B: Q8_1-quantized activation bytes, N rows x K cols
+    C = (A @ B.T).T, shape (N, M)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .q4_k import parse_q4_k
+from .q6_k import parse_q6_k
+from .q8_1 import parse_q8_1
+
+Q8_0_BLOCK_BYTES = 34
+Q8_1_BLOCK_BYTES = 36
+Q4_K_BLOCK_BYTES = 144
+Q6_K_BLOCK_BYTES = 210
+
+
+def _parse_q8_0_matrix(a_bytes: np.ndarray, m: int, k: int):
+    b = np.asarray(a_bytes).reshape(-1).view(np.uint8)
+    assert b.size == m * (k // 32) * Q8_0_BLOCK_BYTES
+    blocks = b.reshape(-1, Q8_0_BLOCK_BYTES)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32).reshape(m, k // 32)
+    qs = blocks[:, 2:].view(np.int8).reshape(m, k // 32, 32)
+    return d, qs
+
+
+def _parse_q8_1_matrix(b_bytes: np.ndarray, n: int, k: int):
+    d, s, qs = parse_q8_1(b_bytes)
+    nb = k // 32
+    assert d.size == n * nb
+    return d.reshape(n, nb), s.reshape(n, nb), qs.reshape(n, nb, 32)
+
+
+def mmq_q8_0_q8_1_golden(a_bytes, b_bytes, m: int, n: int, k: int) -> np.ndarray:
+    """Q8_0 weights x Q8_1 activations. Per 32-block: dA*dB*dot(int32 qs)."""
+    assert k % 32 == 0
+    da, qa = _parse_q8_0_matrix(a_bytes, m, k)
+    db, _, qb = _parse_q8_1_matrix(b_bytes, n, k)
+    r = np.einsum("mbk,nbk->mnb", qa.astype(np.int32), qb.astype(np.int32))
+    c = np.einsum("mb,nb,mnb->mn", da, db, r.astype(np.float32))
+    return c.T.astype(np.float32)
+
+
+def mmq_q4_k_q8_1_golden(a_bytes, b_bytes, m: int, n: int, k: int) -> np.ndarray:
+    """Q4_K weights x Q8_1 activations.
+
+    Per 32-sub-block b: d*sc_b*dB*dot(q, qb) - dmin*mn_b*s, where s is Q8_1's
+    precomputed dB*sum(qb) — the min-correction needs no second dot.
+    """
+    assert k % 256 == 0
+    sb = k // 256
+    d, dmin, sc, mn, q = (x.reshape(m, sb, *x.shape[1:]) for x in _split_blocks(parse_q4_k(a_bytes), m * sb))
+    db, s, qb = _parse_q8_1_matrix(b_bytes, n, k)
+
+    scale_full = (d[:, :, None] * sc).reshape(m, k // 32)       # d*sc per 32-block
+    min_full = (dmin[:, :, None] * mn).reshape(m, k // 32)      # dmin*mn per 32-block
+    qa = q.reshape(m, k // 32, 32)
+
+    r = np.einsum("mbk,nbk->mnb", qa.astype(np.int32), qb.astype(np.int32))
+    c = np.einsum("mb,nb,mnb->mn", scale_full, db, r.astype(np.float32))
+    c -= np.einsum("mb,nb->mn", min_full, s)
+    return c.T.astype(np.float32)
+
+
+def mmq_q6_k_q8_1_golden(a_bytes, b_bytes, m: int, n: int, k: int) -> np.ndarray:
+    """Q6_K weights x Q8_1 activations.
+
+    Scales are per 16 elements (two weight sub-blocks per Q8_1 block):
+    dB * (d*sc_1*dot_16 + d*sc_2*dot_16); no min term.
+    """
+    assert k % 256 == 0
+    sb = k // 256
+    d, scales, q = (x.reshape(m, sb, *x.shape[1:]) for x in _split_blocks(parse_q6_k(a_bytes), m * sb))
+    db, _, qb = _parse_q8_1_matrix(b_bytes, n, k)
+
+    scale_full = (d[:, :, None] * scales.astype(np.float32)).reshape(m, k // 16)
+    qa16 = q.reshape(m, k // 16, 16)
+    qb16 = qb.reshape(n, k // 16, 16)
+    db16 = np.repeat(db, 2, axis=1)  # each Q8_1 32-block covers two 16-dots
+
+    r = np.einsum("mbk,nbk->mnb", qa16.astype(np.int32), qb16.astype(np.int32))
+    c = np.einsum("mb,nb,mnb->mn", scale_full, db16, r.astype(np.float32))
+    return c.T.astype(np.float32)
+
+
+def _split_blocks(parsed: tuple, expected_blocks: int) -> tuple:
+    """Validate block count of a parse_* result and pass it through."""
+    assert parsed[0].shape[0] == expected_blocks, (
+        f"expected {expected_blocks} superblocks, got {parsed[0].shape[0]}"
+    )
+    return parsed

@@ -1,0 +1,126 @@
+"""Codec round-trip and structural tests for all four GGUF formats.
+
+Replaces the reference's manual __main__ demos (q8_0.py:103-113 etc.) with
+asserted pytest cases, plus decoder-level unit tests the reference lacks.
+"""
+
+import numpy as np
+import pytest
+
+from gguf_tpu.quant import (
+    quantize_q8_0, dequantize_q8_0,
+    quantize_q8_1, dequantize_q8_1, parse_q8_1,
+    quantize_q4_k, dequantize_q4_k, parse_q4_k,
+    quantize_q6_k, dequantize_q6_k, parse_q6_k,
+)
+from gguf_tpu.quant.q4_k import pack_scale_min, unpack_scale_min
+from gguf_tpu.quant import native
+
+
+@pytest.mark.parametrize("n", [32, 256, 4096])
+def test_q8_0_roundtrip(rng, n):
+    x = rng.standard_normal(n).astype(np.float16)
+    q = quantize_q8_0(x)
+    assert q.size == n // 32 * 34
+    y = dequantize_q8_0(q, (n,))
+    # int8 absmax quantization in fp16 arithmetic: error bounded by one
+    # quantum (0.5 from rounding + fp16 division/product rounding slack)
+    scale = (np.abs(x).reshape(-1, 32).max(axis=1) / 127.0).astype(np.float32)
+    err = np.abs(x.astype(np.float32) - y.astype(np.float32)).reshape(-1, 32)
+    assert np.all(err <= scale[:, None] * 1.05 + 1e-4)
+
+
+def test_q8_0_zero_block():
+    # all-zero blocks store d=1.0 (reference quirk, q8_0.py:25) and decode to 0
+    x = np.zeros(64, dtype=np.float16)
+    q = quantize_q8_0(x)
+    d = q.reshape(-1, 34)[:, :2].copy().view(np.float16)
+    assert np.all(d == 1.0)
+    assert np.all(dequantize_q8_0(q, (64,)) == 0)
+
+
+@pytest.mark.parametrize("n", [32, 2048])
+def test_q8_1_roundtrip(rng, n):
+    x = rng.standard_normal(n).astype(np.float16)
+    q = quantize_q8_1(x)
+    assert q.size == n // 32 * 36
+    y = dequantize_q8_1(q, (n,))
+    assert np.max(np.abs(x.astype(np.float32) - y.astype(np.float32))) < 0.05
+
+    # the stored s must equal d * sum(qs) in fp16
+    d, s, qs = parse_q8_1(q)
+    s_expect = (d.astype(np.float16) * qs.sum(axis=1, dtype=np.int32).astype(np.float16)).astype(np.float32)
+    np.testing.assert_array_equal(s, s_expect)
+
+
+def test_q8_1_zero_block():
+    x = np.zeros(32, dtype=np.float16)
+    q = quantize_q8_1(x)
+    d, s, qs = parse_q8_1(q)
+    assert d[0] == 0.0 and s[0] == 0.0 and np.all(qs == 0)
+
+
+@pytest.mark.parametrize("n", [256, 1024, 8192])
+def test_q4_k_roundtrip(rng, n):
+    x = rng.standard_normal(n).astype(np.float32)
+    q = quantize_q4_k(x)
+    assert q.size == n // 256 * 144
+    y = dequantize_q4_k(q, (n,))
+    # 4-bit with per-32 affine fit: rms error well under 0.2 for unit normals
+    rms = np.sqrt(np.mean((x - y) ** 2))
+    assert rms < 0.2, rms
+
+
+@pytest.mark.parametrize("n", [256, 1024, 8192])
+def test_q6_k_roundtrip(rng, n):
+    x = rng.standard_normal(n).astype(np.float32)
+    q = quantize_q6_k(x)
+    assert q.size == n // 256 * 210
+    y = dequantize_q6_k(q, (n,))
+    rms = np.sqrt(np.mean((x - y) ** 2))
+    assert rms < 0.05, rms
+
+
+def test_q4_k_scale_pack_unpack_inverse(rng):
+    sc = rng.integers(0, 64, size=(17, 8)).astype(np.uint8)
+    mn = rng.integers(0, 64, size=(17, 8)).astype(np.uint8)
+    sc2, mn2 = unpack_scale_min(pack_scale_min(sc, mn))
+    np.testing.assert_array_equal(sc, sc2)
+    np.testing.assert_array_equal(mn, mn2)
+
+
+def test_q4_k_parse_fields(rng):
+    x = rng.standard_normal(512).astype(np.float32)
+    q = quantize_q4_k(x)
+    d, dmin, sc, mn, codes = parse_q4_k(q)
+    assert d.shape == (2,) and sc.shape == (2, 8) and codes.shape == (2, 256)
+    assert codes.max() <= 15 and np.all(sc < 64) and np.all(mn < 64)
+
+
+def test_q6_k_parse_fields(rng):
+    x = rng.standard_normal(512).astype(np.float32)
+    q = quantize_q6_k(x)
+    d, scales, codes = parse_q6_k(q)
+    assert d.shape == (2,) and scales.shape == (2, 16) and codes.shape == (2, 256)
+    assert codes.min() >= -32 and codes.max() <= 31
+
+
+def test_native_dequant_matches_numpy(rng):
+    """The C dequantizer and the vectorized numpy dequantizer agree bitwise."""
+    x = rng.standard_normal(1024).astype(np.float32)
+    q4 = quantize_q4_k(x)
+    np.testing.assert_array_equal(
+        native.dequantize_q4_k_native(q4, 1024), dequantize_q4_k(q4, (1024,)))
+    q6 = quantize_q6_k(x)
+    np.testing.assert_array_equal(
+        native.dequantize_q6_k_native(q6, 1024), dequantize_q6_k(q6, (1024,)))
+
+
+def test_fp16_bit_conversion_exact(rng):
+    """Native fp16<->fp32 agrees with numpy's IEEE conversions on all 2^16 bit patterns."""
+    bits = np.arange(2**16, dtype=np.uint16)
+    finite = np.isfinite(bits.view(np.float16))
+    f32 = native.fp16_bits_to_fp32(bits[finite])
+    np.testing.assert_array_equal(f32, bits[finite].view(np.float16).astype(np.float32))
+    back = native.fp32_to_fp16_bits(f32)
+    np.testing.assert_array_equal(back, bits[finite])
