@@ -1,0 +1,292 @@
+"""Device layouts: GGUF block bytes <-> TPU-friendly structure-of-arrays.
+
+TPUs want aligned, homogeneous arrays, not 144-byte interleaved structs, so at
+load time each quantized matrix is transformed into per-field arrays. Bit
+fidelity is preserved exactly (same 4/6-bit codes, same fp16 scale bits); only
+the arrangement changes. The CPU goldens keep operating on the original GGUF
+bytes, and these transforms are round-trip tested against them.
+
+Nibble repacking is chosen so the in-kernel unpack is concat-friendly on the
+128-lane VPU: within every 256-element superblock, packed byte j (j<128)
+holds element j in the low nibble and element j+128 in the high nibble, so
+`concat([v & 0xF, v >> 4], axis=-1)` yields elements in order. (The GGUF
+on-disk nibble order interleaves per 64-element group instead —
+/root/reference/kernels/mmq_q4_k.py:91-99 documents the CUDA-oriented
+layout we are replacing.)
+
+Per-format fields (M x K logical matrix, SB = K/256 superblocks per row):
+
+  q8_0: d_bits (M, K/32) u16 | qs (M, K) i8
+  q4_k: d_bits, dmin_bits (M, SB) u16 | sc, mn (M, SB*8) u8 | qs (M, K/2) u8
+  q6_k: d_bits (M, SB) u16 | sc (M, SB*16) i8 | ql (M, K/2) u8, packed like
+        q4_k's qs | qh (M, K/4) u8: byte j (j<64) holds the high-2-bits of
+        elements j, j+64, j+128, j+192 at bit positions 0, 2, 4, 6.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .q4_k import unpack_scale_min, pack_scale_min
+from .q8_0 import BLOCK_BYTES as Q8_0_BYTES
+from .q4_k import BLOCK_BYTES as Q4K_BYTES
+from .q6_k import BLOCK_BYTES as Q6K_BYTES
+
+QK_K = 256
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["d_bits", "dmin_bits", "sc", "mn", "qs", "ql", "qh"],
+         meta_fields=["fmt", "shape"])
+@dataclass
+class QuantTensor:
+    """A quantized (M, K) matrix in SoA device layout (a JAX pytree)."""
+
+    fmt: str                    # 'q8_0' | 'q4_k' | 'q6_k'
+    shape: tuple                # logical (M, K)
+    d_bits: jax.Array           # fp16 scale bits, u16
+    dmin_bits: Optional[jax.Array] = None
+    sc: Optional[jax.Array] = None
+    mn: Optional[jax.Array] = None
+    qs: Optional[jax.Array] = None
+    ql: Optional[jax.Array] = None
+    qh: Optional[jax.Array] = None
+
+    @property
+    def mk(self) -> tuple:
+        return self.shape
+
+    def dequantize(self) -> jax.Array:
+        """Pure-jnp dequantize to float32 (M, K); jit/shard_map friendly."""
+        return _DEQUANT[self.fmt](self)
+
+    def packed_bytes_per_row(self) -> int:
+        m, k = self.shape
+        per_block = {"q8_0": (32, Q8_0_BYTES), "q4_k": (QK_K, Q4K_BYTES), "q6_k": (QK_K, Q6K_BYTES)}[self.fmt]
+        return k // per_block[0] * per_block[1]
+
+
+# ------------------------------------------------------------------ fp16 ---
+
+def fp16_bits_to_f32(bits: jax.Array) -> jax.Array:
+    """Exact fp16(bits) -> float32, expressed in integer ops so it runs both
+    under jit and inside Pallas kernels (where f16 compute support is not
+    guaranteed). Handles normals, denormals, zero, inf and NaN; matches the
+    IEEE widening conversion bit for bit."""
+    h = bits.astype(jnp.uint32)
+    w = h << 16
+    sign = w & jnp.uint32(0x80000000)
+    two_w = w + w
+    # normal/overflow path: rebias exponent via float multiply
+    norm_bits = (two_w >> 4) + (jnp.uint32(0xE0) << 23)
+    norm = jax.lax.bitcast_convert_type(norm_bits, jnp.float32) * jnp.float32(2.0**-112)
+    # denormal path: splice mantissa next to 0.5 and subtract it
+    den_bits = (two_w >> 17) | (jnp.uint32(126) << 23)
+    den = jax.lax.bitcast_convert_type(den_bits, jnp.float32) - jnp.float32(0.5)
+    out_bits = sign | jnp.where(
+        two_w < jnp.uint32(1 << 27),
+        jax.lax.bitcast_convert_type(den, jnp.uint32),
+        jax.lax.bitcast_convert_type(norm, jnp.uint32),
+    )
+    return jax.lax.bitcast_convert_type(out_bits, jnp.float32)
+
+
+# -------------------------------------------------------- bytes -> SoA ---
+
+
+def q8_0_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
+    b = np.asarray(qbytes).reshape(-1).view(np.uint8)
+    blocks = b.reshape(m * (k // 32), Q8_0_BYTES)
+    d_bits = blocks[:, :2].copy().view(np.uint16).reshape(m, k // 32)
+    qs = blocks[:, 2:].view(np.int8).reshape(m, k)
+    return QuantTensor(fmt="q8_0", shape=(m, k),
+                       d_bits=jnp.asarray(d_bits), qs=jnp.asarray(qs))
+
+
+def soa_to_q8_0(t: QuantTensor) -> np.ndarray:
+    m, k = t.shape
+    d_bits = np.ascontiguousarray(np.asarray(t.d_bits).reshape(-1))
+    qs = np.ascontiguousarray(np.asarray(t.qs).reshape(-1, 32))
+    out = np.empty((d_bits.size, Q8_0_BYTES), dtype=np.uint8)
+    out[:, :2] = d_bits.view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = qs.view(np.uint8)
+    return out.reshape(-1)
+
+
+def _repack_nibbles(codes: np.ndarray) -> np.ndarray:
+    """(nb, 256) 4-bit codes -> (nb, 128) bytes: elem j | elem j+128 << 4."""
+    lo = codes[:, :128].astype(np.uint8)
+    hi = codes[:, 128:].astype(np.uint8)
+    return lo | (hi << 4)
+
+
+def q4_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
+    sb = k // QK_K
+    b = np.asarray(qbytes).reshape(-1).view(np.uint8)
+    blocks = b.reshape(m * sb, Q4K_BYTES)
+    d_bits = blocks[:, 0:2].copy().view(np.uint16).reshape(m, sb)
+    dmin_bits = blocks[:, 2:4].copy().view(np.uint16).reshape(m, sb)
+    sc, mn = unpack_scale_min(blocks[:, 4:16])
+    # on-disk nibble order: per 64-group g, byte 32g+l = elem 64g+l | 64g+32+l<<4
+    qv = blocks[:, 16:].reshape(-1, 4, 32)
+    codes = np.stack([qv & 0x0F, qv >> 4], axis=2).reshape(-1, QK_K)
+    qs = _repack_nibbles(codes).reshape(m, k // 2)
+    return QuantTensor(
+        fmt="q4_k", shape=(m, k),
+        d_bits=jnp.asarray(d_bits), dmin_bits=jnp.asarray(dmin_bits),
+        sc=jnp.asarray(sc.reshape(m, sb * 8)), mn=jnp.asarray(mn.reshape(m, sb * 8)),
+        qs=jnp.asarray(qs),
+    )
+
+
+def soa_to_q4_k(t: QuantTensor) -> np.ndarray:
+    m, k = t.shape
+    sb = k // QK_K
+    nb = m * sb
+    packed = np.asarray(t.qs).reshape(nb, 128)
+    codes = np.empty((nb, QK_K), dtype=np.uint8)
+    codes[:, :128] = packed & 0x0F
+    codes[:, 128:] = packed >> 4
+    qv = codes.reshape(nb, 4, 2, 32)  # invert the stack in q4_k_to_soa
+    disk_qs = (qv[:, :, 0, :] | (qv[:, :, 1, :] << 4)).reshape(nb, 128)
+
+    out = np.empty((nb, Q4K_BYTES), dtype=np.uint8)
+    out[:, 0:2] = np.asarray(t.d_bits).reshape(nb).view(np.uint16).view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = np.asarray(t.dmin_bits).reshape(nb).view(np.uint16).view(np.uint8).reshape(nb, 2)
+    out[:, 4:16] = pack_scale_min(
+        np.asarray(t.sc).reshape(nb, 8), np.asarray(t.mn).reshape(nb, 8))
+    out[:, 16:] = disk_qs
+    return out.reshape(-1)
+
+
+def q6_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
+    from .q6_k import parse_q6_k
+
+    sb = k // QK_K
+    b = np.asarray(qbytes).reshape(-1).view(np.uint8)
+    blocks = b.reshape(m * sb, Q6K_BYTES)
+    d_bits = blocks[:, 208:210].copy().view(np.uint16).reshape(m, sb)
+    _, scales, q = parse_q6_k(qbytes)  # q: (nb, 256) int8, offset -32 applied
+    codes = (q.astype(np.int16) + 32).astype(np.uint8)  # back to [0, 64)
+    ql = _repack_nibbles(codes & 0x0F).reshape(m, k // 2)
+    hi2 = codes >> 4  # (nb, 256) values in [0, 4)
+    qh = (hi2[:, 0:64] | (hi2[:, 64:128] << 2) | (hi2[:, 128:192] << 4)
+          | (hi2[:, 192:256] << 6)).astype(np.uint8).reshape(m, k // 4)
+    return QuantTensor(
+        fmt="q6_k", shape=(m, k),
+        d_bits=jnp.asarray(d_bits),
+        sc=jnp.asarray(scales.reshape(m, sb * 16)),
+        ql=jnp.asarray(ql), qh=jnp.asarray(qh),
+    )
+
+
+def soa_to_q6_k(t: QuantTensor) -> np.ndarray:
+    m, k = t.shape
+    sb = k // QK_K
+    nb = m * sb
+    pl_ = np.asarray(t.ql).reshape(nb, 128)
+    ph = np.asarray(t.qh).reshape(nb, 64)
+    low4 = np.concatenate([pl_ & 0x0F, pl_ >> 4], axis=1)  # (nb, 256)
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    hi2 = np.concatenate([(ph >> s) & 0x03 for s in shifts], axis=1)
+    codes = low4 | (hi2 << 4)  # (nb, 256) in [0, 64)
+
+    out = np.empty((nb, Q6K_BYTES), dtype=np.uint8)
+    # GGUF on-disk packing, per 128-element half (see quant/q6_k.py docstring)
+    ch = codes.reshape(nb, 2, 4, 32)  # (half, 32-slot, lane)
+    out_ql = out[:, :128].reshape(nb, 2, 2, 32)
+    out_ql[:, :, 0, :] = (ch[:, :, 0, :] & 0xF) | ((ch[:, :, 2, :] & 0xF) << 4)
+    out_ql[:, :, 1, :] = (ch[:, :, 1, :] & 0xF) | ((ch[:, :, 3, :] & 0xF) << 4)
+    out_qh = out[:, 128:192].reshape(nb, 2, 32)
+    out_qh[:] = ((ch[:, :, 0, :] >> 4) | ((ch[:, :, 1, :] >> 4) << 2)
+                 | ((ch[:, :, 2, :] >> 4) << 4) | ((ch[:, :, 3, :] >> 4) << 6))
+    out[:, 192:208] = np.asarray(t.sc).reshape(nb, 16).view(np.uint8)
+    out[:, 208:210] = np.asarray(t.d_bits).reshape(nb).view(np.uint16).view(np.uint8).reshape(nb, 2)
+    return out.reshape(-1)
+
+
+TO_SOA = {"q8_0": q8_0_to_soa, "q4_k": q4_k_to_soa, "q6_k": q6_k_to_soa}
+FROM_SOA = {"q8_0": soa_to_q8_0, "q4_k": soa_to_q4_k, "q6_k": soa_to_q6_k}
+
+
+def to_soa(fmt: str, qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
+    return TO_SOA[fmt](qbytes, m, k)
+
+
+def from_soa(t: QuantTensor) -> np.ndarray:
+    return FROM_SOA[t.fmt](t)
+
+
+# ------------------------------------------------------- jnp dequantize ---
+
+
+def _expand_scales(s: jax.Array, factor: int) -> jax.Array:
+    """(..., B) -> (..., B*factor) by repeating each column `factor` times."""
+    return jnp.repeat(s, factor, axis=-1)
+
+
+def _dequant_q8_0(t: QuantTensor) -> jax.Array:
+    m, k = t.shape
+    d = fp16_bits_to_f32(t.d_bits)                      # (M, K/32)
+    return _expand_scales(d, 32) * t.qs.astype(jnp.float32)
+
+
+def _unpack_nibbles_jnp(packed: jax.Array, sb: int) -> jax.Array:
+    """(M, K/2) packed bytes -> (M, K) codes, inverting _repack_nibbles."""
+    m = packed.shape[0]
+    v = packed.reshape(m, sb, 128)
+    lo = v & jnp.uint8(0x0F)
+    hi = v >> 4
+    return jnp.concatenate([lo, hi], axis=-1).reshape(m, sb * QK_K)
+
+
+def _dequant_q4_k(t: QuantTensor) -> jax.Array:
+    m, k = t.shape
+    sb = k // QK_K
+    d = fp16_bits_to_f32(t.d_bits)                      # (M, SB)
+    dmin = fp16_bits_to_f32(t.dmin_bits)
+    scale32 = _expand_scales(d, 8) * t.sc.astype(jnp.float32)   # (M, SB*8)
+    min32 = _expand_scales(dmin, 8) * t.mn.astype(jnp.float32)
+    q = _unpack_nibbles_jnp(t.qs, sb).astype(jnp.float32)
+    return _expand_scales(scale32, 32) * q - _expand_scales(min32, 32)
+
+
+def _dequant_q6_k(t: QuantTensor) -> jax.Array:
+    m, k = t.shape
+    sb = k // QK_K
+    d = fp16_bits_to_f32(t.d_bits)                      # (M, SB)
+    scale16 = _expand_scales(d, 16) * t.sc.astype(jnp.float32)  # (M, SB*16)
+    low4 = _unpack_nibbles_jnp(t.ql, sb)                # (M, K) in [0,16)
+    h = t.qh.reshape(m, sb, 64)
+    hi2 = jnp.concatenate(
+        [(h >> s) & jnp.uint8(0x03) for s in (0, 2, 4, 6)], axis=-1
+    ).reshape(m, k)
+    q = (low4 | (hi2 << 4)).astype(jnp.int8) - jnp.int8(32)
+    return _expand_scales(scale16, 16) * q.astype(jnp.float32)
+
+
+_DEQUANT = {"q8_0": _dequant_q8_0, "q4_k": _dequant_q4_k, "q6_k": _dequant_q6_k}
+
+
+# ------------------------------------------------------------ quantize ---
+
+
+def quantize_to_soa(x: np.ndarray, fmt: str) -> QuantTensor:
+    """Quantize a float (M, K) matrix and return the device SoA layout."""
+    from . import q4_k as _q4, q6_k as _q6, q8_0 as _q8
+
+    x = np.asarray(x)
+    m, k = x.shape
+    if fmt == "q8_0":
+        return q8_0_to_soa(_q8.quantize_q8_0(x.astype(np.float16)), m, k)
+    if fmt == "q4_k":
+        return q4_k_to_soa(_q4.quantize_q4_k(x.astype(np.float32)), m, k)
+    if fmt == "q6_k":
+        return q6_k_to_soa(_q6.quantize_q6_k(x.astype(np.float32)), m, k)
+    raise ValueError(f"unknown format {fmt!r}")

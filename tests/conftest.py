@@ -2,15 +2,22 @@
 
 Multi-chip hardware is not available in CI; all sharding logic is validated on
 host-platform virtual devices (the standard JAX pattern for testing N-device
-code without a cluster). Must run before jax is imported anywhere.
+code without a cluster).
+
+Note: this environment's sitecustomize force-registers the remote 'axon' TPU
+plugin and overrides the JAX_PLATFORMS env var, so we must override via
+jax.config *after* import — env vars alone are ignored.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

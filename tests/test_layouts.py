@@ -1,0 +1,75 @@
+"""SoA device-layout transforms: lossless round-trip to GGUF bytes, and the
+jnp dequantizer must match the byte-level numpy dequantizer exactly."""
+
+import numpy as np
+import pytest
+
+from gguf_tpu.quant import (
+    quantize_q8_0, quantize_q4_k, quantize_q6_k,
+    dequantize_q8_0, dequantize_q4_k, dequantize_q6_k,
+)
+from gguf_tpu.quant.layouts import (
+    to_soa, from_soa, quantize_to_soa, fp16_bits_to_f32,
+)
+
+QUANTIZERS = {"q8_0": quantize_q8_0, "q4_k": quantize_q4_k, "q6_k": quantize_q6_k}
+DEQUANTIZERS = {"q8_0": dequantize_q8_0, "q4_k": dequantize_q4_k, "q6_k": dequantize_q6_k}
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q6_k"])
+@pytest.mark.parametrize("m,k", [(2, 256), (8, 512), (3, 1024)])
+def test_soa_roundtrip_lossless(rng, fmt, m, k):
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    qbytes = QUANTIZERS[fmt](x)
+    t = to_soa(fmt, qbytes, m, k)
+    back = from_soa(t)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(qbytes).view(np.uint8))
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q6_k"])
+def test_jnp_dequant_matches_numpy(rng, fmt):
+    m, k = 4, 512
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    qbytes = QUANTIZERS[fmt](x)
+    t = to_soa(fmt, qbytes, m, k)
+    got = np.asarray(t.dequantize())
+    if fmt == "q8_0":
+        # the byte-level dequantizer rounds d*q to fp16 (reference semantics);
+        # the device dequantizer keeps f32 — build the f32 oracle directly
+        blocks = np.asarray(qbytes).view(np.uint8).reshape(-1, 34)
+        d = blocks[:, :2].copy().view(np.float16).astype(np.float32)
+        expect = (blocks[:, 2:].view(np.int8).astype(np.float32) * d).reshape(m, k)
+    else:
+        expect = np.asarray(DEQUANTIZERS[fmt](qbytes, (m, k))).astype(np.float32)
+    np.testing.assert_allclose(got, expect, rtol=0, atol=0)
+
+
+def test_quantize_to_soa_shapes(rng):
+    x = rng.standard_normal((16, 1024)).astype(np.float32)
+    t = quantize_to_soa(x, "q4_k")
+    assert t.d_bits.shape == (16, 4)
+    assert t.sc.shape == (16, 32)
+    assert t.qs.shape == (16, 512)
+    t6 = quantize_to_soa(x, "q6_k")
+    assert t6.ql.shape == (16, 512) and t6.qh.shape == (16, 256)
+    assert t6.sc.shape == (16, 64)
+
+
+def test_fp16_bits_to_f32_all_finite_patterns():
+    """The integer-op fp16 widening matches IEEE on every finite bit pattern
+    (and preserves inf); this is the conversion every kernel relies on."""
+    bits = np.arange(2**16, dtype=np.uint16)
+    ref = bits.view(np.float16).astype(np.float32)
+    ok = np.isfinite(ref) | np.isinf(ref)
+    got = np.asarray(fp16_bits_to_f32(bits[ok]))
+    np.testing.assert_array_equal(got, ref[ok])
+
+
+def test_quant_tensor_is_pytree(rng):
+    import jax
+
+    t = quantize_to_soa(rng.standard_normal((4, 256)).astype(np.float32), "q4_k")
+    leaves = jax.tree_util.tree_leaves(t)
+    assert len(leaves) == 5  # d, dmin, sc, mn, qs
+    t2 = jax.tree_util.tree_map(lambda a: a, t)
+    assert t2.fmt == "q4_k" and t2.shape == (4, 256)
