@@ -1,0 +1,101 @@
+"""Shared helpers for the Pallas MMQ kernels."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.layouts import fp16_bits_to_f32  # re-export for kernels
+
+__all__ = [
+    "fp16_bits_to_f32", "expand_cols", "running_interpreted",
+    "pad_rows", "round_up", "pick_block",
+]
+
+
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.cache
+def running_interpreted() -> bool:
+    """Pallas kernels compile for TPU; on CPU hosts (tests, virtual meshes)
+    they run in interpreter mode automatically."""
+    return jax.devices()[0].platform == "cpu"
+
+
+def expand_cols(x: jax.Array, r: int) -> jax.Array:
+    """(..., B) -> (..., B*r): repeat each column r times (per-block scale ->
+    per-element scale). Host/XLA path; inside Pallas kernels use
+    expand_block_scales (Mosaic rejects broadcast-into-minor + collapse)."""
+    return jnp.broadcast_to(x[..., None], (*x.shape, r)).reshape(*x.shape[:-1], x.shape[-1] * r)
+
+
+def expand_block_rows(s: jax.Array, block: int) -> jax.Array:
+    """Bit-exact (NB, TM) -> (NB*block, TM) row repeat (per-block scales ->
+    per-element scales, K-major orientation).
+
+    One broadcast-into-sublanes + collapse — Mosaic lowers this natively in
+    the K-major orientation (the same shuffle along LANES does not lower,
+    which is one of the reasons the SoA layout keeps M on lanes)."""
+    nb, tm = s.shape
+    return jnp.broadcast_to(s[:, None, :], (nb, block, tm)).reshape(nb * block, tm)
+
+
+def unpack_nibbles_tile(v: jax.Array, sbt: int) -> jax.Array:
+    """Mosaic-safe nibble unpack, K-major: (sbt*128, TM) packed u8 ->
+    (sbt*256, TM) i32 codes in element order (packed byte j of a superblock =
+    elem j | elem j+128 << 4; see quant/layouts.py). u8 shifts don't lower on
+    TPU — everything runs in int32."""
+    vi = v.astype(jnp.int32)
+    parts = []
+    for s in range(sbt):
+        sl = vi[s * 128:(s + 1) * 128, :]
+        parts.append(sl & 0xF)
+        parts.append(sl >> 4)
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def pad_rows(a: jax.Array, rows: int) -> jax.Array:
+    """Zero-pad axis 0 of `a` up to `rows`."""
+    if a.shape[0] == rows:
+        return a
+    pad = [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad)
+
+
+def pad_cols(a: jax.Array, cols: int) -> jax.Array:
+    """Zero-pad the last axis of `a` up to `cols`."""
+    if a.shape[-1] == cols:
+        return a
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, cols - a.shape[-1])]
+    return jnp.pad(a, pad)
+
+
+def regroup_rows(a, rows_per_step: int, steps: int, pad_to: int):
+    """(steps*rows_per_step, M) -> (steps*pad_to, M): zero-pad each K-step's
+    row group up to pad_to (>= 8) so BlockSpec sublane tiles stay legal.
+    Mosaic rejects dynamic sublane slices at non-8-aligned offsets, so the
+    per-superblock scale rows are regrouped per grid step instead (the pad
+    rows decode to scale 0 and are never used)."""
+    import jax.numpy as jnp
+
+    if rows_per_step == pad_to:
+        return a
+    g = a.reshape(steps, rows_per_step, *a.shape[1:])
+    g = jnp.pad(g, ((0, 0), (0, pad_to - rows_per_step)) + ((0, 0),) * (a.ndim - 1))
+    return g.reshape(steps * pad_to, *a.shape[1:])
+
+
+def pick_block(dim: int, preferred: int, granule: int) -> int:
+    """Largest block size <= preferred that divides `dim` and is a multiple
+    of `granule` (the quantization block / superblock size)."""
+    b = min(preferred, dim)
+    b = b // granule * granule
+    while b > granule and dim % b:
+        b -= granule
+    if b < granule or dim % b:
+        raise ValueError(f"cannot tile dim {dim} with granule {granule}")
+    return b

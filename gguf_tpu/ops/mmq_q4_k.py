@@ -1,0 +1,176 @@
+"""Fused dequantize+matmul for Q4_K weights — the flagship MMQ kernel.
+
+Capability match of /root/reference/kernels/mmq_q4_k.py (mul_mat_q4_k_triton
+:118, mmq_q4_k :240): C = (A @ B.T).T with A = Q4_K-quantized (M, K) weights
+and B = (N, K) float activations, output (N, M).
+
+TPU-first design — not a translation of the CUDA/Triton kernel:
+
+* The Triton kernel walks 144-byte interleaved blocks with per-lane pointer
+  arithmetic and decodes the 6-bit scale packing with masked byte loads
+  (reference :31-80). Here the GGUF loader has already split the superblocks
+  into K-major SoA arrays (quant/layouts.py) so every input is a whole VMEM
+  tile with M on the 128-aligned lane dimension; nibble unpack is int32
+  shift/mask plus a sublane concat that lands elements in order.
+* The Triton kernel does per-32-block int8 `tl.dot`s with 2x2 output tiles.
+  The MXU wants large contractions: per-32-block scales are expanded to
+  per-element f32 bit-exactly via a sublane broadcast+collapse
+  (ops/common.py:expand_block_rows — one VPU copy in the K-major layout),
+  the tile is dequantized in VMEM, and one (N, TK) x (TK, TM) dot runs per
+  grid step with f32 accumulation.
+* The min-correction term never touches the K dimension: since
+  sum_k min[m,blk(k)]*b[n,k] = sum_blk min32[blk,m] * bsum[blk,n], it is a
+  single (NBt, N) x (NBt, TM) matmul against per-32-block activation sums
+  computed once per call — the same trick as Q8_1's precomputed `s` field
+  (reference q8_1.py:1-13), but MXU-shaped.
+* Activation quantization is hoisted out of the kernel (ops/activation.py)
+  instead of being redone per M-tile as the CUDA grid must (reference
+  :202-207): `act_quant=True` reproduces the reference numeric contract;
+  False skips the fake-quant for pure bf16/f32 serving.
+
+Grid: (M/TM, K/TK), K innermost; f32 accumulator in VMEM scratch, output
+tile written once on the last K step. The per-superblock d/dmin arrays (K/256
+rows — below the 8-sublane tile minimum for small K-tiles) are regrouped to
+8-row-padded per-step groups by the wrapper (common.py:regroup_rows).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.layouts import QuantTensor
+from .activation import fake_quantize_q8_1
+from .common import (
+    expand_block_rows, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
+    regroup_rows, round_up, running_interpreted, unpack_nibbles_tile,
+)
+
+QK_K = 256
+
+
+def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
+            bsum_ref, out_ref, acc_ref):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # per-superblock fp16 scales: this K-step's row group (8-row padded by
+    # the wrapper — Mosaic rejects non-8-aligned dynamic sublane slices)
+    d = fp16_bits_to_f32(d_ref[:sbt, :])                     # (SBt, TM)
+    dmin = fp16_bits_to_f32(dmin_ref[:sbt, :])
+
+    # per-32-block affine params, f32: scale = d*sc, min = dmin*mn
+    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)     # (SBt*8, TM)
+    mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+    scale32 = expand_block_rows(d, 8) * sc
+    min32 = expand_block_rows(dmin, 8) * mn
+
+    q = unpack_nibbles_tile(qs_ref[:], sbt).astype(jnp.float32)  # (TK, TM)
+    w = expand_block_rows(scale32, 32) * q
+
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    wd = w.astype(jnp.bfloat16) if fast else w
+    acc_ref[:] += jax.lax.dot_general(
+        b_ref[:], wd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    # min term: bsum (SBt*8, N) x min32 (SBt*8, TM) -> (N, TM)
+    acc_ref[:] -= jax.lax.dot_general(
+        bsum_ref[:], min32, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act_quant", "block_m", "block_k", "out_dtype", "precision"),
+)
+def mmq_q4_k(
+    w: QuantTensor,
+    b: jax.Array,
+    *,
+    act_quant: bool = True,
+    block_m: int = 512,
+    block_k: int = 1024,
+    out_dtype=jnp.float32,
+    precision: str = "high",
+) -> jax.Array:
+    """C = (A @ B.T).T for Q4_K weights A (M, K SoA layout) and float B (N, K).
+
+    Returns (N, M). K must be a multiple of 256 (the superblock size, same
+    contract as the reference, mmq_q4_k.py:263). precision='high' keeps f32
+    MXU passes (accurate to ~2^-24); 'fast' uses single-pass bf16.
+    """
+    assert w.fmt == "q4_k"
+    m, k = w.shape
+    n = b.shape[0]
+    assert b.shape[1] == k, (b.shape, w.shape)
+    assert k % QK_K == 0, f"K must be a multiple of {QK_K}, got {k}"
+    assert block_m % 128 == 0
+
+    if act_quant:
+        b = fake_quantize_q8_1(b)
+    b = b.astype(jnp.float32)
+    # per-32-block activation sums for the min term (exact: fake-quantized
+    # values are d*q, so the block sum equals Q8_1's s = d*sum(q))
+    bsum = jnp.sum(b.reshape(n, k // 32, 32), axis=-1)
+    fast = precision == "fast"
+    if fast:
+        b = b.astype(jnp.bfloat16)
+
+    n_pad = max(8, round_up(n, 8))
+    b = pad_rows(b, n_pad)
+    bsum_t = pad_rows(bsum, n_pad).T                         # (K/32, n_pad)
+
+    bm = min(block_m, round_up(m, 128))
+    m_pad = round_up(m, bm)
+    bk = pick_block(k, block_k, QK_K)
+    sbt = bk // QK_K
+    sb = k // QK_K
+
+    g8 = max(8, round_up(sbt, 8))
+    steps = k // bk
+    d_bits = regroup_rows(pad_cols(w.d_bits, m_pad), sbt, steps, g8)
+    dmin_bits = regroup_rows(pad_cols(w.dmin_bits, m_pad), sbt, steps, g8)
+    sc = pad_cols(w.sc, m_pad)
+    mn = pad_cols(w.mn, m_pad)
+    qs = pad_cols(w.qs, m_pad)
+
+    grid = (m_pad // bm, k // bk)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, fast, sbt),
+        grid=grid,
+        in_specs=[
+            # d/dmin: this K-step's (8-row padded) superblock scales
+            pl.BlockSpec((g8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sbt * 8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sbt * 8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sbt * 8, n_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_pad, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((n_pad, bm), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n_pad,
+            bytes_accessed=m_pad * sb * 144 + n_pad * k * 2 + n_pad * m_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=running_interpreted(),
+    )(d_bits, dmin_bits, sc, mn, qs, b, bsum_t)
+
+    return out[:n, :m]

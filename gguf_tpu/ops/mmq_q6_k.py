@@ -1,0 +1,140 @@
+"""Fused dequantize+matmul for Q6_K weights.
+
+Capability match of /root/reference/kernels/mmq_q6_k.py (mul_mat_q6_k_triton
+:72, mmq_q6_k :197): C = (A @ B.T).T, A = Q6_K (M, K) weights, B = (N, K)
+float, output (N, M). K must be a multiple of 256.
+
+TPU-first notes beyond mmq_q4_k.py: the Triton kernel reconstructs each
+6-bit code with masked per-lane loads and relies on an out-of-bounds
+sentinel byte 0b10101010 so masked lanes decode to zero weight (reference
+:63-66). Here out-of-bounds never happens (tiles are superblock-aligned and
+M is zero-padded: d = 0 makes padded columns contribute nothing), and the
+6-bit reconstruction is whole-tile int32 shift/mask/concat ops:
+q = (ql_nibble | qh_2bit << 4) - 32, with the K-major SoA bit layout
+documented in quant/layouts.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.layouts import QuantTensor
+from .activation import fake_quantize_q8_1
+from .common import (
+    expand_block_rows, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
+    regroup_rows, round_up, running_interpreted, unpack_nibbles_tile,
+)
+
+QK_K = 256
+
+
+def _kernel(fast, sbt, d_ref, sc_ref, ql_ref, qh_ref, b_ref, out_ref, acc_ref):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # per-16-block scales, f32 (sub-scales are int8, exact in f32);
+    # d rows come 8-row padded per K-step (see wrapper)
+    d = fp16_bits_to_f32(d_ref[:sbt, :])                     # (SBt, TM)
+    scale16 = expand_block_rows(d, 16) * sc_ref[:].astype(jnp.float32)
+
+    low4 = unpack_nibbles_tile(ql_ref[:], sbt)               # (TK, TM) i32
+
+    # high 2 bits: qh byte j of a superblock holds elems j, j+64, j+128,
+    # j+192 at bit positions 0, 2, 4, 6 (see quant/layouts.py)
+    hi = qh_ref[:].astype(jnp.int32)                         # (SBt*64, TM)
+    parts = []
+    for s in range(sbt):
+        sl = hi[s * 64:(s + 1) * 64, :]
+        parts.extend((sl >> sh) & 3 for sh in (0, 2, 4, 6))
+    hi2 = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    q = ((low4 | (hi2 << 4)) - 32).astype(jnp.float32)       # codes in [-32, 32)
+    w = expand_block_rows(scale16, 16) * q
+
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    wd = w.astype(jnp.bfloat16) if fast else w
+    acc_ref[:] += jax.lax.dot_general(
+        b_ref[:], wd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act_quant", "block_m", "block_k", "out_dtype", "precision"),
+)
+def mmq_q6_k(
+    w: QuantTensor,
+    b: jax.Array,
+    *,
+    act_quant: bool = True,
+    block_m: int = 512,
+    block_k: int = 1024,
+    out_dtype=jnp.float32,
+    precision: str = "high",
+) -> jax.Array:
+    """C = (A @ B.T).T for Q6_K weights A (M, K SoA) and float B (N, K)."""
+    assert w.fmt == "q6_k"
+    m, k = w.shape
+    n = b.shape[0]
+    assert b.shape[1] == k, (b.shape, w.shape)
+    assert k % QK_K == 0, f"K must be a multiple of {QK_K}, got {k}"
+    assert block_m % 128 == 0
+
+    if act_quant:
+        b = fake_quantize_q8_1(b)
+    fast = precision == "fast"
+    b = b.astype(jnp.bfloat16 if fast else jnp.float32)
+
+    n_pad = max(8, round_up(n, 8))
+    b = pad_rows(b, n_pad)
+    bm = min(block_m, round_up(m, 128))
+    m_pad = round_up(m, bm)
+    bk = pick_block(k, block_k, QK_K)
+    sbt = bk // QK_K
+    sb = k // QK_K
+
+    g8 = max(8, round_up(sbt, 8))
+    steps = k // bk
+    d_bits = regroup_rows(pad_cols(w.d_bits, m_pad), sbt, steps, g8)
+    sc = pad_cols(w.sc, m_pad)
+    ql = pad_cols(w.ql, m_pad)
+    qh = pad_cols(w.qh, m_pad)
+
+    grid = (m_pad // bm, k // bk)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, fast, sbt),
+        grid=grid,
+        in_specs=[
+            # d: this K-step's (8-row padded) superblock scales
+            pl.BlockSpec((g8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sbt * 16, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 4, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_pad, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((n_pad, bm), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n_pad,
+            bytes_accessed=m_pad * sb * 210 + n_pad * k * 2 + n_pad * m_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=running_interpreted(),
+    )(d_bits, sc, ql, qh, b)
+
+    return out[:n, :m]

@@ -14,13 +14,19 @@ on-disk nibble order interleaves per 64-element group instead —
 /root/reference/kernels/mmq_q4_k.py:91-99 documents the CUDA-oriented
 layout we are replacing.)
 
+All arrays are stored K-MAJOR (transposed, K-ish dim first, M on lanes):
+TPU Pallas requires block lane dims to be 128-aligned, and M (output
+features) is the only dimension that is always large enough — per-block
+scale arrays have K/32 or K/256 rows, far below 128. K-major also puts the
+kernel's dot in natural (N, K) x (K, M) orientation with zero transposes.
+
 Per-format fields (M x K logical matrix, SB = K/256 superblocks per row):
 
-  q8_0: d_bits (M, K/32) u16 | qs (M, K) i8
-  q4_k: d_bits, dmin_bits (M, SB) u16 | sc, mn (M, SB*8) u8 | qs (M, K/2) u8
-  q6_k: d_bits (M, SB) u16 | sc (M, SB*16) i8 | ql (M, K/2) u8, packed like
-        q4_k's qs | qh (M, K/4) u8: byte j (j<64) holds the high-2-bits of
-        elements j, j+64, j+128, j+192 at bit positions 0, 2, 4, 6.
+  q8_0: d_bits (K/32, M) u16 | qs (K, M) i8
+  q4_k: d_bits, dmin_bits (SB, M) u16 | sc, mn (SB*8, M) u8 | qs (K/2, M) u8
+  q6_k: d_bits (SB, M) u16 | sc (SB*16, M) i8 | ql (K/2, M) u8, packed like
+        q4_k's qs | qh (K/4, M) u8: byte j (j<64) of a superblock holds the
+        high-2-bits of elements j, j+64, j+128, j+192 at bits 0, 2, 4, 6.
 """
 
 from __future__ import annotations
@@ -106,13 +112,14 @@ def q8_0_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     d_bits = blocks[:, :2].copy().view(np.uint16).reshape(m, k // 32)
     qs = blocks[:, 2:].view(np.int8).reshape(m, k)
     return QuantTensor(fmt="q8_0", shape=(m, k),
-                       d_bits=jnp.asarray(d_bits), qs=jnp.asarray(qs))
+                       d_bits=jnp.asarray(np.ascontiguousarray(d_bits.T)),
+                       qs=jnp.asarray(np.ascontiguousarray(qs.T)))
 
 
 def soa_to_q8_0(t: QuantTensor) -> np.ndarray:
     m, k = t.shape
-    d_bits = np.ascontiguousarray(np.asarray(t.d_bits).reshape(-1))
-    qs = np.ascontiguousarray(np.asarray(t.qs).reshape(-1, 32))
+    d_bits = np.ascontiguousarray(np.asarray(t.d_bits).T.reshape(-1))
+    qs = np.ascontiguousarray(np.asarray(t.qs).T.reshape(-1, 32))
     out = np.empty((d_bits.size, Q8_0_BYTES), dtype=np.uint8)
     out[:, :2] = d_bits.view(np.uint8).reshape(-1, 2)
     out[:, 2:] = qs.view(np.uint8)
@@ -137,11 +144,12 @@ def q4_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     qv = blocks[:, 16:].reshape(-1, 4, 32)
     codes = np.stack([qv & 0x0F, qv >> 4], axis=2).reshape(-1, QK_K)
     qs = _repack_nibbles(codes).reshape(m, k // 2)
+    t = lambda a: jnp.asarray(np.ascontiguousarray(a.T))
     return QuantTensor(
         fmt="q4_k", shape=(m, k),
-        d_bits=jnp.asarray(d_bits), dmin_bits=jnp.asarray(dmin_bits),
-        sc=jnp.asarray(sc.reshape(m, sb * 8)), mn=jnp.asarray(mn.reshape(m, sb * 8)),
-        qs=jnp.asarray(qs),
+        d_bits=t(d_bits), dmin_bits=t(dmin_bits),
+        sc=t(sc.reshape(m, sb * 8)), mn=t(mn.reshape(m, sb * 8)),
+        qs=t(qs),
     )
 
 
@@ -149,7 +157,7 @@ def soa_to_q4_k(t: QuantTensor) -> np.ndarray:
     m, k = t.shape
     sb = k // QK_K
     nb = m * sb
-    packed = np.asarray(t.qs).reshape(nb, 128)
+    packed = np.asarray(t.qs).T.reshape(nb, 128)
     codes = np.empty((nb, QK_K), dtype=np.uint8)
     codes[:, :128] = packed & 0x0F
     codes[:, 128:] = packed >> 4
@@ -157,10 +165,10 @@ def soa_to_q4_k(t: QuantTensor) -> np.ndarray:
     disk_qs = (qv[:, :, 0, :] | (qv[:, :, 1, :] << 4)).reshape(nb, 128)
 
     out = np.empty((nb, Q4K_BYTES), dtype=np.uint8)
-    out[:, 0:2] = np.asarray(t.d_bits).reshape(nb).view(np.uint16).view(np.uint8).reshape(nb, 2)
-    out[:, 2:4] = np.asarray(t.dmin_bits).reshape(nb).view(np.uint16).view(np.uint8).reshape(nb, 2)
+    out[:, 0:2] = np.ascontiguousarray(np.asarray(t.d_bits).T).reshape(nb).view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = np.ascontiguousarray(np.asarray(t.dmin_bits).T).reshape(nb).view(np.uint8).reshape(nb, 2)
     out[:, 4:16] = pack_scale_min(
-        np.asarray(t.sc).reshape(nb, 8), np.asarray(t.mn).reshape(nb, 8))
+        np.asarray(t.sc).T.reshape(nb, 8), np.asarray(t.mn).T.reshape(nb, 8))
     out[:, 16:] = disk_qs
     return out.reshape(-1)
 
@@ -178,11 +186,12 @@ def q6_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     hi2 = codes >> 4  # (nb, 256) values in [0, 4)
     qh = (hi2[:, 0:64] | (hi2[:, 64:128] << 2) | (hi2[:, 128:192] << 4)
           | (hi2[:, 192:256] << 6)).astype(np.uint8).reshape(m, k // 4)
+    t = lambda a: jnp.asarray(np.ascontiguousarray(a.T))
     return QuantTensor(
         fmt="q6_k", shape=(m, k),
-        d_bits=jnp.asarray(d_bits),
-        sc=jnp.asarray(scales.reshape(m, sb * 16)),
-        ql=jnp.asarray(ql), qh=jnp.asarray(qh),
+        d_bits=t(d_bits),
+        sc=t(scales.reshape(m, sb * 16)),
+        ql=t(ql), qh=t(qh),
     )
 
 
@@ -190,8 +199,8 @@ def soa_to_q6_k(t: QuantTensor) -> np.ndarray:
     m, k = t.shape
     sb = k // QK_K
     nb = m * sb
-    pl_ = np.asarray(t.ql).reshape(nb, 128)
-    ph = np.asarray(t.qh).reshape(nb, 64)
+    pl_ = np.asarray(t.ql).T.reshape(nb, 128)
+    ph = np.asarray(t.qh).T.reshape(nb, 64)
     low4 = np.concatenate([pl_ & 0x0F, pl_ >> 4], axis=1)  # (nb, 256)
     shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
     hi2 = np.concatenate([(ph >> s) & 0x03 for s in shifts], axis=1)
@@ -206,8 +215,8 @@ def soa_to_q6_k(t: QuantTensor) -> np.ndarray:
     out_qh = out[:, 128:192].reshape(nb, 2, 32)
     out_qh[:] = ((ch[:, :, 0, :] >> 4) | ((ch[:, :, 1, :] >> 4) << 2)
                  | ((ch[:, :, 2, :] >> 4) << 4) | ((ch[:, :, 3, :] >> 4) << 6))
-    out[:, 192:208] = np.asarray(t.sc).reshape(nb, 16).view(np.uint8)
-    out[:, 208:210] = np.asarray(t.d_bits).reshape(nb).view(np.uint16).view(np.uint8).reshape(nb, 2)
+    out[:, 192:208] = np.ascontiguousarray(np.asarray(t.sc).T).reshape(nb, 16).view(np.uint8)
+    out[:, 208:210] = np.ascontiguousarray(np.asarray(t.d_bits).T).reshape(nb).view(np.uint8).reshape(nb, 2)
     return out.reshape(-1)
 
 
@@ -233,12 +242,13 @@ def _expand_scales(s: jax.Array, factor: int) -> jax.Array:
 
 def _dequant_q8_0(t: QuantTensor) -> jax.Array:
     m, k = t.shape
-    d = fp16_bits_to_f32(t.d_bits)                      # (M, K/32)
-    return _expand_scales(d, 32) * t.qs.astype(jnp.float32)
+    d = fp16_bits_to_f32(t.d_bits.T)                    # (M, K/32)
+    return _expand_scales(d, 32) * t.qs.T.astype(jnp.float32)
 
 
-def _unpack_nibbles_jnp(packed: jax.Array, sb: int) -> jax.Array:
-    """(M, K/2) packed bytes -> (M, K) codes, inverting _repack_nibbles."""
+def _unpack_nibbles_jnp(packed_t: jax.Array, sb: int) -> jax.Array:
+    """(K/2, M) packed bytes -> (M, K) codes, inverting _repack_nibbles."""
+    packed = packed_t.T
     m = packed.shape[0]
     v = packed.reshape(m, sb, 128)
     lo = v & jnp.uint8(0x0F)
@@ -249,10 +259,10 @@ def _unpack_nibbles_jnp(packed: jax.Array, sb: int) -> jax.Array:
 def _dequant_q4_k(t: QuantTensor) -> jax.Array:
     m, k = t.shape
     sb = k // QK_K
-    d = fp16_bits_to_f32(t.d_bits)                      # (M, SB)
-    dmin = fp16_bits_to_f32(t.dmin_bits)
-    scale32 = _expand_scales(d, 8) * t.sc.astype(jnp.float32)   # (M, SB*8)
-    min32 = _expand_scales(dmin, 8) * t.mn.astype(jnp.float32)
+    d = fp16_bits_to_f32(t.d_bits.T)                    # (M, SB)
+    dmin = fp16_bits_to_f32(t.dmin_bits.T)
+    scale32 = _expand_scales(d, 8) * t.sc.T.astype(jnp.float32)   # (M, SB*8)
+    min32 = _expand_scales(dmin, 8) * t.mn.T.astype(jnp.float32)
     q = _unpack_nibbles_jnp(t.qs, sb).astype(jnp.float32)
     return _expand_scales(scale32, 32) * q - _expand_scales(min32, 32)
 
@@ -260,10 +270,10 @@ def _dequant_q4_k(t: QuantTensor) -> jax.Array:
 def _dequant_q6_k(t: QuantTensor) -> jax.Array:
     m, k = t.shape
     sb = k // QK_K
-    d = fp16_bits_to_f32(t.d_bits)                      # (M, SB)
-    scale16 = _expand_scales(d, 16) * t.sc.astype(jnp.float32)  # (M, SB*16)
+    d = fp16_bits_to_f32(t.d_bits.T)                    # (M, SB)
+    scale16 = _expand_scales(d, 16) * t.sc.T.astype(jnp.float32)  # (M, SB*16)
     low4 = _unpack_nibbles_jnp(t.ql, sb)                # (M, K) in [0,16)
-    h = t.qh.reshape(m, sb, 64)
+    h = t.qh.T.reshape(m, sb, 64)
     hi2 = jnp.concatenate(
         [(h >> s) & jnp.uint8(0x03) for s in (0, 2, 4, 6)], axis=-1
     ).reshape(m, k)

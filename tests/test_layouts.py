@@ -46,13 +46,14 @@ def test_jnp_dequant_matches_numpy(rng, fmt):
 
 def test_quantize_to_soa_shapes(rng):
     x = rng.standard_normal((16, 1024)).astype(np.float32)
+    # K-major layout: K-ish dim first, M on lanes
     t = quantize_to_soa(x, "q4_k")
-    assert t.d_bits.shape == (16, 4)
-    assert t.sc.shape == (16, 32)
-    assert t.qs.shape == (16, 512)
+    assert t.d_bits.shape == (4, 16)
+    assert t.sc.shape == (32, 16)
+    assert t.qs.shape == (512, 16)
     t6 = quantize_to_soa(x, "q6_k")
-    assert t6.ql.shape == (16, 512) and t6.qh.shape == (16, 256)
-    assert t6.sc.shape == (16, 64)
+    assert t6.ql.shape == (512, 16) and t6.qh.shape == (256, 16)
+    assert t6.sc.shape == (64, 16)
 
 
 def test_fp16_bits_to_f32_all_finite_patterns():

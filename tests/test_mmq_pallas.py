@@ -1,0 +1,81 @@
+"""Pallas MMQ kernels vs the byte-level CPU goldens — the reference's parity
+sweep (test/test_mmq_q8_0.py:17-43 etc.), as pytest, on the interpreter
+(CPU). The same kernels compile for TPU; tests_tpu covers the real chip.
+
+The contract (reference test asymmetry, SURVEY.md §3.3): the golden consumes
+pre-quantized Q8_1 activations, the kernel consumes float activations and
+quantizes internally (act_quant=True) — both must agree to 1% of max|C|.
+"""
+
+import numpy as np
+import pytest
+
+from gguf_tpu.ops import mmq_q8_0, mmq_q4_k, mmq_q6_k
+from gguf_tpu.quant import (
+    quantize_q8_0, quantize_q4_k, quantize_q6_k, quantize_q8_1,
+    mmq_q8_0_q8_1_golden, mmq_q4_k_q8_1_golden, mmq_q6_k_q8_1_golden,
+)
+from gguf_tpu.quant.layouts import to_soa
+from gguf_tpu.utils import allclose_rel, max_rel_err
+
+CASES = {
+    "q8_0": (quantize_q8_0, mmq_q8_0_q8_1_golden, mmq_q8_0, "q8_0", 32),
+    "q4_k": (quantize_q4_k, mmq_q4_k_q8_1_golden, mmq_q4_k, "q4_k", 256),
+    "q6_k": (quantize_q6_k, mmq_q6_k_q8_1_golden, mmq_q6_k, "q6_k", 256),
+}
+
+
+def _run(rng, fmt, m, n, k, **kw):
+    quantize, golden, kernel, _, _ = CASES[fmt]
+    a = rng.standard_normal((m, k)).astype(np.float16)
+    b = rng.standard_normal((n, k)).astype(np.float16)
+    c_golden = golden(quantize(a), quantize_q8_1(b), m, n, k)
+    w = to_soa(fmt, quantize(a), m, k)
+    c_kernel = np.asarray(kernel(w, b.astype(np.float32), **kw))
+    assert c_kernel.shape == (n, m)
+    return c_kernel, c_golden
+
+
+# the reference's shape sweep: M,N in {1,4,16}, K from one block upwards
+@pytest.mark.parametrize("m", [1, 4, 16])
+@pytest.mark.parametrize("n", [1, 4, 16])
+@pytest.mark.parametrize("k", [32, 256, 512])
+def test_mmq_q8_0_parity(rng, m, n, k):
+    got, want = _run(rng, "q8_0", m, n, k)
+    assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
+
+
+@pytest.mark.parametrize("m", [1, 4, 16])
+@pytest.mark.parametrize("n", [1, 4, 16])
+@pytest.mark.parametrize("k", [256, 512, 1024])
+def test_mmq_q4_k_parity(rng, m, n, k):
+    got, want = _run(rng, "q4_k", m, n, k)
+    assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
+
+
+@pytest.mark.parametrize("m", [1, 4, 16])
+@pytest.mark.parametrize("n", [1, 4, 16])
+@pytest.mark.parametrize("k", [256, 512, 1024])
+def test_mmq_q6_k_parity(rng, m, n, k):
+    got, want = _run(rng, "q6_k", m, n, k)
+    assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q6_k"])
+def test_mmq_multi_tile_grid(rng, fmt):
+    """Shapes that force multiple M and K grid steps (accumulator reuse)."""
+    got, want = _run(rng, fmt, 200, 4, 1024, block_m=128, block_k=256)
+    assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q6_k"])
+def test_mmq_no_act_quant_matches_dequant_matmul(rng, fmt):
+    """act_quant=False: kernel must equal dequantized-weights x float B."""
+    quantize, _, kernel, _, _ = CASES[fmt]
+    m, n, k = 16, 4, 512
+    a = rng.standard_normal((m, k)).astype(np.float16)
+    b = rng.standard_normal((n, k)).astype(np.float32)
+    w = to_soa(fmt, quantize(a), m, k)
+    got = np.asarray(kernel(w, b, act_quant=False))
+    want = (np.asarray(w.dequantize()) @ b.T).T
+    assert allclose_rel(got, want, 0.005), max_rel_err(got, want)
