@@ -1,0 +1,176 @@
+"""Serving engine: GGUF model + continuous batching + INT8 KV cache.
+
+The scheduler keeps a fixed pool of `max_batch` sequence slots over one
+shared KV cache. New requests are admitted into free slots as soon as they
+open (llama.cpp-style continuous batching — sequences at different depths
+decode together in a single forward step, enabled by the per-slot positions
+in models/llama.py). Prefill runs per request at power-of-two padded lengths
+(bounded jit recompiles); right-padding is safe because the causal mask is
+driven by real positions and later decode steps overwrite the padded cache
+entries before attending to them.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf import GGUFReader
+from ..models import MMOpts, forward, init_kv_cache, load_llama
+from .sampler import SamplerConfig, sample
+from .tokenizer import SPMTokenizer
+
+
+@dataclass
+class GenerationResult:
+    prompt_ids: list
+    token_ids: list = field(default_factory=list)
+    text: str = ""
+    finished: bool = False
+
+
+class LLM:
+    def __init__(
+        self,
+        path: str,
+        *,
+        max_batch: int = 8,
+        max_seq: int | None = None,
+        opts: MMOpts = MMOpts(),
+    ):
+        self.cfg, self.params = load_llama(path)
+        with GGUFReader(path) as r:
+            md = r.metadata
+        self.tokenizer = (SPMTokenizer.from_gguf_metadata(md)
+                          if "tokenizer.ggml.tokens" in md else None)
+        self.max_batch = max_batch
+        self.max_seq = max_seq or self.cfg.max_seq_len
+        self.opts = opts
+        self.cache = init_kv_cache(self.cfg, max_batch, self.max_seq)
+
+        cfg, _opts = self.cfg, self.opts
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _prefill(params, cache, tokens, slot, true_len):
+            """Prefill one request into cache slot `slot`; returns the logits
+            of its last real token."""
+            cache_1 = jax.tree_util.tree_map(
+                lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1), cache)
+            logits, cache_1 = forward(
+                params, cfg, tokens, jnp.zeros(1, jnp.int32), cache_1, _opts)
+            cache = jax.tree_util.tree_map(
+                lambda c, c1: jax.lax.dynamic_update_slice_in_dim(c, c1, slot, axis=1),
+                cache, cache_1)
+            last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
+            return last[0, 0], cache
+
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(5,))
+        def _decode(params, cache, tokens, pos, key, sampler_cfg):
+            logits, cache = forward(params, cfg, tokens[:, None], pos, cache, _opts)
+            next_ids = sample(logits[:, 0], key, sampler_cfg)
+            return next_ids, cache
+
+        self._prefill = _prefill
+        self._decode = _decode
+
+    # ------------------------------------------------------------- utils ---
+    def _encode(self, prompt) -> list[int]:
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError("model file has no embedded tokenizer; pass token ids")
+            return self.tokenizer.encode(prompt)
+        return list(prompt)
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
+    # ---------------------------------------------------------- generate ---
+    def generate(
+        self,
+        prompts,
+        max_new_tokens: int = 64,
+        sampler: SamplerConfig = SamplerConfig(),
+        seed: int = 0,
+        stop_at_eos: bool = True,
+    ) -> list[GenerationResult]:
+        """Generate completions with continuous batching over the slot pool."""
+        queue = [(i, self._encode(p)) for i, p in enumerate(prompts)]
+        queue.reverse()  # pop() takes the earliest request
+        results = {i: GenerationResult(prompt_ids=ids) for i, ids in
+                   ((i, ids) for i, ids in reversed(queue))}
+
+        slots: list[int | None] = [None] * self.max_batch  # request id per slot
+        pos = np.zeros(self.max_batch, np.int64)
+        last_tok = np.zeros(self.max_batch, np.int64)
+        budget = np.zeros(self.max_batch, np.int64)
+        key = jax.random.PRNGKey(seed)
+        eos = self.tokenizer.eos_id if self.tokenizer else -1
+
+        def admit():
+            nonlocal key
+            for s in range(self.max_batch):
+                if slots[s] is not None or not queue:
+                    continue
+                rid, ids = queue.pop()
+                n = len(ids)
+                assert n < self.max_seq, f"prompt ({n}) exceeds max_seq {self.max_seq}"
+                tp = self._bucket(n)
+                toks = np.zeros((1, tp), np.int32)
+                toks[0, :n] = ids
+                logits, self.cache = self._prefill(
+                    self.params, self.cache, jnp.asarray(toks),
+                    jnp.int32(s), jnp.int32(n))
+                key, sub = jax.random.split(key)
+                first = int(sample(logits[None, :], sub, sampler)[0])
+                slots[s] = rid
+                pos[s] = n
+                last_tok[s] = first
+                budget[s] = max_new_tokens - 1
+                results[rid].token_ids.append(first)
+                _maybe_finish(s, first)
+
+        def _maybe_finish(s, tok):
+            rid = slots[s]
+            if rid is None:
+                return
+            done = (stop_at_eos and tok == eos) or budget[s] <= 0 or \
+                pos[s] + 1 >= self.max_seq
+            if done:
+                res = results[rid]
+                res.finished = True
+                if stop_at_eos and res.token_ids and res.token_ids[-1] == eos:
+                    res.token_ids.pop()
+                slots[s] = None
+
+        admit()
+        while any(s is not None for s in slots) or queue:
+            key, sub = jax.random.split(key)
+            next_ids, self.cache = self._decode(
+                self.params, self.cache,
+                jnp.asarray(last_tok, jnp.int32), jnp.asarray(pos, jnp.int32),
+                sub, sampler)
+            next_ids = np.asarray(next_ids)
+            for s in range(self.max_batch):
+                if slots[s] is None:
+                    continue
+                tok = int(next_ids[s])
+                results[slots[s]].token_ids.append(tok)
+                pos[s] += 1
+                last_tok[s] = tok
+                budget[s] -= 1
+                _maybe_finish(s, tok)
+            admit()
+
+        out = [results[i] for i in sorted(results)]
+        if self.tokenizer is not None:
+            for r in out:
+                r.text = self.tokenizer.decode(r.token_ids)
+        return out

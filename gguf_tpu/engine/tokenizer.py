@@ -1,0 +1,115 @@
+"""SentencePiece-style BPE tokenizer driven by GGUF metadata.
+
+GGUF embeds the tokenizer (tokenizer.ggml.tokens / scores / token_type /
+bos|eos ids), so no external tokenizer files are needed. Encoding follows
+the SPM algorithm llama.cpp uses for llama-family vocabularies: greedy
+highest-score bigram merging over the initial UTF-8 symbol sequence, with
+byte-fallback (<0xXX> tokens) for anything not in the vocabulary.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+SPACE = "▁"  # ▁
+
+
+class SPMTokenizer:
+    def __init__(self, tokens: list[str], scores, bos_id: int = 1,
+                 eos_id: int = 2, unk_id: int = 0, add_space_prefix: bool = True):
+        self.tokens = list(tokens)
+        self.scores = np.asarray(scores, dtype=np.float32)
+        self.vocab = {t: i for i, t in enumerate(self.tokens)}
+        self.bos_id, self.eos_id, self.unk_id = bos_id, eos_id, unk_id
+        self.add_space_prefix = add_space_prefix
+        self._byte_ids = {}
+        for b in range(256):
+            tok = f"<0x{b:02X}>"
+            if tok in self.vocab:
+                self._byte_ids[b] = self.vocab[tok]
+
+    @classmethod
+    def from_gguf_metadata(cls, md: dict) -> "SPMTokenizer":
+        return cls(
+            tokens=md["tokenizer.ggml.tokens"],
+            scores=md.get("tokenizer.ggml.scores",
+                          np.zeros(len(md["tokenizer.ggml.tokens"]), np.float32)),
+            bos_id=int(md.get("tokenizer.ggml.bos_token_id", 1)),
+            eos_id=int(md.get("tokenizer.ggml.eos_token_id", 2)),
+            unk_id=int(md.get("tokenizer.ggml.unknown_token_id", 0)),
+            add_space_prefix=bool(md.get("tokenizer.ggml.add_space_prefix", True)),
+        )
+
+    # ------------------------------------------------------------ encode ---
+    def encode(self, text: str, add_bos: bool = True) -> list[int]:
+        text = text.replace(" ", SPACE)
+        if self.add_space_prefix and text and not text.startswith(SPACE):
+            text = SPACE + text
+
+        # initial symbols: one per unicode character
+        syms = list(text)
+        if not syms:
+            return [self.bos_id] if add_bos else []
+
+        # greedy best-score bigram merging (SPM): a heap of candidate merges,
+        # symbols as a doubly linked list
+        prev = list(range(-1, len(syms) - 1))
+        nxt = list(range(1, len(syms) + 1))
+        alive = [True] * len(syms)
+
+        def push(i):
+            j = nxt[i]
+            if j >= len(syms):
+                return
+            merged = syms[i] + syms[j]
+            tid = self.vocab.get(merged)
+            if tid is not None:
+                heapq.heappush(heap, (-float(self.scores[tid]), i, j, merged))
+
+        heap: list = []
+        for i in range(len(syms) - 1):
+            push(i)
+
+        while heap:
+            _, i, j, merged = heapq.heappop(heap)
+            if not (alive[i] and alive[j]) or nxt[i] != j or syms[i] + syms[j] != merged:
+                continue
+            syms[i] = merged
+            alive[j] = False
+            nxt[i] = nxt[j]
+            if nxt[i] < len(syms):
+                prev[nxt[i]] = i
+            if prev[i] >= 0:
+                push(prev[i])
+            push(i)
+
+        ids: list[int] = []
+        i = 0
+        while i < len(syms):
+            if alive[i]:
+                tid = self.vocab.get(syms[i])
+                if tid is not None:
+                    ids.append(tid)
+                else:  # byte fallback
+                    for b in syms[i].encode("utf-8"):
+                        ids.append(self._byte_ids.get(b, self.unk_id))
+            i = nxt[i] if alive[i] else i + 1
+        return ([self.bos_id] + ids) if add_bos else ids
+
+    # ------------------------------------------------------------ decode ---
+    def decode_token(self, tid: int) -> bytes:
+        piece = self.tokens[tid]
+        if piece.startswith("<0x") and piece.endswith(">") and len(piece) == 6:
+            return bytes([int(piece[3:5], 16)])
+        return piece.replace(SPACE, " ").encode("utf-8")
+
+    def decode(self, ids) -> str:
+        out = b"".join(self.decode_token(int(t)) for t in ids
+                       if int(t) not in (self.bos_id, self.eos_id))
+        text = out.decode("utf-8", errors="replace")
+        # drop the synthetic leading space introduced by add_space_prefix
+        if self.add_space_prefix and text.startswith(" "):
+            text = text[1:]
+        return text

@@ -1,0 +1,84 @@
+"""GGUF file-format constants (v2/v3).
+
+Spec: https://github.com/ggml-org/ggml/blob/master/docs/gguf.md
+The reference repo has no GGUF I/O at all — its kernels consume raw block
+bytes (SURVEY.md §0); this subsystem is new, required by the serving stack.
+"""
+
+from __future__ import annotations
+
+import enum
+
+GGUF_MAGIC = b"GGUF"
+GGUF_VERSION = 3
+GGUF_DEFAULT_ALIGNMENT = 32
+
+
+class GGUFValueType(enum.IntEnum):
+    UINT8 = 0
+    INT8 = 1
+    UINT16 = 2
+    INT16 = 3
+    UINT32 = 4
+    INT32 = 5
+    FLOAT32 = 6
+    BOOL = 7
+    STRING = 8
+    ARRAY = 9
+    UINT64 = 10
+    INT64 = 11
+    FLOAT64 = 12
+
+
+class GGMLType(enum.IntEnum):
+    F32 = 0
+    F16 = 1
+    Q4_0 = 2
+    Q4_1 = 3
+    Q5_0 = 6
+    Q5_1 = 7
+    Q8_0 = 8
+    Q8_1 = 9
+    Q2_K = 10
+    Q3_K = 11
+    Q4_K = 12
+    Q5_K = 13
+    Q6_K = 14
+    Q8_K = 15
+    I8 = 24
+    I16 = 25
+    I32 = 26
+    I64 = 27
+    F64 = 28
+    BF16 = 30
+
+
+# (elements per block, bytes per block)
+GGML_BLOCK_INFO = {
+    GGMLType.F32: (1, 4),
+    GGMLType.F16: (1, 2),
+    GGMLType.BF16: (1, 2),
+    GGMLType.Q8_0: (32, 34),
+    GGMLType.Q8_1: (32, 36),
+    GGMLType.Q4_K: (256, 144),
+    GGMLType.Q6_K: (256, 210),
+    GGMLType.I8: (1, 1),
+    GGMLType.I16: (1, 2),
+    GGMLType.I32: (1, 4),
+    GGMLType.F64: (1, 8),
+}
+
+# ggml type -> our codec format name (for SoA transforms)
+GGML_TO_FMT = {
+    GGMLType.Q8_0: "q8_0",
+    GGMLType.Q4_K: "q4_k",
+    GGMLType.Q6_K: "q6_k",
+}
+FMT_TO_GGML = {v: k for k, v in GGML_TO_FMT.items()}
+
+
+def tensor_nbytes(ggml_type: GGMLType, n_elements: int) -> int:
+    block, nbytes = GGML_BLOCK_INFO[ggml_type]
+    if n_elements % block:
+        raise ValueError(f"{ggml_type.name}: {n_elements} not a multiple of block {block}")
+    return n_elements // block * nbytes

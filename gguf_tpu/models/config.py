@@ -1,0 +1,57 @@
+"""Model configuration, derived from GGUF metadata (llama.cpp key schema)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int
+    dim: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    ffn_dim: int
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_seq_len: int = 2048
+    head_dim_override: int | None = None  # set for tp-local configs
+
+    @property
+    def head_dim(self) -> int:
+        return self.head_dim_override or self.dim // self.n_heads
+
+    @classmethod
+    def from_gguf_metadata(cls, md: dict) -> "LlamaConfig":
+        arch = md.get("general.architecture", "llama")
+        g = lambda key, default=None: md.get(f"{arch}.{key}", default)
+        n_heads = int(g("attention.head_count"))
+        vocab = md.get(f"{arch}.vocab_size")
+        if vocab is None:
+            vocab = len(md["tokenizer.ggml.tokens"])
+        return cls(
+            vocab_size=int(vocab),
+            dim=int(g("embedding_length")),
+            n_layers=int(g("block_count")),
+            n_heads=n_heads,
+            n_kv_heads=int(g("attention.head_count_kv", n_heads)),
+            ffn_dim=int(g("feed_forward_length")),
+            norm_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
+            rope_theta=float(g("rope.freq_base", 10000.0)),
+            max_seq_len=int(g("context_length", 2048)),
+        )
+
+    def to_gguf_metadata(self, arch: str = "llama") -> dict:
+        return {
+            "general.architecture": arch,
+            f"{arch}.vocab_size": self.vocab_size,
+            f"{arch}.embedding_length": self.dim,
+            f"{arch}.block_count": self.n_layers,
+            f"{arch}.attention.head_count": self.n_heads,
+            f"{arch}.attention.head_count_kv": self.n_kv_heads,
+            f"{arch}.feed_forward_length": self.ffn_dim,
+            f"{arch}.attention.layer_norm_rms_epsilon": self.norm_eps,
+            f"{arch}.rope.freq_base": self.rope_theta,
+            f"{arch}.context_length": self.max_seq_len,
+        }

@@ -1,0 +1,221 @@
+"""Llama-family decoder built on the MMQ kernels.
+
+The reference stops at single GEMM kernels (SURVEY.md §0: "no model, no
+serving loop, no KV cache"); this module is the end-to-end consumer the
+north star requires: RMSNorm -> GQA attention with RoPE and an INT8 KV
+cache -> SwiGLU, with every linear layer running the fused dequant+matmul
+Pallas kernels on GGUF-quantized weights.
+
+Everything is functional and pytree-based: `forward(params, cfg, tokens,
+pos, cache)` jits, shards (parallel/), and differentiates like any JAX
+program. Weights may be QuantTensors (quantized, SoA device layout) or plain
+float arrays — `linear()` dispatches.
+
+RoPE follows llama.cpp's "NORM" convention (consecutive-pair rotation) —
+GGUF checkpoints converted from HF have their Q/K projections permuted for
+exactly this convention, so loading a GGUF file and applying paired rotation
+reproduces llama.cpp logits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import MMQ
+from ..quant.layouts import QuantTensor
+from .config import LlamaConfig
+
+
+class MMOpts(NamedTuple):
+    """Static knobs threaded to every MMQ call. `axis_name` names the
+    tensor-parallel mesh axis when the forward runs inside shard_map: the
+    attention/MLP output projections are row-parallel (input dim sharded)
+    and psum their partial results over it, and the LM head all-gathers its
+    vocab shard."""
+    precision: str = "fast"
+    act_quant: bool = False
+    block_m: int = 512
+    block_k: int = 1024
+    axis_name: str | None = None
+
+
+def linear(w, x: jax.Array, opts: MMOpts = MMOpts()) -> jax.Array:
+    """y = x @ W^T for W (out, in): MMQ kernel for QuantTensors, plain dot
+    for float weights."""
+    if isinstance(w, QuantTensor):
+        return MMQ[w.fmt](
+            w, x, act_quant=opts.act_quant, precision=opts.precision,
+            block_m=opts.block_m, block_k=opts.block_k,
+        ).astype(x.dtype)
+    return jax.lax.dot_general(
+        x, w.astype(x.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def embed(table, ids: jax.Array) -> jax.Array:
+    """Token embedding lookup; dequantizes just the selected rows."""
+    flat = ids.reshape(-1)
+    if isinstance(table, QuantTensor):
+        out = table.take_rows(flat).dequantize()
+    else:
+        out = table[flat].astype(jnp.float32)
+    return out.reshape(*ids.shape, -1)
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * weight).astype(x.dtype)
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
+    """(..., ) int positions -> cos/sin of shape (..., head_dim/2), f32."""
+    freqs = theta ** (-jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    angles = positions.astype(jnp.float32)[..., None] * freqs
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Consecutive-pair rotation (llama.cpp NORM style). x: (..., H, head_dim),
+    cos/sin broadcastable to (..., 1, head_dim/2)."""
+    xf = x.astype(jnp.float32)
+    x2 = xf.reshape(*xf.shape[:-1], -1, 2)
+    x_even, x_odd = x2[..., 0], x2[..., 1]
+    out_even = x_even * cos - x_odd * sin
+    out_odd = x_even * sin + x_odd * cos
+    return jnp.stack([out_even, out_odd], axis=-1).reshape(x.shape).astype(x.dtype)
+
+
+# --------------------------------------------------------- INT8 KV cache ---
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int | None = None):
+    """Per-layer INT8 K/V caches with per-(token, head) f32 scales —
+    8x smaller than an f32 cache, 2x smaller than bf16."""
+    s = max_seq or cfg.max_seq_len
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, jnp.int8),
+        "v": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+        "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+    }
+
+
+def _quantize_kv(x: jax.Array):
+    """(B, KVH, T, hd) -> int8 codes + per-(B, KVH, T) scales."""
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = (amax / 127.0).astype(jnp.float32)
+    safe = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.rint(x.astype(jnp.float32) / safe[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _cache_update(cache_l, new_k, new_v, pos):
+    """Insert T new tokens at per-batch positions pos (B,)."""
+    qk, sk = _quantize_kv(new_k)
+    qv, sv = _quantize_kv(new_v)
+
+    def upd(c, upd_val, p):
+        return jax.lax.dynamic_update_slice(c, upd_val, (0, p) + (0,) * (c.ndim - 2))
+
+    k = jax.vmap(upd, in_axes=(0, 0, 0))(cache_l["k"], qk, pos)
+    v = jax.vmap(upd, in_axes=(0, 0, 0))(cache_l["v"], qv, pos)
+    ks = jax.vmap(upd, in_axes=(0, 0, 0))(cache_l["k_scale"], sk, pos)
+    vs = jax.vmap(upd, in_axes=(0, 0, 0))(cache_l["v_scale"], sv, pos)
+    return {"k": k, "v": v, "k_scale": ks, "v_scale": vs}
+
+
+# ----------------------------------------------------------- transformer ---
+
+
+def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts):
+    """GQA attention over the INT8 cache. x: (B, T, dim); pos: (B,) start
+    positions of the T new tokens per sequence."""
+    b, t, _ = x.shape
+    hd, h, kvh = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    xf = x.reshape(b * t, -1)
+
+    q = linear(layer["wq"], xf, opts).reshape(b, t, h, hd)
+    k = linear(layer["wk"], xf, opts).reshape(b, t, kvh, hd)
+    v = linear(layer["wv"], xf, opts).reshape(b, t, kvh, hd)
+
+    tok_pos = pos[:, None] + jnp.arange(t)[None, :]            # (B, T)
+    cos, sin = rope_cos_sin(tok_pos, hd, cfg.rope_theta)       # (B, T, hd/2)
+    q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :])
+    k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
+
+    cache_l = _cache_update(
+        cache_l, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), pos)
+
+    s = cache_l["k"].shape[2]
+    k_all = cache_l["k"].astype(jnp.float32) * cache_l["k_scale"][..., None]
+    v_all = cache_l["v"].astype(jnp.float32) * cache_l["v_scale"][..., None]
+
+    # GQA: group query heads over each kv head
+    qg = q.transpose(0, 2, 1, 3).reshape(b, kvh, h // kvh * t, hd)
+    scores = jnp.einsum("bgqd,bgsd->bgqs", qg.astype(jnp.float32), k_all)
+    scores = scores.reshape(b, kvh, h // kvh, t, s) / jnp.sqrt(hd).astype(jnp.float32)
+
+    causal = jnp.arange(s)[None, None, :] <= tok_pos[:, :, None]  # (B, T, S)
+    scores = jnp.where(causal[:, None, None, :, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    out = jnp.einsum("bghqs,bgsd->bghqd", probs.reshape(b, kvh, h // kvh, t, s), v_all)
+    out = out.reshape(b, h, t, hd).transpose(0, 2, 1, 3).reshape(b * t, h * hd)
+    proj = linear(layer["wo"], out.astype(x.dtype), opts)
+    if opts.axis_name:  # row-parallel wo: sum partial products over tp
+        proj = jax.lax.psum(proj, opts.axis_name)
+    return proj.reshape(b, t, -1), cache_l
+
+
+def mlp(layer, x, opts: MMOpts):
+    b, t, _ = x.shape
+    xf = x.reshape(b * t, -1)
+    g = linear(layer["gate"], xf, opts)
+    u = linear(layer["up"], xf, opts)
+    act = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+    down = linear(layer["down"], act, opts)
+    if opts.axis_name:  # row-parallel down: sum partial products over tp
+        down = jax.lax.psum(down, opts.axis_name)
+    return down.reshape(b, t, -1)
+
+
+def forward(
+    params: dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,        # (B, T) int32
+    pos: jax.Array,           # (B,) start position of tokens[:, 0]
+    cache: dict,
+    opts: MMOpts = MMOpts(),
+):
+    """Run T tokens through the decoder; returns (logits (B, T, vocab), cache).
+
+    T=1 is the decode step; T>1 is chunked prefill. Per-sequence positions
+    support continuous batching (sequences at different depths in one batch).
+    """
+    x = embed(params["token_embd"], tokens).astype(jnp.bfloat16)
+
+    new_layers = []
+    for i, layer in enumerate(params["layers"]):
+        cache_l = jax.tree_util.tree_map(lambda c: c[i], cache)
+        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        attn_out, cache_l = attention(layer, h, cfg, cache_l, pos, opts)
+        x = x + attn_out
+        h = rms_norm(x, layer["ffn_norm"], cfg.norm_eps)
+        x = x + mlp(layer, h, opts)
+        new_layers.append(cache_l)
+
+    cache = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls), *new_layers)
+
+    x = rms_norm(x, params["output_norm"], cfg.norm_eps)
+    b, t, _ = x.shape
+    logits = linear(params["output"], x.reshape(b * t, -1), opts)
+    if opts.axis_name:  # column-parallel LM head: gather the vocab shards
+        logits = jax.lax.all_gather(logits, opts.axis_name, axis=-1, tiled=True)
+    return logits.reshape(b, t, -1).astype(jnp.float32), cache

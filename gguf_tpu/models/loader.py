@@ -1,0 +1,99 @@
+"""GGUF checkpoint -> model params (llama.cpp tensor-name schema)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf import GGMLType, GGUFReader
+from ..gguf.writer import quantize_tensor, write_gguf
+from .config import LlamaConfig
+
+
+def _load_weight(reader: GGUFReader, name: str, rows: slice | None = None):
+    """Quantized weights -> QuantTensor (SoA, device); float -> jnp array."""
+    ti = reader.tensors[name]
+    if ti.ggml_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+        arr = reader.load_array(name)
+        if rows is not None:
+            arr = arr[rows]
+        return jnp.asarray(np.ascontiguousarray(arr))
+    return reader.load_quant(name, rows=rows)
+
+
+def load_llama(path: str):
+    """Load a llama-architecture GGUF file. Returns (cfg, params)."""
+    reader = GGUFReader(path)
+    cfg = LlamaConfig.from_gguf_metadata(reader.metadata)
+
+    params = {
+        "token_embd": _load_weight(reader, "token_embd.weight"),
+        "output_norm": jnp.asarray(reader.load_array("output_norm.weight"), jnp.float32),
+        "layers": [],
+    }
+    # tied embeddings: some checkpoints omit output.weight
+    out_name = "output.weight" if "output.weight" in reader.tensors else "token_embd.weight"
+    params["output"] = _load_weight(reader, out_name)
+
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        params["layers"].append({
+            "attn_norm": jnp.asarray(reader.load_array(p + "attn_norm.weight"), jnp.float32),
+            "ffn_norm": jnp.asarray(reader.load_array(p + "ffn_norm.weight"), jnp.float32),
+            "wq": _load_weight(reader, p + "attn_q.weight"),
+            "wk": _load_weight(reader, p + "attn_k.weight"),
+            "wv": _load_weight(reader, p + "attn_v.weight"),
+            "wo": _load_weight(reader, p + "attn_output.weight"),
+            "gate": _load_weight(reader, p + "ffn_gate.weight"),
+            "up": _load_weight(reader, p + "ffn_up.weight"),
+            "down": _load_weight(reader, p + "ffn_down.weight"),
+        })
+    reader.close()
+    return cfg, params
+
+
+# ------------------------------------------------- synthetic checkpoints ---
+
+
+def write_random_llama_gguf(
+    path: str,
+    cfg: LlamaConfig,
+    fmt: GGMLType = GGMLType.Q4_K,
+    seed: int = 0,
+    extra_metadata: dict | None = None,
+) -> None:
+    """Create a random llama GGUF checkpoint (tests / benchmarks).
+
+    Projection weights are quantized to `fmt`; norms stay F32, the output
+    head uses Q6_K when `fmt` is K-quant (mirroring llama.cpp's Q4_K_M
+    recipe, where output.weight is kept at higher precision).
+    """
+    rng = np.random.default_rng(seed)
+    d, f, v = cfg.dim, cfg.ffn_dim, cfg.vocab_size
+    kv_d = cfg.n_kv_heads * cfg.head_dim
+    scale = 0.5 / np.sqrt(d)
+
+    def w(shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    head_fmt = GGMLType.Q6_K if fmt in (GGMLType.Q4_K, GGMLType.Q6_K) else fmt
+    tensors = {
+        "token_embd.weight": (fmt, (v, d), quantize_tensor(w((v, d)), fmt)),
+        "output.weight": (head_fmt, (v, d), quantize_tensor(w((v, d)), head_fmt)),
+        "output_norm.weight": (GGMLType.F32, (d,), np.ones(d, np.float32)),
+    }
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        tensors[p + "attn_norm.weight"] = (GGMLType.F32, (d,), np.ones(d, np.float32))
+        tensors[p + "ffn_norm.weight"] = (GGMLType.F32, (d,), np.ones(d, np.float32))
+        for name, shape in [
+            ("attn_q.weight", (d, d)), ("attn_k.weight", (kv_d, d)),
+            ("attn_v.weight", (kv_d, d)), ("attn_output.weight", (d, d)),
+            ("ffn_gate.weight", (f, d)), ("ffn_up.weight", (f, d)),
+            ("ffn_down.weight", (d, f)),
+        ]:
+            tensors[p + name] = (fmt, shape, quantize_tensor(w(shape), fmt))
+
+    md = cfg.to_gguf_metadata()
+    md.update(extra_metadata or {})
+    write_gguf(path, md, tensors)

@@ -1,0 +1,11 @@
+"""Device meshes and tensor-parallel sharding."""
+
+from .tp import (
+    cache_specs, init_sharded_cache, local_cfg, make_mesh, make_tp_forward,
+    pad_ffn_for_tp, param_specs, shard_llama,
+)
+
+__all__ = [
+    "make_mesh", "shard_llama", "make_tp_forward", "param_specs",
+    "cache_specs", "init_sharded_cache", "local_cfg", "pad_ffn_for_tp",
+]

@@ -1,0 +1,193 @@
+"""Tensor parallelism for the llama decoder: shard_map over a device mesh.
+
+Megatron-style sharding, block-aligned for the GGUF superblock layout
+(SURVEY.md §7 "block-aligned multi-host sharding"):
+
+  column-parallel (output dim M sharded):  wq, wk, wv, gate, up, output head
+  row-parallel   (input dim K sharded):    wo, down  (+psum of partials)
+  replicated:                              norms, token embedding
+
+In the K-major SoA layout every QuantTensor array carries M on its LAST axis
+and K-blocks on its FIRST axis, so column-parallel is uniformly
+P(None, "tp") and row-parallel P("tp", None) for every field — no per-field
+case analysis. K shards land on superblock boundaries by construction
+because the FFN dimension is zero-padded to a multiple of 256*tp at shard
+time (zero superblocks dequantize to zero and contribute nothing, so the
+result is exact).
+
+Pallas kernels don't partition under GSPMD, so the whole forward runs inside
+shard_map — each device executes the same program on its local weight shard
+and the only cross-device traffic is one psum after each row-parallel
+projection (riding ICI) plus the final logits all-gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.config import LlamaConfig
+from ..models.llama import MMOpts, forward
+from ..quant.layouts import QuantTensor
+
+COL = "col"   # shard M (output features)
+ROW = "row"   # shard K (input features / superblocks)
+REP = "rep"
+
+
+def make_mesh(tp: int, dp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= tp * dp, (len(devices), tp, dp)
+    arr = np.asarray(devices[: tp * dp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _qt_spec(kind: str) -> P:
+    return {COL: P(None, "tp"), ROW: P("tp", None), REP: P()}[kind]
+
+
+def _leaf_specs(tree, kind: str):
+    """A pytree of PartitionSpecs matching `tree` (QuantTensor or array)."""
+    return jax.tree_util.tree_map(lambda _: _qt_spec(kind), tree)
+
+
+LAYER_KINDS = {
+    "attn_norm": REP, "ffn_norm": REP,
+    "wq": COL, "wk": COL, "wv": COL, "wo": ROW,
+    "gate": COL, "up": COL, "down": ROW,
+}
+
+
+def _pad_cols_to(t, m_target: int):
+    """Zero-pad a weight's output dim (lane axis of every SoA array)."""
+    from ..ops.common import pad_cols
+
+    if isinstance(t, QuantTensor):
+        return jax.tree_util.tree_map(
+            lambda a: pad_cols(a, a.shape[-1] + (m_target - t.shape[0])), t)
+    return jnp.pad(t, ((0, m_target - t.shape[0]), (0, 0)))
+
+
+def _pad_k_to(t, k_target: int):
+    """Zero-pad a weight's input dim with whole superblocks (zero scales
+    dequantize to zero — exact)."""
+    if isinstance(t, QuantTensor):
+        m, k = t.shape
+        ratio = k_target / k
+
+        def pad(a):
+            rows = int(a.shape[0] * ratio)
+            return jnp.pad(a, ((0, rows - a.shape[0]), (0, 0)))
+
+        return jax.tree_util.tree_map(pad, t)
+    return jnp.pad(t, ((0, 0), (0, k_target - t.shape[1])))
+
+
+def pad_ffn_for_tp(params: dict, cfg: LlamaConfig, tp: int):
+    """Pad the FFN dimension to a multiple of 256*tp so row shards land on
+    superblock boundaries (e.g. Llama-2-7B's 11008 -> 11264 at tp=8)."""
+    granule = 256 * tp
+    ffn = cfg.ffn_dim
+    ffn_pad = (ffn + granule - 1) // granule * granule
+    if ffn_pad == ffn:
+        return params, cfg
+    layers = []
+    for layer in params["layers"]:
+        layer = dict(layer)
+        layer["gate"] = _pad_cols_to(layer["gate"], ffn_pad)
+        layer["up"] = _pad_cols_to(layer["up"], ffn_pad)
+        layer["down"] = _pad_k_to(layer["down"], ffn_pad)
+        layers.append(layer)
+    params = {**params, "layers": layers}
+    return params, dataclasses.replace(cfg, ffn_dim=ffn_pad)
+
+
+def param_specs(params: dict) -> dict:
+    """PartitionSpec pytree for a llama params pytree."""
+    specs = {
+        "token_embd": _leaf_specs(params["token_embd"], REP),
+        "output": _leaf_specs(params["output"], COL),
+        "output_norm": P(),
+        "layers": [
+            {k: _leaf_specs(layer[k], LAYER_KINDS[k]) for k in layer}
+            for layer in params["layers"]
+        ],
+    }
+    return specs
+
+
+def cache_specs() -> dict:
+    """KV cache sharding: kv heads over tp, batch over dp."""
+    return {
+        "k": P(None, "dp", "tp", None, None),
+        "v": P(None, "dp", "tp", None, None),
+        "k_scale": P(None, "dp", "tp", None),
+        "v_scale": P(None, "dp", "tp", None),
+    }
+
+
+def shard_llama(params: dict, cfg: LlamaConfig, mesh: Mesh):
+    """Pad + device_put the params across the mesh. Returns (params, cfg)."""
+    tp = mesh.shape["tp"]
+    assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, (
+        f"heads ({cfg.n_heads}/{cfg.n_kv_heads}) must divide tp={tp}")
+    assert cfg.dim % (256 * tp) == 0, (
+        f"row-parallel wo needs dim ({cfg.dim}) % 256*tp ({256 * tp}) == 0")
+    params, cfg = pad_ffn_for_tp(params, cfg, tp)
+    specs = param_specs(params)
+    sharded = jax.tree_util.tree_map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: isinstance(x, P))
+    return sharded, cfg
+
+
+def local_cfg(cfg: LlamaConfig, tp: int) -> LlamaConfig:
+    """The per-device view of the model inside shard_map."""
+    return dataclasses.replace(
+        cfg,
+        n_heads=cfg.n_heads // tp,
+        n_kv_heads=cfg.n_kv_heads // tp,
+        head_dim_override=cfg.head_dim,
+    )
+
+
+def make_tp_forward(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
+    """Build the sharded forward: fn(params, tokens, pos, cache) ->
+    (logits, cache). Call with params from shard_llama and a cache made by
+    init_kv_cache + device_put(cache_specs())."""
+    tp = mesh.shape["tp"]
+    cfg_local = local_cfg(cfg, tp)
+    opts_tp = opts._replace(axis_name="tp")
+
+    def fn(params, tokens, pos, cache):
+        logits, cache = forward(params, cfg_local, tokens, pos, cache, opts_tp)
+        return logits, cache
+
+    def spec_fn(params):
+        return jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(param_specs(params), P("dp"), P("dp"), cache_specs()),
+            out_specs=(P("dp"), cache_specs()),
+            check_vma=False,
+        )
+
+    @jax.jit
+    def wrapped(params, tokens, pos, cache):
+        return spec_fn(params)(params, tokens, pos, cache)
+
+    return wrapped
+
+
+def init_sharded_cache(cfg: LlamaConfig, mesh: Mesh, batch: int, max_seq: int):
+    from ..models.llama import init_kv_cache
+
+    cache = init_kv_cache(cfg, batch, max_seq)
+    return jax.tree_util.tree_map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        cache, cache_specs(), is_leaf=lambda x: isinstance(x, P))

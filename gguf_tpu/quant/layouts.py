@@ -49,13 +49,15 @@ QK_K = 256
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["d_bits", "dmin_bits", "sc", "mn", "qs", "ql", "qh"],
-         meta_fields=["fmt", "shape"])
+         meta_fields=["fmt"])
 @dataclass
 class QuantTensor:
-    """A quantized (M, K) matrix in SoA device layout (a JAX pytree)."""
+    """A quantized (M, K) matrix in SoA device layout (a JAX pytree).
+
+    The logical shape is DERIVED from the array shapes, so sliced or
+    shard_map-local views automatically report their local (M, K)."""
 
     fmt: str                    # 'q8_0' | 'q4_k' | 'q6_k'
-    shape: tuple                # logical (M, K)
     d_bits: jax.Array           # fp16 scale bits, u16
     dmin_bits: Optional[jax.Array] = None
     sc: Optional[jax.Array] = None
@@ -65,12 +67,21 @@ class QuantTensor:
     qh: Optional[jax.Array] = None
 
     @property
-    def mk(self) -> tuple:
-        return self.shape
+    def shape(self) -> tuple:
+        """Logical (M, K), derived from the K-major arrays."""
+        if self.fmt == "q8_0":
+            return (self.qs.shape[1], self.qs.shape[0])
+        codes = self.qs if self.fmt == "q4_k" else self.ql
+        return (codes.shape[1], codes.shape[0] * 2)
 
     def dequantize(self) -> jax.Array:
         """Pure-jnp dequantize to float32 (M, K); jit/shard_map friendly."""
         return _DEQUANT[self.fmt](self)
+
+    def take_rows(self, ids: jax.Array) -> "QuantTensor":
+        """Select logical rows (M dim) — a lane gather in the K-major layout.
+        Used for embedding lookups from a quantized token_embd table."""
+        return jax.tree_util.tree_map(lambda a: a[:, ids], self)
 
     def packed_bytes_per_row(self) -> int:
         m, k = self.shape
@@ -111,7 +122,7 @@ def q8_0_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     blocks = b.reshape(m * (k // 32), Q8_0_BYTES)
     d_bits = blocks[:, :2].copy().view(np.uint16).reshape(m, k // 32)
     qs = blocks[:, 2:].view(np.int8).reshape(m, k)
-    return QuantTensor(fmt="q8_0", shape=(m, k),
+    return QuantTensor(fmt="q8_0",
                        d_bits=jnp.asarray(np.ascontiguousarray(d_bits.T)),
                        qs=jnp.asarray(np.ascontiguousarray(qs.T)))
 
@@ -146,7 +157,7 @@ def q4_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     qs = _repack_nibbles(codes).reshape(m, k // 2)
     t = lambda a: jnp.asarray(np.ascontiguousarray(a.T))
     return QuantTensor(
-        fmt="q4_k", shape=(m, k),
+        fmt="q4_k",
         d_bits=t(d_bits), dmin_bits=t(dmin_bits),
         sc=t(sc.reshape(m, sb * 8)), mn=t(mn.reshape(m, sb * 8)),
         qs=t(qs),
@@ -188,7 +199,7 @@ def q6_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
           | (hi2[:, 192:256] << 6)).astype(np.uint8).reshape(m, k // 4)
     t = lambda a: jnp.asarray(np.ascontiguousarray(a.T))
     return QuantTensor(
-        fmt="q6_k", shape=(m, k),
+        fmt="q6_k",
         d_bits=t(d_bits),
         sc=t(scales.reshape(m, sb * 16)),
         ql=t(ql), qh=t(qh),

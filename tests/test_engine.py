@@ -1,0 +1,109 @@
+"""Engine tests: tokenizer, sampler, continuous batching end to end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gguf_tpu.engine import LLM, SamplerConfig, SPMTokenizer, sample
+from gguf_tpu.gguf import GGMLType
+from gguf_tpu.models import LlamaConfig, write_random_llama_gguf
+
+CFG = LlamaConfig(
+    vocab_size=64, dim=256, n_layers=2, n_heads=4, n_kv_heads=2,
+    ffn_dim=512, max_seq_len=64,
+)
+
+
+def _toy_vocab():
+    tokens = ["<unk>", "<s>", "</s>"]
+    tokens += [f"<0x{b:02X}>" for b in range(256)]       # byte fallback
+    # like real SPM vocabs: single characters plus merge intermediates,
+    # longer pieces scoring higher so full words assemble greedily
+    words = (list("helowrd") + ["▁"] +
+             ["▁h", "▁he", "▁hel", "▁hell", "▁hello",
+              "▁w", "▁wo", "▁wor", "▁worl", "▁world", "el", "lo", "ld"])
+    tokens += words
+    scores = np.zeros(len(tokens), np.float32)
+    base = 259
+    for i, w in enumerate(words):
+        scores[base + i] = float(len(w))
+    return tokens, scores
+
+
+def test_tokenizer_roundtrip():
+    tokens, scores = _toy_vocab()
+    tok = SPMTokenizer(tokens, scores)
+    ids = tok.encode("hello world")
+    assert ids[0] == tok.bos_id
+    assert tok.decode(ids) == "hello world"
+    # unknown chars fall back to bytes and decode back
+    ids2 = tok.encode("héllo")
+    assert tok.decode(ids2) == "héllo"
+
+
+def test_tokenizer_merging_prefers_high_scores():
+    tokens, scores = _toy_vocab()
+    tok = SPMTokenizer(tokens, scores)
+    ids = tok.encode("hello", add_bos=False)
+    assert [tok.tokens[i] for i in ids] == ["▁hello"]
+
+
+def test_sampler_greedy_and_topk():
+    logits = jnp.asarray([[0.0, 5.0, 1.0, 2.0]])
+    key = jax.random.PRNGKey(0)
+    assert int(sample(logits, key, SamplerConfig())[0]) == 1
+    # top-k=1 at any temperature must also pick the argmax
+    cfg = SamplerConfig(temperature=1.0, top_k=1)
+    assert int(sample(logits, key, cfg)[0]) == 1
+    # top-p tiny keeps only the top token
+    cfg = SamplerConfig(temperature=1.0, top_p=0.01)
+    assert int(sample(logits, key, cfg)[0]) == 1
+
+
+@pytest.fixture(scope="module")
+def llm(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("e") / "tiny.gguf")
+    tokens, scores = _toy_vocab()
+    # vocab must match model vocab size: pad
+    tokens = (tokens + [f"<pad{i}>" for i in range(CFG.vocab_size)])[:CFG.vocab_size]
+    scores = np.zeros(CFG.vocab_size, np.float32)
+    write_random_llama_gguf(
+        path, CFG, fmt=GGMLType.Q4_K, seed=3,
+        extra_metadata={
+            "tokenizer.ggml.tokens": tokens,
+            "tokenizer.ggml.scores": scores,
+            "tokenizer.ggml.bos_token_id": 1,
+            "tokenizer.ggml.eos_token_id": 2,
+        })
+    return LLM(path, max_batch=2, max_seq=32)
+
+
+def test_generate_single(llm):
+    [res] = llm.generate([[1, 5, 9]], max_new_tokens=4)
+    assert res.finished
+    assert 1 <= len(res.token_ids) <= 4
+    assert all(0 <= t < CFG.vocab_size for t in res.token_ids)
+
+
+def test_generate_deterministic_greedy(llm):
+    a = llm.generate([[1, 5, 9, 12]], max_new_tokens=6)[0]
+    b = llm.generate([[1, 5, 9, 12]], max_new_tokens=6)[0]
+    assert a.token_ids == b.token_ids
+
+
+def test_continuous_batching_more_requests_than_slots(llm):
+    """4 requests through 2 slots; each result must match its solo run."""
+    prompts = [[1, 5], [1, 9, 4], [1, 7], [1, 3, 8, 6]]
+    batch = llm.generate(prompts, max_new_tokens=3)
+    assert len(batch) == 4 and all(r.finished for r in batch)
+    for p, r in zip(prompts, batch):
+        solo = llm.generate([p], max_new_tokens=3)[0]
+        assert solo.token_ids == r.token_ids, (p, solo.token_ids, r.token_ids)
+
+
+def test_generate_respects_max_seq(llm):
+    [res] = llm.generate([[1, 5, 9]], max_new_tokens=1000)
+    assert res.finished
+    assert len(res.prompt_ids) + len(res.token_ids) <= 32

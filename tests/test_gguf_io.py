@@ -1,0 +1,101 @@
+"""GGUF reader/writer: round-trips, typed metadata, quantized tensors,
+sharded loads."""
+
+import numpy as np
+import pytest
+
+from gguf_tpu.gguf import GGMLType, GGUFReader, write_gguf, quantize_tensor
+from gguf_tpu.quant import dequantize_q4_k
+from gguf_tpu.quant.layouts import from_soa
+
+
+@pytest.fixture
+def gguf_file(tmp_path, rng):
+    x_f32 = rng.standard_normal((8, 64)).astype(np.float32)
+    x_f16 = rng.standard_normal((4, 32)).astype(np.float16)
+    w4 = rng.standard_normal((16, 512)).astype(np.float32)
+    w8 = rng.standard_normal((8, 256)).astype(np.float32)
+    w6 = rng.standard_normal((8, 512)).astype(np.float32)
+    meta = {
+        "general.architecture": "llama",
+        "llama.block_count": 2,
+        "llama.rope.freq_base": 10000.0,
+        "tokenizer.ggml.tokens": ["<s>", "</s>", "hello"],
+        "tokenizer.ggml.scores": np.array([0.0, -1.0, -2.0], dtype=np.float32),
+        "some.flag": True,
+        "some.signed": -7,
+    }
+    tensors = {
+        "dense.weight": (GGMLType.F32, x_f32.shape, x_f32),
+        "half.weight": (GGMLType.F16, x_f16.shape, x_f16),
+        "q4.weight": (GGMLType.Q4_K, w4.shape, quantize_tensor(w4, GGMLType.Q4_K)),
+        "q8.weight": (GGMLType.Q8_0, w8.shape, quantize_tensor(w8, GGMLType.Q8_0)),
+        "q6.weight": (GGMLType.Q6_K, w6.shape, quantize_tensor(w6, GGMLType.Q6_K)),
+    }
+    path = str(tmp_path / "model.gguf")
+    write_gguf(path, meta, tensors)
+    return path, meta, tensors, (x_f32, x_f16, w4)
+
+
+def test_metadata_roundtrip(gguf_file):
+    path, meta, _, _ = gguf_file
+    with GGUFReader(path) as r:
+        assert r.version == 3
+        assert r.metadata["general.architecture"] == "llama"
+        assert r.metadata["llama.block_count"] == 2
+        assert r.metadata["llama.rope.freq_base"] == pytest.approx(10000.0)
+        assert r.metadata["tokenizer.ggml.tokens"] == ["<s>", "</s>", "hello"]
+        np.testing.assert_array_equal(
+            r.metadata["tokenizer.ggml.scores"], np.array([0.0, -1.0, -2.0], np.float32))
+        assert r.metadata["some.flag"] is True
+        assert r.metadata["some.signed"] == -7
+
+
+def test_float_tensor_roundtrip(gguf_file):
+    path, _, _, (x_f32, x_f16, _) = gguf_file
+    with GGUFReader(path) as r:
+        np.testing.assert_array_equal(r.load_array("dense.weight"), x_f32)
+        np.testing.assert_array_equal(r.load_array("half.weight"), x_f16)
+        assert r.tensors["dense.weight"].shape == (8, 64)
+
+
+def test_quant_tensor_bytes_roundtrip(gguf_file, rng):
+    path, _, tensors, _ = gguf_file
+    with GGUFReader(path) as r:
+        for name in ("q4.weight", "q8.weight", "q6.weight"):
+            want = np.asarray(tensors[name][2]).view(np.uint8)
+            np.testing.assert_array_equal(r.tensor_bytes(name), want)
+
+
+def test_load_quant_to_soa(gguf_file):
+    path, _, tensors, _ = gguf_file
+    with GGUFReader(path) as r:
+        t = r.load_quant("q4.weight")
+        assert t.fmt == "q4_k" and t.shape == (16, 512)
+        np.testing.assert_array_equal(
+            from_soa(t), np.asarray(tensors["q4.weight"][2]).view(np.uint8))
+
+
+def test_load_quant_row_shard(gguf_file):
+    """Sharded load must equal the matching rows of the full dequant."""
+    path, _, _, (_, _, w4) = gguf_file
+    with GGUFReader(path) as r:
+        full = r.dequantize("q4.weight")
+        shard = r.load_quant("q4.weight", rows=slice(8, 16))
+        assert shard.shape == (8, 512)
+        np.testing.assert_array_equal(np.asarray(shard.dequantize()), full[8:16])
+
+
+def test_dequantize_matches_codec(gguf_file, rng):
+    path, _, tensors, _ = gguf_file
+    with GGUFReader(path) as r:
+        got = r.dequantize("q4.weight")
+        want = dequantize_q4_k(tensors["q4.weight"][2], (16, 512))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_bad_magic(tmp_path):
+    p = tmp_path / "bad.gguf"
+    p.write_bytes(b"NOPE" + b"\0" * 100)
+    with pytest.raises(ValueError, match="not a GGUF"):
+        GGUFReader(str(p))

@@ -1,0 +1,167 @@
+"""End-to-end model tests: GGUF checkpoint -> decoder forward on the MMQ
+kernels, against a pure-numpy float reference built from the DEQUANTIZED
+weights (so the only allowed divergence is kernel arithmetic, not
+quantization noise)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gguf_tpu.gguf import GGMLType, GGUFReader
+from gguf_tpu.models import (
+    LlamaConfig, MMOpts, forward, init_kv_cache, load_llama,
+    write_random_llama_gguf,
+)
+
+# dim/ffn must be multiples of 256 (the K-quant superblock spans a weight row)
+CFG = LlamaConfig(
+    vocab_size=256, dim=256, n_layers=2, n_heads=4, n_kv_heads=2,
+    ffn_dim=512, max_seq_len=64,
+)
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    write_random_llama_gguf(path, CFG, fmt=GGMLType.Q4_K, seed=1)
+    cfg, params = load_llama(path)
+    return path, cfg, params
+
+
+def _numpy_reference(path, cfg, tokens):
+    """Float reference forward from dequantized weights, numpy only."""
+    r = GGUFReader(path)
+    deq = lambda n: r.dequantize(n)
+    b, t = tokens.shape
+    x = deq("token_embd.weight")[tokens.reshape(-1)].reshape(b, t, cfg.dim)
+
+    def rmsn(x, w):
+        return x / np.sqrt(np.mean(x * x, axis=-1, keepdims=True) + cfg.norm_eps) * w
+
+    hd = cfg.head_dim
+    pos = np.arange(t)
+    freqs = cfg.rope_theta ** (-np.arange(0, hd, 2) / hd)
+    ang = pos[:, None] * freqs[None, :]
+    cos, sin = np.cos(ang), np.sin(ang)
+
+    def rope(x):  # (B, T, H, hd), consecutive pairs
+        x2 = x.reshape(*x.shape[:-1], -1, 2)
+        e, o = x2[..., 0], x2[..., 1]
+        c = cos[None, :, None, :]
+        s = sin[None, :, None, :]
+        return np.stack([e * c - o * s, e * s + o * c], axis=-1).reshape(x.shape)
+
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        h = rmsn(x, r.load_array(p + "attn_norm.weight"))
+        q = (h @ deq(p + "attn_q.weight").T).reshape(b, t, cfg.n_heads, hd)
+        k = (h @ deq(p + "attn_k.weight").T).reshape(b, t, cfg.n_kv_heads, hd)
+        v = (h @ deq(p + "attn_v.weight").T).reshape(b, t, cfg.n_kv_heads, hd)
+        q, k = rope(q), rope(k)
+        rep = cfg.n_heads // cfg.n_kv_heads
+        k = np.repeat(k, rep, axis=2)
+        v = np.repeat(v, rep, axis=2)
+        scores = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        mask = np.tril(np.ones((t, t), bool))
+        scores = np.where(mask[None, None], scores, -np.inf)
+        probs = np.exp(scores - scores.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        att = np.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, -1)
+        x = x + att @ deq(p + "attn_output.weight").T
+        h = rmsn(x, r.load_array(p + "ffn_norm.weight"))
+        g = h @ deq(p + "ffn_gate.weight").T
+        u = h @ deq(p + "ffn_up.weight").T
+        x = x + (g / (1 + np.exp(-g)) * u) @ deq(p + "ffn_down.weight").T
+
+    x = rmsn(x, r.load_array("output_norm.weight"))
+    logits = x @ deq("output.weight").T
+    r.close()
+    return logits
+
+
+def test_forward_matches_numpy_reference(model):
+    path, cfg, params = model
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    cache = init_kv_cache(cfg, batch=2, max_seq=32)
+    logits, _ = forward(params, cfg, jnp.asarray(tokens),
+                        jnp.zeros(2, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    ref = _numpy_reference(path, cfg, tokens)
+    got = np.asarray(logits)
+    assert got.shape == ref.shape
+    # bf16 activations + softmax in different orders: modest tolerance
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 0.03, np.max(np.abs(got - ref)) / denom
+
+
+def test_prefill_equals_stepwise_decode(model):
+    """One T=4 prefill must produce the same final logits as 4 sequential
+    T=1 steps through the INT8 KV cache."""
+    _, cfg, params = model
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 4)).astype(np.int32))
+    opts = MMOpts(precision="high")
+
+    cache = init_kv_cache(cfg, batch=1, max_seq=16)
+    logits_pre, _ = forward(params, cfg, tokens, jnp.zeros(1, jnp.int32), cache, opts)
+
+    cache = init_kv_cache(cfg, batch=1, max_seq=16)
+    outs = []
+    for t in range(4):
+        lg, cache = forward(params, cfg, tokens[:, t:t + 1],
+                            jnp.full(1, t, jnp.int32), cache, opts)
+        outs.append(np.asarray(lg[:, 0]))
+    np.testing.assert_allclose(
+        np.asarray(logits_pre[0, -1]), outs[-1][0], rtol=0, atol=2e-2)
+
+
+def test_per_slot_positions(model):
+    """Continuous batching: two sequences at different depths in one batch."""
+    _, cfg, params = model
+    rng = np.random.default_rng(2)
+    opts = MMOpts(precision="high")
+    cache = init_kv_cache(cfg, batch=2, max_seq=16)
+    # both slots prefill 3 tokens, then slot 0 advances one extra step so the
+    # joint decode below runs with different per-slot positions [4, 3]
+    pre = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 3)).astype(np.int32))
+    _, cache = forward(params, cfg, pre, jnp.zeros(2, jnp.int32), cache, opts)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 1)).astype(np.int32))
+    lg0, cache = forward(params, cfg, toks, jnp.asarray([3, 3], jnp.int32), cache, opts)
+    logits, _ = forward(params, cfg, toks, jnp.asarray([4, 3], jnp.int32), cache, opts)
+    assert logits.shape == (2, 1, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_float_fallback_weights(model):
+    """Float (non-quantized) weight path through the same forward."""
+    path, cfg, params = model
+    r = GGUFReader(path)
+    fparams = {
+        "token_embd": jnp.asarray(r.dequantize("token_embd.weight")),
+        "output": jnp.asarray(r.dequantize("output.weight")),
+        "output_norm": jnp.asarray(r.load_array("output_norm.weight")),
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        fparams["layers"].append({
+            "attn_norm": jnp.asarray(r.load_array(p + "attn_norm.weight")),
+            "ffn_norm": jnp.asarray(r.load_array(p + "ffn_norm.weight")),
+            **{k: jnp.asarray(r.dequantize(p + n)) for k, n in [
+                ("wq", "attn_q.weight"), ("wk", "attn_k.weight"),
+                ("wv", "attn_v.weight"), ("wo", "attn_output.weight"),
+                ("gate", "ffn_gate.weight"), ("up", "ffn_up.weight"),
+                ("down", "ffn_down.weight")]},
+        })
+    r.close()
+    tokens = jnp.asarray([[1, 2, 3]], jnp.int32)
+    cache = init_kv_cache(cfg, batch=1, max_seq=8)
+    lq, _ = forward(params, cfg, tokens, jnp.zeros(1, jnp.int32),
+                    init_kv_cache(cfg, 1, 8), MMOpts(precision="high"))
+    lf, _ = forward(fparams, cfg, tokens, jnp.zeros(1, jnp.int32), cache,
+                    MMOpts(precision="high"))
+    denom = float(jnp.abs(lf).max())
+    assert float(jnp.abs(lq - lf).max()) / denom < 0.02
