@@ -2,11 +2,18 @@
 
 Metric: effective weight bandwidth of the flagship mmq_q4_k kernel on the
 BASELINE config (4096x4096 GEMM, 16 decode tokens): GGUF weight bytes read
-per second of kernel time. `vs_baseline` is the speedup over what the
-non-quantized path would do — the same GEMM from bf16 weights via XLA's
-native matmul on the same chip (reads 3.6x the bytes). Timing runs on-device
-(kernel looped inside one jit) because each dispatch through this
-environment's TPU relay costs ~25 ms from the host.
+per second of kernel time. `vs_baseline` is the speedup over the
+non-quantized path — the same decode GEMM from bf16 weights via XLA's native
+matmul on the same chip (which reads 3.6x the bytes per token).
+
+Timing methodology (this environment's TPU is behind a relay where
+`block_until_ready` returns before the device is done and a device->host
+readback costs ~29 ms): run the op in a jit'd fori_loop with a loop-carried
+data dependency (so XLA cannot collapse iterations algebraically or DCE the
+matmul down to the consumed slice), consume the FULL output into an f32
+accumulator, sync via np.asarray readback, and report the slope
+(T(hi_iters) - T(lo_iters)) / (hi - lo) — median over repeats — which
+cancels the fixed relay/dispatch cost.
 
 Run `python benchmarks/suite.py` for the full per-format sweep.
 """
@@ -17,6 +24,24 @@ import time
 import numpy as np
 
 
+def slope_time(make_f, args, lo=20, hi=220, reps=7):
+    """Median marginal seconds/iteration between lo- and hi-iteration jits."""
+    import jax
+
+    f_lo, f_hi = jax.jit(make_f(lo)), jax.jit(make_f(hi))
+    np.asarray(f_lo(*args)), np.asarray(f_hi(*args))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f_lo(*args))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(f_hi(*args))
+        t_hi = time.perf_counter() - t0
+        ts.append((t_hi - t_lo) / (hi - lo))
+    return float(np.median(ts))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -25,45 +50,45 @@ def main():
     from gguf_tpu.quant import quantize_q4_k
     from gguf_tpu.quant.layouts import to_soa
 
-    _ = np.asarray(jnp.zeros((1, 1)))  # absorb the relay's first-d2h cost
-
     m = k = 4096
     n = 16
-    iters = 50
     rng = np.random.default_rng(0)
     a = rng.standard_normal((m, k)).astype(np.float16)
     w = jax.device_put(to_soa("q4_k", quantize_q4_k(a), m, k))
     wbytes = m * (k // 256) * 144
-    b = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    x0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
 
-    def timed(fn, *args):
-        def many(*args):
-            def body(i, acc):
-                return acc + fn(i, *args)
-            return jax.lax.fori_loop(0, iters, body, 0.0)
+    def mk_mmq(iters):
+        def many(w, x):
+            def body(i, carry):
+                acc, xx = carry
+                out = mmq_q4_k(w, xx, precision="fast", act_quant=False)
+                # loop-carried dependency: next input depends on this output
+                return acc + out, x + acc[:, :1] * 1e-30
+            acc, _ = jax.lax.fori_loop(
+                0, iters, body, (jnp.zeros((n, m), jnp.float32), x))
+            return acc.sum()
+        return many
 
-        f = jax.jit(many)
-        f(*args).block_until_ready()
-        best = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            f(*args).block_until_ready()
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best
-
-    t_mmq = timed(
-        lambda i, w, b: mmq_q4_k(
-            w, b + i.astype(jnp.float32) * 1e-8, precision="fast",
-            act_quant=False)[0, 0],
-        w, b)
+    t_mmq = slope_time(mk_mmq, (w, x0))
 
     # baseline: the same decode GEMM from bf16 weights (what a non-quantized
-    # serving stack pays), XLA native matmul
-    wb16 = jnp.asarray(rng.standard_normal((k, m)).astype(np.float32)).astype(jnp.bfloat16)
-    bb = b.astype(jnp.bfloat16)
-    t_ref = timed(
-        lambda i, wb16, bb: ((bb + i.astype(jnp.bfloat16) * 1e-8) @ wb16)[0, 0].astype(jnp.float32),
-        wb16, bb)
+    # serving stack pays per token), XLA native matmul, same harness
+    wb16 = jnp.asarray(rng.standard_normal((k, m)), jnp.bfloat16)
+    xb = x0.astype(jnp.bfloat16)
+
+    def mk_ref(iters):
+        def many(w, x):
+            def body(i, carry):
+                acc, xx = carry
+                out = (xx @ w).astype(jnp.float32)
+                return acc + out, x + (acc[:, :1] * 1e-30).astype(jnp.bfloat16)
+            acc, _ = jax.lax.fori_loop(
+                0, iters, body, (jnp.zeros((n, m), jnp.float32), x))
+            return acc.sum()
+        return many
+
+    t_ref = slope_time(mk_ref, (wb16, xb))
 
     print(json.dumps({
         "metric": "mmq_q4_k 4096x4096 GEMM @16 decode tokens, effective weight bandwidth",
