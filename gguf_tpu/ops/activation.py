@@ -24,18 +24,26 @@ def quantize_q8_1_act(x: jax.Array):
     """(..., K) float -> (q: int8 (..., K), d: f32 (..., K/32), s: f32 (..., K/32)).
 
     d = absmax/127 per 32-block; s = d * sum(q) (the Q4_K min-term helper).
-    Arithmetic runs in float16 so the emitted codes are identical to the
-    Q8_1 codec (quant/q8_1.py) — the correctness oracle quantizes the same
-    activations on the host and the int8 codes must agree exactly.
+    All arithmetic runs in float32 with explicit fp16 rounding points
+    (fp16_round: integer-op RNE, quant/layouts.py), which matches numpy's
+    fp16 semantics (compute in f32, round back) bit for bit, so the emitted
+    codes are identical to the Q8_1 codec (quant/q8_1.py). Neither float16
+    jnp arithmetic nor astype(f16) round-trips survive jit: XLA contracts
+    fused f16 chains at higher intermediate precision and elides lossy
+    convert pairs, so the same expression quantizes differently eager vs
+    jitted (codes shift by +-1 near .5 boundaries).
     """
+    from ..quant.layouts import fp16_round as _f16
+
     *lead, k = x.shape
-    g = x.astype(jnp.float16).reshape(*lead, k // BLOCK, BLOCK)
-    amax = jnp.max(jnp.abs(g), axis=-1)
-    d = amax / jnp.float16(127.0)
-    d_safe = jnp.where(d == 0, jnp.float16(1.0), d)
-    q = jnp.clip(jnp.rint(g / d_safe[..., None]), -127, 127).astype(jnp.int8)
-    s = (d * jnp.sum(q, axis=-1, dtype=jnp.int32).astype(jnp.float16)).astype(jnp.float32)
-    return q.reshape(*lead, k), d.astype(jnp.float32), s
+    g = _f16(x.astype(jnp.float32)).reshape(*lead, k // BLOCK, BLOCK)
+    amax = jnp.max(jnp.abs(g), axis=-1)          # exact in f32 (f16 inputs)
+    d = _f16(amax / 127.0)
+    d_safe = jnp.where(d == 0.0, 1.0, d)
+    q = jnp.clip(jnp.rint(_f16(g / d_safe[..., None])), -127, 127).astype(jnp.int8)
+    sum_q = jnp.sum(q, axis=-1, dtype=jnp.int32).astype(jnp.float32)  # exact
+    s = _f16(d * sum_q)
+    return q.reshape(*lead, k), d, s
 
 
 def fake_quantize_q8_1(x: jax.Array) -> jax.Array:

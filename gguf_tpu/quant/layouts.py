@@ -114,6 +114,44 @@ def fp16_bits_to_f32(bits: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(out_bits, jnp.float32)
 
 
+def f32_to_fp16_bits(x: jax.Array) -> jax.Array:
+    """Exact float32 -> fp16(bits) with IEEE round-to-nearest-even, in pure
+    integer ops (Giesen's float_to_half_fast3_rtne). Needed because XLA elides
+    lossy f32->f16->f32 convert pairs under jit, so `x.astype(f16)` is NOT a
+    reliable rounding point; this is, and it matches numpy bit for bit
+    including denormals, inf and NaN."""
+    f = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    sign = f & jnp.uint32(0x80000000)
+    f = f ^ sign
+
+    f32_infty = jnp.uint32(255 << 23)
+    f16_max = jnp.uint32((127 + 16) << 23)
+    denorm_magic_bits = jnp.uint32(126 << 23)  # 0.5f
+    denorm_magic = jax.lax.bitcast_convert_type(denorm_magic_bits, jnp.float32)
+
+    # large: inf (0x7C00) or NaN (0x7E00)
+    big = jnp.where(f > f32_infty, jnp.uint32(0x7E00), jnp.uint32(0x7C00))
+
+    # subnormal f16: float add against 0.5 positions+rounds the bits (RNE)
+    den_f = jax.lax.bitcast_convert_type(f, jnp.float32) + denorm_magic
+    den = jax.lax.bitcast_convert_type(den_f, jnp.uint32) - denorm_magic_bits
+
+    # normal: rebias exponent, RNE on the dropped 13 mantissa bits
+    mant_odd = (f >> 13) & jnp.uint32(1)
+    # ((u32)(15 - 127)) << 23 wraps to 0xC8000000 in two's complement
+    norm = (f + jnp.uint32(0xC8000000) + jnp.uint32(0xFFF) + mant_odd) >> 13
+
+    small = jnp.where(f < jnp.uint32(113 << 23), den, norm & jnp.uint32(0xFFFF))
+    out = jnp.where(f >= f16_max, big, small)
+    return (out | (sign >> 16)).astype(jnp.uint16)
+
+
+def fp16_round(x: jax.Array) -> jax.Array:
+    """Round f32 to the nearest fp16 value, returned as f32 — a jit-proof
+    fp16 rounding point (see f32_to_fp16_bits)."""
+    return fp16_bits_to_f32(f32_to_fp16_bits(x))
+
+
 # -------------------------------------------------------- bytes -> SoA ---
 
 

@@ -124,3 +124,42 @@ def test_fp16_bit_conversion_exact(rng):
     np.testing.assert_array_equal(f32, bits[finite].view(np.float16).astype(np.float32))
     back = native.fp32_to_fp16_bits(f32)
     np.testing.assert_array_equal(back, bits[finite])
+
+
+def test_jax_fp16_bits_roundtrip_exact():
+    """The JAX integer-op f32->fp16 conversion (quant/layouts.py) is bit-exact
+    vs numpy on every finite fp16 pattern, eager AND jitted — astype(f16)
+    round-trips are NOT jit-stable (XLA elides the lossy convert pair)."""
+    import jax
+    from gguf_tpu.quant.layouts import f32_to_fp16_bits, fp16_bits_to_f32
+
+    bits = np.arange(2**16, dtype=np.uint16)
+    finite = bits[np.isfinite(bits.view(np.float16))]
+    f32 = finite.view(np.float16).astype(np.float32)
+    for fn in (f32_to_fp16_bits, jax.jit(f32_to_fp16_bits)):
+        np.testing.assert_array_equal(np.asarray(fn(f32)), finite)
+    for fn in (fp16_bits_to_f32, jax.jit(fp16_bits_to_f32)):
+        np.testing.assert_array_equal(np.asarray(fn(finite)), f32)
+    # halfway cases round to even
+    half = np.float32(1.0) + np.float32(2.0**-11)  # exactly between fp16 ulps
+    assert int(f32_to_fp16_bits(np.float32([half]))[0]) == 0x3C00
+
+
+def test_activation_quant_jit_stable_and_codec_exact(rng):
+    """quantize_q8_1_act emits the same int8 codes eager, jitted, and vs the
+    numpy Q8_1 codec (regression: f16 jnp arithmetic quantized differently
+    under jit because XLA contracts fused f16 chains at f32)."""
+    import jax
+    from gguf_tpu.ops.activation import quantize_q8_1_act
+
+    x = rng.standard_normal((16, 4096)).astype(np.float32)
+    qe, de, se = quantize_q8_1_act(x)
+    qj, dj, sj = jax.jit(quantize_q8_1_act)(x)
+    np.testing.assert_array_equal(np.asarray(qe), np.asarray(qj))
+    np.testing.assert_array_equal(np.asarray(de), np.asarray(dj))
+    np.testing.assert_array_equal(np.asarray(se), np.asarray(sj))
+
+    d_np, s_np, qs_np = parse_q8_1(quantize_q8_1(x.astype(np.float16)))
+    np.testing.assert_array_equal(np.asarray(qe).reshape(-1, 32), qs_np)
+    np.testing.assert_array_equal(np.asarray(de).reshape(-1), d_np)
+    np.testing.assert_array_equal(np.asarray(se).reshape(-1), s_np)
