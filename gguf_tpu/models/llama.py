@@ -37,7 +37,7 @@ class MMOpts(NamedTuple):
     vocab shard."""
     precision: str = "fast"
     act_quant: bool = False
-    block_m: int = 512
+    block_m: int = 2048
     block_k: int = 1024
     axis_name: str | None = None
 

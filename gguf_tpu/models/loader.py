@@ -5,9 +5,63 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+import dataclasses
+
+import jax
+
 from ..gguf import GGMLType, GGUFReader
 from ..gguf.writer import quantize_tensor, write_gguf
 from .config import LlamaConfig
+
+
+def _pad_cols_to(t, m_target: int):
+    """Zero-pad a weight's output dim (lane axis of every SoA array)."""
+    from ..ops.common import pad_cols
+    from ..quant.layouts import QuantTensor
+
+    if isinstance(t, QuantTensor):
+        return jax.tree_util.tree_map(
+            lambda a: pad_cols(a, a.shape[-1] + (m_target - t.shape[0])), t)
+    return jnp.pad(t, ((0, m_target - t.shape[0]), (0, 0)))
+
+
+def _pad_k_to(t, k_target: int):
+    """Zero-pad a weight's input dim with whole superblocks (zero scales
+    dequantize to zero — exact)."""
+    from ..quant.layouts import QuantTensor
+
+    if isinstance(t, QuantTensor):
+        m, k = t.shape
+        ratio = k_target / k
+
+        def pad(a):
+            rows = int(a.shape[0] * ratio)
+            return jnp.pad(a, ((0, rows - a.shape[0]), (0, 0)))
+
+        return jax.tree_util.tree_map(pad, t)
+    return jnp.pad(t, ((0, 0), (0, k_target - t.shape[1])))
+
+
+def pad_ffn_for_tp(params: dict, cfg: LlamaConfig, tp: int):
+    """Pad the FFN dimension to a multiple of 256*tp so row shards land on
+    superblock boundaries (e.g. Llama-2-7B's 11008 -> 11264 at tp=8). The
+    single-chip loader also applies this with tp=1: a 256-aligned FFN gives
+    the MMQ kernels a clean large M-tile (ops/common.py:choose_bm) instead
+    of a hidden whole-weight zero-pad copy inside every jitted call."""
+    granule = 256 * tp
+    ffn = cfg.ffn_dim
+    ffn_pad = (ffn + granule - 1) // granule * granule
+    if ffn_pad == ffn:
+        return params, cfg
+    layers = []
+    for layer in params["layers"]:
+        layer = dict(layer)
+        layer["gate"] = _pad_cols_to(layer["gate"], ffn_pad)
+        layer["up"] = _pad_cols_to(layer["up"], ffn_pad)
+        layer["down"] = _pad_k_to(layer["down"], ffn_pad)
+        layers.append(layer)
+    params = {**params, "layers": layers}
+    return params, dataclasses.replace(cfg, ffn_dim=ffn_pad)
 
 
 def _load_weight(reader: GGUFReader, name: str, rows: slice | None = None):
@@ -49,6 +103,7 @@ def load_llama(path: str):
             "down": _load_weight(reader, p + "ffn_down.weight"),
         })
     reader.close()
+    params, cfg = pad_ffn_for_tp(params, cfg, 1)
     return cfg, params
 
 

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
 from .common import (
-    expand_block_rows, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
+    choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
     regroup_rows, round_up, running_interpreted, unpack_nibbles_tile,
 )
 
@@ -66,14 +66,16 @@ def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
     d = fp16_bits_to_f32(d_ref[:sbt, :])                     # (SBt, TM)
     dmin = fp16_bits_to_f32(dmin_ref[:sbt, :])
 
-    # per-32-block affine params, f32: scale = d*sc, min = dmin*mn
+    # per-32-block affine params, f32: scale = d*sc, min = dmin*mn;
+    # broadcast multiplies (never materialized row-expanded copies)
     sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)     # (SBt*8, TM)
     mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
-    scale32 = expand_block_rows(d, 8) * sc
-    min32 = expand_block_rows(dmin, 8) * mn
+    tm = sc.shape[-1]
+    scale32 = (d[:, None, :] * sc.reshape(sbt, 8, tm)).reshape(sbt * 8, tm)
+    min32 = (dmin[:, None, :] * mn.reshape(sbt, 8, tm)).reshape(sbt * 8, tm)
 
     q = unpack_nibbles_tile(qs_ref[:], sbt).astype(jnp.float32)  # (TK, TM)
-    w = expand_block_rows(scale32, 32) * q
+    w = (q.reshape(sbt * 8, 32, tm) * scale32[:, None, :]).reshape(sbt * 256, tm)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
@@ -101,7 +103,7 @@ def mmq_q4_k(
     b: jax.Array,
     *,
     act_quant: bool = True,
-    block_m: int = 512,
+    block_m: int = 2048,
     block_k: int = 1024,
     out_dtype=jnp.float32,
     precision: str = "high",
@@ -133,8 +135,8 @@ def mmq_q4_k(
     b = pad_rows(b, n_pad)
     bsum_t = pad_rows(bsum, n_pad).T                         # (K/32, n_pad)
 
-    bm = min(block_m, round_up(m, 128))
-    m_pad = round_up(m, bm)
+    bm = choose_bm(w.qs.shape[-1], block_m)
+    m_pad = round_up(max(m, w.qs.shape[-1]), bm)
     bk = pick_block(k, block_k, QK_K)
     sbt = bk // QK_K
     sb = k // QK_K
@@ -169,6 +171,9 @@ def mmq_q4_k(
             flops=2 * m_pad * k * n_pad,
             bytes_accessed=m_pad * sb * 144 + n_pad * k * 2 + n_pad * m_pad * 4,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=running_interpreted(),
     )(d_bits, dmin_bits, sc, mn, qs, b, bsum_t)

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
 from .common import (
-    expand_block_rows, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
+    choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
     regroup_rows, round_up, running_interpreted, unpack_nibbles_tile,
 )
 
@@ -43,7 +43,9 @@ def _kernel(fast, sbt, d_ref, sc_ref, ql_ref, qh_ref, b_ref, out_ref, acc_ref):
     # per-16-block scales, f32 (sub-scales are int8, exact in f32);
     # d rows come 8-row padded per K-step (see wrapper)
     d = fp16_bits_to_f32(d_ref[:sbt, :])                     # (SBt, TM)
-    scale16 = expand_block_rows(d, 16) * sc_ref[:].astype(jnp.float32)
+    tm = d.shape[-1]
+    sc16 = sc_ref[:].astype(jnp.float32)                     # (SBt*16, TM)
+    scale16 = (d[:, None, :] * sc16.reshape(sbt, 16, tm)).reshape(sbt * 16, tm)
 
     low4 = unpack_nibbles_tile(ql_ref[:], sbt)               # (TK, TM) i32
 
@@ -57,7 +59,7 @@ def _kernel(fast, sbt, d_ref, sc_ref, ql_ref, qh_ref, b_ref, out_ref, acc_ref):
     hi2 = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     q = ((low4 | (hi2 << 4)) - 32).astype(jnp.float32)       # codes in [-32, 32)
-    w = expand_block_rows(scale16, 16) * q
+    w = (q.reshape(sbt * 16, 16, tm) * scale16[:, None, :]).reshape(sbt * 256, tm)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
@@ -80,7 +82,7 @@ def mmq_q6_k(
     b: jax.Array,
     *,
     act_quant: bool = True,
-    block_m: int = 512,
+    block_m: int = 2048,
     block_k: int = 1024,
     out_dtype=jnp.float32,
     precision: str = "high",
@@ -100,8 +102,8 @@ def mmq_q6_k(
 
     n_pad = max(8, round_up(n, 8))
     b = pad_rows(b, n_pad)
-    bm = min(block_m, round_up(m, 128))
-    m_pad = round_up(m, bm)
+    bm = choose_bm(w.ql.shape[-1], block_m)
+    m_pad = round_up(max(m, w.ql.shape[-1]), bm)
     bk = pick_block(k, block_k, QK_K)
     sbt = bk // QK_K
     sb = k // QK_K
@@ -133,6 +135,9 @@ def mmq_q6_k(
             flops=2 * m_pad * k * n_pad,
             bytes_accessed=m_pad * sb * 210 + n_pad * k * 2 + n_pad * m_pad * 4,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=running_interpreted(),
     )(d_bits, sc, ql, qh, b)

@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
 from .common import (
-    expand_block_rows, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
+    choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
     round_up, running_interpreted,
 )
 
@@ -38,7 +38,9 @@ def _kernel(fast, d_ref, qs_ref, b_ref, out_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     d = fp16_bits_to_f32(d_ref[:])                  # (TK/32, TM)
-    w = expand_block_rows(d, BLOCK) * qs_ref[:].astype(jnp.float32)
+    nb, tm = d.shape
+    q = qs_ref[:].astype(jnp.float32)
+    w = (q.reshape(nb, BLOCK, tm) * d[:, None, :]).reshape(nb * BLOCK, tm)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
@@ -61,7 +63,7 @@ def mmq_q8_0(
     b: jax.Array,
     *,
     act_quant: bool = True,
-    block_m: int = 512,
+    block_m: int = 2048,
     block_k: int = 1024,
     out_dtype=jnp.float32,
     precision: str = "high",
@@ -81,8 +83,8 @@ def mmq_q8_0(
 
     n_pad = max(8, round_up(n, 8))
     b = pad_rows(b, n_pad)
-    bm = min(block_m, round_up(m, 128))
-    m_pad = round_up(m, bm)
+    bm = choose_bm(w.qs.shape[-1], block_m)
+    m_pad = round_up(max(m, w.qs.shape[-1]), bm)
     # the d tile needs >= 8 sublanes (bk/32 >= 8) unless it spans the full K
     bk = pick_block(k, block_k, 256) if k % 256 == 0 and k >= 256 else k
 
@@ -106,6 +108,9 @@ def mmq_q8_0(
             flops=2 * m_pad * k * n_pad,
             bytes_accessed=m_pad * (k // BLOCK) * 34 + n_pad * k * 2 + n_pad * m_pad * 4,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=running_interpreted(),
     )(d_bits, qs, b)

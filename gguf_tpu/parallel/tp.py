@@ -63,48 +63,9 @@ LAYER_KINDS = {
 }
 
 
-def _pad_cols_to(t, m_target: int):
-    """Zero-pad a weight's output dim (lane axis of every SoA array)."""
-    from ..ops.common import pad_cols
-
-    if isinstance(t, QuantTensor):
-        return jax.tree_util.tree_map(
-            lambda a: pad_cols(a, a.shape[-1] + (m_target - t.shape[0])), t)
-    return jnp.pad(t, ((0, m_target - t.shape[0]), (0, 0)))
-
-
-def _pad_k_to(t, k_target: int):
-    """Zero-pad a weight's input dim with whole superblocks (zero scales
-    dequantize to zero — exact)."""
-    if isinstance(t, QuantTensor):
-        m, k = t.shape
-        ratio = k_target / k
-
-        def pad(a):
-            rows = int(a.shape[0] * ratio)
-            return jnp.pad(a, ((0, rows - a.shape[0]), (0, 0)))
-
-        return jax.tree_util.tree_map(pad, t)
-    return jnp.pad(t, ((0, 0), (0, k_target - t.shape[1])))
-
-
-def pad_ffn_for_tp(params: dict, cfg: LlamaConfig, tp: int):
-    """Pad the FFN dimension to a multiple of 256*tp so row shards land on
-    superblock boundaries (e.g. Llama-2-7B's 11008 -> 11264 at tp=8)."""
-    granule = 256 * tp
-    ffn = cfg.ffn_dim
-    ffn_pad = (ffn + granule - 1) // granule * granule
-    if ffn_pad == ffn:
-        return params, cfg
-    layers = []
-    for layer in params["layers"]:
-        layer = dict(layer)
-        layer["gate"] = _pad_cols_to(layer["gate"], ffn_pad)
-        layer["up"] = _pad_cols_to(layer["up"], ffn_pad)
-        layer["down"] = _pad_k_to(layer["down"], ffn_pad)
-        layers.append(layer)
-    params = {**params, "layers": layers}
-    return params, dataclasses.replace(cfg, ffn_dim=ffn_pad)
+# FFN padding lives in models.loader (shared with the single-chip load
+# path, which pads to plain 256-multiples for tile-aligned kernels)
+from ..models.loader import _pad_cols_to, _pad_k_to, pad_ffn_for_tp  # noqa: F401,E402
 
 
 def param_specs(params: dict) -> dict:
