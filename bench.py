@@ -19,32 +19,15 @@ Run `python benchmarks/suite.py` for the full per-format sweep.
 """
 
 import json
-import time
 
 import numpy as np
-
-
-def slope_time(make_f, args, lo=20, hi=220, reps=7):
-    """Median marginal seconds/iteration between lo- and hi-iteration jits."""
-    import jax
-
-    f_lo, f_hi = jax.jit(make_f(lo)), jax.jit(make_f(hi))
-    np.asarray(f_lo(*args)), np.asarray(f_hi(*args))  # compile + warm
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(f_lo(*args))
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(f_hi(*args))
-        t_hi = time.perf_counter() - t0
-        ts.append((t_hi - t_lo) / (hi - lo))
-    return float(np.median(ts))
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    from gguf_tpu.utils.benchmark import slope_time
 
     from gguf_tpu.ops import mmq_q4_k
     from gguf_tpu.quant import quantize_q4_k

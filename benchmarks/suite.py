@@ -1,0 +1,176 @@
+"""Full benchmark sweep: per-format MMQ bandwidth, streaming bandwidth,
+and end-to-end decode throughput.
+
+Prints one JSON line per measurement (and a human-readable table to stderr).
+The headline single-number benchmark is repo-root bench.py; this is the
+wide sweep behind it, following BASELINE.md's configs:
+
+  - MMQ GEMM 4096x4096 @ n in {1, 8, 16, 32} decode tokens, all formats,
+    effective weight GB/s vs the measured HBM streaming roofline
+  - streaming (vector add) GB/s over sizes 2^16..2^26 — methodology match
+    of the reference's only perf harness
+    (/root/reference/kernels/add_kernel.py:69-94)
+  - flagship decode: tokens/s for a TinyLlama-shaped Q4_K_M model at
+    batch 16 (BASELINE config #3 shape)
+
+Usage: python benchmarks/suite.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def emit(**kv):
+    print(json.dumps(kv), flush=True)
+
+
+def bench_streams(sizes):
+    """Pallas vector-add GB/s (3 x nbytes moved per element, like the
+    reference's add benchmark)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gguf_tpu.utils.benchmark import slope_time
+
+    for n in sizes:
+        rows = n // 1024
+
+        def add(x, y):
+            return pl.pallas_call(
+                lambda x_ref, y_ref, o_ref: o_ref.__setitem__(
+                    slice(None), x_ref[:] + y_ref[:]),
+                out_shape=jax.ShapeDtypeStruct((rows, 1024), jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+                if n <= 1 << 20 else [
+                    pl.BlockSpec((min(rows, 512), 1024), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM)
+                if n <= 1 << 20 else pl.BlockSpec(
+                    (min(rows, 512), 1024), lambda i: (i, 0),
+                    memory_space=pltpu.VMEM),
+                grid=() if n <= 1 << 20 else (rows // min(rows, 512),),
+            )(x, y)
+
+        x = jnp.arange(n, dtype=jnp.float32).reshape(rows, 1024)
+        y = jnp.ones((rows, 1024), jnp.float32)
+
+        def make(iters):
+            def many(x, y):
+                def body(i, carry):
+                    acc, xx = carry
+                    out = add(xx, y)
+                    return acc + out[0, :], x + acc[:1] * 1e-30
+                acc, _ = jax.lax.fori_loop(
+                    0, iters, body, (jnp.zeros((1024,), jnp.float32), x))
+                return acc.sum()
+            return many
+
+        t = slope_time(make, (x, y), lo=20, hi=120)
+        gbps = 3 * n * 4 / t / 1e9
+        emit(metric=f"stream add {n} f32 elems", value=round(gbps, 1),
+             unit="GB/s", time_us=round(t * 1e6, 1))
+        log(f"  stream {n:>9} elems: {t*1e6:7.1f}us  {gbps:6.1f} GB/s")
+
+
+def bench_mmq(ns, quick=False):
+    import jax
+    import jax.numpy as jnp
+
+    from gguf_tpu.ops import MMQ
+    from gguf_tpu.quant import quantize_q4_k, quantize_q6_k, quantize_q8_0
+    from gguf_tpu.quant.layouts import to_soa
+    from gguf_tpu.utils.benchmark import mmq_loop, slope_time
+
+    m = k = 4096
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((m, k)).astype(np.float16)
+    bytes_per_row = {"q8_0": (k // 32) * 34, "q4_k": (k // 256) * 144,
+                     "q6_k": (k // 256) * 210}
+    quants = {"q8_0": quantize_q8_0, "q4_k": quantize_q4_k,
+              "q6_k": quantize_q6_k}
+    fmts = ["q4_k"] if quick else ["q8_0", "q4_k", "q6_k"]
+
+    for fmt in fmts:
+        w = jax.device_put(to_soa(fmt, quants[fmt](a), m, k))
+        wbytes = m * bytes_per_row[fmt]
+        for n in ns:
+            x0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+
+            def op(w_, x_, _f=MMQ[fmt]):
+                return _f(w_, x_, precision="fast", act_quant=False)
+
+            t = slope_time(mmq_loop(op, n, m, x0), (w, x0))
+            gbps = wbytes / t / 1e9
+            emit(metric=f"mmq_{fmt} {m}x{k} @ n={n}", value=round(gbps, 1),
+                 unit="GB/s weights", time_us=round(t * 1e6, 1),
+                 tokens_per_s_equiv=round(n / t, 0))
+            log(f"  mmq_{fmt} n={n:>2}: {t*1e6:7.1f}us  {gbps:6.1f} GB/s")
+
+
+def bench_decode():
+    """Flagship decode throughput: tokens/s, TinyLlama-shaped Q4_K_M."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, sys.path[0])
+    from __graft_entry__ import _flagship
+
+    from gguf_tpu.models import MMOpts, forward, init_kv_cache
+    from gguf_tpu.utils.benchmark import slope_time
+
+    cfg, params = _flagship()
+    batch = 16
+    cache = init_kv_cache(cfg, batch=batch, max_seq=256)
+    tokens0 = jnp.zeros((batch, 1), jnp.int32)
+    pos0 = jnp.arange(batch, dtype=jnp.int32)
+    opts = MMOpts(precision="fast")
+
+    def make(iters):
+        def many(params, tokens, pos, cache):
+            def body(i, carry):
+                toks, pos, cache = carry
+                logits, cache = forward(params, cfg, toks, pos, cache, opts)
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                return nxt[:, None], pos + 1, cache
+            toks, pos, _ = jax.lax.fori_loop(
+                0, iters, body, (tokens, pos, cache))
+            return toks.sum() + pos.sum()
+        return many
+
+    t = slope_time(make, (params, tokens0, pos0, cache), lo=10, hi=60, reps=5)
+    emit(metric=f"flagship decode batch={batch}",
+         value=round(batch / t, 1), unit="tokens/s",
+         step_us=round(t * 1e6, 1))
+    log(f"  decode: {t*1e6:.0f}us/step = {batch/t:,.0f} tokens/s @ batch {batch}")
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import jax
+    import jax.numpy as jnp
+    _ = np.asarray(jnp.zeros((1, 1)))  # absorb the relay's first-readback cost
+    log(f"device: {jax.devices()[0]}")
+
+    log("== streaming bandwidth ==")
+    bench_streams([1 << 16, 1 << 20, 1 << 24] if quick
+                  else [1 << 16, 1 << 18, 1 << 20, 1 << 22, 1 << 24, 1 << 26])
+    log("== MMQ kernels ==")
+    bench_mmq([16] if quick else [1, 8, 16, 32], quick=quick)
+    log("== end-to-end decode ==")
+    bench_decode()
+
+
+if __name__ == "__main__":
+    main()
