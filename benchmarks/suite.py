@@ -127,10 +127,12 @@ def bench_decode():
     sys.path.insert(0, sys.path[0])
     from __graft_entry__ import _flagship
 
-    from gguf_tpu.models import MMOpts, forward, init_kv_cache
+    from gguf_tpu.models import (MMOpts, forward, fuse_llama_params,
+                                 init_kv_cache)
     from gguf_tpu.utils.benchmark import slope_time
 
     cfg, params = _flagship()
+    params = fuse_llama_params(params)
     batch = 16
     cache = init_kv_cache(cfg, batch=batch, max_seq=256)
     tokens0 = jnp.zeros((batch, 1), jnp.int32)

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..gguf import GGUFReader
-from ..models import MMOpts, forward, init_kv_cache, load_llama
+from ..models import (MMOpts, forward, fuse_llama_params,
+                      init_kv_cache, load_llama)
 from .sampler import SamplerConfig, sample
 from .tokenizer import SPMTokenizer
 
@@ -43,6 +44,7 @@ class LLM:
         opts: MMOpts = MMOpts(),
     ):
         self.cfg, self.params = load_llama(path)
+        self.params = fuse_llama_params(self.params)
         with GGUFReader(path) as r:
             md = r.metadata
         self.tokenizer = (SPMTokenizer.from_gguf_metadata(md)

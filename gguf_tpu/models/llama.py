@@ -116,9 +116,29 @@ def _quantize_kv(x: jax.Array):
 
 
 def _cache_update(cache_l, new_k, new_v, pos):
-    """Insert T new tokens at per-batch positions pos (B,)."""
+    """Insert T new tokens at per-batch positions pos (B,).
+
+    Small T (decode / short chunks) uses one broadcast-select per token:
+    per-batch dynamic positions otherwise lower to a TPU scatter via the
+    vmapped dynamic_update_slice, which costs ~80us/layer at batch 16 vs
+    ~1.4us for the select (measured on v5e). Long prefill keeps the DUS
+    path, whose cost is flat in T."""
     qk, sk = _quantize_kv(new_k)
     qv, sv = _quantize_kv(new_v)
+    t = qk.shape[2]
+
+    if t <= 16:
+        s = cache_l["k"].shape[2]
+        sidx = jnp.arange(s)[None, :]
+        k, v = cache_l["k"], cache_l["v"]
+        ks, vs = cache_l["k_scale"], cache_l["v_scale"]
+        for j in range(t):
+            hit = (sidx == (pos[:, None] + j))[:, None, :]       # (B, 1, S)
+            k = jnp.where(hit[..., None], qk[:, :, j:j + 1], k)
+            v = jnp.where(hit[..., None], qv[:, :, j:j + 1], v)
+            ks = jnp.where(hit, sk[:, :, j:j + 1], ks)
+            vs = jnp.where(hit, sv[:, :, j:j + 1], vs)
+        return {"k": k, "v": v, "k_scale": ks, "v_scale": vs}
 
     def upd(c, upd_val, p):
         return jax.lax.dynamic_update_slice(c, upd_val, (0, p) + (0,) * (c.ndim - 2))
@@ -140,9 +160,15 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts):
     hd, h, kvh = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     xf = x.reshape(b * t, -1)
 
-    q = linear(layer["wq"], xf, opts).reshape(b, t, h, hd)
-    k = linear(layer["wk"], xf, opts).reshape(b, t, kvh, hd)
-    v = linear(layer["wv"], xf, opts).reshape(b, t, kvh, hd)
+    if "wqkv" in layer:  # fused projection (see fuse_llama_params)
+        qkv = linear(layer["wqkv"], xf, opts)
+        q = qkv[:, :h * hd].reshape(b, t, h, hd)
+        k = qkv[:, h * hd:(h + kvh) * hd].reshape(b, t, kvh, hd)
+        v = qkv[:, (h + kvh) * hd:].reshape(b, t, kvh, hd)
+    else:
+        q = linear(layer["wq"], xf, opts).reshape(b, t, h, hd)
+        k = linear(layer["wk"], xf, opts).reshape(b, t, kvh, hd)
+        v = linear(layer["wv"], xf, opts).reshape(b, t, kvh, hd)
 
     tok_pos = pos[:, None] + jnp.arange(t)[None, :]            # (B, T)
     cos, sin = rope_cos_sin(tok_pos, hd, cfg.rope_theta)       # (B, T, hd/2)
@@ -152,21 +178,35 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts):
     cache_l = _cache_update(
         cache_l, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), pos)
 
-    s = cache_l["k"].shape[2]
-    k_all = cache_l["k"].astype(jnp.float32) * cache_l["k_scale"][..., None]
-    v_all = cache_l["v"].astype(jnp.float32) * cache_l["v_scale"][..., None]
+    if t <= 8:
+        # decode / short chunks: fused Pallas attention over the int8 cache
+        # (ops/attention.py) — one program per (batch, kv head), no HBM
+        # round-trips, int8 scales folded into scores/probs
+        from ..ops.attention import decode_attention
 
-    # GQA: group query heads over each kv head
-    qg = q.transpose(0, 2, 1, 3).reshape(b, kvh, h // kvh * t, hd)
-    scores = jnp.einsum("bgqd,bgsd->bgqs", qg.astype(jnp.float32), k_all)
-    scores = scores.reshape(b, kvh, h // kvh, t, s) / jnp.sqrt(hd).astype(jnp.float32)
+        out = decode_attention(
+            q.transpose(0, 2, 1, 3), cache_l["k"], cache_l["k_scale"],
+            cache_l["v"], cache_l["v_scale"], pos, t=t,
+            precision=opts.precision)
+        out = out.transpose(0, 2, 1, 3).reshape(b * t, h * hd)
+    else:
+        # long prefill: the batched-einsum XLA path (big matmuls, MXU-happy)
+        s = cache_l["k"].shape[2]
+        k_all = cache_l["k"].astype(jnp.float32) * cache_l["k_scale"][..., None]
+        v_all = cache_l["v"].astype(jnp.float32) * cache_l["v_scale"][..., None]
 
-    causal = jnp.arange(s)[None, None, :] <= tok_pos[:, :, None]  # (B, T, S)
-    scores = jnp.where(causal[:, None, None, :, :], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
+        # GQA: group query heads over each kv head
+        qg = q.transpose(0, 2, 1, 3).reshape(b, kvh, h // kvh * t, hd)
+        scores = jnp.einsum("bgqd,bgsd->bgqs", qg.astype(jnp.float32), k_all)
+        scores = scores.reshape(b, kvh, h // kvh, t, s) / jnp.sqrt(hd).astype(jnp.float32)
 
-    out = jnp.einsum("bghqs,bgsd->bghqd", probs.reshape(b, kvh, h // kvh, t, s), v_all)
-    out = out.reshape(b, h, t, hd).transpose(0, 2, 1, 3).reshape(b * t, h * hd)
+        causal = jnp.arange(s)[None, None, :] <= tok_pos[:, :, None]  # (B, T, S)
+        scores = jnp.where(causal[:, None, None, :, :], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+
+        out = jnp.einsum("bghqs,bgsd->bghqd",
+                         probs.reshape(b, kvh, h // kvh, t, s), v_all)
+        out = out.reshape(b, h, t, hd).transpose(0, 2, 1, 3).reshape(b * t, h * hd)
     proj = linear(layer["wo"], out.astype(x.dtype), opts)
     if opts.axis_name:  # row-parallel wo: sum partial products over tp
         proj = jax.lax.psum(proj, opts.axis_name)
@@ -176,13 +216,42 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts):
 def mlp(layer, x, opts: MMOpts):
     b, t, _ = x.shape
     xf = x.reshape(b * t, -1)
-    g = linear(layer["gate"], xf, opts)
-    u = linear(layer["up"], xf, opts)
+    if "gate_up" in layer:  # fused projection (see fuse_llama_params)
+        gu = linear(layer["gate_up"], xf, opts)
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        g = linear(layer["gate"], xf, opts)
+        u = linear(layer["up"], xf, opts)
     act = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
     down = linear(layer["down"], act, opts)
     if opts.axis_name:  # row-parallel down: sum partial products over tp
         down = jax.lax.psum(down, opts.axis_name)
     return down.reshape(b, t, -1)
+
+
+def fuse_llama_params(params: dict) -> dict:
+    """Fuse per-layer QKV and gate+up projections along M (one MMQ launch
+    instead of three/two — per-kernel fixed cost dominates small decode
+    GEMMs). Only same-format quantized groups fuse; mixed-format layers
+    (e.g. Q4_K_M checkpoints that keep attn_v at Q6_K) keep those weights
+    separate. Single-chip only: the TP path shards the UNfused weights so
+    each device's head slices stay contiguous."""
+    from ..quant.layouts import concat_m
+
+    def fusable(ws):
+        return (all(isinstance(w, QuantTensor) for w in ws)
+                and len({w.fmt for w in ws}) == 1)
+
+    layers = []
+    for layer in params["layers"]:
+        layer = dict(layer)
+        if fusable([layer["wq"], layer["wk"], layer["wv"]]):
+            layer["wqkv"] = concat_m([layer.pop("wq"), layer.pop("wk"),
+                                      layer.pop("wv")])
+        if fusable([layer["gate"], layer["up"]]):
+            layer["gate_up"] = concat_m([layer.pop("gate"), layer.pop("up")])
+        layers.append(layer)
+    return {**params, "layers": layers}
 
 
 def forward(

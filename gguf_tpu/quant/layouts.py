@@ -89,6 +89,20 @@ class QuantTensor:
         return k // per_block[0] * per_block[1]
 
 
+def concat_m(tensors: list) -> "QuantTensor":
+    """Concatenate quantized matrices along M (output features). In the
+    K-major SoA layout every field carries M on its LAST axis, so this is a
+    single lane-axis concat per field — the basis for fused QKV / gate+up
+    projections (one kernel launch instead of three). Requires same format
+    and same K."""
+    first = tensors[0]
+    assert all(t.fmt == first.fmt for t in tensors), [t.fmt for t in tensors]
+    assert all(t.shape[1] == first.shape[1] for t in tensors), \
+        [t.shape for t in tensors]
+    return jax.tree_util.tree_map(
+        lambda *arrs: jnp.concatenate(arrs, axis=-1), *tensors)
+
+
 # ------------------------------------------------------------------ fp16 ---
 
 def fp16_bits_to_f32(bits: jax.Array) -> jax.Array:

@@ -165,3 +165,24 @@ def test_float_fallback_weights(model):
                     MMOpts(precision="high"))
     denom = float(jnp.abs(lf).max())
     assert float(jnp.abs(lq - lf).max()) / denom < 0.02
+
+
+def test_fused_projections_match(model):
+    """fuse_llama_params (QKV + gate/up concat along M) must not change a
+    single logit: concat_m is a pure lane-axis relayout of the SoA fields."""
+    from gguf_tpu.models import fuse_llama_params
+
+    rng = np.random.default_rng(7)
+    _, cfg, params = model
+    fused = fuse_llama_params(params)
+    assert "wqkv" in fused["layers"][0] and "gate_up" in fused["layers"][0]
+
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 3)), jnp.int32)
+    pos = jnp.zeros(2, jnp.int32)
+    opts = MMOpts(precision="high")
+    out_a, _ = forward(params, cfg, tokens, pos,
+                       init_kv_cache(cfg, 2, 16), opts)
+    out_b, _ = forward(fused, cfg, tokens, pos,
+                       init_kv_cache(cfg, 2, 16), opts)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=0, atol=1e-5)
