@@ -119,22 +119,40 @@ def bench_mmq(ns, quick=False):
             log(f"  mmq_{fmt} n={n:>2}: {t*1e6:7.1f}us  {gbps:6.1f} GB/s")
 
 
-def bench_decode():
-    """Flagship decode throughput: tokens/s, TinyLlama-shaped Q4_K_M."""
+def bench_decode(quick=False):
+    """Decode throughput: tokens/s. Full mode runs the real TinyLlama-1.1B
+    geometry (BASELINE config #3: 22 layers, dim 2048, vocab 32000, Q4_K_M,
+    ~580MB of quantized weights); --quick uses the small 2-layer flagship."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, sys.path[0])
     from __graft_entry__ import _flagship
 
-    from gguf_tpu.models import (MMOpts, forward, fuse_llama_params,
-                                 init_kv_cache)
+    from gguf_tpu.models import (LlamaConfig, MMOpts, forward,
+                                 fuse_llama_params, init_kv_cache,
+                                 load_llama, write_random_llama_gguf)
     from gguf_tpu.utils.benchmark import slope_time
 
-    cfg, params = _flagship()
+    if quick:
+        cfg, params = _flagship()
+    else:
+        cfg = LlamaConfig(vocab_size=32000, dim=2048, n_layers=22,
+                          n_heads=32, n_kv_heads=4, ffn_dim=5632,
+                          max_seq_len=2048)
+        path = "/tmp/gguf_tpu_flagship/tinyllama_1p1b_q4km.gguf"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if not os.path.exists(path):
+            log("  quantizing TinyLlama-1.1B-shaped checkpoint (one-time)...")
+            write_random_llama_gguf(path, cfg, seed=0)
+        cfg, params = load_llama(path)
     params = fuse_llama_params(params)
     batch = 16
     cache = init_kv_cache(cfg, batch=batch, max_seq=256)
+    wbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                 for a in jax.tree_util.tree_leaves(params))
     tokens0 = jnp.zeros((batch, 1), jnp.int32)
     pos0 = jnp.arange(batch, dtype=jnp.int32)
     opts = MMOpts(precision="fast")
@@ -152,10 +170,14 @@ def bench_decode():
         return many
 
     t = slope_time(make, (params, tokens0, pos0, cache), lo=10, hi=60, reps=5)
-    emit(metric=f"flagship decode batch={batch}",
+    name = "flagship-2L" if quick else "tinyllama-1.1b-q4km"
+    emit(metric=f"{name} decode batch={batch}",
          value=round(batch / t, 1), unit="tokens/s",
-         step_us=round(t * 1e6, 1))
-    log(f"  decode: {t*1e6:.0f}us/step = {batch/t:,.0f} tokens/s @ batch {batch}")
+         step_us=round(t * 1e6, 1),
+         weight_stream_gbps=round(wbytes / t / 1e9, 1))
+    log(f"  decode {name}: {t*1e6:.0f}us/step = {batch/t:,.0f} tokens/s "
+        f"@ batch {batch} ({wbytes/1e6:.0f}MB weights -> "
+        f"{wbytes/t/1e9:.0f} GB/s)")
 
 
 def main():
@@ -171,7 +193,7 @@ def main():
     log("== MMQ kernels ==")
     bench_mmq([16] if quick else [1, 8, 16, 32], quick=quick)
     log("== end-to-end decode ==")
-    bench_decode()
+    bench_decode(quick=quick)
 
 
 if __name__ == "__main__":

@@ -61,11 +61,11 @@ class LLM:
             """Prefill one request into cache slot `slot`; returns the logits
             of its last real token."""
             cache_1 = jax.tree_util.tree_map(
-                lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1), cache)
+                lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0), cache)
             logits, cache_1 = forward(
                 params, cfg, tokens, jnp.zeros(1, jnp.int32), cache_1, _opts)
             cache = jax.tree_util.tree_map(
-                lambda c, c1: jax.lax.dynamic_update_slice_in_dim(c, c1, slot, axis=1),
+                lambda c, c1: jax.lax.dynamic_update_slice_in_dim(c, c1, slot, axis=0),
                 cache, cache_1)
             last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
             return last[0, 0], cache

@@ -95,15 +95,18 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int | None = None):
     """Per-layer INT8 K/V caches with per-(token, head) f32 scales —
-    8x smaller than an f32 cache, 2x smaller than bf16."""
+    8x smaller than an f32 cache, 2x smaller than bf16. A LIST of per-layer
+    dicts, not one stacked array: stacking would force a slice of the whole
+    cache into every layer and a re-stack every step (~2x the cache bytes of
+    pure copy traffic per decode step at 22 layers)."""
     s = max_seq or cfg.max_seq_len
-    shape = (cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.head_dim)
-    return {
+    shape = (batch, cfg.n_kv_heads, s, cfg.head_dim)
+    return [{
         "k": jnp.zeros(shape, jnp.int8),
         "v": jnp.zeros(shape, jnp.int8),
         "k_scale": jnp.zeros(shape[:-1], jnp.float32),
         "v_scale": jnp.zeros(shape[:-1], jnp.float32),
-    }
+    } for _ in range(cfg.n_layers)]
 
 
 def _quantize_kv(x: jax.Array):
@@ -271,16 +274,13 @@ def forward(
 
     new_layers = []
     for i, layer in enumerate(params["layers"]):
-        cache_l = jax.tree_util.tree_map(lambda c: c[i], cache)
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        attn_out, cache_l = attention(layer, h, cfg, cache_l, pos, opts)
+        attn_out, cache_l = attention(layer, h, cfg, cache[i], pos, opts)
         x = x + attn_out
         h = rms_norm(x, layer["ffn_norm"], cfg.norm_eps)
         x = x + mlp(layer, h, opts)
         new_layers.append(cache_l)
-
-    cache = jax.tree_util.tree_map(
-        lambda *ls: jnp.stack(ls), *new_layers)
+    cache = new_layers
 
     x = rms_norm(x, params["output_norm"], cfg.norm_eps)
     b, t, _ = x.shape

@@ -82,14 +82,16 @@ def param_specs(params: dict) -> dict:
     return specs
 
 
-def cache_specs() -> dict:
-    """KV cache sharding: kv heads over tp, batch over dp."""
-    return {
-        "k": P(None, "dp", "tp", None, None),
-        "v": P(None, "dp", "tp", None, None),
-        "k_scale": P(None, "dp", "tp", None),
-        "v_scale": P(None, "dp", "tp", None),
+def cache_specs(n_layers: int) -> list:
+    """KV cache sharding: kv heads over tp, batch over dp (a list of
+    per-layer spec dicts, matching models.llama.init_kv_cache)."""
+    layer = {
+        "k": P("dp", "tp", None, None),
+        "v": P("dp", "tp", None, None),
+        "k_scale": P("dp", "tp", None),
+        "v_scale": P("dp", "tp", None),
     }
+    return [dict(layer) for _ in range(n_layers)]
 
 
 def shard_llama(params: dict, cfg: LlamaConfig, mesh: Mesh):
@@ -133,8 +135,9 @@ def make_tp_forward(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
         return jax.shard_map(
             fn,
             mesh=mesh,
-            in_specs=(param_specs(params), P("dp"), P("dp"), cache_specs()),
-            out_specs=(P("dp"), cache_specs()),
+            in_specs=(param_specs(params), P("dp"), P("dp"),
+                      cache_specs(cfg.n_layers)),
+            out_specs=(P("dp"), cache_specs(cfg.n_layers)),
             check_vma=False,
         )
 
@@ -151,4 +154,4 @@ def init_sharded_cache(cfg: LlamaConfig, mesh: Mesh, batch: int, max_seq: int):
     cache = init_kv_cache(cfg, batch, max_seq)
     return jax.tree_util.tree_map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
-        cache, cache_specs(), is_leaf=lambda x: isinstance(x, P))
+        cache, cache_specs(cfg.n_layers), is_leaf=lambda x: isinstance(x, P))

@@ -39,3 +39,33 @@ def snr_db(signal, noise) -> float:
         return float("inf")
     p_signal = float(np.mean(signal**2))
     return 10.0 * np.log10(p_signal / p_noise)
+
+
+def relative_error_heatmap(approx, exact, path: str | None = None,
+                           title: str = "relative error"):
+    """Save (or show) a heatmap of |approx-exact| / max|exact| for a 2-D
+    result — the reference's plot_hot_graph debug view
+    (/root/reference/kernels/cpu_impls/_utils.py:5-10). Returns the error
+    matrix so callers can assert on it without matplotlib."""
+    approx = np.asarray(approx, dtype=np.float32)
+    exact = np.asarray(exact, dtype=np.float32)
+    denom = float(np.max(np.abs(exact))) or 1.0
+    err = np.abs(approx - exact) / denom
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:           # pragma: no cover - matplotlib is baked in
+        return err
+    fig, ax = plt.subplots(figsize=(6, 5))
+    im = ax.imshow(err, aspect="auto", cmap="hot")
+    ax.set_title(title)
+    ax.set_xlabel("n")
+    ax.set_ylabel("m")
+    fig.colorbar(im, ax=ax, label="|err| / max|exact|")
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    else:                         # pragma: no cover - interactive use
+        plt.show()
+    return err

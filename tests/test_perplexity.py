@@ -1,0 +1,62 @@
+"""Perplexity harness: quantized model vs its float-dequantized twin."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gguf_tpu.eval import perplexity, perplexity_of_gguf, sequence_nll
+from gguf_tpu.models import (
+    LlamaConfig, fuse_llama_params, load_llama, write_random_llama_gguf,
+)
+from gguf_tpu.quant.layouts import QuantTensor
+
+CFG = LlamaConfig(vocab_size=256, dim=256, n_layers=2, n_heads=4,
+                  n_kv_heads=2, ffn_dim=512, max_seq_len=64)
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("p") / "tiny.gguf")
+    write_random_llama_gguf(path, CFG, seed=11)
+    cfg, params = load_llama(path)
+    return path, cfg, params
+
+
+def _dequantize_params(tree):
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda w: w.dequantize() if isinstance(w, QuantTensor) else w,
+        tree, is_leaf=lambda x: isinstance(x, QuantTensor))
+
+
+def test_perplexity_quant_vs_float(model):
+    """Quantized ppl tracks the float-weight ppl of the same checkpoint —
+    the harness behind BASELINE's 'within 0.01 of llama.cpp' gate."""
+    path, cfg, params = model
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, 300)
+
+    ppl_q = perplexity(params, cfg, ids, window=32, batch=4)
+    ppl_f = perplexity(_dequantize_params(params), cfg, ids, window=32, batch=4)
+    assert np.isfinite(ppl_q) and ppl_q > 1.0
+    # random weights + random tokens: ppl ~ vocab_size; the two paths score
+    # the same bits, so quantization-vs-dequantized drift must be tiny
+    assert abs(ppl_q - ppl_f) / ppl_f < 0.02, (ppl_q, ppl_f)
+
+
+def test_perplexity_window_accounting(model):
+    path, cfg, params = model
+    ids = np.arange(2, 71) % cfg.vocab_size  # 69 tokens -> 2 windows @ 32 + 5
+    total, count = sequence_nll(params, cfg, ids, window=32, batch=4)
+    # each full window scores 31 tokens; the 5-token tail scores 4
+    assert count == 31 + 31 + 4, count
+    assert np.isfinite(total)
+
+
+def test_perplexity_of_gguf_entrypoint(model):
+    path, cfg, _ = model
+    ids = np.arange(1, 40) % cfg.vocab_size
+    ppl = perplexity_of_gguf(path, ids, window=16, batch=2)
+    assert np.isfinite(ppl) and ppl > 1.0

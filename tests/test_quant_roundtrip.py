@@ -163,3 +163,15 @@ def test_activation_quant_jit_stable_and_codec_exact(rng):
     np.testing.assert_array_equal(np.asarray(qe).reshape(-1, 32), qs_np)
     np.testing.assert_array_equal(np.asarray(de).reshape(-1), d_np)
     np.testing.assert_array_equal(np.asarray(se).reshape(-1), s_np)
+
+
+def test_relative_error_heatmap(tmp_path, rng):
+    from gguf_tpu.utils.testing import relative_error_heatmap
+
+    exact = rng.standard_normal((16, 16)).astype(np.float32)
+    approx = exact + rng.standard_normal((16, 16)).astype(np.float32) * 1e-3
+    out = str(tmp_path / "err.png")
+    err = relative_error_heatmap(approx, exact, path=out)
+    assert err.shape == (16, 16) and err.max() < 0.1
+    import os
+    assert os.path.getsize(out) > 0

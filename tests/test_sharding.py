@@ -55,7 +55,7 @@ def test_tp_forward_matches_single_device(model, tp, dp):
     np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-2 * np.abs(ref).max())
     # cache stays sharded over tp (kv-head dim) for the next step; GSPMD
     # normalizes trailing Nones away, so just check the axes in use
-    assert "tp" in tuple(cache2["k"].sharding.spec)
+    assert "tp" in tuple(cache2[0]["k"].sharding.spec)
 
 
 def test_tp_decode_after_prefill(model):
