@@ -156,9 +156,12 @@ def _cache_update(cache_l, new_k, new_v, pos):
 # ----------------------------------------------------------- transformer ---
 
 
-def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts):
+def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
+              rope=None):
     """GQA attention over the INT8 cache. x: (B, T, dim); pos: (B,) start
-    positions of the T new tokens per sequence."""
+    positions of the T new tokens per sequence; rope: optional precomputed
+    (cos, sin) shared across layers (forward() hoists it out of the layer
+    loop — the trig is position-only)."""
     b, t, _ = x.shape
     hd, h, kvh = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     xf = x.reshape(b * t, -1)
@@ -174,7 +177,8 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts):
         v = linear(layer["wv"], xf, opts).reshape(b, t, kvh, hd)
 
     tok_pos = pos[:, None] + jnp.arange(t)[None, :]            # (B, T)
-    cos, sin = rope_cos_sin(tok_pos, hd, cfg.rope_theta)       # (B, T, hd/2)
+    cos, sin = rope if rope is not None else rope_cos_sin(
+        tok_pos, hd, cfg.rope_theta)                           # (B, T, hd/2)
     q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :])
     k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
 
@@ -271,11 +275,14 @@ def forward(
     support continuous batching (sequences at different depths in one batch).
     """
     x = embed(params["token_embd"], tokens).astype(jnp.bfloat16)
+    tok_pos = pos[:, None] + jnp.arange(tokens.shape[1])[None, :]
+    rope = rope_cos_sin(tok_pos, cfg.head_dim, cfg.rope_theta)
 
     new_layers = []
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        attn_out, cache_l = attention(layer, h, cfg, cache[i], pos, opts)
+        attn_out, cache_l = attention(layer, h, cfg, cache[i], pos, opts,
+                                      rope=rope)
         x = x + attn_out
         h = rms_norm(x, layer["ffn_norm"], cfg.norm_eps)
         x = x + mlp(layer, h, opts)
