@@ -80,14 +80,16 @@ def write_gguf(
     numpy (row-major) shape and bytes are the GGUF block bytes (for quantized
     types) or a float/int numpy array (for F32/F16/I32).
     """
+    meta = dict(metadata)
+    meta["general.alignment"] = alignment
+
     header = bytearray()
     header += GGUF_MAGIC
     header += struct.pack("<I", GGUF_VERSION)
     header += struct.pack("<Q", len(tensors))
-    header += struct.pack("<Q", len(metadata) + 1)
-
-    meta = dict(metadata)
-    meta["general.alignment"] = alignment
+    # len(meta), not len(metadata)+1: the input may already carry
+    # general.alignment (any rewritten file does) and the dict dedups
+    header += struct.pack("<Q", len(meta))
     for key, val in meta.items():
         vt = _infer_vt(val)
         header += _pack_string(key)

@@ -1,0 +1,74 @@
+"""Multi-host bootstrap: jax.distributed + slice-health check.
+
+The reference has no distributed story at all (SURVEY.md §5); the north star
+needs 2-host v5e serving. JAX's builtin runtime is the TPU-native backend:
+`jax.distributed.initialize` wires the hosts over DCN, after which
+`jax.devices()` spans the full slice and the pjit/shard_map code in
+parallel/tp.py runs unchanged — XLA routes the psum/all-gather collectives
+over ICI within a host and DCN across hosts.
+
+Usage (same binary on every host):
+
+    from gguf_tpu.parallel import init_distributed, make_mesh
+    init_distributed()                       # env-driven on Cloud TPU
+    mesh = make_mesh(tp=jax.device_count())  # or tp x dp of your choice
+
+For non-TPU-VM setups pass coordinator_address/num_processes/process_id
+explicitly (mirrors jax.distributed.initialize).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None,
+                     health_check: bool = True) -> dict:
+    """Initialize the multi-host runtime and (optionally) run a whole-slice
+    health check. Returns a summary dict. Safe to call single-host (no-op
+    when jax.process_count() stays 1 and no coordinator is given)."""
+    if coordinator_address or num_processes or (
+            jax.process_count() == 1 and _looks_multihost()):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+
+    info = {
+        "process_id": jax.process_index(),
+        "num_processes": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+        "platform": jax.devices()[0].platform,
+    }
+    if health_check and info["global_devices"] > 1:
+        info["psum_ok"] = _psum_health_check()
+    return info
+
+
+def _looks_multihost() -> bool:
+    import os
+
+    return bool(os.environ.get("COORDINATOR_ADDRESS")
+                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+
+
+def _psum_health_check() -> bool:
+    """One tiny psum across every chip in the slice: catches a dead ICI
+    link / wedged host before a model load is attempted."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs, ("all",))
+
+    def f(x):
+        return jax.lax.psum(x, "all")
+
+    got = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=P("all"),
+                                out_specs=P()))(
+        jnp.ones(len(devs), jnp.int32))
+    return int(got[0]) == len(devs)

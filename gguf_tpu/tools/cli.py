@@ -1,0 +1,177 @@
+"""Command-line tools: inspect / requantize / generate / ppl / bench.
+
+    python -m gguf_tpu.tools.cli inspect model.gguf
+    python -m gguf_tpu.tools.cli requantize in.gguf out.gguf --fmt q4_k
+    python -m gguf_tpu.tools.cli generate model.gguf --prompt "..." -n 64
+    python -m gguf_tpu.tools.cli ppl model.gguf tokens.txt --window 512
+    python -m gguf_tpu.tools.cli bench model.gguf --batch 16
+
+The reference ships no tooling at all (test scripts only); these are the
+operational entry points a serving deployment needs around the library.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def cmd_inspect(args):
+    from ..gguf import GGMLType, GGUFReader
+
+    with GGUFReader(args.model) as r:
+        meta = {k: (v if not isinstance(v, list) or len(v) <= 8
+                    else f"[{len(v)} items]")
+                for k, v in r.metadata.items()}
+        print(json.dumps(meta, indent=2, default=str))
+        total = 0
+        for name, ti in r.tensors.items():
+            print(f"{name:44s} {GGMLType(ti.ggml_type).name:6s} "
+                  f"{tuple(ti.shape)} {ti.nbytes:>12,d}B")
+            total += ti.nbytes
+        print(f"-- {len(r.tensors)} tensors, {total/1e6:,.1f} MB")
+
+
+def cmd_requantize(args):
+    """f16/f32/quantized GGUF -> target quantization (dequantize + requantize
+    through the bit-exact GGML-compatible codecs)."""
+    from ..gguf import GGMLType, GGUFReader
+    from ..gguf.writer import quantize_tensor, write_gguf
+
+    target = GGMLType[args.fmt.upper()]
+    granule = 256 if "_k" in args.fmt else 32
+    tensors = {}
+    with GGUFReader(args.model) as r:
+        md = dict(r.metadata)
+        for name, ti in r.tensors.items():
+            x = r.dequantize(name)
+            # norms / biases / odd-width tensors stay float (llama.cpp recipe)
+            if x.ndim < 2 or x.shape[-1] % granule:
+                tensors[name] = (GGMLType.F32, x.shape, x.astype(np.float32))
+            else:
+                tensors[name] = (target, x.shape, quantize_tensor(x, target))
+    write_gguf(args.out, md, tensors)
+    print(f"wrote {args.out} ({args.fmt})")
+
+
+def cmd_generate(args):
+    from ..engine import LLM
+    from ..engine.sampler import SamplerConfig
+
+    llm = LLM(args.model, max_batch=args.batch)
+    sampler = SamplerConfig(temperature=args.temperature, top_p=args.top_p)
+    prompt = ([int(x) for x in args.ids.split()] if args.ids
+              else args.prompt)
+    prompts = [prompt] * max(args.batch, 1)
+    res = llm.generate(prompts, max_new_tokens=args.n, sampler=sampler,
+                       seed=args.seed)
+    for r in res:
+        print(r.text if r.text else r.token_ids)
+
+
+def cmd_ppl(args):
+    from ..eval import perplexity_of_gguf
+
+    if args.tokens.endswith(".txt"):
+        with open(args.tokens) as f:
+            text = f.read()
+        from ..engine.tokenizer import SPMTokenizer
+        from ..gguf import GGUFReader
+        with GGUFReader(args.model) as r:
+            tok = SPMTokenizer.from_gguf_metadata(r.metadata)
+        ids = tok.encode(text)
+    else:  # whitespace-separated token ids
+        with open(args.tokens) as f:
+            ids = [int(x) for x in f.read().split()]
+    ppl = perplexity_of_gguf(args.model, ids, window=args.window)
+    print(json.dumps({"perplexity": round(ppl, 4), "tokens": len(ids),
+                      "window": args.window}))
+
+
+def cmd_bench(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import (MMOpts, forward, fuse_llama_params, init_kv_cache,
+                          load_llama)
+    from ..utils.benchmark import slope_time
+
+    _ = np.asarray(jnp.zeros((1, 1)))
+    cfg, params = load_llama(args.model)
+    params = fuse_llama_params(params)
+    batch = args.batch
+    cache = init_kv_cache(cfg, batch=batch, max_seq=args.seq)
+    tokens0 = jnp.zeros((batch, 1), jnp.int32)
+    pos0 = jnp.arange(batch, dtype=jnp.int32)
+    opts = MMOpts(precision="fast")
+
+    def make(iters):
+        def many(params, tokens, pos, cache):
+            def body(i, carry):
+                toks, pos, cache = carry
+                logits, cache = forward(params, cfg, toks, pos, cache, opts)
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                return nxt[:, None], pos + 1, cache
+            toks, pos, _ = jax.lax.fori_loop(0, iters, body,
+                                             (tokens, pos, cache))
+            return toks.sum() + pos.sum()
+        return many
+
+    t = slope_time(make, (params, tokens0, pos0, cache), lo=10, hi=60, reps=5)
+    wbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                 for a in jax.tree_util.tree_leaves(params))
+    print(json.dumps({
+        "model": args.model, "batch": batch,
+        "step_us": round(t * 1e6, 1),
+        "tokens_per_s": round(batch / t, 1),
+        "weight_stream_gbps": round(wbytes / t / 1e9, 1),
+    }))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gguf_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("inspect", help="print GGUF metadata and tensor table")
+    s.add_argument("model")
+    s.set_defaults(fn=cmd_inspect)
+
+    s = sub.add_parser("requantize", help="convert a GGUF to another format")
+    s.add_argument("model")
+    s.add_argument("out")
+    s.add_argument("--fmt", default="q4_k", choices=["q4_k", "q6_k", "q8_0"])
+    s.set_defaults(fn=cmd_requantize)
+
+    s = sub.add_parser("generate", help="generate completions")
+    s.add_argument("model")
+    s.add_argument("--prompt", help="text prompt (needs an embedded tokenizer)")
+    s.add_argument("--ids", help="space-separated prompt token ids")
+    s.add_argument("-n", type=int, default=64)
+    s.add_argument("--batch", type=int, default=1)
+    s.add_argument("--temperature", type=float, default=0.8)
+    s.add_argument("--top-p", type=float, default=0.95)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser("ppl", help="perplexity over a token stream")
+    s.add_argument("model")
+    s.add_argument("tokens", help=".txt (tokenized with the model's "
+                   "tokenizer) or whitespace-separated token ids")
+    s.add_argument("--window", type=int, default=512)
+    s.set_defaults(fn=cmd_ppl)
+
+    s = sub.add_parser("bench", help="decode throughput of a checkpoint")
+    s.add_argument("model")
+    s.add_argument("--batch", type=int, default=16)
+    s.add_argument("--seq", type=int, default=256)
+    s.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -98,3 +98,15 @@ def test_ffn_padding_is_exact(model):
     a = _single_device_logits(cfg, params, tokens, jnp.zeros(1, jnp.int32))
     b = _single_device_logits(cfg_pad, params_pad, tokens, jnp.zeros(1, jnp.int32))
     np.testing.assert_array_equal(a, b)
+
+
+def test_init_distributed_single_and_mesh_health():
+    """init_distributed is a safe no-op single-process, and the slice
+    health-check psum counts every device on the virtual mesh."""
+    from gguf_tpu.parallel import init_distributed
+
+    info = init_distributed()
+    assert info["num_processes"] == 1
+    assert info["global_devices"] == len(jax.devices())
+    if info["global_devices"] > 1:
+        assert info["psum_ok"]
