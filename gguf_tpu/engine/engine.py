@@ -42,9 +42,14 @@ class LLM:
         max_batch: int = 8,
         max_seq: int | None = None,
         opts: MMOpts = MMOpts(),
+        tp: int = 1,
     ):
+        """tp > 1 serves the model tensor-sharded over the first tp devices
+        (Megatron column/row sharding, psum over ICI — parallel/tp.py); the
+        batch and KV-cache slot pool are replicated, kv heads sharded, so
+        the continuous-batching scheduler below is unchanged."""
         self.cfg, self.params = load_llama(path)
-        self.params = fuse_llama_params(self.params)
+        self.params = fuse_llama_params(self.params) if tp == 1 else self.params
         with GGUFReader(path) as r:
             md = r.metadata
         self.tokenizer = (SPMTokenizer.from_gguf_metadata(md)
@@ -52,9 +57,23 @@ class LLM:
         self.max_batch = max_batch
         self.max_seq = max_seq or self.cfg.max_seq_len
         self.opts = opts
-        self.cache = init_kv_cache(self.cfg, max_batch, self.max_seq)
 
-        cfg, _opts = self.cfg, self.opts
+        if tp > 1:
+            from ..parallel import (
+                init_sharded_cache, make_mesh, shard_llama, tp_forward_fn,
+            )
+
+            self.mesh = make_mesh(tp=tp, dp=1)
+            self.params, self.cfg = shard_llama(self.params, self.cfg, self.mesh)
+            self.cache = init_sharded_cache(
+                self.cfg, self.mesh, max_batch, self.max_seq)
+            fwd = tp_forward_fn(self.cfg, self.mesh, self.opts)
+        else:
+            self.mesh = None
+            self.cache = init_kv_cache(self.cfg, max_batch, self.max_seq)
+
+            def fwd(params, tokens, pos, cache, _cfg=self.cfg, _o=self.opts):
+                return forward(params, _cfg, tokens, pos, cache, _o)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _prefill(params, cache, tokens, slot, true_len):
@@ -62,8 +81,8 @@ class LLM:
             of its last real token."""
             cache_1 = jax.tree_util.tree_map(
                 lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0), cache)
-            logits, cache_1 = forward(
-                params, cfg, tokens, jnp.zeros(1, jnp.int32), cache_1, _opts)
+            logits, cache_1 = fwd(params, tokens, jnp.zeros(1, jnp.int32),
+                                  cache_1)
             cache = jax.tree_util.tree_map(
                 lambda c, c1: jax.lax.dynamic_update_slice_in_dim(c, c1, slot, axis=0),
                 cache, cache_1)
@@ -72,7 +91,7 @@ class LLM:
 
         @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(5,))
         def _decode(params, cache, tokens, pos, key, sampler_cfg):
-            logits, cache = forward(params, cfg, tokens[:, None], pos, cache, _opts)
+            logits, cache = fwd(params, tokens[:, None], pos, cache)
             next_ids = sample(logits[:, 0], key, sampler_cfg)
             return next_ids, cache
 

@@ -119,10 +119,11 @@ def local_cfg(cfg: LlamaConfig, tp: int) -> LlamaConfig:
     )
 
 
-def make_tp_forward(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
-    """Build the sharded forward: fn(params, tokens, pos, cache) ->
-    (logits, cache). Call with params from shard_llama and a cache made by
-    init_kv_cache + device_put(cache_specs())."""
+def tp_forward_fn(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
+    """The UNjitted shard_map forward: fn(params, tokens, pos, cache) ->
+    (logits, cache). Composable inside larger jitted programs (the serving
+    engine embeds it in its prefill/decode steps); jit it or use
+    make_tp_forward for standalone stepping."""
     tp = mesh.shape["tp"]
     cfg_local = local_cfg(cfg, tp)
     opts_tp = opts._replace(axis_name="tp")
@@ -131,7 +132,7 @@ def make_tp_forward(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
         logits, cache = forward(params, cfg_local, tokens, pos, cache, opts_tp)
         return logits, cache
 
-    def spec_fn(params):
+    def wrapped(params, tokens, pos, cache):
         return jax.shard_map(
             fn,
             mesh=mesh,
@@ -139,13 +140,16 @@ def make_tp_forward(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
                       cache_specs(cfg.n_layers)),
             out_specs=(P("dp"), cache_specs(cfg.n_layers)),
             check_vma=False,
-        )
-
-    @jax.jit
-    def wrapped(params, tokens, pos, cache):
-        return spec_fn(params)(params, tokens, pos, cache)
+        )(params, tokens, pos, cache)
 
     return wrapped
+
+
+def make_tp_forward(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
+    """Build the jitted sharded forward: fn(params, tokens, pos, cache) ->
+    (logits, cache). Call with params from shard_llama and a cache made by
+    init_sharded_cache."""
+    return jax.jit(tp_forward_fn(cfg, mesh, opts))
 
 
 def init_sharded_cache(cfg: LlamaConfig, mesh: Mesh, batch: int, max_seq: int):

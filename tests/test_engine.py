@@ -107,3 +107,26 @@ def test_generate_respects_max_seq(llm):
     [res] = llm.generate([[1, 5, 9]], max_new_tokens=1000)
     assert res.finished
     assert len(res.prompt_ids) + len(res.token_ids) <= 32
+
+
+def test_engine_tensor_parallel(tmp_path):
+    """The continuous-batching engine over a tensor-sharded model produces
+    the same greedy tokens as the single-device engine (BASELINE config:
+    TP serving + INT8 KV cache + continuous batching)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    cfg = LlamaConfig(vocab_size=64, dim=512, n_layers=2, n_heads=4,
+                      n_kv_heads=2, ffn_dim=512, max_seq_len=64)
+    path = str(tmp_path / "tp.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q4_K, seed=9)
+    greedy = SamplerConfig(temperature=0.0)
+    prompts = [[1, 5, 9, 3], [2, 7]]
+
+    ref = LLM(path, max_batch=2, max_seq=32).generate(
+        prompts, max_new_tokens=6, sampler=greedy, stop_at_eos=False)
+    tpe = LLM(path, max_batch=2, max_seq=32, tp=2).generate(
+        prompts, max_new_tokens=6, sampler=greedy, stop_at_eos=False)
+    # float reduction orders can flip a late greedy pick; the first tokens
+    # must agree exactly
+    for a, b in zip(ref, tpe):
+        assert a.token_ids[:3] == b.token_ids[:3], (a.token_ids, b.token_ids)
