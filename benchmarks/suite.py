@@ -89,7 +89,8 @@ def bench_mmq(ns, quick=False):
     import jax.numpy as jnp
 
     from gguf_tpu.ops import MMQ
-    from gguf_tpu.quant import quantize_q4_k, quantize_q6_k, quantize_q8_0
+    from gguf_tpu.quant import (quantize_q4_k, quantize_q5_k, quantize_q6_k,
+                                quantize_q8_0)
     from gguf_tpu.quant.layouts import to_soa
     from gguf_tpu.utils.benchmark import mmq_loop, slope_time
 
@@ -97,10 +98,10 @@ def bench_mmq(ns, quick=False):
     rng = np.random.default_rng(0)
     a = rng.standard_normal((m, k)).astype(np.float16)
     bytes_per_row = {"q8_0": (k // 32) * 34, "q4_k": (k // 256) * 144,
-                     "q6_k": (k // 256) * 210}
+                     "q5_k": (k // 256) * 176, "q6_k": (k // 256) * 210}
     quants = {"q8_0": quantize_q8_0, "q4_k": quantize_q4_k,
-              "q6_k": quantize_q6_k}
-    fmts = ["q4_k"] if quick else ["q8_0", "q4_k", "q6_k"]
+              "q5_k": quantize_q5_k, "q6_k": quantize_q6_k}
+    fmts = ["q4_k"] if quick else ["q8_0", "q4_k", "q5_k", "q6_k"]
 
     for fmt in fmts:
         w = jax.device_put(to_soa(fmt, quants[fmt](a), m, k))

@@ -31,6 +31,7 @@
 
 #define QK_K 256          /* elements per superblock (all K-quants) */
 #define Q4K_BYTES 144     /* 2(d) + 2(dmin) + 12(scales) + 128(qs) */
+#define Q5K_BYTES 176     /* 2(d) + 2(dmin) + 12(scales) + 32(qh) + 128(qs) */
 #define Q6K_BYTES 210     /* 128(ql) + 64(qh) + 16(scales) + 2(d)  */
 
 static inline float clampf_min(float v, float lo) { return v < lo ? lo : v; }
@@ -265,6 +266,132 @@ GQ_EXPORT void gq_dequantize_q4_k(const uint8_t *in, float *x, int64_t n) {
                 uint8_t nib = hi ? (q[l] >> 4) : (q[l] & 0x0F);
                 x[32 * j + l] = dj * nib - mj;
             }
+        }
+    }
+}
+
+/* ---------------------------------------------------------------- Q5_K --- */
+/*
+ * Superblock layout, 176 bytes / 256 elems:
+ *   [d: fp16][dmin: fp16][scales: 12 bytes][qh: 32 bytes][qs: 128 bytes]
+ * Same 6-bit (sc, mn) packing as Q4_K; 5-bit codes q in [0, 32):
+ *   qs byte 32g+l (per 64-group g, l<32): low 4 bits of elems 64g+l | 64g+32+l<<4
+ *   qh byte l: the 5th bit of elems {64g + 32h + l} at bit position 2g+h.
+ * Element value: x = d*sc*q - dmin*mn (per 32-element sub-block).
+ * Behavioral spec: GGML quantize_row_q5_K_ref — identical affine grid fit as
+ * Q4_K (make_qkx2_quants) but with nmax=31 and grid rmin=-0.5, rdelta=0.1,
+ * nstep=15.
+ */
+
+GQ_EXPORT void gq_quantize_q5_k(const float *x, uint8_t *out, int64_t n) {
+    const int64_t nblocks = n / QK_K;
+    uint8_t L[QK_K];
+    uint8_t Ltmp[32];
+    float weights[32];
+    float sub_scale[QK_K / 32];
+    float sub_min[QK_K / 32];
+
+    for (int64_t ib = 0; ib < nblocks; ++ib, x += QK_K) {
+        uint8_t *blk = out + ib * Q5K_BYTES;
+        uint8_t *scales = blk + 4;
+        uint8_t *qh = blk + 16;
+        uint8_t *qs = blk + 48;
+        memset(scales, 0, 12);
+
+        float max_scale = 0.0f;
+        float max_min = 0.0f;
+        for (int j = 0; j < QK_K / 32; ++j) {
+            const float *xs = x + 32 * j;
+            float sum_x2 = 0.0f;
+            for (int l = 0; l < 32; ++l) sum_x2 += xs[l] * xs[l];
+            float av_x = sqrtf(sum_x2 / 32);
+            for (int l = 0; l < 32; ++l) weights[l] = av_x + fabsf(xs[l]);
+
+            sub_scale[j] = q4k_fit_affine(32, 31, xs, weights, L + 32 * j,
+                                          &sub_min[j], Ltmp, -0.5f, 0.1f, 15);
+            if (sub_scale[j] > max_scale) max_scale = sub_scale[j];
+            if (sub_min[j] > max_min) max_min = sub_min[j];
+        }
+
+        float inv_scale = max_scale > 0.0f ? 63.0f / max_scale : 0.0f;
+        float inv_min = max_min > 0.0f ? 63.0f / max_min : 0.0f;
+        for (int j = 0; j < QK_K / 32; ++j) {
+            uint8_t ls = (uint8_t)gq_nearest_int(inv_scale * sub_scale[j]);
+            uint8_t lm = (uint8_t)gq_nearest_int(inv_min * sub_min[j]);
+            ls = (uint8_t)imin(63, ls);
+            lm = (uint8_t)imin(63, lm);
+            if (j < 4) {
+                scales[j] = ls;
+                scales[j + 4] = lm;
+            } else {
+                scales[j + 4] = (uint8_t)((ls & 0xF) | ((lm & 0xF) << 4));
+                scales[j - 4] |= (uint8_t)((ls >> 4) << 6);
+                scales[j] |= (uint8_t)((lm >> 4) << 6);
+            }
+        }
+        uint16_t d_bits = gq_fp32_to_fp16(max_scale / 63.0f);
+        uint16_t dmin_bits = gq_fp32_to_fp16(max_min / 63.0f);
+        memcpy(blk + 0, &d_bits, 2);
+        memcpy(blk + 2, &dmin_bits, 2);
+
+        for (int j = 0; j < QK_K / 32; ++j) {
+            uint8_t sc, mn;
+            q4k_scale_min_at(j, scales, &sc, &mn);
+            const float d = gq_fp16_to_fp32(d_bits) * sc;
+            if (!d) continue;
+            const float dm = gq_fp16_to_fp32(dmin_bits) * mn;
+            for (int l = 0; l < 32; ++l) {
+                int q = gq_nearest_int((x[32 * j + l] + dm) / d);
+                L[32 * j + l] = (uint8_t)imax(0, imin(31, q));
+            }
+        }
+
+        memset(qh, 0, 32);
+        uint8_t m1 = 1, m2 = 2;
+        for (int g = 0; g < QK_K; g += 64) {
+            uint8_t *q = qs + g / 2;
+            for (int l = 0; l < 32; ++l) {
+                int l1 = L[g + l];
+                if (l1 > 15) { l1 -= 16; qh[l] |= m1; }
+                int l2 = L[g + l + 32];
+                if (l2 > 15) { l2 -= 16; qh[l] |= m2; }
+                q[l] = (uint8_t)(l1 | (l2 << 4));
+            }
+            m1 <<= 2;
+            m2 <<= 2;
+        }
+    }
+}
+
+GQ_EXPORT void gq_dequantize_q5_k(const uint8_t *in, float *x, int64_t n) {
+    const int64_t nblocks = n / QK_K;
+    for (int64_t ib = 0; ib < nblocks; ++ib, x += QK_K) {
+        const uint8_t *blk = in + ib * Q5K_BYTES;
+        uint16_t d_bits, dmin_bits;
+        memcpy(&d_bits, blk + 0, 2);
+        memcpy(&dmin_bits, blk + 2, 2);
+        const float d = gq_fp16_to_fp32(d_bits);
+        const float dmin = gq_fp16_to_fp32(dmin_bits);
+        const uint8_t *scales = blk + 4;
+        const uint8_t *qh = blk + 16;
+        const uint8_t *qs = blk + 48;
+        uint8_t u1 = 1, u2 = 2;
+        for (int g = 0; g < QK_K; g += 64) {
+            uint8_t sc, mn;
+            int j = g / 32;
+            q4k_scale_min_at(j, scales, &sc, &mn);
+            const float d1 = d * sc;
+            const float m1v = dmin * mn;
+            q4k_scale_min_at(j + 1, scales, &sc, &mn);
+            const float d2 = d * sc;
+            const float m2v = dmin * mn;
+            const uint8_t *q = qs + g / 2;
+            for (int l = 0; l < 32; ++l)
+                x[g + l] = d1 * ((q[l] & 0xF) + ((qh[l] & u1) ? 16 : 0)) - m1v;
+            for (int l = 0; l < 32; ++l)
+                x[g + 32 + l] = d2 * ((q[l] >> 4) + ((qh[l] & u2) ? 16 : 0)) - m2v;
+            u1 <<= 2;
+            u2 <<= 2;
         }
     }
 }

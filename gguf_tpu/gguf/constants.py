@@ -61,6 +61,7 @@ GGML_BLOCK_INFO = {
     GGMLType.Q8_0: (32, 34),
     GGMLType.Q8_1: (32, 36),
     GGMLType.Q4_K: (256, 144),
+    GGMLType.Q5_K: (256, 176),
     GGMLType.Q6_K: (256, 210),
     GGMLType.I8: (1, 1),
     GGMLType.I16: (1, 2),
@@ -72,6 +73,7 @@ GGML_BLOCK_INFO = {
 GGML_TO_FMT = {
     GGMLType.Q8_0: "q8_0",
     GGMLType.Q4_K: "q4_k",
+    GGMLType.Q5_K: "q5_k",
     GGMLType.Q6_K: "q6_k",
 }
 FMT_TO_GGML = {v: k for k, v in GGML_TO_FMT.items()}

@@ -135,12 +135,14 @@ def write_gguf(
 
 def quantize_tensor(x: np.ndarray, ggml_type: GGMLType):
     """Quantize a float array to GGUF block bytes for the given type."""
-    from ..quant import quantize_q8_0, quantize_q4_k, quantize_q6_k
+    from ..quant import (quantize_q8_0, quantize_q4_k, quantize_q5_k,
+                         quantize_q6_k)
 
     if ggml_type == GGMLType.F32:
         return np.ascontiguousarray(x, dtype=np.float32)
     if ggml_type == GGMLType.F16:
         return np.ascontiguousarray(x, dtype=np.float16)
     fn = {GGMLType.Q8_0: quantize_q8_0, GGMLType.Q4_K: quantize_q4_k,
+          GGMLType.Q5_K: quantize_q5_k,
           GGMLType.Q6_K: quantize_q6_k}[ggml_type]
     return np.asarray(fn(x))

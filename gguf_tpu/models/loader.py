@@ -131,7 +131,8 @@ def write_random_llama_gguf(
     def w(shape):
         return (rng.standard_normal(shape) * scale).astype(np.float32)
 
-    head_fmt = GGMLType.Q6_K if fmt in (GGMLType.Q4_K, GGMLType.Q6_K) else fmt
+    head_fmt = (GGMLType.Q6_K if fmt in (GGMLType.Q4_K, GGMLType.Q5_K,
+                                         GGMLType.Q6_K) else fmt)
     tensors = {
         "token_embd.weight": (fmt, (v, d), quantize_tensor(w((v, d)), fmt)),
         "output.weight": (head_fmt, (v, d), quantize_tensor(w((v, d)), head_fmt)),

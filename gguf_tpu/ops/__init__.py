@@ -2,12 +2,14 @@
 
 from .mmq_q8_0 import mmq_q8_0
 from .mmq_q4_k import mmq_q4_k
+from .mmq_q5_k import mmq_q5_k
 from .mmq_q6_k import mmq_q6_k
 from .activation import quantize_q8_1_act, fake_quantize_q8_1
 
-MMQ = {"q8_0": mmq_q8_0, "q4_k": mmq_q4_k, "q6_k": mmq_q6_k}
+MMQ = {"q8_0": mmq_q8_0, "q4_k": mmq_q4_k, "q5_k": mmq_q5_k,
+       "q6_k": mmq_q6_k}
 
 __all__ = [
-    "mmq_q8_0", "mmq_q4_k", "mmq_q6_k", "MMQ",
+    "mmq_q8_0", "mmq_q4_k", "mmq_q5_k", "mmq_q6_k", "MMQ",
     "quantize_q8_1_act", "fake_quantize_q8_1",
 ]

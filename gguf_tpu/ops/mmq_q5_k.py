@@ -1,0 +1,159 @@
+"""Fused dequantize+matmul for Q5_K weights.
+
+No counterpart exists in the reference (it stops at Q8_0/Q4_K/Q6_K); this
+extends the same TPU-first kernel family (see mmq_q4_k.py for the design
+notes) to llama.cpp's Q5_K, completing Q5_K_M checkpoint support.
+
+Identical structure to mmq_q4_k — Q5_K shares Q4_K's affine sub-block math
+x = d*sc*q - dmin*mn and 6-bit scale packing, so the bsum min-term trick and
+the scale broadcasting carry over unchanged. The only addition is the 5th
+code bit: the SoA layout (quant/layouts.py) packs it so byte row j of a
+superblock's qh tile holds the high bit of elements {32b + j} at bit b,
+making the in-kernel extraction a whole-slab shift/mask whose 8 parts
+concatenate in element order, exactly like the low nibbles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.layouts import QuantTensor
+from .activation import fake_quantize_q8_1
+from .common import (
+    choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
+    regroup_rows, round_up, running_interpreted, unpack_nibbles_tile,
+)
+
+QK_K = 256
+
+
+def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qh_ref,
+            b_ref, bsum_ref, out_ref, acc_ref):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    d = fp16_bits_to_f32(d_ref[:sbt, :])                     # (SBt, TM)
+    dmin = fp16_bits_to_f32(dmin_ref[:sbt, :])
+    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)     # (SBt*8, TM)
+    mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+    tm = sc.shape[-1]
+    scale32 = (d[:, None, :] * sc.reshape(sbt, 8, tm)).reshape(sbt * 8, tm)
+    min32 = (dmin[:, None, :] * mn.reshape(sbt, 8, tm)).reshape(sbt * 8, tm)
+
+    low4 = unpack_nibbles_tile(qs_ref[:], sbt)               # (TK, TM) i32
+
+    # 5th bit: qh byte row j of a superblock (32 rows) holds elements
+    # {32b + j} at bit b — whole-slab shift/mask parts land in element order
+    hi = qh_ref[:].astype(jnp.int32)                         # (SBt*32, TM)
+    parts = []
+    for s in range(sbt):
+        sl = hi[s * 32:(s + 1) * 32, :]
+        parts.extend((sl >> b) & 1 for b in range(8))
+    hib = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    q = (low4 | (hib << 4)).astype(jnp.float32)              # codes in [0, 32)
+    w = (q.reshape(sbt * 8, 32, tm) * scale32[:, None, :]).reshape(sbt * 256, tm)
+
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    wd = w.astype(jnp.bfloat16) if fast else w
+    acc_ref[:] += jax.lax.dot_general(
+        b_ref[:], wd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    acc_ref[:] -= jax.lax.dot_general(
+        bsum_ref[:], min32, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act_quant", "block_m", "block_k", "out_dtype", "precision"),
+)
+def mmq_q5_k(
+    w: QuantTensor,
+    b: jax.Array,
+    *,
+    act_quant: bool = True,
+    block_m: int = 2048,
+    block_k: int = 1024,
+    out_dtype=jnp.float32,
+    precision: str = "high",
+) -> jax.Array:
+    """C = (A @ B.T).T for Q5_K weights A (M, K SoA) and float B (N, K)."""
+    assert w.fmt == "q5_k"
+    m, k = w.shape
+    n = b.shape[0]
+    assert b.shape[1] == k, (b.shape, w.shape)
+    assert k % QK_K == 0, f"K must be a multiple of {QK_K}, got {k}"
+    assert block_m % 128 == 0
+
+    if act_quant:
+        b = fake_quantize_q8_1(b)
+    b = b.astype(jnp.float32)
+    bsum = jnp.sum(b.reshape(n, k // 32, 32), axis=-1)
+    fast = precision == "fast"
+    if fast:
+        b = b.astype(jnp.bfloat16)
+
+    n_pad = max(8, round_up(n, 8))
+    b = pad_rows(b, n_pad)
+    bsum_t = pad_rows(bsum, n_pad).T
+
+    bm = choose_bm(w.qs.shape[-1], block_m)
+    m_pad = round_up(max(m, w.qs.shape[-1]), bm)
+    bk = pick_block(k, block_k, QK_K)
+    sbt = bk // QK_K
+    sb = k // QK_K
+
+    g8 = max(8, round_up(sbt, 8))
+    steps = k // bk
+    d_bits = regroup_rows(pad_cols(w.d_bits, m_pad), sbt, steps, g8)
+    dmin_bits = regroup_rows(pad_cols(w.dmin_bits, m_pad), sbt, steps, g8)
+    sc = pad_cols(w.sc, m_pad)
+    mn = pad_cols(w.mn, m_pad)
+    qs = pad_cols(w.qs, m_pad)
+    qh = pad_cols(w.qh, m_pad)
+
+    grid = (m_pad // bm, k // bk)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, fast, sbt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sbt * 8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sbt * 8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sbt * 8, n_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_pad, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((n_pad, bm), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n_pad,
+            bytes_accessed=m_pad * sb * 176 + n_pad * k * 2 + n_pad * m_pad * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=running_interpreted(),
+    )(d_bits, dmin_bits, sc, mn, qs, qh, b, bsum_t)
+
+    return out[:n, :m]

@@ -19,12 +19,14 @@ from __future__ import annotations
 import numpy as np
 
 from .q4_k import parse_q4_k
+from .q5_k import parse_q5_k
 from .q6_k import parse_q6_k
 from .q8_1 import parse_q8_1
 
 Q8_0_BLOCK_BYTES = 34
 Q8_1_BLOCK_BYTES = 36
 Q4_K_BLOCK_BYTES = 144
+Q5_K_BLOCK_BYTES = 176
 Q6_K_BLOCK_BYTES = 210
 
 
@@ -67,6 +69,24 @@ def mmq_q4_k_q8_1_golden(a_bytes, b_bytes, m: int, n: int, k: int) -> np.ndarray
 
     scale_full = (d[:, :, None] * sc).reshape(m, k // 32)       # d*sc per 32-block
     min_full = (dmin[:, :, None] * mn).reshape(m, k // 32)      # dmin*mn per 32-block
+    qa = q.reshape(m, k // 32, 32)
+
+    r = np.einsum("mbk,nbk->mnb", qa.astype(np.int32), qb.astype(np.int32))
+    c = np.einsum("mb,nb,mnb->mn", scale_full, db, r.astype(np.float32))
+    c -= np.einsum("mb,nb->mn", min_full, s)
+    return c.T.astype(np.float32)
+
+
+def mmq_q5_k_q8_1_golden(a_bytes, b_bytes, m: int, n: int, k: int) -> np.ndarray:
+    """Q5_K weights x Q8_1 activations — same affine structure as Q4_K
+    (d*sc*q - dmin*mn per 32-sub-block) with 5-bit codes."""
+    assert k % 256 == 0
+    sb = k // 256
+    d, dmin, sc, mn, q = (x.reshape(m, sb, *x.shape[1:]) for x in _split_blocks(parse_q5_k(a_bytes), m * sb))
+    db, s, qb = _parse_q8_1_matrix(b_bytes, n, k)
+
+    scale_full = (d[:, :, None] * sc).reshape(m, k // 32)
+    min_full = (dmin[:, :, None] * mn).reshape(m, k // 32)
     qa = q.reshape(m, k // 32, 32)
 
     r = np.einsum("mbk,nbk->mnb", qa.astype(np.int32), qb.astype(np.int32))

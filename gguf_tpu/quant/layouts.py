@@ -40,8 +40,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .q4_k import unpack_scale_min, pack_scale_min
+from .q5_k import pack_q5_k_codes
 from .q8_0 import BLOCK_BYTES as Q8_0_BYTES
 from .q4_k import BLOCK_BYTES as Q4K_BYTES
+from .q5_k import BLOCK_BYTES as Q5K_BYTES
 from .q6_k import BLOCK_BYTES as Q6K_BYTES
 
 QK_K = 256
@@ -71,7 +73,7 @@ class QuantTensor:
         """Logical (M, K), derived from the K-major arrays."""
         if self.fmt == "q8_0":
             return (self.qs.shape[1], self.qs.shape[0])
-        codes = self.qs if self.fmt == "q4_k" else self.ql
+        codes = self.ql if self.fmt == "q6_k" else self.qs
         return (codes.shape[1], codes.shape[0] * 2)
 
     def dequantize(self) -> jax.Array:
@@ -85,7 +87,8 @@ class QuantTensor:
 
     def packed_bytes_per_row(self) -> int:
         m, k = self.shape
-        per_block = {"q8_0": (32, Q8_0_BYTES), "q4_k": (QK_K, Q4K_BYTES), "q6_k": (QK_K, Q6K_BYTES)}[self.fmt]
+        per_block = {"q8_0": (32, Q8_0_BYTES), "q4_k": (QK_K, Q4K_BYTES),
+                     "q5_k": (QK_K, Q5K_BYTES), "q6_k": (QK_K, Q6K_BYTES)}[self.fmt]
         return k // per_block[0] * per_block[1]
 
 
@@ -236,6 +239,60 @@ def soa_to_q4_k(t: QuantTensor) -> np.ndarray:
     return out.reshape(-1)
 
 
+def q5_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
+    """Q5_K SoA: like q4_k (d/dmin/sc/mn + nibble-repacked qs) plus qh
+    (K/8, M): byte row j of a superblock (j<32) holds the 5th bit of elems
+    {32b + j} at bit position b (whole-tile shift/mask unpack lands in
+    element order — see ops/mmq_q5_k.py)."""
+    from .q5_k import parse_q5_k
+
+    sb = k // QK_K
+    b = np.asarray(qbytes).reshape(-1).view(np.uint8)
+    blocks = b.reshape(m * sb, Q5K_BYTES)
+    d_bits = blocks[:, 0:2].copy().view(np.uint16).reshape(m, sb)
+    dmin_bits = blocks[:, 2:4].copy().view(np.uint16).reshape(m, sb)
+    sc, mn = unpack_scale_min(blocks[:, 4:16])
+    _, _, _, _, codes = parse_q5_k(qbytes)         # (nb, 256) in [0, 32)
+    qs = _repack_nibbles(codes & 0x0F).reshape(m, k // 2)
+    hib = (codes >> 4).astype(np.uint8)            # (nb, 256) in {0, 1}
+    g = hib.reshape(-1, 8, 32)                     # [sub-block b, j]
+    qh = np.zeros((g.shape[0], 32), np.uint8)
+    for bb in range(8):
+        qh |= (g[:, bb, :] << bb).astype(np.uint8)
+    t = lambda a: jnp.asarray(np.ascontiguousarray(a.T))
+    return QuantTensor(
+        fmt="q5_k",
+        d_bits=t(d_bits), dmin_bits=t(dmin_bits),
+        sc=t(sc.reshape(m, sb * 8)), mn=t(mn.reshape(m, sb * 8)),
+        qs=t(qs), qh=t(qh.reshape(m, k // 8)),
+    )
+
+
+def soa_to_q5_k(t: QuantTensor) -> np.ndarray:
+    m, k = t.shape
+    sb = k // QK_K
+    nb = m * sb
+    packed = np.asarray(t.qs).T.reshape(nb, 128)
+    low = np.empty((nb, QK_K), dtype=np.uint8)
+    low[:, :128] = packed & 0x0F
+    low[:, 128:] = packed >> 4
+    qh_rows = np.asarray(t.qh).T.reshape(nb, 32)
+    hib = np.empty((nb, QK_K), dtype=np.uint8)
+    for bb in range(8):
+        hib[:, 32 * bb:32 * (bb + 1)] = (qh_rows >> bb) & 1
+    codes = low | (hib << 4)
+    disk_qh, disk_qs = pack_q5_k_codes(codes)
+
+    out = np.empty((nb, Q5K_BYTES), dtype=np.uint8)
+    out[:, 0:2] = np.ascontiguousarray(np.asarray(t.d_bits).T).reshape(nb).view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = np.ascontiguousarray(np.asarray(t.dmin_bits).T).reshape(nb).view(np.uint8).reshape(nb, 2)
+    out[:, 4:16] = pack_scale_min(
+        np.asarray(t.sc).T.reshape(nb, 8), np.asarray(t.mn).T.reshape(nb, 8))
+    out[:, 16:48] = disk_qh
+    out[:, 48:] = disk_qs
+    return out.reshape(-1)
+
+
 def q6_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     from .q6_k import parse_q6_k
 
@@ -283,8 +340,10 @@ def soa_to_q6_k(t: QuantTensor) -> np.ndarray:
     return out.reshape(-1)
 
 
-TO_SOA = {"q8_0": q8_0_to_soa, "q4_k": q4_k_to_soa, "q6_k": q6_k_to_soa}
-FROM_SOA = {"q8_0": soa_to_q8_0, "q4_k": soa_to_q4_k, "q6_k": soa_to_q6_k}
+TO_SOA = {"q8_0": q8_0_to_soa, "q4_k": q4_k_to_soa, "q5_k": q5_k_to_soa,
+          "q6_k": q6_k_to_soa}
+FROM_SOA = {"q8_0": soa_to_q8_0, "q4_k": soa_to_q4_k, "q5_k": soa_to_q5_k,
+            "q6_k": soa_to_q6_k}
 
 
 def to_soa(fmt: str, qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
@@ -330,6 +389,21 @@ def _dequant_q4_k(t: QuantTensor) -> jax.Array:
     return _expand_scales(scale32, 32) * q - _expand_scales(min32, 32)
 
 
+def _dequant_q5_k(t: QuantTensor) -> jax.Array:
+    m, k = t.shape
+    sb = k // QK_K
+    d = fp16_bits_to_f32(t.d_bits.T)                    # (M, SB)
+    dmin = fp16_bits_to_f32(t.dmin_bits.T)
+    scale32 = _expand_scales(d, 8) * t.sc.T.astype(jnp.float32)
+    min32 = _expand_scales(dmin, 8) * t.mn.T.astype(jnp.float32)
+    low4 = _unpack_nibbles_jnp(t.qs, sb)                # (M, K) in [0,16)
+    h = t.qh.T.reshape(m, sb, 32)
+    hib = jnp.concatenate(
+        [(h >> b) & jnp.uint8(1) for b in range(8)], axis=-1).reshape(m, k)
+    q = (low4 | (hib << 4)).astype(jnp.float32)
+    return _expand_scales(scale32, 32) * q - _expand_scales(min32, 32)
+
+
 def _dequant_q6_k(t: QuantTensor) -> jax.Array:
     m, k = t.shape
     sb = k // QK_K
@@ -344,7 +418,8 @@ def _dequant_q6_k(t: QuantTensor) -> jax.Array:
     return _expand_scales(scale16, 16) * q.astype(jnp.float32)
 
 
-_DEQUANT = {"q8_0": _dequant_q8_0, "q4_k": _dequant_q4_k, "q6_k": _dequant_q6_k}
+_DEQUANT = {"q8_0": _dequant_q8_0, "q4_k": _dequant_q4_k,
+            "q5_k": _dequant_q5_k, "q6_k": _dequant_q6_k}
 
 
 # ------------------------------------------------------------ quantize ---
@@ -360,6 +435,9 @@ def quantize_to_soa(x: np.ndarray, fmt: str) -> QuantTensor:
         return q8_0_to_soa(_q8.quantize_q8_0(x.astype(np.float16)), m, k)
     if fmt == "q4_k":
         return q4_k_to_soa(_q4.quantize_q4_k(x.astype(np.float32)), m, k)
+    if fmt == "q5_k":
+        from . import q5_k as _q5
+        return q5_k_to_soa(_q5.quantize_q5_k(x.astype(np.float32)), m, k)
     if fmt == "q6_k":
         return q6_k_to_soa(_q6.quantize_q6_k(x.astype(np.float32)), m, k)
     raise ValueError(f"unknown format {fmt!r}")

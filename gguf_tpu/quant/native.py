@@ -25,6 +25,7 @@ _lib_lock = threading.Lock()
 
 QK_K = 256
 Q4K_BLOCK_BYTES = 144
+Q5K_BLOCK_BYTES = 176
 Q6K_BLOCK_BYTES = 210
 
 
@@ -54,10 +55,14 @@ def get_lib() -> ctypes.CDLL:
 
         lib.gq_quantize_q4_k.argtypes = [f32p, u8p, ctypes.c_int64]
         lib.gq_quantize_q4_k.restype = None
+        lib.gq_quantize_q5_k.argtypes = [f32p, u8p, ctypes.c_int64]
+        lib.gq_quantize_q5_k.restype = None
         lib.gq_quantize_q6_k.argtypes = [f32p, u8p, ctypes.c_int64]
         lib.gq_quantize_q6_k.restype = None
         lib.gq_dequantize_q4_k.argtypes = [u8p, f32p, ctypes.c_int64]
         lib.gq_dequantize_q4_k.restype = None
+        lib.gq_dequantize_q5_k.argtypes = [u8p, f32p, ctypes.c_int64]
+        lib.gq_dequantize_q5_k.restype = None
         lib.gq_dequantize_q6_k.argtypes = [u8p, f32p, ctypes.c_int64]
         lib.gq_dequantize_q6_k.restype = None
         lib.gq_fp16_to_fp32.argtypes = [ctypes.c_uint16]
@@ -95,6 +100,22 @@ def quantize_q4_k(x: np.ndarray) -> np.ndarray:
     return out
 
 
+def quantize_q5_k(x: np.ndarray) -> np.ndarray:
+    """Quantize a float array (size % 256 == 0) to flat Q5_K bytes (uint8)."""
+    x = _as_f32_c(x.reshape(-1))
+    n = x.size
+    if n % QK_K:
+        raise ValueError(f"Q5_K needs size % 256 == 0, got {n}")
+    out = np.empty(n // QK_K * Q5K_BLOCK_BYTES, dtype=np.uint8)
+    lib = get_lib()
+    lib.gq_quantize_q5_k(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n),
+    )
+    return out
+
+
 def quantize_q6_k(x: np.ndarray) -> np.ndarray:
     """Quantize a float array (size % 256 == 0) to flat Q6_K bytes (uint8)."""
     x = _as_f32_c(x.reshape(-1))
@@ -115,6 +136,17 @@ def dequantize_q4_k_native(q: np.ndarray, n_elems: int) -> np.ndarray:
     q = np.ascontiguousarray(q.reshape(-1).view(np.uint8))
     out = np.empty(n_elems, dtype=np.float32)
     get_lib().gq_dequantize_q4_k(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(n_elems),
+    )
+    return out
+
+
+def dequantize_q5_k_native(q: np.ndarray, n_elems: int) -> np.ndarray:
+    q = np.ascontiguousarray(q.reshape(-1).view(np.uint8))
+    out = np.empty(n_elems, dtype=np.float32)
+    get_lib().gq_dequantize_q5_k(
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(n_elems),

@@ -10,9 +10,11 @@ import numpy as np
 import pytest
 
 from gguf_tpu.quant import (
-    quantize_q8_0, quantize_q8_1, quantize_q4_k, quantize_q6_k,
-    dequantize_q8_0, dequantize_q4_k, dequantize_q6_k, dequantize_q8_1,
-    mmq_q8_0_q8_1_golden, mmq_q4_k_q8_1_golden, mmq_q6_k_q8_1_golden,
+    quantize_q8_0, quantize_q8_1, quantize_q4_k, quantize_q5_k, quantize_q6_k,
+    dequantize_q8_0, dequantize_q4_k, dequantize_q5_k, dequantize_q6_k,
+    dequantize_q8_1,
+    mmq_q8_0_q8_1_golden, mmq_q4_k_q8_1_golden, mmq_q5_k_q8_1_golden,
+    mmq_q6_k_q8_1_golden,
 )
 from gguf_tpu.utils import snr_db, allclose_rel
 
@@ -55,9 +57,10 @@ def test_golden_q6_k_snr(rng, m, n, k):
     [
         (quantize_q8_0, mmq_q8_0_q8_1_golden, dequantize_q8_0),
         (quantize_q4_k, mmq_q4_k_q8_1_golden, dequantize_q4_k),
+        (quantize_q5_k, mmq_q5_k_q8_1_golden, dequantize_q5_k),
         (quantize_q6_k, mmq_q6_k_q8_1_golden, dequantize_q6_k),
     ],
-    ids=["q8_0", "q4_k", "q6_k"],
+    ids=["q8_0", "q4_k", "q5_k", "q6_k"],
 )
 def test_golden_equals_dequant_matmul(rng, quantize, golden, dequantize):
     """The integer-dot golden must equal the dequantize-then-matmul product of

@@ -5,18 +5,20 @@ import numpy as np
 import pytest
 
 from gguf_tpu.quant import (
-    quantize_q8_0, quantize_q4_k, quantize_q6_k,
-    dequantize_q8_0, dequantize_q4_k, dequantize_q6_k,
+    quantize_q8_0, quantize_q4_k, quantize_q5_k, quantize_q6_k,
+    dequantize_q8_0, dequantize_q4_k, dequantize_q5_k, dequantize_q6_k,
 )
 from gguf_tpu.quant.layouts import (
     to_soa, from_soa, quantize_to_soa, fp16_bits_to_f32,
 )
 
-QUANTIZERS = {"q8_0": quantize_q8_0, "q4_k": quantize_q4_k, "q6_k": quantize_q6_k}
-DEQUANTIZERS = {"q8_0": dequantize_q8_0, "q4_k": dequantize_q4_k, "q6_k": dequantize_q6_k}
+QUANTIZERS = {"q8_0": quantize_q8_0, "q4_k": quantize_q4_k,
+              "q5_k": quantize_q5_k, "q6_k": quantize_q6_k}
+DEQUANTIZERS = {"q8_0": dequantize_q8_0, "q4_k": dequantize_q4_k,
+                "q5_k": dequantize_q5_k, "q6_k": dequantize_q6_k}
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q6_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q5_k", "q6_k"])
 @pytest.mark.parametrize("m,k", [(2, 256), (8, 512), (3, 1024)])
 def test_soa_roundtrip_lossless(rng, fmt, m, k):
     x = rng.standard_normal((m, k)).astype(np.float32)
@@ -26,7 +28,7 @@ def test_soa_roundtrip_lossless(rng, fmt, m, k):
     np.testing.assert_array_equal(np.asarray(back), np.asarray(qbytes).view(np.uint8))
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q6_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q5_k", "q6_k"])
 def test_jnp_dequant_matches_numpy(rng, fmt):
     m, k = 4, 512
     x = rng.standard_normal((m, k)).astype(np.float32)

@@ -10,10 +10,11 @@ quantizes internally (act_quant=True) — both must agree to 1% of max|C|.
 import numpy as np
 import pytest
 
-from gguf_tpu.ops import mmq_q8_0, mmq_q4_k, mmq_q6_k
+from gguf_tpu.ops import mmq_q8_0, mmq_q4_k, mmq_q5_k, mmq_q6_k
 from gguf_tpu.quant import (
-    quantize_q8_0, quantize_q4_k, quantize_q6_k, quantize_q8_1,
-    mmq_q8_0_q8_1_golden, mmq_q4_k_q8_1_golden, mmq_q6_k_q8_1_golden,
+    quantize_q8_0, quantize_q4_k, quantize_q5_k, quantize_q6_k, quantize_q8_1,
+    mmq_q8_0_q8_1_golden, mmq_q4_k_q8_1_golden, mmq_q5_k_q8_1_golden,
+    mmq_q6_k_q8_1_golden,
 )
 from gguf_tpu.quant.layouts import to_soa
 from gguf_tpu.utils import allclose_rel, max_rel_err
@@ -21,6 +22,7 @@ from gguf_tpu.utils import allclose_rel, max_rel_err
 CASES = {
     "q8_0": (quantize_q8_0, mmq_q8_0_q8_1_golden, mmq_q8_0, "q8_0", 32),
     "q4_k": (quantize_q4_k, mmq_q4_k_q8_1_golden, mmq_q4_k, "q4_k", 256),
+    "q5_k": (quantize_q5_k, mmq_q5_k_q8_1_golden, mmq_q5_k, "q5_k", 256),
     "q6_k": (quantize_q6_k, mmq_q6_k_q8_1_golden, mmq_q6_k, "q6_k", 256),
 }
 
@@ -56,19 +58,26 @@ def test_mmq_q4_k_parity(rng, m, n, k):
 @pytest.mark.parametrize("m", [1, 4, 16])
 @pytest.mark.parametrize("n", [1, 4, 16])
 @pytest.mark.parametrize("k", [256, 512, 1024])
+def test_mmq_q5_k_parity(rng, m, n, k):
+    got, want = _run(rng, "q5_k", m, n, k)
+    assert allclose_rel(got, want, 0.01)
+
+
+@pytest.mark.parametrize("m,n", [(1, 1), (4, 4), (16, 16), (16, 1)])
+@pytest.mark.parametrize("k", [256, 512, 1024])
 def test_mmq_q6_k_parity(rng, m, n, k):
     got, want = _run(rng, "q6_k", m, n, k)
     assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q6_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q5_k", "q6_k"])
 def test_mmq_multi_tile_grid(rng, fmt):
     """Shapes that force multiple M and K grid steps (accumulator reuse)."""
     got, want = _run(rng, fmt, 200, 4, 1024, block_m=128, block_k=256)
     assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q6_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q5_k", "q6_k"])
 def test_mmq_no_act_quant_matches_dequant_matmul(rng, fmt):
     """act_quant=False: kernel must equal dequantized-weights x float B."""
     quantize, _, kernel, _, _ = CASES[fmt]

@@ -186,3 +186,30 @@ def test_fused_projections_match(model):
                        init_kv_cache(cfg, 2, 16), opts)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                rtol=0, atol=1e-5)
+
+
+def test_q5_k_m_checkpoint_forward(tmp_path):
+    """Q5_K_M recipe end to end: q5_k body + q6_k head loads and decodes."""
+    cfg = LlamaConfig(vocab_size=128, dim=256, n_layers=1, n_heads=4,
+                      n_kv_heads=2, ffn_dim=512, max_seq_len=32)
+    path = str(tmp_path / "q5.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q5_K, seed=13)
+    cfg2, params = load_llama(path)
+    assert params["layers"][0]["wq"].fmt == "q5_k"
+    assert params["output"].fmt == "q6_k"
+    tokens = jnp.arange(6, dtype=jnp.int32).reshape(1, 6)
+    logits, _ = forward(params, cfg2, tokens, jnp.zeros(1, jnp.int32),
+                        init_kv_cache(cfg2, 1, 16), MMOpts(precision="high"))
+    assert bool(jnp.isfinite(logits).all())
+    # quantized-vs-float drift stays small on the same bits
+    from gguf_tpu.quant.layouts import QuantTensor
+    fl = jax.tree_util.tree_map(
+        lambda w: w.dequantize() if isinstance(w, QuantTensor) else w,
+        params, is_leaf=lambda x: isinstance(x, QuantTensor))
+    ref, _ = forward(fl, cfg2, tokens, jnp.zeros(1, jnp.int32),
+                     init_kv_cache(cfg2, 1, 16), MMOpts(precision="high"))
+    # the float twin is the LESS precise path (linear() casts float weights
+    # to the activations' bf16; the MMQ kernel dequantizes to f32), so the
+    # gate here is bf16-level agreement
+    err = float(jnp.max(jnp.abs(logits - ref)) / jnp.max(jnp.abs(ref)))
+    assert err < 2e-2, err

@@ -11,6 +11,7 @@ from gguf_tpu.quant import (
     quantize_q8_0, dequantize_q8_0,
     quantize_q8_1, dequantize_q8_1, parse_q8_1,
     quantize_q4_k, dequantize_q4_k, parse_q4_k,
+    quantize_q5_k, dequantize_q5_k, parse_q5_k,
     quantize_q6_k, dequantize_q6_k, parse_q6_k,
 )
 from gguf_tpu.quant.q4_k import pack_scale_min, unpack_scale_min
@@ -175,3 +176,30 @@ def test_relative_error_heatmap(tmp_path, rng):
     assert err.shape == (16, 16) and err.max() < 0.1
     import os
     assert os.path.getsize(out) > 0
+
+
+@pytest.mark.parametrize("n", [256, 1024])
+def test_q5_k_roundtrip(rng, n):
+    """5-bit SNR sits between q4_k (~24 dB) and q6_k (~34 dB)."""
+    from gguf_tpu.utils.testing import snr_db
+
+    x = rng.standard_normal(n).astype(np.float32)
+    q = quantize_q5_k(x)
+    assert q.size == n // 256 * 176
+    y = dequantize_q5_k(q, (n,))
+    assert snr_db(x, x - y) > 25.0
+    d, dmin, sc, mn, codes = parse_q5_k(q)
+    assert codes.max() <= 31 and np.all(sc < 64) and np.all(mn < 64)
+
+
+def test_q5_k_code_pack_unpack_inverse(rng):
+    from gguf_tpu.quant.q5_k import pack_q5_k_codes
+
+    codes = rng.integers(0, 32, (4, 256)).astype(np.uint8)
+    qh, qs = pack_q5_k_codes(codes)
+    # re-parse through a synthetic block: build bytes and parse
+    blocks = np.zeros((4, 176), np.uint8)
+    blocks[:, 16:48] = qh
+    blocks[:, 48:] = qs
+    _, _, _, _, back = parse_q5_k(blocks.reshape(-1))
+    np.testing.assert_array_equal(back, codes)
