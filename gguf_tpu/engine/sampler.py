@@ -1,4 +1,4 @@
-"""Token samplers: greedy, temperature, top-k, top-p — batched, jit-safe."""
+"""Token samplers: greedy, temperature, top-k, top-p, min-p — batched, jit-safe."""
 
 from __future__ import annotations
 
@@ -13,6 +13,8 @@ class SamplerConfig:
     temperature: float = 0.0   # 0 => greedy
     top_k: int = 0             # 0 => disabled
     top_p: float = 1.0         # 1 => disabled
+    min_p: float = 0.0         # 0 => disabled (keep tokens with
+                               # prob >= min_p * max_prob)
 
 
 def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig) -> jax.Array:
@@ -24,6 +26,10 @@ def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig) -> jax.Array:
     if cfg.top_k > 0:
         kth = jnp.sort(logits, axis=-1)[:, -cfg.top_k][:, None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if cfg.min_p > 0.0:
+        probs = jax.nn.softmax(logits, axis=-1)
+        cutoff = cfg.min_p * jnp.max(probs, axis=-1, keepdims=True)
+        logits = jnp.where(probs < cutoff, -jnp.inf, logits)
     if cfg.top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)

@@ -1,0 +1,172 @@
+"""HTTP serving frontend — an OpenAI-style /v1/completions endpoint over the
+continuous-batching engine, stdlib only (http.server + a request queue).
+
+    python -m gguf_tpu.engine.server model.gguf --port 8000 [--tp N]
+
+    curl localhost:8000/v1/completions -d '{
+        "prompt": "The capital of France is",
+        "max_tokens": 32, "temperature": 0.7}'
+
+Requests are collected into micro-batches: an engine thread drains the queue
+and runs one `generate` over everything waiting, so concurrent clients share
+decode steps through the slot pool. (The reference has no serving surface at
+all; this is the operational front of the north-star serving stack.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .engine import LLM
+from .sampler import SamplerConfig
+
+
+class _Request:
+    def __init__(self, prompt, max_tokens, sampler, seed):
+        self.prompt = prompt
+        self.max_tokens = max_tokens
+        self.sampler = sampler
+        self.seed = seed
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class EngineWorker:
+    """Single engine thread: drains the request queue into micro-batches
+    (JAX computations must stay on one thread)."""
+
+    def __init__(self, llm: LLM, max_wait_s: float = 0.01):
+        self.llm = llm
+        self.queue: queue.Queue[_Request] = queue.Queue()
+        self.max_wait_s = max_wait_s
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, req: _Request) -> None:
+        self.queue.put(req)
+
+    def _drain_batch(self) -> list[_Request]:
+        batch = [self.queue.get()]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.llm.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self.queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._drain_batch()
+            # group by sampler/max_tokens (static jit args); serve each group
+            groups: dict = {}
+            for r in batch:
+                groups.setdefault((r.sampler, r.max_tokens, r.seed), []).append(r)
+            for (sampler, max_tokens, seed), reqs in groups.items():
+                try:
+                    results = self.llm.generate(
+                        [r.prompt for r in reqs], max_new_tokens=max_tokens,
+                        sampler=sampler, seed=seed)
+                    for r, res in zip(reqs, results):
+                        r.result = res
+                except Exception as e:  # surface engine errors to the client
+                    for r in reqs:
+                        r.error = str(e)
+                for r in reqs:
+                    r.done.set()
+
+
+def make_handler(worker: EngineWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _reply(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._reply(200, {"status": "ok",
+                                  "model": worker.llm.cfg.__dict__})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path not in ("/v1/completions", "/completions"):
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                prompt = payload.get("prompt")
+                if prompt is None:
+                    raise ValueError("missing 'prompt' (string or token id list)")
+                sampler = SamplerConfig(
+                    temperature=float(payload.get("temperature", 0.8)),
+                    top_k=int(payload.get("top_k", 0)),
+                    top_p=float(payload.get("top_p", 1.0)),
+                    min_p=float(payload.get("min_p", 0.0)),
+                )
+                req = _Request(prompt, int(payload.get("max_tokens", 64)),
+                               sampler, int(payload.get("seed", 0)))
+            except (ValueError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+                return
+            worker.submit(req)
+            req.done.wait()
+            if req.error:
+                self._reply(500, {"error": req.error})
+                return
+            res = req.result
+            self._reply(200, {
+                "object": "text_completion",
+                "choices": [{
+                    "text": res.text,
+                    "token_ids": res.token_ids,
+                    "finish_reason": "stop" if res.finished else "length",
+                }],
+                "usage": {
+                    "prompt_tokens": len(res.prompt_ids),
+                    "completion_tokens": len(res.token_ids),
+                },
+            })
+
+    return Handler
+
+
+def serve(model: str, host: str = "0.0.0.0", port: int = 8000,
+          max_batch: int = 8, tp: int = 1):
+    llm = LLM(model, max_batch=max_batch, tp=tp)
+    worker = EngineWorker(llm)
+    httpd = ThreadingHTTPServer((host, port), make_handler(worker))
+    print(f"serving {model} on {host}:{port} (max_batch={max_batch}, tp={tp})")
+    httpd.serve_forever()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--tp", type=int, default=1)
+    args = p.parse_args(argv)
+    serve(args.model, args.host, args.port, args.max_batch, args.tp)
+
+
+if __name__ == "__main__":
+    main()

@@ -130,3 +130,15 @@ def test_engine_tensor_parallel(tmp_path):
     # must agree exactly
     for a, b in zip(ref, tpe):
         assert a.token_ids[:3] == b.token_ids[:3], (a.token_ids, b.token_ids)
+
+
+def test_sampler_min_p():
+    from gguf_tpu.engine.sampler import SamplerConfig, sample
+
+    # one dominant token; min_p=0.5 masks everything below half its prob
+    logits = jnp.asarray([[5.0, 4.9, 0.0, -10.0]])
+    key = jax.random.PRNGKey(0)
+    cfg = SamplerConfig(temperature=1.0, min_p=0.5)
+    picks = {int(sample(logits, jax.random.PRNGKey(i), cfg)[0])
+             for i in range(30)}
+    assert picks <= {0, 1}, picks

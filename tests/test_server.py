@@ -1,0 +1,80 @@
+"""HTTP serving frontend: /v1/completions over the batching engine."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from gguf_tpu.engine import LLM
+from gguf_tpu.engine.server import EngineWorker, make_handler
+from gguf_tpu.gguf import GGMLType
+from gguf_tpu.models import LlamaConfig, write_random_llama_gguf
+
+CFG = LlamaConfig(vocab_size=64, dim=256, n_layers=1, n_heads=4,
+                  n_kv_heads=2, ffn_dim=512, max_seq_len=64)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("srv") / "tiny.gguf")
+    write_random_llama_gguf(path, CFG, fmt=GGMLType.Q4_K, seed=3)
+    llm = LLM(path, max_batch=2, max_seq=32)
+    worker = EngineWorker(llm)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/v1/completions", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read())
+
+
+def test_health(server):
+    with urllib.request.urlopen(server + "/health", timeout=60) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok" and body["model"]["dim"] == CFG.dim
+
+
+def test_completion_with_token_ids(server):
+    res = _post(server, {"prompt": [1, 5, 9], "max_tokens": 4,
+                         "temperature": 0.0})
+    c = res["choices"][0]
+    assert len(c["token_ids"]) == 4
+    assert res["usage"]["prompt_tokens"] == 3
+
+
+def test_concurrent_requests_batch(server):
+    """Two concurrent clients share the slot pool (continuous batching)."""
+    out = [None, None]
+
+    def call(i):
+        out[i] = _post(server, {"prompt": [2 + i, 7], "max_tokens": 3,
+                                "temperature": 0.0})
+
+    ts = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert all(o and len(o["choices"][0]["token_ids"]) == 3 for o in out)
+
+
+def test_bad_request(server):
+    req = urllib.request.Request(
+        server + "/v1/completions", data=b'{"max_tokens": 4}',
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
