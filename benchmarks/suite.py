@@ -171,7 +171,31 @@ def bench_decode(quick=False):
         return many
 
     t = slope_time(make, (params, tokens0, pos0, cache), lo=10, hi=60, reps=5)
+    # prefill throughput (TTFT side): one 512-token prompt
+    t_pf = 512
+    cache_pf = init_kv_cache(cfg, batch=1, max_seq=t_pf)
+    toks_pf = jnp.ones((1, t_pf), jnp.int32)
+
+    def make_pf(iters):
+        def many(params, tokens, cache):
+            def body(i, carry):
+                toks, cache = carry
+                logits, cache = forward(params, cfg, toks,
+                                        jnp.zeros(1, jnp.int32), cache, opts)
+                nxt = jnp.argmax(logits[:, :1], axis=-1).astype(jnp.int32)
+                return jnp.concatenate([nxt, toks[:, 1:]], axis=1), cache
+            toks, _ = jax.lax.fori_loop(0, iters, body, (tokens, cache))
+            return toks.sum()
+        return many
+
+    t_prefill = slope_time(make_pf, (params, toks_pf, cache_pf),
+                           lo=5, hi=30, reps=5)
     name = "flagship-2L" if quick else "tinyllama-1.1b-q4km"
+    emit(metric=f"{name} prefill t={t_pf}",
+         value=round(t_pf / t_prefill, 1), unit="tokens/s",
+         ms=round(t_prefill * 1e3, 2))
+    log(f"  prefill {name}: {t_prefill*1e3:.2f}ms for {t_pf} tokens "
+        f"= {t_pf/t_prefill:,.0f} tokens/s")
     emit(metric=f"{name} decode batch={batch}",
          value=round(batch / t, 1), unit="tokens/s",
          step_us=round(t * 1e6, 1),

@@ -34,7 +34,7 @@ QK_K = 256
 
 def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qh_ref,
             b_ref, bsum_ref, out_ref, acc_ref):
-    k_idx = pl.program_id(1)
+    k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
@@ -73,7 +73,7 @@ def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qh_ref,
         preferred_element_type=jnp.float32, precision=precision,
     )
 
-    @pl.when(k_idx == pl.num_programs(1) - 1)
+    @pl.when(k_idx == pl.num_programs(2) - 1)
     def _():
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
@@ -108,7 +108,11 @@ def mmq_q5_k(
     if fast:
         b = b.astype(jnp.bfloat16)
 
+    # N-tiling: decode fits one tile; prefill (large B*T) must be tiled or
+    # the dequant intermediates + accumulator overflow the ~16MB VMEM budget
     n_pad = max(8, round_up(n, 8))
+    bn = min(n_pad, 256)
+    n_pad = round_up(n_pad, bn)
     b = pad_rows(b, n_pad)
     bsum_t = pad_rows(bsum, n_pad).T
 
@@ -127,31 +131,31 @@ def mmq_q5_k(
     qs = pad_cols(w.qs, m_pad)
     qh = pad_cols(w.qh, m_pad)
 
-    grid = (m_pad // bm, k // bk)
+    grid = (n_pad // bn, m_pad // bm, k // bk)
 
     out = pl.pallas_call(
         functools.partial(_kernel, fast, sbt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((g8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sbt * 8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sbt * 8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 2, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 8, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sbt * 8, n_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sbt * 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sbt * 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sbt * 8, bn), lambda ni, i, j: (j, ni), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n_pad, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bn, bm), lambda ni, i, j: (ni, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), out_dtype),
-        scratch_shapes=[pltpu.VMEM((n_pad, bm), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bn, bm), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n_pad,
             bytes_accessed=m_pad * sb * 176 + n_pad * k * 2 + n_pad * m_pad * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=running_interpreted(),
     )(d_bits, dmin_bits, sc, mn, qs, qh, b, bsum_t)

@@ -31,7 +31,7 @@ BLOCK = 32
 
 
 def _kernel(fast, d_ref, qs_ref, b_ref, out_ref, acc_ref):
-    k_idx = pl.program_id(1)
+    k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
@@ -49,7 +49,7 @@ def _kernel(fast, d_ref, qs_ref, b_ref, out_ref, acc_ref):
         preferred_element_type=jnp.float32, precision=precision,
     )
 
-    @pl.when(k_idx == pl.num_programs(1) - 1)
+    @pl.when(k_idx == pl.num_programs(2) - 1)
     def _():
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
@@ -81,7 +81,11 @@ def mmq_q8_0(
     fast = precision == "fast"
     b = b.astype(jnp.bfloat16 if fast else jnp.float32)
 
+    # N-tiling: prefill (large B*T) must be tiled or the accumulator and
+    # dequant intermediates overflow the ~16MB VMEM budget
     n_pad = max(8, round_up(n, 8))
+    bn = min(n_pad, 256)
+    n_pad = round_up(n_pad, bn)
     b = pad_rows(b, n_pad)
     bm = choose_bm(w.qs.shape[-1], block_m)
     m_pad = round_up(max(m, w.qs.shape[-1]), bm)
@@ -91,26 +95,26 @@ def mmq_q8_0(
     d_bits = pad_cols(w.d_bits, m_pad)
     qs = pad_cols(w.qs, m_pad)
 
-    grid = (m_pad // bm, k // bk)
+    grid = (n_pad // bn, m_pad // bm, k // bk)
 
     out = pl.pallas_call(
         functools.partial(_kernel, fast),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bk // BLOCK, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // BLOCK, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n_pad, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bn, bm), lambda ni, i, j: (ni, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), out_dtype),
-        scratch_shapes=[pltpu.VMEM((n_pad, bm), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bn, bm), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n_pad,
             bytes_accessed=m_pad * (k // BLOCK) * 34 + n_pad * k * 2 + n_pad * m_pad * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=running_interpreted(),
     )(d_bits, qs, b)

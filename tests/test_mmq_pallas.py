@@ -88,3 +88,11 @@ def test_mmq_no_act_quant_matches_dequant_matmul(rng, fmt):
     got = np.asarray(kernel(w, b, act_quant=False))
     want = (np.asarray(w.dequantize()) @ b.T).T
     assert allclose_rel(got, want, 0.005), max_rel_err(got, want)
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q5_k", "q6_k"])
+def test_mmq_large_n_tiled(rng, fmt):
+    """Prefill-sized N (> the 256-row tile) exercises the N grid dimension
+    (regression: untiled N OOM'd VMEM at b*t >= ~512)."""
+    got, want = _run(rng, fmt, 64, 300, 512)
+    assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
