@@ -23,6 +23,7 @@ from ..gguf import GGUFReader
 from ..models import (MMOpts, forward, fuse_llama_params,
                       init_kv_cache, load_llama)
 from .sampler import SamplerConfig, sample
+from .bpe_tokenizer import tokenizer_from_metadata
 from .tokenizer import SPMTokenizer
 
 
@@ -52,8 +53,7 @@ class LLM:
         self.params = fuse_llama_params(self.params) if tp == 1 else self.params
         with GGUFReader(path) as r:
             md = r.metadata
-        self.tokenizer = (SPMTokenizer.from_gguf_metadata(md)
-                          if "tokenizer.ggml.tokens" in md else None)
+        self.tokenizer = tokenizer_from_metadata(md)
         self.max_batch = max_batch
         self.max_seq = max_seq or self.cfg.max_seq_len
         self.opts = opts

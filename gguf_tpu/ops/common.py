@@ -19,11 +19,20 @@ def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+_FORCE_INTERPRET = False
+
+
 @functools.cache
+def _on_cpu() -> bool:
+    return jax.devices()[0].platform == "cpu"
+
+
 def running_interpreted() -> bool:
     """Pallas kernels compile for TPU; on CPU hosts (tests, virtual meshes)
-    they run in interpreter mode automatically."""
-    return jax.devices()[0].platform == "cpu"
+    they run in interpreter mode automatically. utils/profiling.py's
+    force_interpret() flips _FORCE_INTERPRET for python-level kernel
+    debugging on real devices."""
+    return _FORCE_INTERPRET or _on_cpu()
 
 
 def expand_cols(x: jax.Array, r: int) -> jax.Array:
@@ -104,8 +113,9 @@ def pick_block(dim: int, preferred: int, granule: int) -> int:
 def choose_bm(m_arr: int, preferred: int) -> int:
     """M-tile size for the MMQ kernels: the largest 128-multiple <= preferred
     that divides m_arr (the stored lane width), falling back to `preferred`
-    (the wrapper then zero-pads M at call time — avoid that for big weights
-    by pre-padding at load, see quant/layouts.py:pad_m). Big M-tiles matter:
+    (the wrapper then zero-pads M at call time — the loader avoids that for
+    big weights by padding FFN dims to 256-multiples at load,
+    models/loader.py:pad_ffn_for_tp). Big M-tiles matter:
     the same 4096x4096 decode GEMM runs ~40% faster at bm=2048 than bm=512."""
     mr = round_up(m_arr, 128)
     if mr <= preferred:

@@ -142,3 +142,32 @@ def test_sampler_min_p():
     picks = {int(sample(logits, jax.random.PRNGKey(i), cfg)[0])
              for i in range(30)}
     assert picks <= {0, 1}, picks
+
+
+def test_bpe_tokenizer_roundtrip():
+    """Byte-level BPE (gpt2-style GGUF metadata): merges apply by rank and
+    decode inverts the byte alphabet exactly."""
+    from gguf_tpu.engine import BPETokenizer, tokenizer_from_metadata
+    from gguf_tpu.engine.bpe_tokenizer import _byte_alphabet
+
+    b2u = _byte_alphabet()
+    # toy vocab: all 256 byte tokens + merged "he", "hel", "hell", "hello"
+    base = [b2u[b] for b in range(256)]
+    def m(s):
+        return "".join(b2u[b] for b in s.encode())
+    tokens = base + [m("he"), m("ll"), m("llo"), m("hello"), m(" wo")]
+    merges = [f'{m("h")} {m("e")}', f'{m("l")} {m("l")}',
+              f'{m("ll")} {m("o")}', f'{m("he")} {m("llo")}',
+              f'{m(" ")} {m("w")}', f'{m(" w")} {m("o")}']
+    md = {"tokenizer.ggml.model": "gpt2",
+          "tokenizer.ggml.tokens": tokens,
+          "tokenizer.ggml.merges": merges,
+          "tokenizer.ggml.eos_token_id": 0}
+    tok = tokenizer_from_metadata(md)
+    assert isinstance(tok, BPETokenizer)
+    ids = tok.encode("hello world")
+    assert tok.vocab[m("hello")] in ids          # rank-ordered merges applied
+    assert tok.decode(ids) == "hello world"      # exact byte round-trip
+    # non-ascii survives via byte fallback
+    ids2 = tok.encode("héllo ✓")
+    assert tok.decode(ids2) == "héllo ✓"

@@ -203,3 +203,16 @@ def test_q5_k_code_pack_unpack_inverse(rng):
     blocks[:, 48:] = qs
     _, _, _, _, back = parse_q5_k(blocks.reshape(-1))
     np.testing.assert_array_equal(back, codes)
+
+
+def test_force_interpret_context(rng):
+    """force_interpret flips kernels to interpreter mode and restores."""
+    from gguf_tpu.ops import common
+    from gguf_tpu.utils.profiling import annotate, force_interpret
+
+    before = common.running_interpreted()
+    with force_interpret():
+        assert common.running_interpreted()
+        with annotate("test-region"):
+            pass
+    assert common.running_interpreted() == before
