@@ -168,13 +168,22 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
 
     if "wqkv" in layer:  # fused projection (see fuse_llama_params)
         qkv = linear(layer["wqkv"], xf, opts)
+        if "bqkv" in layer:  # fused QKV bias (qwen2-family)
+            qkv = qkv + layer["bqkv"].astype(qkv.dtype)
         q = qkv[:, :h * hd].reshape(b, t, h, hd)
         k = qkv[:, h * hd:(h + kvh) * hd].reshape(b, t, kvh, hd)
         v = qkv[:, (h + kvh) * hd:].reshape(b, t, kvh, hd)
     else:
-        q = linear(layer["wq"], xf, opts).reshape(b, t, h, hd)
-        k = linear(layer["wk"], xf, opts).reshape(b, t, kvh, hd)
-        v = linear(layer["wv"], xf, opts).reshape(b, t, kvh, hd)
+        q = linear(layer["wq"], xf, opts)
+        k = linear(layer["wk"], xf, opts)
+        v = linear(layer["wv"], xf, opts)
+        if "bq" in layer:  # per-projection biases (qwen2-family)
+            q = q + layer["bq"].astype(q.dtype)
+            k = k + layer["bk"].astype(k.dtype)
+            v = v + layer["bv"].astype(v.dtype)
+        q = q.reshape(b, t, h, hd)
+        k = k.reshape(b, t, kvh, hd)
+        v = v.reshape(b, t, kvh, hd)
 
     tok_pos = pos[:, None] + jnp.arange(t)[None, :]            # (B, T)
     cos, sin = rope if rope is not None else rope_cos_sin(
@@ -255,6 +264,9 @@ def fuse_llama_params(params: dict) -> dict:
         if fusable([layer["wq"], layer["wk"], layer["wv"]]):
             layer["wqkv"] = concat_m([layer.pop("wq"), layer.pop("wk"),
                                       layer.pop("wv")])
+            if "bq" in layer:
+                layer["bqkv"] = jnp.concatenate(
+                    [layer.pop("bq"), layer.pop("bk"), layer.pop("bv")])
         if fusable([layer["gate"], layer["up"]]):
             layer["gate_up"] = concat_m([layer.pop("gate"), layer.pop("up")])
         layers.append(layer)

@@ -75,8 +75,17 @@ def _load_weight(reader: GGUFReader, name: str, rows: slice | None = None):
     return reader.load_quant(name, rows=rows)
 
 
+def _maybe_bias(reader: GGUFReader, name: str):
+    """Optional bias vector (Qwen2-family GGUFs carry attn_{q,k,v}.bias)."""
+    if name in reader.tensors:
+        return jnp.asarray(reader.load_array(name), jnp.float32)
+    return None
+
+
 def load_llama(path: str):
-    """Load a llama-architecture GGUF file. Returns (cfg, params)."""
+    """Load a llama-architecture GGUF file (llama / mistral / tinyllama /
+    qwen2 tensor schema — qwen2's QKV biases load when present).
+    Returns (cfg, params)."""
     reader = GGUFReader(path)
     cfg = LlamaConfig.from_gguf_metadata(reader.metadata)
 
@@ -97,6 +106,11 @@ def load_llama(path: str):
             "wq": _load_weight(reader, p + "attn_q.weight"),
             "wk": _load_weight(reader, p + "attn_k.weight"),
             "wv": _load_weight(reader, p + "attn_v.weight"),
+            **{k: v for k, v in [
+                ("bq", _maybe_bias(reader, p + "attn_q.bias")),
+                ("bk", _maybe_bias(reader, p + "attn_k.bias")),
+                ("bv", _maybe_bias(reader, p + "attn_v.bias")),
+            ] if v is not None},
             "wo": _load_weight(reader, p + "attn_output.weight"),
             "gate": _load_weight(reader, p + "ffn_gate.weight"),
             "up": _load_weight(reader, p + "ffn_up.weight"),

@@ -48,7 +48,8 @@ def make_mesh(tp: int, dp: int = 1, devices=None) -> Mesh:
 
 
 def _qt_spec(kind: str) -> P:
-    return {COL: P(None, "tp"), ROW: P("tp", None), REP: P()}[kind]
+    return {COL: P(None, "tp"), ROW: P("tp", None), REP: P(),
+            "col1d": P("tp")}[kind]
 
 
 def _leaf_specs(tree, kind: str):
@@ -60,6 +61,8 @@ LAYER_KINDS = {
     "attn_norm": REP, "ffn_norm": REP,
     "wq": COL, "wk": COL, "wv": COL, "wo": ROW,
     "gate": COL, "up": COL, "down": ROW,
+    # qwen2-family QKV bias vectors: 1-D, sharded with their projections
+    "bq": "col1d", "bk": "col1d", "bv": "col1d",
 }
 
 

@@ -213,3 +213,56 @@ def test_q5_k_m_checkpoint_forward(tmp_path):
     # gate here is bf16-level agreement
     err = float(jnp.max(jnp.abs(logits - ref)) / jnp.max(jnp.abs(ref)))
     assert err < 2e-2, err
+
+
+def test_qwen2_style_qkv_biases(tmp_path):
+    """Optional attn_{q,k,v}.bias tensors (Qwen2-family GGUFs) load and are
+    applied — and survive QKV fusion."""
+    from gguf_tpu.gguf.writer import quantize_tensor, write_gguf
+    from gguf_tpu.models import fuse_llama_params
+
+    cfg = LlamaConfig(vocab_size=64, dim=256, n_layers=1, n_heads=4,
+                      n_kv_heads=2, ffn_dim=512, max_seq_len=32)
+    rng = np.random.default_rng(0)
+    d, f, v = cfg.dim, cfg.ffn_dim, cfg.vocab_size
+    kv_d = cfg.n_kv_heads * cfg.head_dim
+    w = lambda shape: (rng.standard_normal(shape) * 0.05).astype(np.float32)
+    q4 = lambda shape: (GGMLType.Q4_K, shape, quantize_tensor(w(shape), GGMLType.Q4_K))
+    f32 = lambda arr: (GGMLType.F32, arr.shape, arr)
+    tensors = {
+        "token_embd.weight": q4((v, d)),
+        "output.weight": q4((v, d)),
+        "output_norm.weight": f32(np.ones(d, np.float32)),
+        "blk.0.attn_norm.weight": f32(np.ones(d, np.float32)),
+        "blk.0.ffn_norm.weight": f32(np.ones(d, np.float32)),
+        "blk.0.attn_q.weight": q4((d, d)),
+        "blk.0.attn_k.weight": q4((kv_d, d)),
+        "blk.0.attn_v.weight": q4((kv_d, d)),
+        "blk.0.attn_q.bias": f32(w((d,))),
+        "blk.0.attn_k.bias": f32(w((kv_d,))),
+        "blk.0.attn_v.bias": f32(w((kv_d,))),
+        "blk.0.attn_output.weight": q4((d, d)),
+        "blk.0.ffn_gate.weight": q4((f, d)),
+        "blk.0.ffn_up.weight": q4((f, d)),
+        "blk.0.ffn_down.weight": q4((d, f)),
+    }
+    path = str(tmp_path / "qwen.gguf")
+    write_gguf(path, cfg.to_gguf_metadata("qwen2"), tensors)
+    cfg2, params = load_llama(path)
+    assert "bq" in params["layers"][0]
+
+    tokens = jnp.arange(4, dtype=jnp.int32).reshape(1, 4)
+    out_a, _ = forward(params, cfg2, tokens, jnp.zeros(1, jnp.int32),
+                       init_kv_cache(cfg2, 1, 16), MMOpts(precision="high"))
+    # fused path keeps the biases
+    fused = fuse_llama_params(params)
+    assert "bqkv" in fused["layers"][0]
+    out_b, _ = forward(fused, cfg2, tokens, jnp.zeros(1, jnp.int32),
+                       init_kv_cache(cfg2, 1, 16), MMOpts(precision="high"))
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
+    # biases actually matter: zeroing them changes the logits
+    nob = {**params, "layers": [{k: v for k, v in params["layers"][0].items()
+                                 if k not in ("bq", "bk", "bv")}]}
+    out_c, _ = forward(nob, cfg2, tokens, jnp.zeros(1, jnp.int32),
+                       init_kv_cache(cfg2, 1, 16), MMOpts(precision="high"))
+    assert float(jnp.max(jnp.abs(out_a - out_c))) > 1e-3
