@@ -10,8 +10,8 @@ import jax.numpy as jnp
 from ..quant.layouts import fp16_bits_to_f32  # re-export for kernels
 
 __all__ = [
-    "fp16_bits_to_f32", "expand_cols", "running_interpreted",
-    "pad_rows", "round_up", "pick_block",
+    "fp16_bits_to_f32", "running_interpreted",
+    "pad_rows", "pad_cols", "round_up", "pick_block", "choose_bm",
 ]
 
 
@@ -33,24 +33,6 @@ def running_interpreted() -> bool:
     force_interpret() flips _FORCE_INTERPRET for python-level kernel
     debugging on real devices."""
     return _FORCE_INTERPRET or _on_cpu()
-
-
-def expand_cols(x: jax.Array, r: int) -> jax.Array:
-    """(..., B) -> (..., B*r): repeat each column r times (per-block scale ->
-    per-element scale). Host/XLA path; inside Pallas kernels use
-    expand_block_scales (Mosaic rejects broadcast-into-minor + collapse)."""
-    return jnp.broadcast_to(x[..., None], (*x.shape, r)).reshape(*x.shape[:-1], x.shape[-1] * r)
-
-
-def expand_block_rows(s: jax.Array, block: int) -> jax.Array:
-    """Bit-exact (NB, TM) -> (NB*block, TM) row repeat (per-block scales ->
-    per-element scales, K-major orientation).
-
-    One broadcast-into-sublanes + collapse — Mosaic lowers this natively in
-    the K-major orientation (the same shuffle along LANES does not lower,
-    which is one of the reasons the SoA layout keeps M on lanes)."""
-    nb, tm = s.shape
-    return jnp.broadcast_to(s[:, None, :], (nb, block, tm)).reshape(nb * block, tm)
 
 
 def unpack_nibbles_tile(v: jax.Array, sbt: int) -> jax.Array:

@@ -13,11 +13,10 @@ TPU-first design — not a translation of the CUDA/Triton kernel:
   tile with M on the 128-aligned lane dimension; nibble unpack is int32
   shift/mask plus a sublane concat that lands elements in order.
 * The Triton kernel does per-32-block int8 `tl.dot`s with 2x2 output tiles.
-  The MXU wants large contractions: per-32-block scales are expanded to
-  per-element f32 bit-exactly via a sublane broadcast+collapse
-  (ops/common.py:expand_block_rows — one VPU copy in the K-major layout),
-  the tile is dequantized in VMEM, and one (N, TK) x (TK, TM) dot runs per
-  grid step with f32 accumulation.
+  The MXU wants large contractions: per-32-block scales are applied as
+  sublane-broadcast multiplies over (blocks, 32, TM) views (never
+  materialized row-expanded), the tile is dequantized in VMEM, and one
+  (TN, TK) x (TK, TM) dot runs per grid step with f32 accumulation.
 * The min-correction term never touches the K dimension: since
   sum_k min[m,blk(k)]*b[n,k] = sum_blk min32[blk,m] * bsum[blk,n], it is a
   single (NBt, N) x (NBt, TM) matmul against per-32-block activation sums
@@ -28,10 +27,12 @@ TPU-first design — not a translation of the CUDA/Triton kernel:
   :202-207): `act_quant=True` reproduces the reference numeric contract;
   False skips the fake-quant for pure bf16/f32 serving.
 
-Grid: (M/TM, K/TK), K innermost; f32 accumulator in VMEM scratch, output
-tile written once on the last K step. The per-superblock d/dmin arrays (K/256
-rows — below the 8-sublane tile minimum for small K-tiles) are regrouped to
-8-row-padded per-step groups by the wrapper (common.py:regroup_rows).
+Grid: (N/TN, M/TM, K/TK), K innermost; f32 accumulator in VMEM scratch,
+output tile written once on the last K step. N-tiling keeps prefill-sized
+batches inside the VMEM budget; decode fits one N tile. The per-superblock
+d/dmin arrays (K/256 rows — below the 8-sublane tile minimum for small
+K-tiles) are regrouped to 8-row-padded per-step groups by the wrapper
+(common.py:regroup_rows).
 """
 
 from __future__ import annotations
