@@ -15,6 +15,7 @@ class LlamaConfig:
     ffn_dim: int
     norm_eps: float = 1e-5
     rope_theta: float = 10000.0
+    rope_scale: float = 1.0    # linear position scaling (rope.scaling.factor)
     max_seq_len: int = 2048
     head_dim_override: int | None = None  # set for tp-local configs
 
@@ -39,6 +40,8 @@ class LlamaConfig:
             ffn_dim=int(g("feed_forward_length")),
             norm_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
             rope_theta=float(g("rope.freq_base", 10000.0)),
+            rope_scale=(float(g("rope.scaling.factor", 1.0))
+                        if g("rope.scaling.type", "linear") == "linear" else 1.0),
             max_seq_len=int(g("context_length", 2048)),
         )
 
@@ -53,5 +56,8 @@ class LlamaConfig:
             f"{arch}.feed_forward_length": self.ffn_dim,
             f"{arch}.attention.layer_norm_rms_epsilon": self.norm_eps,
             f"{arch}.rope.freq_base": self.rope_theta,
+            **({f"{arch}.rope.scaling.type": "linear",
+                f"{arch}.rope.scaling.factor": self.rope_scale}
+               if self.rope_scale != 1.0 else {}),
             f"{arch}.context_length": self.max_seq_len,
         }

@@ -72,10 +72,13 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps) * weight).astype(x.dtype)
 
 
-def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
-    """(..., ) int positions -> cos/sin of shape (..., head_dim/2), f32."""
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
+                 scale: float = 1.0):
+    """(..., ) int positions -> cos/sin of shape (..., head_dim/2), f32.
+    `scale` > 1 is linear position interpolation (GGUF rope.scaling.factor
+    for linearly rope-scaled long-context checkpoints)."""
     freqs = theta ** (-jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
-    angles = positions.astype(jnp.float32)[..., None] * freqs
+    angles = (positions.astype(jnp.float32) / scale)[..., None] * freqs
     return jnp.cos(angles), jnp.sin(angles)
 
 
@@ -187,7 +190,7 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
 
     tok_pos = pos[:, None] + jnp.arange(t)[None, :]            # (B, T)
     cos, sin = rope if rope is not None else rope_cos_sin(
-        tok_pos, hd, cfg.rope_theta)                           # (B, T, hd/2)
+        tok_pos, hd, cfg.rope_theta, cfg.rope_scale)           # (B, T, hd/2)
     q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :])
     k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
 
@@ -288,7 +291,8 @@ def forward(
     """
     x = embed(params["token_embd"], tokens).astype(jnp.bfloat16)
     tok_pos = pos[:, None] + jnp.arange(tokens.shape[1])[None, :]
-    rope = rope_cos_sin(tok_pos, cfg.head_dim, cfg.rope_theta)
+    rope = rope_cos_sin(tok_pos, cfg.head_dim, cfg.rope_theta,
+                        cfg.rope_scale)
 
     new_layers = []
     for i, layer in enumerate(params["layers"]):

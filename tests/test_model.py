@@ -266,3 +266,23 @@ def test_qwen2_style_qkv_biases(tmp_path):
     out_c, _ = forward(nob, cfg2, tokens, jnp.zeros(1, jnp.int32),
                        init_kv_cache(cfg2, 1, 16), MMOpts(precision="high"))
     assert float(jnp.max(jnp.abs(out_a - out_c))) > 1e-3
+
+
+def test_linear_rope_scaling_metadata(tmp_path):
+    """rope.scaling.factor round-trips through GGUF and divides positions."""
+    import dataclasses
+
+    from gguf_tpu.models.llama import rope_cos_sin
+
+    cfg = LlamaConfig(vocab_size=64, dim=256, n_layers=1, n_heads=4,
+                      n_kv_heads=2, ffn_dim=512, rope_scale=4.0)
+    md = cfg.to_gguf_metadata()
+    assert md["llama.rope.scaling.factor"] == 4.0
+    cfg2 = LlamaConfig.from_gguf_metadata(md)
+    assert cfg2.rope_scale == 4.0
+    # scaled position p behaves like unscaled p/scale
+    pos = jnp.asarray([8], jnp.int32)
+    c1, s1 = rope_cos_sin(pos, 64, 10000.0, scale=4.0)
+    c2, s2 = rope_cos_sin(jnp.asarray([2], jnp.int32), 64, 10000.0)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
