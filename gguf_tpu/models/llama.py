@@ -194,21 +194,23 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
     q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :])
     k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
 
-    cache_l = _cache_update(
-        cache_l, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), pos)
-
     if t <= 8:
-        # decode / short chunks: fused Pallas attention over the int8 cache
-        # (ops/attention.py) — one program per (batch, kv head), no HBM
-        # round-trips, int8 scales folded into scores/probs
-        from ..ops.attention import decode_attention
+        # decode / short chunks: ONE Pallas program per batch element does
+        # the int8 cache insert (aliased buffers, no HBM copies) AND the
+        # attention over the updated cache (ops/attention.py)
+        from ..ops.attention import decode_attention_update
 
-        out = decode_attention(
-            q.transpose(0, 2, 1, 3), cache_l["k"], cache_l["k_scale"],
-            cache_l["v"], cache_l["v_scale"], pos, t=t,
-            precision=opts.precision)
+        out, ck, cks, cv, cvs = decode_attention_update(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3).astype(jnp.float32),
+            v.transpose(0, 2, 1, 3).astype(jnp.float32),
+            cache_l["k"], cache_l["k_scale"], cache_l["v"],
+            cache_l["v_scale"], pos, t=t, precision=opts.precision)
+        cache_l = {"k": ck, "k_scale": cks, "v": cv, "v_scale": cvs}
         out = out.transpose(0, 2, 1, 3).reshape(b * t, h * hd)
     else:
+        cache_l = _cache_update(
+            cache_l, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), pos)
         # long prefill: the batched-einsum XLA path (big matmuls, MXU-happy)
         s = cache_l["k"].shape[2]
         k_all = cache_l["k"].astype(jnp.float32) * cache_l["k_scale"][..., None]

@@ -123,3 +123,126 @@ def decode_attention(
       v_scale.reshape(b, kvh, 1, s), pos.reshape(b, 1).astype(jnp.int32))
 
     return out.reshape(b, h, t, hd)
+
+
+def _kernel_upd(t, kvh, scale, fast, q_ref, kn_ref, vn_ref, k_ref, ks_ref,
+                v_ref, vs_ref, pos_ref, out_ref, ko_ref, kso_ref, vo_ref,
+                vso_ref):
+    """decode_attention_update: per batch element, quantize + insert the t
+    new K/V rows into the (aliased) int8 cache block, then run the same
+    attention math as _kernel on the updated values. Fusing the insert here
+    removes the separate XLA update pass and the copies XLA otherwise
+    inserts around the Pallas operand boundary (~5x the cache bytes of
+    traffic per layer were showing up in the HLO)."""
+    dt = jnp.bfloat16 if fast else jnp.float32
+    prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    pos = pos_ref[pl.program_id(0), 0]
+
+    for g in range(kvh):
+        s = k_ref.shape[2]
+        hd = k_ref.shape[3]
+        row = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+        col_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+
+        def upd(c_ref, sc_ref2, new):   # new: (t, hd) f32
+            amax = jnp.max(jnp.abs(new), axis=-1)               # (t,)
+            sc_new = amax / 127.0
+            safe = jnp.where(sc_new == 0, 1.0, sc_new)
+            qn = jnp.clip(jnp.rint(new / safe[:, None]), -127, 127
+                          ).astype(jnp.int8)
+            c = c_ref[0, g]                                     # (S, hd)
+            sc = sc_ref2[0, g]                                  # (1, S)
+            for j in range(t):
+                hit_r = row == pos + j                          # (S, 1)
+                c = jnp.where(hit_r, qn[j][None, :], c)
+                sc = jnp.where(col_s == pos + j, sc_new[j], sc)
+            return c, sc
+
+        k, ks = upd(k_ref, ks_ref, kn_ref[0, g])
+        v, vs = upd(v_ref, vs_ref, vn_ref[0, g])
+        ko_ref[0, g] = k
+        kso_ref[0, g] = ks
+        vo_ref[0, g] = v
+        vso_ref[0, g] = vs
+
+        q = q_ref[0, g].astype(dt)
+        qn_rows = q.shape[0]
+        scores = jax.lax.dot_general(
+            q, k.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        scores = scores * (ks.astype(jnp.float32) * scale)
+        row_tok = jax.lax.broadcasted_iota(jnp.int32, (qn_rows, s), 0) % t
+        col = jax.lax.broadcasted_iota(jnp.int32, (qn_rows, s), 1)
+        scores = jnp.where(col <= pos + row_tok, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pv = (p * vs.astype(jnp.float32)).astype(dt)
+        out_ref[0, g] = jax.lax.dot_general(
+            pv, v.astype(dt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+
+@functools.partial(jax.jit, static_argnames=("t", "precision"))
+def decode_attention_update(
+    q: jax.Array,        # (B, H, t, hd) — rope applied
+    k_new: jax.Array,    # (B, KVH, t, hd) f32 — rope applied
+    v_new: jax.Array,    # (B, KVH, t, hd) f32
+    k: jax.Array,        # (B, KVH, S, hd) int8 cache (donated/aliased)
+    k_scale: jax.Array,  # (B, KVH, S) f32
+    v: jax.Array,
+    v_scale: jax.Array,
+    pos: jax.Array,      # (B,) int32
+    *,
+    t: int,
+    precision: str = "fast",
+):
+    """Fused cache-insert + GQA decode attention. Quantizes the t new K/V
+    rows to int8 in-kernel, writes them into the cache at pos..pos+t-1
+    (cache buffers aliased in/out — no extra HBM copies), and attends over
+    the updated cache. Returns (out (B, H, t, hd) f32, k, k_scale, v,
+    v_scale)."""
+    b, h, tt, hd = q.shape
+    assert tt == t
+    _, kvh, s, _ = k.shape
+    g = h // kvh
+    qr = q.reshape(b, kvh, g * t, hd)
+    scale = 1.0 / (hd ** 0.5)
+
+    ks4 = k_scale.reshape(b, kvh, 1, s)
+    vs4 = v_scale.reshape(b, kvh, 1, s)
+    blk = lambda *shape: pl.BlockSpec(
+        (1, *shape), lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+
+    out, ko, kso, vo, vso = pl.pallas_call(
+        functools.partial(_kernel_upd, t, kvh, scale, precision == "fast"),
+        grid=(b,),
+        in_specs=[
+            blk(kvh, g * t, hd),            # q
+            blk(kvh, t, hd),                # k_new
+            blk(kvh, t, hd),                # v_new
+            blk(kvh, s, hd),                # k cache
+            blk(kvh, 1, s),                 # k_scale
+            blk(kvh, s, hd),                # v cache
+            blk(kvh, 1, s),                 # v_scale
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pos (B, 1)
+        ],
+        out_specs=(blk(kvh, g * t, hd), blk(kvh, s, hd), blk(kvh, 1, s),
+                   blk(kvh, s, hd), blk(kvh, 1, s)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, kvh, g * t, hd), jnp.float32),
+            jax.ShapeDtypeStruct(k.shape, jnp.int8),
+            jax.ShapeDtypeStruct((b, kvh, 1, s), jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.int8),
+            jax.ShapeDtypeStruct((b, kvh, 1, s), jnp.float32),
+        ),
+        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=running_interpreted(),
+    )(qr, k_new, v_new, k, ks4, v, vs4, pos.reshape(b, 1).astype(jnp.int32))
+
+    return (out.reshape(b, h, t, hd), ko, kso.reshape(b, kvh, s),
+            vo, vso.reshape(b, kvh, s))
