@@ -96,3 +96,22 @@ def test_mmq_large_n_tiled(rng, fmt):
     (regression: untiled N OOM'd VMEM at b*t >= ~512)."""
     got, want = _run(rng, fmt, 64, 300, 512)
     assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q5_k", "q6_k"])
+def test_compat_reference_signature(rng, fmt):
+    """The reference's exact calling convention — raw GGUF bytes +
+    (N, K) activations + explicit M, N, K — works through gguf_tpu.compat
+    (reference: kernels/mmq_q8_0.py:102 etc.)."""
+    from gguf_tpu import compat
+
+    quant, golden, _, _, granule = CASES[fmt]
+    m, n, k = 16, 4, 2 * granule
+    a = rng.standard_normal((m, k)).astype(np.float16)
+    b = rng.standard_normal((n, k)).astype(np.float16)
+    qa = quant(a)
+    want = golden(qa, quantize_q8_1(b), m, n, k)
+    got = np.asarray(getattr(compat, f"mmq_{fmt}")(
+        qa, b, m, n, k, precision="high"))
+    assert got.shape == (n, m)
+    assert allclose_rel(got, want, 0.01)
