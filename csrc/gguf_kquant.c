@@ -168,15 +168,19 @@ static float q4k_fit_affine(int n, int nmax, const float *x, const float *w,
     return scale;
 }
 
-GQ_EXPORT void gq_quantize_q4_k(const float *x, uint8_t *out, int64_t n) {
+GQ_EXPORT void gq_quantize_q4_k(const float *xall, uint8_t *out, int64_t n) {
     const int64_t nblocks = n / QK_K;
-    uint8_t L[QK_K];
-    uint8_t Ltmp[32];
-    float weights[32];
-    float sub_scale[QK_K / 32];
-    float sub_min[QK_K / 32];
 
-    for (int64_t ib = 0; ib < nblocks; ++ib, x += QK_K) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t ib = 0; ib < nblocks; ++ib) {
+        uint8_t L[QK_K];
+        uint8_t Ltmp[32];
+        float weights[32];
+        float sub_scale[QK_K / 32];
+        float sub_min[QK_K / 32];
+        const float *x = xall + ib * QK_K;
         uint8_t *blk = out + ib * Q4K_BYTES;
         uint8_t *scales = blk + 4;
         uint8_t *qs = blk + 16;
@@ -283,15 +287,19 @@ GQ_EXPORT void gq_dequantize_q4_k(const uint8_t *in, float *x, int64_t n) {
  * nstep=15.
  */
 
-GQ_EXPORT void gq_quantize_q5_k(const float *x, uint8_t *out, int64_t n) {
+GQ_EXPORT void gq_quantize_q5_k(const float *xall, uint8_t *out, int64_t n) {
     const int64_t nblocks = n / QK_K;
-    uint8_t L[QK_K];
-    uint8_t Ltmp[32];
-    float weights[32];
-    float sub_scale[QK_K / 32];
-    float sub_min[QK_K / 32];
 
-    for (int64_t ib = 0; ib < nblocks; ++ib, x += QK_K) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t ib = 0; ib < nblocks; ++ib) {
+        uint8_t L[QK_K];
+        uint8_t Ltmp[32];
+        float weights[32];
+        float sub_scale[QK_K / 32];
+        float sub_min[QK_K / 32];
+        const float *x = xall + ib * QK_K;
         uint8_t *blk = out + ib * Q5K_BYTES;
         uint8_t *scales = blk + 4;
         uint8_t *qh = blk + 16;
@@ -463,12 +471,16 @@ static float q6k_fit_symmetric(int n, int nmax, const float *x, int8_t *L) {
     return scale;
 }
 
-GQ_EXPORT void gq_quantize_q6_k(const float *x, uint8_t *out, int64_t n) {
+GQ_EXPORT void gq_quantize_q6_k(const float *xall, uint8_t *out, int64_t n) {
     const int64_t nblocks = n / QK_K;
-    int8_t L[QK_K];
-    float sub_scale[QK_K / 16];
 
-    for (int64_t ib = 0; ib < nblocks; ++ib, x += QK_K) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t ib = 0; ib < nblocks; ++ib) {
+        int8_t L[QK_K];
+        float sub_scale[QK_K / 16];
+        const float *x = xall + ib * QK_K;
         uint8_t *blk = out + ib * Q6K_BYTES;
         uint8_t *ql = blk;
         uint8_t *qh = blk + 128;
