@@ -121,8 +121,13 @@ class LLM:
         sampler: SamplerConfig = SamplerConfig(),
         seed: int = 0,
         stop_at_eos: bool = True,
+        stop: list[str] | None = None,
     ) -> list[GenerationResult]:
-        """Generate completions with continuous batching over the slot pool."""
+        """Generate completions with continuous batching over the slot pool.
+
+        `stop`: optional stop strings — a sequence finishes as soon as its
+        decoded tail contains one (the stop string itself is trimmed from
+        .text). Requires an embedded tokenizer."""
         queue = [(i, self._encode(p)) for i, p in enumerate(prompts)]
         queue.reverse()  # pop() takes the earliest request
         results = {i: GenerationResult(prompt_ids=ids) for i, ids in
@@ -158,12 +163,27 @@ class LLM:
                 results[rid].token_ids.append(first)
                 _maybe_finish(s, first)
 
+        max_stop = max((len(x) for x in stop), default=0) if stop else 0
+
+        def _hit_stop(res) -> str | None:
+            if not stop or self.tokenizer is None:
+                return None
+            # decode only a tail window long enough to contain any stop string
+            # 4x: a multi-byte char can span several byte-fallback tokens
+            tail_ids = res.token_ids[-(4 * max_stop + 8):]
+            tail = self.tokenizer.decode(tail_ids)
+            for sp in stop:
+                if sp in tail:
+                    return sp
+            return None
+
         def _maybe_finish(s, tok):
             rid = slots[s]
             if rid is None:
                 return
+            hit = _hit_stop(results[rid])
             done = (stop_at_eos and tok == eos) or budget[s] <= 0 or \
-                pos[s] + 1 >= self.max_seq
+                pos[s] + 1 >= self.max_seq or hit is not None
             if done:
                 res = results[rid]
                 res.finished = True
@@ -194,4 +214,10 @@ class LLM:
         if self.tokenizer is not None:
             for r in out:
                 r.text = self.tokenizer.decode(r.token_ids)
+                if stop:
+                    for sp in stop:
+                        idx = r.text.find(sp)
+                        if idx >= 0:
+                            r.text = r.text[:idx]
+                            break
         return out

@@ -27,11 +27,12 @@ from .sampler import SamplerConfig
 
 
 class _Request:
-    def __init__(self, prompt, max_tokens, sampler, seed):
+    def __init__(self, prompt, max_tokens, sampler, seed, stop=None):
         self.prompt = prompt
         self.max_tokens = max_tokens
         self.sampler = sampler
         self.seed = seed
+        self.stop = stop
         self.done = threading.Event()
         self.result = None
         self.error = None
@@ -70,12 +71,15 @@ class EngineWorker:
             # group by sampler/max_tokens (static jit args); serve each group
             groups: dict = {}
             for r in batch:
-                groups.setdefault((r.sampler, r.max_tokens, r.seed), []).append(r)
-            for (sampler, max_tokens, seed), reqs in groups.items():
+                key = (r.sampler, r.max_tokens, r.seed,
+                       tuple(r.stop) if r.stop else None)
+                groups.setdefault(key, []).append(r)
+            for (sampler, max_tokens, seed, stop), reqs in groups.items():
                 try:
                     results = self.llm.generate(
                         [r.prompt for r in reqs], max_new_tokens=max_tokens,
-                        sampler=sampler, seed=seed)
+                        sampler=sampler, seed=seed,
+                        stop=list(stop) if stop else None)
                     for r, res in zip(reqs, results):
                         r.result = res
                 except Exception as e:  # surface engine errors to the client
@@ -121,8 +125,11 @@ def make_handler(worker: EngineWorker):
                     top_p=float(payload.get("top_p", 1.0)),
                     min_p=float(payload.get("min_p", 0.0)),
                 )
+                stop = payload.get("stop")
+                if isinstance(stop, str):
+                    stop = [stop]
                 req = _Request(prompt, int(payload.get("max_tokens", 64)),
-                               sampler, int(payload.get("seed", 0)))
+                               sampler, int(payload.get("seed", 0)), stop)
             except (ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
                 return

@@ -171,3 +171,21 @@ def test_bpe_tokenizer_roundtrip():
     # non-ascii survives via byte fallback
     ids2 = tok.encode("héllo ✓")
     assert tok.decode(ids2) == "héllo ✓"
+
+
+def test_stop_sequences(llm):
+    """Generation halts when the decoded tail hits a stop string, and the
+    stop string is trimmed from .text."""
+    ids = llm.tokenizer.encode("hello world")
+    res_free = llm.generate([ids], max_new_tokens=8,
+                            sampler=SamplerConfig(temperature=0.0),
+                            stop_at_eos=False)[0]
+    assert res_free.text, "toy model should emit decodable text"
+    # pick a stop string from what it actually generates
+    probe = res_free.text[:2]
+    res = llm.generate([ids], max_new_tokens=8,
+                       sampler=SamplerConfig(temperature=0.0),
+                       stop_at_eos=False, stop=[probe])[0]
+    assert res.finished
+    assert probe not in res.text
+    assert len(res.token_ids) <= len(res_free.token_ids)
