@@ -42,15 +42,31 @@ def _pad_k_to(t, k_target: int):
     return jnp.pad(t, ((0, 0), (0, k_target - t.shape[1])))
 
 
+def _ffn_pad_target(ffn: int, granule: int) -> int:
+    """Smallest multiple of `granule` >= ffn such that BOTH ffn and the
+    fused gate+up width (2*ffn) get a >=1024 M-tile divisor from choose_bm.
+    Without this, shapes like Llama-2-7B's 11008 hit choose_bm's fallback
+    and the kernel wrapper zero-pads the WEIGHT inside every jitted call —
+    a ~45MB copy per gate_up launch."""
+    from ..ops.common import choose_bm
+
+    cand = (ffn + granule - 1) // granule * granule
+    for _ in range(64):
+        bm1, bm2 = choose_bm(cand, 2048), choose_bm(2 * cand, 2048)
+        if cand % bm1 == 0 and (2 * cand) % bm2 == 0 and min(bm1, bm2) >= 1024:
+            return cand
+        cand += granule
+    return (ffn + granule - 1) // granule * granule  # give up gracefully
+
+
 def pad_ffn_for_tp(params: dict, cfg: LlamaConfig, tp: int):
-    """Pad the FFN dimension to a multiple of 256*tp so row shards land on
-    superblock boundaries (e.g. Llama-2-7B's 11008 -> 11264 at tp=8). The
-    single-chip loader also applies this with tp=1: a 256-aligned FFN gives
-    the MMQ kernels a clean large M-tile (ops/common.py:choose_bm) instead
-    of a hidden whole-weight zero-pad copy inside every jitted call."""
+    """Pad the FFN dimension so row shards land on superblock boundaries
+    (multiple of 256*tp — e.g. Llama-2-7B's 11008 -> 11264 at tp=8) AND so
+    the gate/up/gate_up/down matrices get clean large M-tiles (see
+    _ffn_pad_target). The single-chip loader applies this with tp=1."""
     granule = 256 * tp
     ffn = cfg.ffn_dim
-    ffn_pad = (ffn + granule - 1) // granule * granule
+    ffn_pad = _ffn_pad_target(ffn, granule)
     if ffn_pad == ffn:
         return params, cfg
     layers = []
