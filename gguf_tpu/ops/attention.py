@@ -125,61 +125,96 @@ def decode_attention(
     return out.reshape(b, h, t, hd)
 
 
-def _kernel_upd(t, kvh, scale, fast, q_ref, kn_ref, vn_ref, k_ref, ks_ref,
-                v_ref, vs_ref, pos_ref, out_ref, ko_ref, kso_ref, vo_ref,
-                vso_ref):
+def _kernel_upd(t, kvh, g, scale, fast, cross, q_ref, kn_ref, vn_ref, k_ref,
+                ks_ref, v_ref, vs_ref, pos_ref, out_ref, ko_ref, kso_ref,
+                vo_ref, vso_ref):
     """decode_attention_update: per batch element, quantize + insert the t
-    new K/V rows into the (aliased) int8 cache block, then run the same
-    attention math as _kernel on the updated values. Fusing the insert here
-    removes the separate XLA update pass and the copies XLA otherwise
-    inserts around the Pallas operand boundary (~5x the cache bytes of
-    traffic per layer were showing up in the HLO)."""
+    new K/V rows into the (aliased) int8 cache block, then attend over the
+    updated values. Fusing the insert here removes the separate XLA update
+    pass and the copies XLA otherwise inserts around the Pallas operand
+    boundary (~5x the cache bytes of traffic per layer showed in the HLO).
+
+    Two attention bodies:
+    - cross (t == 1): ONE (H, hd) x (hd, KVH*S) scores matmul across ALL kv
+      heads, off-block entries masked to -inf before softmax so cross-head
+      probabilities are exactly zero, then ONE (H, KVH*S) x (KVH*S, hd) PV
+      matmul. The KVH-fold FLOP waste is trivial at decode sizes and beats
+      the per-head loop by 3x at MHA shapes (which is op-issue bound:
+      B*KVH tiny dot sequences).
+    - loop (t > 1): per-kv-head dots — the cross form's waste grows with
+      t and loses past ~t=4."""
     dt = jnp.bfloat16 if fast else jnp.float32
     prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     pos = pos_ref[pl.program_id(0), 0]
+    s = k_ref.shape[2]
+    hd = k_ref.shape[3]
 
-    for g in range(kvh):
-        s = k_ref.shape[2]
-        hd = k_ref.shape[3]
-        row = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
-        col_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    # ---- vectorized cache insert (all kv heads at once) ----
+    row_s = jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
+    col_s3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
 
-        def upd(c_ref, sc_ref2, new):   # new: (t, hd) f32
-            amax = jnp.max(jnp.abs(new), axis=-1)               # (t,)
-            sc_new = amax / 127.0
-            safe = jnp.where(sc_new == 0, 1.0, sc_new)
-            qn = jnp.clip(jnp.rint(new / safe[:, None]), -127, 127
-                          ).astype(jnp.int8)
-            c = c_ref[0, g]                                     # (S, hd)
-            sc = sc_ref2[0, g]                                  # (1, S)
-            for j in range(t):
-                hit_r = row == pos + j                          # (S, 1)
-                c = jnp.where(hit_r, qn[j][None, :], c)
-                sc = jnp.where(col_s == pos + j, sc_new[j], sc)
-            return c, sc
+    def upd(c_ref, sc_ref2, new):          # new (KVH, t, hd) f32
+        amax = jnp.max(jnp.abs(new), axis=-1)               # (KVH, t)
+        sc_new = amax / 127.0
+        safe = jnp.where(sc_new == 0, 1.0, sc_new)
+        qn = jnp.clip(jnp.rint(new / safe[..., None]), -127, 127
+                      ).astype(jnp.int8)
+        c = c_ref[0]                                        # (KVH, S, hd)
+        sc = sc_ref2[0]                                     # (KVH, 1, S)
+        for j in range(t):
+            c = jnp.where(row_s == pos + j, qn[:, j:j + 1, :], c)
+            sc = jnp.where(col_s3 == pos + j, sc_new[:, j][:, None, None], sc)
+        return c, sc
 
-        k, ks = upd(k_ref, ks_ref, kn_ref[0, g])
-        v, vs = upd(v_ref, vs_ref, vn_ref[0, g])
-        ko_ref[0, g] = k
-        kso_ref[0, g] = ks
-        vo_ref[0, g] = v
-        vso_ref[0, g] = vs
+    k, ks = upd(k_ref, ks_ref, kn_ref[0])
+    v, vs = upd(v_ref, vs_ref, vn_ref[0])
+    ko_ref[0] = k
+    kso_ref[0] = ks
+    vo_ref[0] = v
+    vso_ref[0] = vs
 
-        q = q_ref[0, g].astype(dt)
+    if cross:
+        R = kvh * g * t
+        q = q_ref[0].reshape(R, hd).astype(dt)
+        k2 = k.reshape(kvh * s, hd).astype(dt)
+        v2 = v.reshape(kvh * s, hd).astype(dt)
+        scores = jax.lax.dot_general(
+            q, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # (R, KVH*S)
+        scores = scores * (ks.reshape(1, kvh * s).astype(jnp.float32) * scale)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (R, kvh * s), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (R, kvh * s), 1)
+        own = (cc // s) == (rr // (g * t))
+        causal = (cc % s) <= (pos + (rr % t))
+        scores = jnp.where(own & causal, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pv = (p * vs.reshape(1, kvh * s).astype(jnp.float32)).astype(dt)
+        out = jax.lax.dot_general(
+            pv, v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        out_ref[0] = out.reshape(kvh, g * t, hd)
+        return
+
+    for gi in range(kvh):
+        kg = k[gi].astype(dt)
+        vg = v[gi].astype(dt)
+        q = q_ref[0, gi].astype(dt)
         qn_rows = q.shape[0]
         scores = jax.lax.dot_general(
-            q, k.astype(dt), (((1,), (1,)), ((), ())),
+            q, kg, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
-        scores = scores * (ks.astype(jnp.float32) * scale)
+        scores = scores * (ks[gi].astype(jnp.float32) * scale)
         row_tok = jax.lax.broadcasted_iota(jnp.int32, (qn_rows, s), 0) % t
         col = jax.lax.broadcasted_iota(jnp.int32, (qn_rows, s), 1)
         scores = jnp.where(col <= pos + row_tok, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        pv = (p * vs.astype(jnp.float32)).astype(dt)
-        out_ref[0, g] = jax.lax.dot_general(
-            pv, v.astype(dt), (((1,), (0,)), ((), ())),
+        pv = (p * vs[gi].astype(jnp.float32)).astype(dt)
+        out_ref[0, gi] = jax.lax.dot_general(
+            pv, vg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
 
 
@@ -215,8 +250,12 @@ def decode_attention_update(
         (1, *shape), lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
 
+    # cross-head single-matmul body wins at decode (t == 1); the per-head
+    # loop wins once t grows (the KVH-fold cross FLOP waste scales with t)
+    cross = t == 1
     out, ko, kso, vo, vso = pl.pallas_call(
-        functools.partial(_kernel_upd, t, kvh, scale, precision == "fast"),
+        functools.partial(_kernel_upd, t, kvh, g, scale,
+                          precision == "fast", cross),
         grid=(b,),
         in_specs=[
             blk(kvh, g * t, hd),            # q
