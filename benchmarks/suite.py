@@ -120,10 +120,11 @@ def bench_mmq(ns, quick=False):
             log(f"  mmq_{fmt} n={n:>2}: {t*1e6:7.1f}us  {gbps:6.1f} GB/s")
 
 
-def bench_decode(quick=False):
-    """Decode throughput: tokens/s. Full mode runs the real TinyLlama-1.1B
-    geometry (BASELINE config #3: 22 layers, dim 2048, vocab 32000, Q4_K_M,
-    ~580MB of quantized weights); --quick uses the small 2-layer flagship."""
+def bench_decode(quick=False, model="tinyllama"):
+    """Decode throughput: tokens/s. Full mode runs real model geometries
+    (BASELINE configs: TinyLlama-1.1B Q4_K_M, or --7b for Llama-2-7B
+    Q4_K_M, ~3.9GB weights — the checkpoint quantizes once and is cached);
+    --quick uses the small 2-layer flagship."""
     import os
 
     import jax
@@ -139,16 +140,25 @@ def bench_decode(quick=False):
 
     if quick:
         cfg, params = _flagship()
+        name = "flagship-2L"
     else:
-        cfg = LlamaConfig(vocab_size=32000, dim=2048, n_layers=22,
-                          n_heads=32, n_kv_heads=4, ffn_dim=5632,
-                          max_seq_len=2048)
-        path = "/tmp/gguf_tpu_flagship/tinyllama_1p1b_q4km.gguf"
+        shapes = {
+            "tinyllama": ("tinyllama_1p1b_q4km.gguf", LlamaConfig(
+                vocab_size=32000, dim=2048, n_layers=22, n_heads=32,
+                n_kv_heads=4, ffn_dim=5632, max_seq_len=2048)),
+            "7b": ("llama2_7b_q4km.gguf", LlamaConfig(
+                vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
+                n_kv_heads=32, ffn_dim=11008, max_seq_len=2048)),
+        }
+        fname, cfg = shapes[model]
+        path = f"/tmp/gguf_tpu_flagship/{fname}"
         os.makedirs(os.path.dirname(path), exist_ok=True)
         if not os.path.exists(path):
-            log("  quantizing TinyLlama-1.1B-shaped checkpoint (one-time)...")
+            log(f"  quantizing {model}-shaped checkpoint (one-time)...")
             write_random_llama_gguf(path, cfg, seed=0)
         cfg, params = load_llama(path)
+        name = {"tinyllama": "tinyllama-1.1b-q4km",
+                "7b": "llama2-7b-q4km"}[model]
     params = fuse_llama_params(params)
     batch = 16
     cache = init_kv_cache(cfg, batch=batch, max_seq=256)
@@ -190,7 +200,6 @@ def bench_decode(quick=False):
 
     t_prefill = slope_time(make_pf, (params, toks_pf, cache_pf),
                            lo=5, hi=30, reps=5)
-    name = "flagship-2L" if quick else "tinyllama-1.1b-q4km"
     emit(metric=f"{name} prefill t={t_pf}",
          value=round(t_pf / t_prefill, 1), unit="tokens/s",
          ms=round(t_prefill * 1e3, 2))
@@ -219,6 +228,9 @@ def main():
     bench_mmq([16] if quick else [1, 8, 16, 32], quick=quick)
     log("== end-to-end decode ==")
     bench_decode(quick=quick)
+    if "--7b" in sys.argv:
+        log("== llama-2-7b decode ==")
+        bench_decode(model="7b")
 
 
 if __name__ == "__main__":
