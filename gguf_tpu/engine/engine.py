@@ -89,11 +89,25 @@ class LLM:
             last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
             return last[0, 0], cache
 
-        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(5,))
-        def _decode(params, cache, tokens, pos, key, sampler_cfg):
-            logits, cache = fwd(params, tokens[:, None], pos, cache)
-            next_ids = sample(logits[:, 0], key, sampler_cfg)
-            return next_ids, cache
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(5, 6))
+        def _decode(params, cache, tokens, pos, key, sampler_cfg, steps):
+            """`steps` decode iterations in one jit (lax.scan): one
+            device->host sync per chunk instead of per token — the host
+            round-trip otherwise dominates small-model decode. Returns the
+            (B, steps) token block; the scheduler trims past EOS/budget
+            (cache rows written past a finished slot's end are harmless:
+            re-admission prefills from position 0 and the causal mask never
+            reaches them)."""
+            def step(carry, _):
+                cache, toks, pos, key = carry
+                logits, cache = fwd(params, toks[:, None], pos, cache)
+                key, sub = jax.random.split(key)
+                nxt = sample(logits[:, 0], sub, sampler_cfg)
+                return (cache, nxt, pos + 1, key), nxt
+
+            (cache, _, _, _), ids = jax.lax.scan(
+                step, (cache, tokens, pos, key), None, length=steps)
+            return ids.T, cache  # (B, steps)
 
         self._prefill = _prefill
         self._decode = _decode
@@ -122,12 +136,18 @@ class LLM:
         seed: int = 0,
         stop_at_eos: bool = True,
         stop: list[str] | None = None,
+        decode_chunk: int = 8,
     ) -> list[GenerationResult]:
         """Generate completions with continuous batching over the slot pool.
 
         `stop`: optional stop strings — a sequence finishes as soon as its
         decoded tail contains one (the stop string itself is trimmed from
-        .text). Requires an embedded tokenizer."""
+        .text). Requires an embedded tokenizer.
+        `decode_chunk`: decode steps per device round-trip. Larger chunks
+        amortize host sync/scheduler overhead; a finished sequence wastes at
+        most chunk-1 speculative steps and new requests wait at most one
+        chunk for a slot. Sampling key streams differ across chunk sizes
+        (greedy output does not)."""
         queue = [(i, self._encode(p)) for i, p in enumerate(prompts)]
         queue.reverse()  # pop() takes the earliest request
         results = {i: GenerationResult(prompt_ids=ids) for i, ids in
@@ -194,20 +214,34 @@ class LLM:
         admit()
         while any(s is not None for s in slots) or queue:
             key, sub = jax.random.split(key)
-            next_ids, self.cache = self._decode(
+            # bound the chunk by the smallest live budget / remaining room so
+            # jit specializations stay few (powers of two) and overshoot small
+            live = [s for s in range(self.max_batch) if slots[s] is not None]
+            room = min(min(int(budget[s]) + 1, self.max_seq - int(pos[s]) - 1)
+                       for s in live)
+            steps = 1
+            while steps * 2 <= min(decode_chunk, max(room, 1)):
+                steps *= 2
+            ids, self.cache = self._decode(
                 self.params, self.cache,
                 jnp.asarray(last_tok, jnp.int32), jnp.asarray(pos, jnp.int32),
-                sub, sampler)
-            next_ids = np.asarray(next_ids)
+                sub, sampler, steps)
+            ids = np.asarray(ids)
+            for j in range(steps):
+                for s in range(self.max_batch):
+                    if slots[s] is None:
+                        continue
+                    tok = int(ids[s, j])
+                    results[slots[s]].token_ids.append(tok)
+                    pos[s] += 1
+                    last_tok[s] = tok
+                    budget[s] -= 1
+                    _maybe_finish(s, tok)
+            # device-side pos advanced by `steps` for every row; mirror that
+            # for empty slots so the next chunk stays consistent
             for s in range(self.max_batch):
                 if slots[s] is None:
-                    continue
-                tok = int(next_ids[s])
-                results[slots[s]].token_ids.append(tok)
-                pos[s] += 1
-                last_tok[s] = tok
-                budget[s] -= 1
-                _maybe_finish(s, tok)
+                    pos[s] = min(pos[s] + steps, self.max_seq - 1)
             admit()
 
         out = [results[i] for i in sorted(results)]

@@ -134,47 +134,47 @@ def _kernel_upd(t, kvh, g, scale, fast, cross, q_ref, kn_ref, vn_ref, k_ref,
     pass and the copies XLA otherwise inserts around the Pallas operand
     boundary (~5x the cache bytes of traffic per layer showed in the HLO).
 
-    Two attention bodies:
-    - cross (t == 1): ONE (H, hd) x (hd, KVH*S) scores matmul across ALL kv
-      heads, off-block entries masked to -inf before softmax so cross-head
-      probabilities are exactly zero, then ONE (H, KVH*S) x (KVH*S, hd) PV
-      matmul. The KVH-fold FLOP waste is trivial at decode sizes and beats
-      the per-head loop by 3x at MHA shapes (which is op-issue bound:
-      B*KVH tiny dot sequences).
-    - loop (t > 1): per-kv-head dots — the cross form's waste grows with
-      t and loses past ~t=4."""
+    Two bodies:
+    - cross (t == 1): head-vectorized insert, then ONE (H, hd) x
+      (hd, KVH*S) scores matmul across ALL kv heads with off-block entries
+      masked to -inf before softmax (cross-head probabilities are exactly
+      zero) and ONE (H, KVH*S) x (KVH*S, hd) PV matmul. The KVH-fold FLOP
+      waste is trivial at decode sizes and beats the per-head loop by 3x at
+      MHA shapes (which is op-issue bound: B*KVH tiny dot sequences).
+    - loop (t > 1, short prefill chunks): per-kv-head insert + dots. The
+      cross form's waste grows with t, and Mosaic cannot lower the
+      unaligned mid-dim value slices the vectorized multi-token insert
+      needs (negative-VMEM-offset check failure in lower_to_llo)."""
     dt = jnp.bfloat16 if fast else jnp.float32
     prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     pos = pos_ref[pl.program_id(0), 0]
     s = k_ref.shape[2]
     hd = k_ref.shape[3]
 
-    # ---- vectorized cache insert (all kv heads at once) ----
-    row_s = jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
-    col_s3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
-
-    def upd(c_ref, sc_ref2, new):          # new (KVH, t, hd) f32
-        amax = jnp.max(jnp.abs(new), axis=-1)               # (KVH, t)
-        sc_new = amax / 127.0
-        safe = jnp.where(sc_new == 0, 1.0, sc_new)
-        qn = jnp.clip(jnp.rint(new / safe[..., None]), -127, 127
-                      ).astype(jnp.int8)
-        c = c_ref[0]                                        # (KVH, S, hd)
-        sc = sc_ref2[0]                                     # (KVH, 1, S)
-        for j in range(t):
-            c = jnp.where(row_s == pos + j, qn[:, j:j + 1, :], c)
-            sc = jnp.where(col_s3 == pos + j, sc_new[:, j][:, None, None], sc)
-        return c, sc
-
-    k, ks = upd(k_ref, ks_ref, kn_ref[0])
-    v, vs = upd(v_ref, vs_ref, vn_ref[0])
-    ko_ref[0] = k
-    kso_ref[0] = ks
-    vo_ref[0] = v
-    vso_ref[0] = vs
-
     if cross:
-        R = kvh * g * t
+        # ---- head-vectorized cache insert (t == 1) ----
+        row_s = jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
+        col_s3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
+
+        def upd(c_ref, sc_ref2, new):      # new (KVH, 1, hd) f32
+            amax = jnp.max(jnp.abs(new), axis=-1)
+            sc_new = amax / 127.0
+            safe = jnp.where(sc_new == 0, 1.0, sc_new)
+            qn = jnp.clip(jnp.rint(new / safe[..., None]), -127, 127
+                          ).astype(jnp.int8)
+            c = jnp.where(row_s == pos, qn[:, 0:1, :], c_ref[0])
+            sc = jnp.where(col_s3 == pos, sc_new[:, 0][:, None, None],
+                           sc_ref2[0])
+            return c, sc
+
+        k, ks = upd(k_ref, ks_ref, kn_ref[0])
+        v, vs = upd(v_ref, vs_ref, vn_ref[0])
+        ko_ref[0] = k
+        kso_ref[0] = ks
+        vo_ref[0] = v
+        vso_ref[0] = vs
+
+        R = kvh * g
         q = q_ref[0].reshape(R, hd).astype(dt)
         k2 = k.reshape(kvh * s, hd).astype(dt)
         v2 = v.reshape(kvh * s, hd).astype(dt)
@@ -184,8 +184,8 @@ def _kernel_upd(t, kvh, g, scale, fast, cross, q_ref, kn_ref, vn_ref, k_ref,
         scores = scores * (ks.reshape(1, kvh * s).astype(jnp.float32) * scale)
         rr = jax.lax.broadcasted_iota(jnp.int32, (R, kvh * s), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (R, kvh * s), 1)
-        own = (cc // s) == (rr // (g * t))
-        causal = (cc % s) <= (pos + (rr % t))
+        own = (cc // s) == (rr // g)
+        causal = (cc % s) <= pos
         scores = jnp.where(own & causal, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
@@ -194,27 +194,48 @@ def _kernel_upd(t, kvh, g, scale, fast, cross, q_ref, kn_ref, vn_ref, k_ref,
         out = jax.lax.dot_general(
             pv, v2, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
-        out_ref[0] = out.reshape(kvh, g * t, hd)
+        out_ref[0] = out.reshape(kvh, g, hd)
         return
 
+    # ---- per-head insert + attention (t > 1) ----
+    row = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+    col_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
     for gi in range(kvh):
-        kg = k[gi].astype(dt)
-        vg = v[gi].astype(dt)
+        def upd(c_ref, sc_ref2, new):      # new (t, hd) f32
+            amax = jnp.max(jnp.abs(new), axis=-1)
+            sc_new = amax / 127.0
+            safe = jnp.where(sc_new == 0, 1.0, sc_new)
+            qn = jnp.clip(jnp.rint(new / safe[:, None]), -127, 127
+                          ).astype(jnp.int8)
+            c = c_ref[0, gi]
+            sc = sc_ref2[0, gi]
+            for j in range(t):
+                c = jnp.where(row == pos + j, qn[j][None, :], c)
+                sc = jnp.where(col_s == pos + j, sc_new[j], sc)
+            return c, sc
+
+        k, ks = upd(k_ref, ks_ref, kn_ref[0, gi])
+        v, vs = upd(v_ref, vs_ref, vn_ref[0, gi])
+        ko_ref[0, gi] = k
+        kso_ref[0, gi] = ks
+        vo_ref[0, gi] = v
+        vso_ref[0, gi] = vs
+
         q = q_ref[0, gi].astype(dt)
         qn_rows = q.shape[0]
         scores = jax.lax.dot_general(
-            q, kg, (((1,), (1,)), ((), ())),
+            q, k.astype(dt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
-        scores = scores * (ks[gi].astype(jnp.float32) * scale)
+        scores = scores * (ks.astype(jnp.float32) * scale)
         row_tok = jax.lax.broadcasted_iota(jnp.int32, (qn_rows, s), 0) % t
         col = jax.lax.broadcasted_iota(jnp.int32, (qn_rows, s), 1)
         scores = jnp.where(col <= pos + row_tok, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        pv = (p * vs[gi].astype(jnp.float32)).astype(dt)
+        pv = (p * vs.astype(jnp.float32)).astype(dt)
         out_ref[0, gi] = jax.lax.dot_general(
-            pv, vg, (((1,), (0,)), ((), ())),
+            pv, v.astype(dt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
 
 
