@@ -272,8 +272,11 @@ def decode_attention_update(
         memory_space=pltpu.VMEM)
 
     # cross-head single-matmul body wins at decode (t == 1); the per-head
-    # loop wins once t grows (the KVH-fold cross FLOP waste scales with t)
-    cross = t == 1
+    # loop wins once t grows (the KVH-fold cross FLOP waste scales with t).
+    # It also needs S % 128 == 0: the (KVH, 1, S) -> (1, KVH*S) scale
+    # reshape merges into the lane dim, which Mosaic only lowers at
+    # 128-multiples ("unsupported shape cast" otherwise).
+    cross = t == 1 and s % 128 == 0
     out, ko, kso, vo, vso = pl.pallas_call(
         functools.partial(_kernel_upd, t, kvh, g, scale,
                           precision == "fast", cross),

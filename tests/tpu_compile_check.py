@@ -1,0 +1,85 @@
+"""On-chip Pallas compile coverage — run MANUALLY on a TPU host:
+
+    python tests/tpu_compile_check.py
+
+NOT a pytest module: tests/conftest.py forces the CPU mesh, and
+interpret-mode cannot catch Mosaic lowering failures (a kernel that passes
+the whole suite can still SIGABRT the TPU compiler — see
+ops/attention.py's t>1 docstring). This drives every kernel shape class
+the serving engine uses on the real chip.
+"""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    assert jax.devices()[0].platform != "cpu", "run this on a TPU host"
+    _ = np.asarray(jnp.zeros((1, 1)))  # warm the transfer path
+    rng = np.random.default_rng(0)
+
+    # 1. every MMQ kernel at decode and prefill N, odd M
+    from gguf_tpu.ops import MMQ
+    from gguf_tpu.quant import (quantize_q4_k, quantize_q5_k, quantize_q6_k,
+                                quantize_q8_0)
+    from gguf_tpu.quant.layouts import to_soa
+
+    quants = {"q8_0": quantize_q8_0, "q4_k": quantize_q4_k,
+              "q5_k": quantize_q5_k, "q6_k": quantize_q6_k}
+    a = rng.standard_normal((300, 512)).astype(np.float16)
+    for fmt, q in quants.items():
+        w = jax.device_put(to_soa(fmt, q(a), 300, 512))
+        for n in (1, 16, 300):
+            x = jnp.asarray(rng.standard_normal((n, 512)).astype(np.float32))
+            out = np.asarray(MMQ[fmt](w, x, precision="fast"))
+            assert np.isfinite(out).all(), (fmt, n)
+        print(f"mmq_{fmt}: ok (n=1/16/300)")
+
+    # 2. fused attention at every engine shape class
+    from gguf_tpu.ops.attention import decode_attention, decode_attention_update
+
+    for (b, h, kvh, s, hd, t) in [(1, 8, 2, 128, 64, 8),   # prefill bucket
+                                  (1, 8, 2, 128, 64, 1),   # decode b=1
+                                  (16, 32, 4, 256, 64, 1),  # decode GQA
+                                  (16, 32, 32, 256, 128, 1),  # decode MHA
+                                  (4, 8, 2, 64, 64, 4),     # short chunk
+                                  (4, 8, 2, 64, 64, 1)]:    # decode, S%128!=0
+        q = jnp.asarray(rng.standard_normal((b, h, t, hd)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((b, kvh, t, hd)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((b, kvh, t, hd)), jnp.float32)
+        z8 = jnp.zeros((b, kvh, s, hd), jnp.int8)
+        zf = jnp.zeros((b, kvh, s), jnp.float32)
+        out = decode_attention_update(q, kn, vn, z8, zf, z8, zf,
+                                      jnp.zeros(b, jnp.int32), t=t)
+        assert np.isfinite(np.asarray(out[0])).all()
+        print(f"attention b={b} kvh={kvh} s={s} hd={hd} t={t}: ok")
+
+    # 3. the engine end to end (prefill + chunked decode + sampler)
+    import os
+    import tempfile
+
+    from gguf_tpu.engine import LLM, SamplerConfig
+    from gguf_tpu.models import LlamaConfig, write_random_llama_gguf
+
+    path = os.path.join(tempfile.gettempdir(), "tpu_compile_check.gguf")
+    if not os.path.exists(path):
+        write_random_llama_gguf(path, LlamaConfig(
+            vocab_size=256, dim=512, n_layers=2, n_heads=8, n_kv_heads=2,
+            ffn_dim=1024, max_seq_len=128), seed=3)
+    llm = LLM(path, max_batch=4, max_seq=64)
+    res = llm.generate([[1, 5, 9], [2, 7]], max_new_tokens=8,
+                       sampler=SamplerConfig(temperature=0.0),
+                       stop_at_eos=False)
+    assert all(len(r.token_ids) == 8 for r in res)
+    print("engine generate: ok", [r.token_ids[:3] for r in res])
+    print("ALL TPU COMPILE CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()
