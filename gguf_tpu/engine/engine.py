@@ -168,7 +168,9 @@ class LLM:
                 rid, ids = queue.pop()
                 n = len(ids)
                 assert n < self.max_seq, f"prompt ({n}) exceeds max_seq {self.max_seq}"
-                tp = self._bucket(n)
+                # the power-of-two bucket may exceed max_seq (= the cache
+                # length); clamp so the prefill cache insert fits
+                tp = min(self._bucket(n), self.max_seq)
                 toks = np.zeros((1, tp), np.int32)
                 toks[0, :n] = ids
                 logits, self.cache = self._prefill(
@@ -213,10 +215,15 @@ class LLM:
 
         admit()
         while any(s is not None for s in slots) or queue:
+            live = [s for s in range(self.max_batch) if slots[s] is not None]
+            if not live:
+                # every admitted request finished during admit() (e.g.
+                # max_new_tokens=1 or first-token EOS) with more queued
+                admit()
+                continue
             key, sub = jax.random.split(key)
             # bound the chunk by the smallest live budget / remaining room so
             # jit specializations stay few (powers of two) and overshoot small
-            live = [s for s in range(self.max_batch) if slots[s] is not None]
             room = min(min(int(budget[s]) + 1, self.max_seq - int(pos[s]) - 1)
                        for s in live)
             steps = 1
@@ -237,11 +244,6 @@ class LLM:
                     last_tok[s] = tok
                     budget[s] -= 1
                     _maybe_finish(s, tok)
-            # device-side pos advanced by `steps` for every row; mirror that
-            # for empty slots so the next chunk stays consistent
-            for s in range(self.max_batch):
-                if slots[s] is None:
-                    pos[s] = min(pos[s] + steps, self.max_seq - 1)
             admit()
 
         out = [results[i] for i in sorted(results)]

@@ -116,6 +116,8 @@ def make_handler(worker: EngineWorker):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("request body must be a JSON object")
                 prompt = payload.get("prompt")
                 if prompt is None:
                     raise ValueError("missing 'prompt' (string or token id list)")

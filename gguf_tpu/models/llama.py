@@ -312,4 +312,6 @@ def forward(
     logits = linear(params["output"], x.reshape(b * t, -1), opts)
     if opts.axis_name:  # column-parallel LM head: gather the vocab shards
         logits = jax.lax.all_gather(logits, opts.axis_name, axis=-1, tiled=True)
+    # the loader may have padded the vocab dim for tile alignment
+    logits = logits[:, :cfg.vocab_size]
     return logits.reshape(b, t, -1).astype(jnp.float32), cache

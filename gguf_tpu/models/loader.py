@@ -42,6 +42,41 @@ def _pad_k_to(t, k_target: int):
     return jnp.pad(t, ((0, 0), (0, k_target - t.shape[1])))
 
 
+def _m_pad_target(m: int) -> int:
+    """Smallest 128-multiple >= m whose choose_bm tile divides it with a
+    >=1024 tile. Guards vocab matrices (e.g. Qwen2's 151936 = 128 * prime)
+    from choose_bm's call-time-pad fallback, which would copy the whole
+    LM-head weight inside every jitted call."""
+    from ..ops.common import choose_bm, round_up
+
+    cand = round_up(m, 128)
+    for _ in range(64):
+        bm = choose_bm(cand, 2048)
+        if cand % bm == 0 and bm >= min(1024, cand):
+            return cand
+        cand += 128
+    return round_up(m, 128)
+
+
+def _pad_vocab_weights(params: dict) -> dict:
+    """Zero-pad token_embd/output along vocab (M) when needed; forward()
+    slices logits back to cfg.vocab_size, and embedding ids never reach the
+    pad columns. Tied embeddings are padded once and shared."""
+    from ..quant.layouts import QuantTensor
+
+    tied = params["output"] is params["token_embd"]
+    new = {}
+    for key in ("output", "token_embd"):
+        t = params[key]
+        if isinstance(t, QuantTensor):
+            target = _m_pad_target(t.shape[0])
+            t = _pad_cols_to(t, target) if target != t.shape[0] else t
+        new[key] = t
+    if tied:
+        new["token_embd"] = new["output"]
+    return {**params, **new}
+
+
 def _ffn_pad_target(ffn: int, granule: int) -> int:
     """Smallest multiple of `granule` >= ffn such that BOTH ffn and the
     fused gate+up width (2*ffn) get a >=1024 M-tile divisor from choose_bm.
@@ -134,6 +169,7 @@ def load_llama(path: str):
         })
     reader.close()
     params, cfg = pad_ffn_for_tp(params, cfg, 1)
+    params = _pad_vocab_weights(params)
     return cfg, params
 
 

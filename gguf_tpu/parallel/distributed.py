@@ -31,8 +31,9 @@ def init_distributed(coordinator_address: str | None = None,
     """Initialize the multi-host runtime and (optionally) run a whole-slice
     health check. Returns a summary dict. Safe to call single-host (no-op
     when jax.process_count() stays 1 and no coordinator is given)."""
-    if coordinator_address or num_processes or (
-            jax.process_count() == 1 and _looks_multihost()):
+    # env check first: jax.process_count() would initialize the XLA backend
+    # and make jax.distributed.initialize() unusable afterwards
+    if coordinator_address or num_processes or _looks_multihost():
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -78,10 +78,12 @@ def cmd_ppl(args):
     if args.tokens.endswith(".txt"):
         with open(args.tokens) as f:
             text = f.read()
-        from ..engine.tokenizer import SPMTokenizer
+        from ..engine.bpe_tokenizer import tokenizer_from_metadata
         from ..gguf import GGUFReader
         with GGUFReader(args.model) as r:
-            tok = SPMTokenizer.from_gguf_metadata(r.metadata)
+            tok = tokenizer_from_metadata(r.metadata)
+        if tok is None:
+            raise SystemExit("model has no embedded tokenizer; pass token ids")
         ids = tok.encode(text)
     else:  # whitespace-separated token ids
         with open(args.tokens) as f:
