@@ -72,35 +72,46 @@ class LLM:
             self.mesh = None
             self.cache = init_kv_cache(self.cfg, max_batch, self.max_seq)
 
-            def fwd(params, tokens, pos, cache, _cfg=self.cfg, _o=self.opts):
-                return forward(params, _cfg, tokens, pos, cache, _o)
+            def fwd(params, tokens, pos, cache, span=None,
+                    _cfg=self.cfg, _o=self.opts):
+                return forward(params, _cfg, tokens, pos, cache, _o,
+                               span=span)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _prefill(params, cache, tokens, slot, true_len):
             """Prefill one request into cache slot `slot`; returns the logits
             of its last real token."""
+            t = tokens.shape[1]
+            # prefill starts at position 0, so only the first t cache rows
+            # are live; short buckets take the Pallas decode path, which
+            # reads 128-row-aligned spans
+            span = t if t > 8 else (128 if self.max_seq >= 128 else None)
             cache_1 = jax.tree_util.tree_map(
                 lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0), cache)
             logits, cache_1 = fwd(params, tokens, jnp.zeros(1, jnp.int32),
-                                  cache_1)
+                                  cache_1, span=span)
             cache = jax.tree_util.tree_map(
                 lambda c, c1: jax.lax.dynamic_update_slice_in_dim(c, c1, slot, axis=0),
                 cache, cache_1)
             last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
             return last[0, 0], cache
 
-        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(5, 6))
-        def _decode(params, cache, tokens, pos, key, sampler_cfg, steps):
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnums=(5, 6, 7))
+        def _decode(params, cache, tokens, pos, key, sampler_cfg, steps,
+                    span):
             """`steps` decode iterations in one jit (lax.scan): one
             device->host sync per chunk instead of per token — the host
             round-trip otherwise dominates small-model decode. Returns the
             (B, steps) token block; the scheduler trims past EOS/budget
             (cache rows written past a finished slot's end are harmless:
             re-admission prefills from position 0 and the causal mask never
-            reaches them)."""
+            reaches them). `span` (static, scheduler-computed bucket) bounds
+            how deep attention reads into the cache this chunk."""
             def step(carry, _):
                 cache, toks, pos, key = carry
-                logits, cache = fwd(params, toks[:, None], pos, cache)
+                logits, cache = fwd(params, toks[:, None], pos, cache,
+                                    span=span)
                 key, sub = jax.random.split(key)
                 nxt = sample(logits[:, 0], sub, sampler_cfg)
                 return (cache, nxt, pos + 1, key), nxt
@@ -126,6 +137,17 @@ class LLM:
         while b < n:
             b *= 2
         return b
+
+    def _span_bucket(self, need: int) -> int | None:
+        """Smallest 128*2^j cache span covering `need` rows (None = whole
+        cache). Power-of-two buckets keep the decode jit specializations
+        bounded while attention HBM traffic tracks actual sequence depth."""
+        if self.max_seq < 128:
+            return None
+        span = 128
+        while span < need and span < self.max_seq:
+            span *= 2
+        return min(span, self.max_seq)
 
     # ---------------------------------------------------------- generate ---
     def generate(
@@ -229,10 +251,11 @@ class LLM:
             steps = 1
             while steps * 2 <= min(decode_chunk, max(room, 1)):
                 steps *= 2
+            span = self._span_bucket(max(int(pos[s]) for s in live) + steps)
             ids, self.cache = self._decode(
                 self.params, self.cache,
                 jnp.asarray(last_tok, jnp.int32), jnp.asarray(pos, jnp.int32),
-                sub, sampler, steps)
+                sub, sampler, steps, span)
             ids = np.asarray(ids)
             for j in range(steps):
                 for s in range(self.max_batch):

@@ -160,11 +160,14 @@ def _cache_update(cache_l, new_k, new_v, pos):
 
 
 def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
-              rope=None):
+              rope=None, span: int | None = None):
     """GQA attention over the INT8 cache. x: (B, T, dim); pos: (B,) start
     positions of the T new tokens per sequence; rope: optional precomputed
     (cos, sin) shared across layers (forward() hoists it out of the layer
-    loop — the trig is position-only)."""
+    loop — the trig is position-only); span: static bound on how many cache
+    rows are live (every pos + T <= span) — attention reads only that
+    prefix, so HBM traffic scales with actual sequence depth instead of
+    cache capacity."""
     b, t, _ = x.shape
     hd, h, kvh = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     xf = x.reshape(b * t, -1)
@@ -195,9 +198,9 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
     k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
 
     if t <= 8:
-        # decode / short chunks: ONE Pallas program per batch element does
-        # the int8 cache insert (aliased buffers, no HBM copies) AND the
-        # attention over the updated cache (ops/attention.py)
+        # decode / short chunks: Pallas block-windowed cache insert
+        # (aliased buffers, no HBM copies) + span-bounded attention over
+        # the updated cache (ops/attention.py)
         from ..ops.attention import decode_attention_update
 
         out, ck, cks, cv, cvs = decode_attention_update(
@@ -205,16 +208,22 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
             k.transpose(0, 2, 1, 3).astype(jnp.float32),
             v.transpose(0, 2, 1, 3).astype(jnp.float32),
             cache_l["k"], cache_l["k_scale"], cache_l["v"],
-            cache_l["v_scale"], pos, t=t, precision=opts.precision)
+            cache_l["v_scale"], pos, t=t, precision=opts.precision,
+            span=span)
         cache_l = {"k": ck, "k_scale": cks, "v": cv, "v_scale": cvs}
         out = out.transpose(0, 2, 1, 3).reshape(b * t, h * hd)
     else:
         cache_l = _cache_update(
             cache_l, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), pos)
-        # long prefill: the batched-einsum XLA path (big matmuls, MXU-happy)
+        # long prefill: the batched-einsum XLA path (big matmuls, MXU-happy);
+        # only the live span of the cache is dequantized and attended
         s = cache_l["k"].shape[2]
-        k_all = cache_l["k"].astype(jnp.float32) * cache_l["k_scale"][..., None]
-        v_all = cache_l["v"].astype(jnp.float32) * cache_l["v_scale"][..., None]
+        if span is not None:
+            s = min(span, s)
+        k_all = (cache_l["k"][:, :, :s].astype(jnp.float32)
+                 * cache_l["k_scale"][:, :, :s, None])
+        v_all = (cache_l["v"][:, :, :s].astype(jnp.float32)
+                 * cache_l["v_scale"][:, :, :s, None])
 
         # GQA: group query heads over each kv head
         qg = q.transpose(0, 2, 1, 3).reshape(b, kvh, h // kvh * t, hd)
@@ -285,11 +294,14 @@ def forward(
     pos: jax.Array,           # (B,) start position of tokens[:, 0]
     cache: dict,
     opts: MMOpts = MMOpts(),
+    span: int | None = None,
 ):
     """Run T tokens through the decoder; returns (logits (B, T, vocab), cache).
 
     T=1 is the decode step; T>1 is chunked prefill. Per-sequence positions
     support continuous batching (sequences at different depths in one batch).
+    `span` (static) promises every pos + T <= span so attention reads only
+    the first span cache rows; None reads the whole cache.
     """
     x = embed(params["token_embd"], tokens).astype(jnp.bfloat16)
     tok_pos = pos[:, None] + jnp.arange(tokens.shape[1])[None, :]
@@ -300,7 +312,7 @@ def forward(
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
         attn_out, cache_l = attention(layer, h, cfg, cache[i], pos, opts,
-                                      rope=rope)
+                                      rope=rope, span=span)
         x = x + attn_out
         h = rms_norm(x, layer["ffn_norm"], cfg.norm_eps)
         x = x + mlp(layer, h, opts)

@@ -6,16 +6,28 @@ kv-head) pair — costs ~100us/layer at batch 16, S 256 on v5e: the
 dequantized cache (4x the int8 bytes) round-trips through HBM every step
 and the per-pair matmuls are too small for the MXU's weight-load pipeline.
 
-This kernel fuses the whole per-batch attention into one Pallas program
-(grid over batch only — measured 2.5x faster than one program per
-(batch, kv-head): tiny grid steps pay DMA issue latency they can't hide):
-int8 K/V tiles are dequantized to bf16 in VMEM with the scales folded into
-the scores / probabilities (never into the big operands), the per-kv-head
-dots run back to back on the MXU, and the causal-masked softmax runs in f32
-on the VPU. Nothing round-trips to HBM.
+Two kernels, composed by `decode_attention_update`:
 
-There is no CUDA counterpart in the reference (it has no attention at all,
-SURVEY.md §0); this is new TPU-native capability required by the serving
+* `kv_cache_insert` quantizes the step's new K/V rows to int8 and writes
+  them into the cache with scalar-prefetch-driven BlockSpecs: the grid only
+  addresses the 32-row cache block (and 128-col scale block) containing each
+  sequence's position, so the read-modify-write touches ~32 rows per batch
+  element instead of the whole cache. The cache buffers are aliased in/out
+  — blocks the index_map never addresses are left untouched in HBM, and no
+  XLA copies appear around the operand boundary.
+* `decode_attention` attends over the cache read-only. A static `span`
+  bounds how much of the cache is read: BlockSpecs map only the first
+  `span` rows, so a 4k-slot cache costs 128 rows of HBM traffic while
+  sequences are short. The engine buckets span at 128-multiples (bounded
+  jit specializations); callers guarantee span > max(pos) + t.
+
+An earlier revision fused insert+attention into one kernel; splitting them
+wins because the fused form had to write the FULL per-batch cache block
+back every step (out blocks are written whole) — at 7B/MHA shapes that
+write-back was ~half the attention-path HBM traffic.
+
+This file has no CUDA counterpart in the reference (it has no attention at
+all, SURVEY.md §0); it is new TPU-native capability required by the serving
 engine. The causal mask follows the same per-slot-position contract as
 models/llama.py:attention.
 """
@@ -34,46 +46,214 @@ from .common import running_interpreted
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def _kernel(t, kvh, scale, fast, q_ref, k_ref, ks_ref, v_ref, vs_ref,
-            pos_ref, out_ref):
-    """One batch element: q (1, KVH, Q, hd), K/V (1, KVH, S, hd) int8,
-    scales (1, KVH, 1, S), pos (B, 1) in SMEM. Q = h/kvh * t query rows per
-    kv head, laid out head-major (row r is query token r % t)."""
+# ------------------------------------------------------------ cache insert ---
+
+
+def _insert_kernel(t, s, bs, sc, pos_ref, kn_ref, vn_ref, k_ref, ks_ref,
+                   v_ref, vs_ref, ko_ref, kso_ref, vo_ref, vso_ref):
+    """Grid (B, nblk): quantize the t new rows for batch element i and
+    select them into the (bs)-row / (sc)-col windows that j indexes. When
+    the two j windows clamp to the same block the second pass rewrites
+    identical bytes (idempotent).
+
+    t == 1 is head-vectorized (3-D selects). t > 1 loops kv heads with 2-D
+    windows: the vectorized form needs `qn[:, tj:tj+1, :]` mid-dim value
+    slices, whose unaligned offsets abort Mosaic's lower_to_llo
+    (negative-VMEM-offset check) — same trap as the cross-head attention
+    body's multi-token variant."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    pos = pos_ref[i]
+    base = jnp.minimum(pos // bs + j, s // bs - 1) * bs
+    scbase = jnp.minimum(pos // sc + j, s // sc - 1) * sc
+    kvh = k_ref.shape[1]
+
+    def quant(new):                       # (..., t, hd) f32 -> int8 + scale
+        amax = jnp.max(jnp.abs(new), axis=-1)
+        sc_new = amax / 127.0
+        safe = jnp.where(sc_new == 0, 1.0, sc_new)
+        qn = jnp.clip(jnp.rint(new / safe[..., None]), -127, 127
+                      ).astype(jnp.int8)
+        return qn, sc_new
+
+    if t == 1:
+        row_abs = base + jax.lax.broadcasted_iota(jnp.int32, (kvh, bs, 1), 1)
+        col_abs = scbase + jax.lax.broadcasted_iota(jnp.int32, (kvh, 1, sc), 2)
+
+        def upd(c_ref, sc_ref, new):      # new (KVH, 1, hd) f32
+            qn, sc_new = quant(new)
+            c = jnp.where(row_abs == pos, qn[:, 0:1, :], c_ref[0])
+            scv = jnp.where(col_abs == pos, sc_new[:, 0][:, None, None],
+                            sc_ref[0])
+            return c, scv
+
+        k2, ks2 = upd(k_ref, ks_ref, kn_ref[0].astype(jnp.float32))
+        ko_ref[0] = k2
+        kso_ref[0] = ks2
+        v2, vs2 = upd(v_ref, vs_ref, vn_ref[0].astype(jnp.float32))
+        vo_ref[0] = v2
+        vso_ref[0] = vs2
+        return
+
+    row_abs = base + jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0)
+    col_abs = scbase + jax.lax.broadcasted_iota(jnp.int32, (1, sc), 1)
+    for g in range(kvh):
+        def upd(c_ref, sc_ref, new):      # new (t, hd) f32
+            qn, sc_new = quant(new)
+            c, scv = c_ref[0, g], sc_ref[0, g]
+            for tj in range(t):
+                c = jnp.where(row_abs == pos + tj, qn[tj][None, :], c)
+                scv = jnp.where(col_abs == pos + tj, sc_new[tj], scv)
+            return c, scv
+
+        k2, ks2 = upd(k_ref, ks_ref, kn_ref[0, g].astype(jnp.float32))
+        ko_ref[0, g] = k2
+        kso_ref[0, g] = ks2
+        v2, vs2 = upd(v_ref, vs_ref, vn_ref[0, g].astype(jnp.float32))
+        vo_ref[0, g] = v2
+        vso_ref[0, g] = vs2
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+def kv_cache_insert(
+    k_new: jax.Array,    # (B, KVH, t, hd) f32 — rope applied
+    v_new: jax.Array,
+    k: jax.Array,        # (B, KVH, S, hd) int8 cache (aliased in/out)
+    k_scale: jax.Array,  # (B, KVH, S) f32
+    v: jax.Array,
+    v_scale: jax.Array,
+    pos: jax.Array,      # (B,) int32 insert position per sequence
+    *,
+    t: int,
+):
+    """Quantize t new K/V rows per sequence to int8 (absmax/127 per
+    (token, head), matching models/llama._quantize_kv) and write them into
+    the cache at pos..pos+t-1. Returns (k, k_scale, v, v_scale) — the same
+    HBM buffers, updated in place via aliasing; only the touched 32-row /
+    128-col blocks move. Positions >= S are ignored (clamped windows never
+    match), so finished continuous-batching slots are harmless."""
+    b, kvh, s, hd = k.shape
+    assert k_new.shape == (b, kvh, t, hd), (k_new.shape, (b, kvh, t, hd))
+
+    # window sizes: int8 sublane tile is 32 rows; scales live on lanes, 128
+    # cols. Tiny caches (tests) fall back to whole-S windows.
+    bs = 32 if s % 32 == 0 else s
+    sc = 128 if s % 128 == 0 else s
+    # one window when the t rows cannot cross a boundary, else two
+    nblk = 1 if (t == 1 or (bs >= s and sc >= s)) else 2
+
+    ks4 = k_scale.reshape(b, kvh, 1, s)
+    vs4 = v_scale.reshape(b, kvh, 1, s)
+
+    new_spec = pl.BlockSpec((1, kvh, t, hd), lambda i, j, p: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec(
+        (1, kvh, bs, hd),
+        lambda i, j, p: (i, 0, jnp.minimum(p[i] // bs + j, s // bs - 1), 0),
+        memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec(
+        (1, kvh, 1, sc),
+        lambda i, j, p: (i, 0, 0, jnp.minimum(p[i] // sc + j, s // sc - 1)),
+        memory_space=pltpu.VMEM)
+
+    ko, kso, vo, vso = pl.pallas_call(
+        functools.partial(_insert_kernel, t, s, bs, sc),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nblk),
+            in_specs=[new_spec, new_spec, row_spec, sc_spec, row_spec,
+                      sc_spec],
+            out_specs=(row_spec, sc_spec, row_spec, sc_spec),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, jnp.int8),
+            jax.ShapeDtypeStruct(ks4.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.int8),
+            jax.ShapeDtypeStruct(vs4.shape, jnp.float32),
+        ),
+        # indices count the scalar-prefetch operand: pos=0, k_new=1, ...
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=running_interpreted(),
+    )(pos.astype(jnp.int32), k_new, v_new, k, ks4, v, vs4)
+
+    return ko, kso.reshape(b, kvh, s), vo, vso.reshape(b, kvh, s)
+
+
+# -------------------------------------------------------- decode attention ---
+
+
+def _attn_kernel(t, kvh, g, scale, fast, cross, q_ref, k_ref, ks_ref, v_ref,
+                 vs_ref, pos_ref, out_ref):
+    """One batch element over the first `span` cache rows (the BlockSpecs
+    hand this kernel only that prefix). Two bodies:
+
+    - cross (t == 1): ONE (H, hd) x (hd, KVH*span) scores matmul across ALL
+      kv heads with off-block entries masked to -inf before softmax
+      (cross-head probabilities are exactly zero) and ONE (H, KVH*span) x
+      (KVH*span, hd) PV matmul. The KVH-fold FLOP waste is trivial at
+      decode sizes and beats the per-head loop by 3x at MHA shapes (which
+      is op-issue bound: B*KVH tiny dot sequences).
+    - loop (t > 1, short prefill chunks): per-kv-head dots; the cross
+      form's waste grows with t."""
     dt = jnp.bfloat16 if fast else jnp.float32
     prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     pos = pos_ref[pl.program_id(0), 0]
+    s = k_ref.shape[2]
+    hd = k_ref.shape[3]
 
-    for g in range(kvh):
-        q = q_ref[0, g].astype(dt)                       # (Q, hd)
-        k = k_ref[0, g].astype(dt)                       # (S, hd)
-        v = v_ref[0, g].astype(dt)
-        ks = ks_ref[0, g].astype(jnp.float32)            # (1, S)
-        vs = vs_ref[0, g].astype(jnp.float32)
-
-        qn, s = q.shape[0], k.shape[0]
-        # scores = (q . k) * k_scale / sqrt(hd), contraction over hd
+    if cross:
+        r = kvh * g
+        q = q_ref[0].reshape(r, hd).astype(dt)
+        k2 = k_ref[0].reshape(kvh * s, hd).astype(dt)
+        v2 = v_ref[0].reshape(kvh * s, hd).astype(dt)
         scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        scores = scores * (ks * scale)                   # (Q, S)
-
-        # causal: query row r is token (pos + r % t); key column s_idx is
-        # valid when s_idx <= pos + r % t
-        row_tok = jax.lax.broadcasted_iota(jnp.int32, (qn, s), 0) % t
-        col = jax.lax.broadcasted_iota(jnp.int32, (qn, s), 1)
-        scores = jnp.where(col <= pos + row_tok, scores, NEG_INF)
-
+            q, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # (R, KVH*S)
+        scores = scores * (ks_ref[0].reshape(1, kvh * s).astype(jnp.float32)
+                           * scale)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (r, kvh * s), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (r, kvh * s), 1)
+        own = (cc // s) == (rr // g)
+        causal = (cc % s) <= pos
+        scores = jnp.where(own & causal, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pv = (p * vs_ref[0].reshape(1, kvh * s).astype(jnp.float32)).astype(dt)
+        out = jax.lax.dot_general(
+            pv, v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        out_ref[0] = out.reshape(kvh, g, hd)
+        return
 
+    for gi in range(kvh):
+        q = q_ref[0, gi].astype(dt)                      # (g*t, hd)
+        k = k_ref[0, gi].astype(dt)                      # (span, hd)
+        v = v_ref[0, gi].astype(dt)
+        ks = ks_ref[0, gi].astype(jnp.float32)           # (1, span)
+        vs = vs_ref[0, gi].astype(jnp.float32)
+
+        qn, sv = q.shape[0], k.shape[0]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        scores = scores * (ks * scale)                   # (Q, span)
+        row_tok = jax.lax.broadcasted_iota(jnp.int32, (qn, sv), 0) % t
+        col = jax.lax.broadcasted_iota(jnp.int32, (qn, sv), 1)
+        scores = jnp.where(col <= pos + row_tok, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
         pv = (p * vs).astype(dt)                         # fold v_scale
-        out_ref[0, g] = jax.lax.dot_general(
+        out_ref[0, gi] = jax.lax.dot_general(
             pv, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
 
 
-@functools.partial(jax.jit, static_argnames=("t", "precision"))
+@functools.partial(jax.jit, static_argnames=("t", "precision", "span"))
 def decode_attention(
     q: jax.Array,        # (B, H, t, hd) — rope already applied
     k: jax.Array,        # (B, KVH, S, hd) int8 cache
@@ -84,36 +264,42 @@ def decode_attention(
     *,
     t: int,
     precision: str = "fast",
+    span: int | None = None,
 ) -> jax.Array:
     """Fused GQA decode attention; returns (B, H, t, hd) f32. The t new
-    tokens' K/V must already be written to the cache at pos..pos+t-1."""
+    tokens' K/V must already be written to the cache at pos..pos+t-1, and
+    every pos must satisfy pos + t <= span: only the first `span` cache
+    rows are read (HBM traffic scales with span, not cache capacity)."""
     b, h, tt, hd = q.shape
     assert tt == t
     _, kvh, s, _ = k.shape
     g = h // kvh
+    span = s if span is None else min(span, s)
+    assert span % 32 == 0 or span == s, f"span {span} must be 32-aligned"
 
-    # (B, KVH, G*t, hd), rows head-major then token
     qr = q.reshape(b, kvh, g * t, hd)
     scale = 1.0 / (hd ** 0.5)
+    # the (KVH, 1, span) -> (1, KVH*span) scale reshape merges into the lane
+    # dim, which Mosaic only lowers at 128-multiples
+    cross = t == 1 and span % 128 == 0
+
+    blk = lambda *shape: pl.BlockSpec(
+        (1, *shape), lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, t, kvh, scale, precision == "fast"),
+        functools.partial(_attn_kernel, t, kvh, g, scale,
+                          precision == "fast", cross),
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, kvh, g * t, hd), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kvh, s, hd), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kvh, 1, s), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kvh, s, hd), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kvh, 1, s), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            blk(kvh, g * t, hd),
+            blk(kvh, span, hd),             # first span rows only
+            blk(kvh, 1, span),
+            blk(kvh, span, hd),
+            blk(kvh, 1, span),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # pos: whole (B, 1)
         ],
-        out_specs=pl.BlockSpec((1, kvh, g * t, hd), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=blk(kvh, g * t, hd),
         out_shape=jax.ShapeDtypeStruct((b, kvh, g * t, hd), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
@@ -125,121 +311,7 @@ def decode_attention(
     return out.reshape(b, h, t, hd)
 
 
-def _kernel_upd(t, kvh, g, scale, fast, cross, q_ref, kn_ref, vn_ref, k_ref,
-                ks_ref, v_ref, vs_ref, pos_ref, out_ref, ko_ref, kso_ref,
-                vo_ref, vso_ref):
-    """decode_attention_update: per batch element, quantize + insert the t
-    new K/V rows into the (aliased) int8 cache block, then attend over the
-    updated values. Fusing the insert here removes the separate XLA update
-    pass and the copies XLA otherwise inserts around the Pallas operand
-    boundary (~5x the cache bytes of traffic per layer showed in the HLO).
-
-    Two bodies:
-    - cross (t == 1): head-vectorized insert, then ONE (H, hd) x
-      (hd, KVH*S) scores matmul across ALL kv heads with off-block entries
-      masked to -inf before softmax (cross-head probabilities are exactly
-      zero) and ONE (H, KVH*S) x (KVH*S, hd) PV matmul. The KVH-fold FLOP
-      waste is trivial at decode sizes and beats the per-head loop by 3x at
-      MHA shapes (which is op-issue bound: B*KVH tiny dot sequences).
-    - loop (t > 1, short prefill chunks): per-kv-head insert + dots. The
-      cross form's waste grows with t, and Mosaic cannot lower the
-      unaligned mid-dim value slices the vectorized multi-token insert
-      needs (negative-VMEM-offset check failure in lower_to_llo)."""
-    dt = jnp.bfloat16 if fast else jnp.float32
-    prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
-    pos = pos_ref[pl.program_id(0), 0]
-    s = k_ref.shape[2]
-    hd = k_ref.shape[3]
-
-    if cross:
-        # ---- head-vectorized cache insert (t == 1) ----
-        row_s = jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
-        col_s3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
-
-        def upd(c_ref, sc_ref2, new):      # new (KVH, 1, hd) f32
-            amax = jnp.max(jnp.abs(new), axis=-1)
-            sc_new = amax / 127.0
-            safe = jnp.where(sc_new == 0, 1.0, sc_new)
-            qn = jnp.clip(jnp.rint(new / safe[..., None]), -127, 127
-                          ).astype(jnp.int8)
-            c = jnp.where(row_s == pos, qn[:, 0:1, :], c_ref[0])
-            sc = jnp.where(col_s3 == pos, sc_new[:, 0][:, None, None],
-                           sc_ref2[0])
-            return c, sc
-
-        k, ks = upd(k_ref, ks_ref, kn_ref[0])
-        v, vs = upd(v_ref, vs_ref, vn_ref[0])
-        ko_ref[0] = k
-        kso_ref[0] = ks
-        vo_ref[0] = v
-        vso_ref[0] = vs
-
-        R = kvh * g
-        q = q_ref[0].reshape(R, hd).astype(dt)
-        k2 = k.reshape(kvh * s, hd).astype(dt)
-        v2 = v.reshape(kvh * s, hd).astype(dt)
-        scores = jax.lax.dot_general(
-            q, k2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)  # (R, KVH*S)
-        scores = scores * (ks.reshape(1, kvh * s).astype(jnp.float32) * scale)
-        rr = jax.lax.broadcasted_iota(jnp.int32, (R, kvh * s), 0)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (R, kvh * s), 1)
-        own = (cc // s) == (rr // g)
-        causal = (cc % s) <= pos
-        scores = jnp.where(own & causal, scores, NEG_INF)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        pv = (p * vs.reshape(1, kvh * s).astype(jnp.float32)).astype(dt)
-        out = jax.lax.dot_general(
-            pv, v2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        out_ref[0] = out.reshape(kvh, g, hd)
-        return
-
-    # ---- per-head insert + attention (t > 1) ----
-    row = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
-    col_s = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
-    for gi in range(kvh):
-        def upd(c_ref, sc_ref2, new):      # new (t, hd) f32
-            amax = jnp.max(jnp.abs(new), axis=-1)
-            sc_new = amax / 127.0
-            safe = jnp.where(sc_new == 0, 1.0, sc_new)
-            qn = jnp.clip(jnp.rint(new / safe[:, None]), -127, 127
-                          ).astype(jnp.int8)
-            c = c_ref[0, gi]
-            sc = sc_ref2[0, gi]
-            for j in range(t):
-                c = jnp.where(row == pos + j, qn[j][None, :], c)
-                sc = jnp.where(col_s == pos + j, sc_new[j], sc)
-            return c, sc
-
-        k, ks = upd(k_ref, ks_ref, kn_ref[0, gi])
-        v, vs = upd(v_ref, vs_ref, vn_ref[0, gi])
-        ko_ref[0, gi] = k
-        kso_ref[0, gi] = ks
-        vo_ref[0, gi] = v
-        vso_ref[0, gi] = vs
-
-        q = q_ref[0, gi].astype(dt)
-        qn_rows = q.shape[0]
-        scores = jax.lax.dot_general(
-            q, k.astype(dt), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        scores = scores * (ks.astype(jnp.float32) * scale)
-        row_tok = jax.lax.broadcasted_iota(jnp.int32, (qn_rows, s), 0) % t
-        col = jax.lax.broadcasted_iota(jnp.int32, (qn_rows, s), 1)
-        scores = jnp.where(col <= pos + row_tok, scores, NEG_INF)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        pv = (p * vs.astype(jnp.float32)).astype(dt)
-        out_ref[0, gi] = jax.lax.dot_general(
-            pv, v.astype(dt), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-
-
-@functools.partial(jax.jit, static_argnames=("t", "precision"))
+@functools.partial(jax.jit, static_argnames=("t", "precision", "span"))
 def decode_attention_update(
     q: jax.Array,        # (B, H, t, hd) — rope applied
     k_new: jax.Array,    # (B, KVH, t, hd) f32 — rope applied
@@ -252,60 +324,15 @@ def decode_attention_update(
     *,
     t: int,
     precision: str = "fast",
+    span: int | None = None,
 ):
-    """Fused cache-insert + GQA decode attention. Quantizes the t new K/V
-    rows to int8 in-kernel, writes them into the cache at pos..pos+t-1
-    (cache buffers aliased in/out — no extra HBM copies), and attends over
-    the updated cache. Returns (out (B, H, t, hd) f32, k, k_scale, v,
+    """Cache-insert + GQA decode attention: quantizes the t new K/V rows to
+    int8, writes them at pos..pos+t-1 (block-windowed, aliased — no full
+    cache write-back), and attends over the first `span` rows of the
+    updated cache. Returns (out (B, H, t, hd) f32, k, k_scale, v,
     v_scale)."""
-    b, h, tt, hd = q.shape
-    assert tt == t
-    _, kvh, s, _ = k.shape
-    g = h // kvh
-    qr = q.reshape(b, kvh, g * t, hd)
-    scale = 1.0 / (hd ** 0.5)
-
-    ks4 = k_scale.reshape(b, kvh, 1, s)
-    vs4 = v_scale.reshape(b, kvh, 1, s)
-    blk = lambda *shape: pl.BlockSpec(
-        (1, *shape), lambda i: (i,) + (0,) * len(shape),
-        memory_space=pltpu.VMEM)
-
-    # cross-head single-matmul body wins at decode (t == 1); the per-head
-    # loop wins once t grows (the KVH-fold cross FLOP waste scales with t).
-    # It also needs S % 128 == 0: the (KVH, 1, S) -> (1, KVH*S) scale
-    # reshape merges into the lane dim, which Mosaic only lowers at
-    # 128-multiples ("unsupported shape cast" otherwise).
-    cross = t == 1 and s % 128 == 0
-    out, ko, kso, vo, vso = pl.pallas_call(
-        functools.partial(_kernel_upd, t, kvh, g, scale,
-                          precision == "fast", cross),
-        grid=(b,),
-        in_specs=[
-            blk(kvh, g * t, hd),            # q
-            blk(kvh, t, hd),                # k_new
-            blk(kvh, t, hd),                # v_new
-            blk(kvh, s, hd),                # k cache
-            blk(kvh, 1, s),                 # k_scale
-            blk(kvh, s, hd),                # v cache
-            blk(kvh, 1, s),                 # v_scale
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # pos (B, 1)
-        ],
-        out_specs=(blk(kvh, g * t, hd), blk(kvh, s, hd), blk(kvh, 1, s),
-                   blk(kvh, s, hd), blk(kvh, 1, s)),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, kvh, g * t, hd), jnp.float32),
-            jax.ShapeDtypeStruct(k.shape, jnp.int8),
-            jax.ShapeDtypeStruct((b, kvh, 1, s), jnp.float32),
-            jax.ShapeDtypeStruct(v.shape, jnp.int8),
-            jax.ShapeDtypeStruct((b, kvh, 1, s), jnp.float32),
-        ),
-        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-        interpret=running_interpreted(),
-    )(qr, k_new, v_new, k, ks4, v, vs4, pos.reshape(b, 1).astype(jnp.int32))
-
-    return (out.reshape(b, h, t, hd), ko, kso.reshape(b, kvh, s),
-            vo, vso.reshape(b, kvh, s))
+    k, k_scale, v, v_scale = kv_cache_insert(
+        k_new, v_new, k, k_scale, v, v_scale, pos, t=t)
+    out = decode_attention(q, k, k_scale, v, v_scale, pos, t=t,
+                           precision=precision, span=span)
+    return out, k, k_scale, v, v_scale

@@ -131,11 +131,11 @@ def tp_forward_fn(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
     cfg_local = local_cfg(cfg, tp)
     opts_tp = opts._replace(axis_name="tp")
 
-    def fn(params, tokens, pos, cache):
-        logits, cache = forward(params, cfg_local, tokens, pos, cache, opts_tp)
-        return logits, cache
+    def wrapped(params, tokens, pos, cache, span=None):
+        def fn(params, tokens, pos, cache):
+            return forward(params, cfg_local, tokens, pos, cache, opts_tp,
+                           span=span)
 
-    def wrapped(params, tokens, pos, cache):
         return jax.shard_map(
             fn,
             mesh=mesh,

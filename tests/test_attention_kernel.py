@@ -77,3 +77,99 @@ def test_decode_attention_causality():
     v_i2, vs2 = _quant(vf2)
     out_b = np.asarray(decode_attention(q, k_i2, ks2, v_i2, vs2, pos, t=t))
     np.testing.assert_allclose(out_a, out_b, rtol=0, atol=1e-6)
+
+
+def test_kv_cache_insert_windows():
+    """Insert writes exactly the t new rows (quantized per-contract) and
+    leaves every other cache byte untouched."""
+    from gguf_tpu.ops.attention import kv_cache_insert
+
+    rng = np.random.default_rng(3)
+    b, kvh, s, hd = 3, 2, 256, 128
+    for t, positions in [(1, [0, 130, 255]), (4, [30, 127, 200]),
+                         (1, [999, 5, 600])]:      # >= s: ignored (dead slot)
+        kf = rng.standard_normal((b, kvh, s, hd)).astype(np.float32)
+        vf = rng.standard_normal((b, kvh, s, hd)).astype(np.float32)
+        k_i, ks = _quant(kf)
+        v_i, vs = _quant(vf)
+        kn = rng.standard_normal((b, kvh, t, hd)).astype(np.float32)
+        vn = rng.standard_normal((b, kvh, t, hd)).astype(np.float32)
+        pos = jnp.asarray(positions, jnp.int32)
+
+        ko, kso, vo, vso = jax.tree.map(
+            np.asarray,
+            kv_cache_insert(jnp.asarray(kn), jnp.asarray(vn), k_i, ks,
+                            v_i, vs, pos, t=t))
+
+        qn, sn = _quant(kn)
+        qvn, svn = _quant(vn)
+        exp_k, exp_ks = np.asarray(k_i).copy(), np.asarray(ks).copy()
+        exp_v, exp_vs = np.asarray(v_i).copy(), np.asarray(vs).copy()
+        for i, p in enumerate(positions):
+            for tj in range(t):
+                if p + tj >= s:
+                    continue
+                exp_k[i, :, p + tj] = np.asarray(qn)[i, :, tj]
+                exp_ks[i, :, p + tj] = np.asarray(sn)[i, :, tj]
+                exp_v[i, :, p + tj] = np.asarray(qvn)[i, :, tj]
+                exp_vs[i, :, p + tj] = np.asarray(svn)[i, :, tj]
+        np.testing.assert_array_equal(ko, exp_k)
+        np.testing.assert_array_equal(vo, exp_v)
+        # in-kernel f32 quantization matches the host path to float rounding
+        np.testing.assert_allclose(kso, exp_ks, rtol=1e-6)
+        np.testing.assert_allclose(vso, exp_vs, rtol=1e-6)
+
+
+def test_decode_attention_span_equivalence():
+    """With every pos + t <= span, reading only the span prefix must give
+    the same output as scanning the whole cache."""
+    rng = np.random.default_rng(11)
+    b, h, kvh, s, hd = 2, 8, 2, 512, 128
+    for t in (1, 4):
+        q = jnp.asarray(rng.standard_normal((b, h, t, hd)), jnp.float32)
+        k_i, ks = _quant(rng.standard_normal((b, kvh, s, hd)).astype(np.float32))
+        v_i, vs = _quant(rng.standard_normal((b, kvh, s, hd)).astype(np.float32))
+        pos = jnp.asarray([7, 100], jnp.int32)
+        full = np.asarray(decode_attention(
+            q, k_i, ks, v_i, vs, pos, t=t, precision="high"))
+        for span in (128, 256):
+            part = np.asarray(decode_attention(
+                q, k_i, ks, v_i, vs, pos, t=t, precision="high", span=span))
+            np.testing.assert_allclose(part, full, rtol=0, atol=1e-5)
+
+
+def test_decode_attention_update_roundtrip():
+    """insert + span attention == reference over a cache with the new rows
+    already placed."""
+    from gguf_tpu.ops.attention import decode_attention_update
+
+    rng = np.random.default_rng(4)
+    b, h, kvh, s, hd, t = 2, 8, 4, 256, 64, 1
+    q = jnp.asarray(rng.standard_normal((b, h, t, hd)), jnp.float32)
+    kf = rng.standard_normal((b, kvh, s, hd)).astype(np.float32)
+    vf = rng.standard_normal((b, kvh, s, hd)).astype(np.float32)
+    kn = rng.standard_normal((b, kvh, t, hd)).astype(np.float32)
+    vn = rng.standard_normal((b, kvh, t, hd)).astype(np.float32)
+    pos = jnp.asarray([12, 90], jnp.int32)
+    k_i, ks = _quant(kf)
+    v_i, vs = _quant(vf)
+
+    out, ko, kso, vo, vso = decode_attention_update(
+        q, jnp.asarray(kn), jnp.asarray(vn), k_i, ks, v_i, vs, pos,
+        t=t, precision="high", span=128)
+
+    # build the expected cache on the host, then the reference attention
+    qn, sn = _quant(kn)
+    qvn, svn = _quant(vn)
+    exp_k, exp_ks = np.asarray(k_i).copy(), np.asarray(ks).copy()
+    exp_v, exp_vs = np.asarray(v_i).copy(), np.asarray(vs).copy()
+    for i, p in enumerate([12, 90]):
+        exp_k[i, :, p] = np.asarray(qn)[i, :, 0]
+        exp_ks[i, :, p] = np.asarray(sn)[i, :, 0]
+        exp_v[i, :, p] = np.asarray(qvn)[i, :, 0]
+        exp_vs[i, :, p] = np.asarray(svn)[i, :, 0]
+    ref = _reference(q, exp_k, exp_ks, exp_v, exp_vs, pos, t)
+    err = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
+    assert err < 2e-5, err
+    np.testing.assert_array_equal(np.asarray(ko), exp_k)
+    np.testing.assert_array_equal(np.asarray(vo), exp_v)

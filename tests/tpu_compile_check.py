@@ -58,6 +58,11 @@ def main():
         out = decode_attention_update(q, kn, vn, z8, zf, z8, zf,
                                       jnp.zeros(b, jnp.int32), t=t)
         assert np.isfinite(np.asarray(out[0])).all()
+        if s >= 256:  # span-bucketed read (the engine's steady state)
+            out = decode_attention_update(q, kn, vn, z8, zf, z8, zf,
+                                          jnp.zeros(b, jnp.int32), t=t,
+                                          span=128)
+            assert np.isfinite(np.asarray(out[0])).all()
         print(f"attention b={b} kvh={kvh} s={s} hd={hd} t={t}: ok")
 
     # 3. the engine end to end (prefill + chunked decode + sampler)
