@@ -172,7 +172,8 @@ def bench_decode(quick=False, model="tinyllama"):
         def many(params, tokens, pos, cache):
             def body(i, carry):
                 toks, pos, cache = carry
-                logits, cache = forward(params, cfg, toks, pos, cache, opts)
+                logits, cache = forward(params, cfg, toks, pos, cache, opts,
+                                        span=128)
                 nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
                 return nxt[:, None], pos + 1, cache
             toks, pos, _ = jax.lax.fori_loop(

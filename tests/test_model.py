@@ -286,3 +286,30 @@ def test_linear_rope_scaling_metadata(tmp_path):
     c2, s2 = rope_cos_sin(jnp.asarray([2], jnp.int32), 64, 10000.0)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+
+def test_span_bound_matches_full_cache(model):
+    """forward(span=...) must equal forward(span=None) exactly whenever
+    every pos + T <= span: rows beyond span are causally masked to exact
+    zeros, so reading them cannot change the result."""
+    _, cfg, params = model
+    rng = np.random.default_rng(9)
+    b = 3
+    opts = MMOpts(precision="high")
+    cache0 = init_kv_cache(cfg, batch=b, max_seq=256)
+    # depth-staggered slots, decode step (t=1) and short chunk (t=4)
+    for t in (1, 4):
+        tokens = jnp.asarray(
+            rng.integers(0, cfg.vocab_size, (b, t)).astype(np.int32))
+        pos = jnp.asarray([0, 17, 100], jnp.int32)
+        full, cache_f = forward(params, cfg, tokens, pos, cache0, opts,
+                                span=None)
+        part, cache_p = forward(params, cfg, tokens, pos, cache0, opts,
+                                span=128)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(part),
+                                   rtol=0, atol=1e-6)
+        # the inserted cache rows must also be identical
+        for lf, lp in zip(cache_f, cache_p):
+            for key in ("k", "v", "k_scale", "v_scale"):
+                np.testing.assert_array_equal(np.asarray(lf[key]),
+                                              np.asarray(lp[key]))
