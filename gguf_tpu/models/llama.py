@@ -93,6 +93,12 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return jnp.stack([out_even, out_odd], axis=-1).reshape(x.shape).astype(x.dtype)
 
 
+# one batch element's span-prefix K/V cache elements that still fit the
+# fused Pallas attention kernel's VMEM working set (int8 + bf16 copies);
+# larger spans fall back to the XLA einsum path in attention()
+PALLAS_ATTN_MAX_ELEMS = 2 ** 21
+
+
 # --------------------------------------------------------- INT8 KV cache ---
 
 
@@ -197,7 +203,14 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
     q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :])
     k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
 
-    if t <= 8:
+    s_cache = cache_l["k"].shape[2]
+    span_eff = s_cache if span is None else min(span, s_cache)
+    # the fused Pallas kernel holds one batch element's span-prefix K/V
+    # (int8 + bf16 copies) in VMEM; past ~2M cache elements per program it
+    # no longer fits (e.g. MHA-32/hd-128 beyond span 512) and attention
+    # falls back to the XLA einsum over the span slice
+    pallas_fits = kvh * span_eff * hd <= PALLAS_ATTN_MAX_ELEMS
+    if t <= 8 and pallas_fits:
         # decode / short chunks: Pallas block-windowed cache insert
         # (aliased buffers, no HBM copies) + span-bounded attention over
         # the updated cache (ops/attention.py)
@@ -213,13 +226,24 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
         cache_l = {"k": ck, "k_scale": cks, "v": cv, "v_scale": cvs}
         out = out.transpose(0, 2, 1, 3).reshape(b * t, h * hd)
     else:
-        cache_l = _cache_update(
-            cache_l, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), pos)
-        # long prefill: the batched-einsum XLA path (big matmuls, MXU-happy);
-        # only the live span of the cache is dequantized and attended
-        s = cache_l["k"].shape[2]
-        if span is not None:
-            s = min(span, s)
+        if t <= 16:
+            # long-span decode: keep the windowed Pallas insert (a select
+            # or DUS insert would read+write the WHOLE cache per step)
+            from ..ops.attention import kv_cache_insert
+
+            ck, cks, cv, cvs = kv_cache_insert(
+                k.transpose(0, 2, 1, 3).astype(jnp.float32),
+                v.transpose(0, 2, 1, 3).astype(jnp.float32),
+                cache_l["k"], cache_l["k_scale"], cache_l["v"],
+                cache_l["v_scale"], pos, t=t)
+            cache_l = {"k": ck, "k_scale": cks, "v": cv, "v_scale": cvs}
+        else:
+            cache_l = _cache_update(
+                cache_l, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                pos)
+        # long prefill / long-span decode: the batched-einsum XLA path (big
+        # matmuls, MXU-happy); only the live span is dequantized + attended
+        s = span_eff
         k_all = (cache_l["k"][:, :, :s].astype(jnp.float32)
                  * cache_l["k_scale"][:, :, :s, None])
         v_all = (cache_l["v"][:, :, :s].astype(jnp.float32)

@@ -313,3 +313,30 @@ def test_span_bound_matches_full_cache(model):
             for key in ("k", "v", "k_scale", "v_scale"):
                 np.testing.assert_array_equal(np.asarray(lf[key]),
                                               np.asarray(lp[key]))
+
+
+def test_long_span_xla_fallback_matches_pallas(model, monkeypatch):
+    """When a span exceeds the Pallas attention VMEM budget, attention
+    falls back to the XLA einsum path; the logits and inserted cache rows
+    must match the Pallas path."""
+    import gguf_tpu.models.llama as llama_mod
+
+    _, cfg, params = model
+    rng = np.random.default_rng(21)
+    b = 2
+    opts = MMOpts(precision="high")
+    cache0 = init_kv_cache(cfg, batch=b, max_seq=256)
+    tokens = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (b, 1)).astype(np.int32))
+    pos = jnp.asarray([3, 40], jnp.int32)
+
+    pal, cache_p = forward(params, cfg, tokens, pos, cache0, opts, span=128)
+    monkeypatch.setattr(llama_mod, "PALLAS_ATTN_MAX_ELEMS", 1)
+    xla, cache_x = forward(params, cfg, tokens, pos, cache0, opts, span=128)
+
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(xla),
+                               rtol=0, atol=5e-4)
+    for lp, lx in zip(cache_p, cache_x):
+        for key in ("k", "v", "k_scale", "v_scale"):
+            np.testing.assert_array_equal(np.asarray(lp[key]),
+                                          np.asarray(lx[key]))
