@@ -225,10 +225,26 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
             span=span)
         cache_l = {"k": ck, "k_scale": cks, "v": cv, "v_scale": cvs}
         out = out.transpose(0, 2, 1, 3).reshape(b * t, h * hd)
+    elif t == 1 and span_eff % 256 == 0:
+        # long-span decode (engine steady state past the single-tile VMEM
+        # budget): windowed insert + flash-decoding over 256-row S-tiles,
+        # whose VMEM use is independent of span
+        from ..ops.attention import decode_attention_tiled, kv_cache_insert
+
+        ck, cks, cv, cvs = kv_cache_insert(
+            k.transpose(0, 2, 1, 3).astype(jnp.float32),
+            v.transpose(0, 2, 1, 3).astype(jnp.float32),
+            cache_l["k"], cache_l["k_scale"], cache_l["v"],
+            cache_l["v_scale"], pos, t=t)
+        cache_l = {"k": ck, "k_scale": cks, "v": cv, "v_scale": cvs}
+        out = decode_attention_tiled(
+            q.transpose(0, 2, 1, 3), ck, cks, cv, cvs, pos,
+            precision=opts.precision, span=span_eff)
+        out = out.transpose(0, 2, 1, 3).reshape(b * t, h * hd)
     else:
         if t <= 16:
-            # long-span decode: keep the windowed Pallas insert (a select
-            # or DUS insert would read+write the WHOLE cache per step)
+            # keep the windowed Pallas insert (a select or DUS insert
+            # would read+write the WHOLE cache per step)
             from ..ops.attention import kv_cache_insert
 
             ck, cks, cv, cvs = kv_cache_insert(

@@ -311,6 +311,124 @@ def decode_attention(
     return out.reshape(b, h, t, hd)
 
 
+# ------------------------------------------------- tiled (long-span) form ---
+
+
+def _attn_tiled_kernel(kvh, g, ts, scale, fast, q_ref, k_ref, ks_ref, v_ref,
+                       vs_ref, pos_ref, out_ref, acc_ref, m_ref, l_ref):
+    """Flash-decoding over S-tiles: grid (B, span/ts), online softmax in
+    VMEM scratch, so the working set is one (kvh, ts, hd) K/V tile instead
+    of the whole span — any span fits. t == 1 only (the engine's decode
+    scan always steps single tokens); cross-head single-matmul form with
+    off-block scores masked to -inf, so per-tile work is one
+    (R, hd) x (hd, kvh*ts) dot instead of kvh tiny ones."""
+    dt = jnp.bfloat16 if fast else jnp.float32
+    prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    pos = pos_ref[i, 0]
+    hd = k_ref.shape[3]
+    r = kvh * g
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].reshape(r, hd).astype(dt)
+    k2 = k_ref[0].reshape(kvh * ts, hd).astype(dt)
+    v2 = v_ref[0].reshape(kvh * ts, hd).astype(dt)
+    scores = jax.lax.dot_general(
+        q, k2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)   # (R, KVH*ts)
+    scores = scores * (ks_ref[0].reshape(1, kvh * ts).astype(jnp.float32)
+                       * scale)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (r, kvh * ts), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (r, kvh * ts), 1)
+    own = (cc // ts) == (rr // g)
+    causal = (j * ts + cc % ts) <= pos
+    scores = jnp.where(own & causal, scores, NEG_INF)
+
+    m_old = m_ref[:, :1]                                      # (R, 1)
+    m_new = jnp.maximum(m_old, jnp.max(scores, axis=-1, keepdims=True))
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(scores - m_new)                               # (R, KVH*ts)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = (p * vs_ref[0].reshape(1, kvh * ts).astype(jnp.float32)).astype(dt)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        pv, v2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] / l_ref[:, :1]).reshape(kvh, g, hd)
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "span"))
+def decode_attention_tiled(
+    q: jax.Array,        # (B, H, 1, hd) — rope already applied
+    k: jax.Array,        # (B, KVH, S, hd) int8 cache
+    k_scale: jax.Array,  # (B, KVH, S) f32
+    v: jax.Array,
+    v_scale: jax.Array,
+    pos: jax.Array,      # (B,) int32
+    *,
+    precision: str = "fast",
+    span: int | None = None,
+) -> jax.Array:
+    """Single-token GQA decode attention for spans too large for the
+    single-tile kernel: S is processed in 256-row tiles with online
+    softmax, so VMEM use is independent of span. Same contract as
+    decode_attention with t=1."""
+    b, h, tt, hd = q.shape
+    assert tt == 1, "tiled decode attention is single-token only"
+    _, kvh, s, _ = k.shape
+    g = h // kvh
+    span = s if span is None else min(span, s)
+    ts = 256
+    assert span % ts == 0, f"span {span} must be a multiple of {ts}"
+
+    qr = q.reshape(b, kvh, g, hd)
+    scale = 1.0 / (hd ** 0.5)
+    r = kvh * g
+
+    out = pl.pallas_call(
+        functools.partial(_attn_tiled_kernel, kvh, g, ts, scale,
+                          precision == "fast"),
+        grid=(b, span // ts),
+        in_specs=[
+            pl.BlockSpec((1, kvh, g, hd), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, ts, hd), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, 1, ts), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, ts, hd), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kvh, 1, ts), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pos (B, 1)
+        ],
+        out_specs=pl.BlockSpec((1, kvh, g, hd), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, kvh, g, hd), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((r, hd), jnp.float32),
+            pltpu.VMEM((r, 128), jnp.float32),
+            pltpu.VMEM((r, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=running_interpreted(),
+    )(qr, k, k_scale.reshape(b, kvh, 1, s), v,
+      v_scale.reshape(b, kvh, 1, s), pos.reshape(b, 1).astype(jnp.int32))
+
+    return out.reshape(b, h, 1, hd)
+
+
 @functools.partial(jax.jit, static_argnames=("t", "precision", "span"))
 def decode_attention_update(
     q: jax.Array,        # (B, H, t, hd) — rope applied

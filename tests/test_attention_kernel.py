@@ -173,3 +173,28 @@ def test_decode_attention_update_roundtrip():
     assert err < 2e-5, err
     np.testing.assert_array_equal(np.asarray(ko), exp_k)
     np.testing.assert_array_equal(np.asarray(vo), exp_v)
+
+
+@pytest.mark.parametrize("b,h,kvh,s,hd", [
+    (2, 8, 2, 512, 64),     # GQA
+    (2, 4, 4, 256, 128),    # MHA
+    (3, 8, 1, 512, 128),    # MQA
+])
+def test_tiled_decode_attention_matches_single_tile(b, h, kvh, s, hd):
+    """Flash-decoding over 256-row S-tiles == the single-tile kernel."""
+    from gguf_tpu.ops.attention import decode_attention_tiled
+
+    rng = np.random.default_rng(hash((b, h, kvh)) % 2**31)
+    q = jnp.asarray(rng.standard_normal((b, h, 1, hd)), jnp.float32)
+    k_i, ks = _quant(rng.standard_normal((b, kvh, s, hd)).astype(np.float32))
+    v_i, vs = _quant(rng.standard_normal((b, kvh, s, hd)).astype(np.float32))
+    pos = jnp.asarray(rng.integers(1, s - 1, b), jnp.int32)
+
+    ref = np.asarray(decode_attention(
+        q, k_i, ks, v_i, vs, pos, t=1, precision="high"))
+    for span in (256, s):
+        out = np.asarray(decode_attention_tiled(
+            q, k_i, ks, v_i, vs, pos, precision="high", span=span))
+        # spans shorter than pos+1 only cover prefixes; compare where valid
+        valid = np.asarray(pos) < span
+        np.testing.assert_allclose(out[valid], ref[valid], rtol=0, atol=2e-5)

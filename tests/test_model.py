@@ -340,3 +340,29 @@ def test_long_span_xla_fallback_matches_pallas(model, monkeypatch):
         for key in ("k", "v", "k_scale", "v_scale"):
             np.testing.assert_array_equal(np.asarray(lp[key]),
                                           np.asarray(lx[key]))
+
+
+def test_long_span_tiled_path_matches_pallas(model, monkeypatch):
+    """256-multiple spans past the VMEM budget take the flash-decoding
+    tiled kernel; logits must match the single-tile path."""
+    import gguf_tpu.models.llama as llama_mod
+
+    _, cfg, params = model
+    rng = np.random.default_rng(33)
+    b = 2
+    opts = MMOpts(precision="high")
+    cache0 = init_kv_cache(cfg, batch=b, max_seq=512)
+    tokens = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (b, 1)).astype(np.int32))
+    pos = jnp.asarray([3, 200], jnp.int32)
+
+    pal, cache_p = forward(params, cfg, tokens, pos, cache0, opts, span=256)
+    monkeypatch.setattr(llama_mod, "PALLAS_ATTN_MAX_ELEMS", 1)
+    tiled, cache_t = forward(params, cfg, tokens, pos, cache0, opts, span=256)
+
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(tiled),
+                               rtol=0, atol=5e-4)
+    for lp, lt in zip(cache_p, cache_t):
+        for key in ("k", "v", "k_scale", "v_scale"):
+            np.testing.assert_array_equal(np.asarray(lp[key]),
+                                          np.asarray(lt[key]))

@@ -65,6 +65,18 @@ def main():
             assert np.isfinite(np.asarray(out[0])).all()
         print(f"attention b={b} kvh={kvh} s={s} hd={hd} t={t}: ok")
 
+    # 2b. flash-decoding tiled kernel (long spans past the VMEM budget)
+    from gguf_tpu.ops.attention import decode_attention_tiled
+
+    b, h, kvh, s, hd = 8, 32, 32, 1024, 128
+    q = jnp.asarray(rng.standard_normal((b, h, 1, hd)), jnp.float32)
+    z8 = jnp.zeros((b, kvh, s, hd), jnp.int8)
+    zf = jnp.zeros((b, kvh, s), jnp.float32)
+    out = decode_attention_tiled(q, z8, zf, z8, zf,
+                                 jnp.zeros(b, jnp.int32), span=1024)
+    assert np.isfinite(np.asarray(out)).all()
+    print("tiled attention span=1024 MHA: ok")
+
     # 3. the engine end to end (prefill + chunked decode + sampler)
     import os
     import tempfile
