@@ -93,6 +93,13 @@ def cmd_ppl(args):
                       "window": args.window}))
 
 
+def cmd_serve(args):
+    from ..engine.server import serve
+
+    serve(args.model, host=args.host, port=args.port,
+          max_batch=args.max_batch, tp=args.tp)
+
+
 def cmd_bench(args):
     import jax
     import jax.numpy as jnp
@@ -170,6 +177,15 @@ def main(argv=None):
     s.add_argument("--batch", type=int, default=16)
     s.add_argument("--seq", type=int, default=256)
     s.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("serve", help="OpenAI-style HTTP completions server")
+    s.add_argument("model")
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--max-batch", type=int, default=8)
+    s.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways (shards over the first N devices)")
+    s.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     args.fn(args)
