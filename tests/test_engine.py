@@ -189,3 +189,22 @@ def test_stop_sequences(llm):
     assert res.finished
     assert probe not in res.text
     assert len(res.token_ids) <= len(res_free.token_ids)
+
+
+def test_decode_crosses_span_buckets_on_fallback_paths(tmp_path, monkeypatch):
+    """Generation that crosses the 128 -> 256 span bucket exercises the
+    XLA fallback (span 128) and the tiled flash-decoding kernel (span 256)
+    when the single-tile budget is exceeded; the engine must run cleanly
+    through the transition."""
+    import gguf_tpu.models.llama as llama_mod
+
+    path = str(tmp_path / "tiny.gguf")
+    write_random_llama_gguf(path, CFG, fmt=GGMLType.Q4_K, seed=5)
+    llm = LLM(path, max_batch=2, max_seq=512)
+    monkeypatch.setattr(llama_mod, "PALLAS_ATTN_MAX_ELEMS", 1)
+
+    outs = llm.generate([[3, 4, 5], [6, 7]], max_new_tokens=140,
+                        sampler=SamplerConfig(temperature=0.0),
+                        stop_at_eos=False)
+    assert [len(o.token_ids) for o in outs] == [140, 140]
+    assert all(0 <= t < CFG.vocab_size for o in outs for t in o.token_ids)
