@@ -120,7 +120,7 @@ def bench_mmq(ns, quick=False):
             log(f"  mmq_{fmt} n={n:>2}: {t*1e6:7.1f}us  {gbps:6.1f} GB/s")
 
 
-def bench_decode(quick=False, model="tinyllama"):
+def bench_decode(quick=False, model="tinyllama", batch=16):
     """Decode throughput: tokens/s. Full mode runs real model geometries
     (BASELINE configs: TinyLlama-1.1B Q4_K_M, or --7b for Llama-2-7B
     Q4_K_M, ~3.9GB weights — the checkpoint quantizes once and is cached);
@@ -149,18 +149,24 @@ def bench_decode(quick=False, model="tinyllama"):
             "7b": ("llama2_7b_q4km.gguf", LlamaConfig(
                 vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
                 n_kv_heads=32, ffn_dim=11008, max_seq_len=2048)),
+            # BASELINE config #5: 13B at Q6_K (the 2-host continuous-
+            # batching target; a single v5e fits the 10GB weights)
+            "13b": ("llama2_13b_q6k.gguf", LlamaConfig(
+                vocab_size=32000, dim=5120, n_layers=40, n_heads=40,
+                n_kv_heads=40, ffn_dim=13824, max_seq_len=2048)),
         }
         fname, cfg = shapes[model]
         path = f"/tmp/gguf_tpu_flagship/{fname}"
         os.makedirs(os.path.dirname(path), exist_ok=True)
         if not os.path.exists(path):
             log(f"  quantizing {model}-shaped checkpoint (one-time)...")
-            write_random_llama_gguf(path, cfg, seed=0)
+            from gguf_tpu.gguf import GGMLType
+            fmt = GGMLType.Q6_K if model == "13b" else GGMLType.Q4_K
+            write_random_llama_gguf(path, cfg, fmt=fmt, seed=0)
         cfg, params = load_llama(path)
         name = {"tinyllama": "tinyllama-1.1b-q4km",
-                "7b": "llama2-7b-q4km"}[model]
+                "7b": "llama2-7b-q4km", "13b": "llama2-13b-q6k"}[model]
     params = fuse_llama_params(params)
-    batch = 16
     cache = init_kv_cache(cfg, batch=batch, max_seq=256)
     wbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
                  for a in jax.tree_util.tree_leaves(params))
@@ -232,6 +238,9 @@ def main():
     if "--7b" in sys.argv:
         log("== llama-2-7b decode ==")
         bench_decode(model="7b")
+    if "--13b" in sys.argv:
+        log("== llama-2-13b q6_k decode ==")
+        bench_decode(model="13b", batch=8)
 
 
 if __name__ == "__main__":
