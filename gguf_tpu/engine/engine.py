@@ -13,6 +13,7 @@ entries before attending to them.
 from __future__ import annotations
 
 import functools
+import time
 from dataclasses import dataclass, field
 
 import jax
@@ -33,6 +34,9 @@ class GenerationResult:
     token_ids: list = field(default_factory=list)
     text: str = ""
     finished: bool = False
+    # batch-level serving stats, shared by every result of one generate()
+    # call: wall_s, new_tokens, tokens_per_s (aggregate decode throughput)
+    stats: dict = field(default_factory=dict)
 
 
 class LLM:
@@ -170,6 +174,7 @@ class LLM:
         most chunk-1 speculative steps and new requests wait at most one
         chunk for a slot. Sampling key streams differ across chunk sizes
         (greedy output does not)."""
+        t_start = time.perf_counter()
         queue = [(i, self._encode(p)) for i, p in enumerate(prompts)]
         queue.reverse()  # pop() takes the earliest request
         results = {i: GenerationResult(prompt_ids=ids) for i, ids in
@@ -270,6 +275,12 @@ class LLM:
             admit()
 
         out = [results[i] for i in sorted(results)]
+        wall = time.perf_counter() - t_start
+        new_tokens = sum(len(r.token_ids) for r in out)
+        stats = {"wall_s": round(wall, 4), "new_tokens": new_tokens,
+                 "tokens_per_s": round(new_tokens / wall, 1) if wall else 0.0}
+        for r in out:
+            r.stats = stats
         if self.tokenizer is not None:
             for r in out:
                 r.text = self.tokenizer.decode(r.token_ids)

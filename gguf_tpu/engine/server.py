@@ -152,6 +152,7 @@ def make_handler(worker: EngineWorker):
                     "prompt_tokens": len(res.prompt_ids),
                     "completion_tokens": len(res.token_ids),
                 },
+                "stats": res.stats,  # micro-batch wall_s / tokens_per_s
             })
 
     return Handler
