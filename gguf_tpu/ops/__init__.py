@@ -5,6 +5,8 @@ from .mmq_q4_k import mmq_q4_k
 from .mmq_q5_k import mmq_q5_k
 from .mmq_q6_k import mmq_q6_k
 from .activation import quantize_q8_1_act, fake_quantize_q8_1
+from .attention import (decode_attention, decode_attention_tiled,
+                        decode_attention_update, kv_cache_insert)
 
 MMQ = {"q8_0": mmq_q8_0, "q4_k": mmq_q4_k, "q5_k": mmq_q5_k,
        "q6_k": mmq_q6_k}
@@ -12,4 +14,6 @@ MMQ = {"q8_0": mmq_q8_0, "q4_k": mmq_q4_k, "q5_k": mmq_q5_k,
 __all__ = [
     "mmq_q8_0", "mmq_q4_k", "mmq_q5_k", "mmq_q6_k", "MMQ",
     "quantize_q8_1_act", "fake_quantize_q8_1",
+    "decode_attention", "decode_attention_tiled", "decode_attention_update",
+    "kv_cache_insert",
 ]
