@@ -149,8 +149,12 @@ def bench_decode(quick=False, model="tinyllama", batch=16):
             "7b": ("llama2_7b_q4km.gguf", LlamaConfig(
                 vocab_size=32000, dim=4096, n_layers=32, n_heads=32,
                 n_kv_heads=32, ffn_dim=11008, max_seq_len=2048)),
-            # BASELINE config #5: 13B at Q6_K (the 2-host continuous-
-            # batching target; a single v5e fits the 10GB weights)
+            # BASELINE config #5: 13B at Q6_K — the 2-host continuous-
+            # batching target. The 10.5GB of weights need most of a v5e's
+            # 16GB HBM to themselves; on this environment's SHARED chip
+            # the resident co-tenants leave too little and execution hits
+            # RESOURCE_EXHAUSTED, so this config is reachable only via
+            # tp>=2 (LLM(tp=2) halves the per-chip weight footprint)
             "13b": ("llama2_13b_q6k.gguf", LlamaConfig(
                 vocab_size=32000, dim=5120, n_layers=40, n_heads=40,
                 n_kv_heads=40, ffn_dim=13824, max_seq_len=2048)),
