@@ -48,6 +48,7 @@ class LLM:
         max_seq: int | None = None,
         opts: MMOpts = MMOpts(),
         tp: int = 1,
+        prefill_chunk: int = 512,
     ):
         """tp > 1 serves the model tensor-sharded over the first tp devices
         (Megatron column/row sharding, psum over ICI — parallel/tp.py); the
@@ -60,6 +61,10 @@ class LLM:
         self.tokenizer = tokenizer_from_metadata(md)
         self.max_batch = max_batch
         self.max_seq = max_seq or self.cfg.max_seq_len
+        # prompts longer than this prefill in fixed chunks (bounded
+        # activation memory; attention still sees the whole prefix via the
+        # KV cache + span)
+        self.prefill_chunk = max(8, prefill_chunk)
         self.opts = opts
 
         if tp > 1:
@@ -81,23 +86,21 @@ class LLM:
                 return forward(params, _cfg, tokens, pos, cache, _o,
                                span=span)
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def _prefill(params, cache, tokens, slot, true_len):
-            """Prefill one request into cache slot `slot`; returns the logits
-            of its last real token."""
-            t = tokens.shape[1]
-            # prefill starts at position 0, so only the first t cache rows
-            # are live; short buckets take the Pallas decode path, which
-            # reads 128-row-aligned spans
-            span = t if t > 8 else (128 if self.max_seq >= 128 else None)
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(6,))
+        def _prefill(params, cache, tokens, slot, start, last_idx, span):
+            """Prefill one prompt chunk into cache slot `slot` at positions
+            start..start+t-1; returns the logits of the chunk's token
+            `last_idx` (only meaningful on the final chunk). `span` is the
+            scheduler's static bound on start + t."""
             cache_1 = jax.tree_util.tree_map(
                 lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0), cache)
-            logits, cache_1 = fwd(params, tokens, jnp.zeros(1, jnp.int32),
+            logits, cache_1 = fwd(params, tokens,
+                                  jnp.reshape(start, (1,)).astype(jnp.int32),
                                   cache_1, span=span)
             cache = jax.tree_util.tree_map(
                 lambda c, c1: jax.lax.dynamic_update_slice_in_dim(c, c1, slot, axis=0),
                 cache, cache_1)
-            last = jax.lax.dynamic_slice_in_dim(logits, true_len - 1, 1, axis=1)
+            last = jax.lax.dynamic_slice_in_dim(logits, last_idx, 1, axis=1)
             return last[0, 0], cache
 
         @functools.partial(jax.jit, donate_argnums=(1,),
@@ -195,14 +198,32 @@ class LLM:
                 rid, ids = queue.pop()
                 n = len(ids)
                 assert n < self.max_seq, f"prompt ({n}) exceeds max_seq {self.max_seq}"
-                # the power-of-two bucket may exceed max_seq (= the cache
-                # length); clamp so the prefill cache insert fits
-                tp = min(self._bucket(n), self.max_seq)
+                # long prompts prefill in fixed-size chunks: activation
+                # memory stays bounded (attention scores scale with
+                # chunk x span, not prompt^2) and jit specializations stay
+                # few (one full-chunk shape + power-of-two tail buckets)
+                ck = self.prefill_chunk
+                off = 0
+                while n - off > ck:
+                    span = self._span_bucket(off + ck)
+                    _, self.cache = self._prefill(
+                        self.params, self.cache,
+                        jnp.asarray(np.asarray(ids[off:off + ck],
+                                               np.int32)[None]),
+                        jnp.int32(s), jnp.int32(off), jnp.int32(ck - 1),
+                        span)
+                    off += ck
+                # final chunk: power-of-two bucket, clamped to max_seq (=
+                # the cache length) so the prefill cache insert fits
+                tail = n - off
+                tp = min(self._bucket(tail), self.max_seq)
                 toks = np.zeros((1, tp), np.int32)
-                toks[0, :n] = ids
+                toks[0, :tail] = ids[off:]
+                span = self._span_bucket(off + tp)
                 logits, self.cache = self._prefill(
                     self.params, self.cache, jnp.asarray(toks),
-                    jnp.int32(s), jnp.int32(n))
+                    jnp.int32(s), jnp.int32(off), jnp.int32(tail - 1),
+                    span)
                 key, sub = jax.random.split(key)
                 first = int(sample(logits[None, :], sub, sampler)[0])
                 slots[s] = rid
