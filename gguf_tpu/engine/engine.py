@@ -48,14 +48,18 @@ class LLM:
         max_seq: int | None = None,
         opts: MMOpts = MMOpts(),
         tp: int = 1,
+        dp: int = 1,
         prefill_chunk: int = 512,
     ):
-        """tp > 1 serves the model tensor-sharded over the first tp devices
-        (Megatron column/row sharding, psum over ICI — parallel/tp.py); the
-        batch and KV-cache slot pool are replicated, kv heads sharded, so
-        the continuous-batching scheduler below is unchanged."""
+        """tp > 1 serves the model tensor-sharded (Megatron column/row
+        sharding, psum over ICI — parallel/tp.py); dp > 1 additionally
+        shards the slot pool's batch over data-parallel replicas (decode
+        throughput scales with dp; each single-request prefill runs
+        dp-replicated). Uses the first tp*dp devices; the
+        continuous-batching scheduler below is unchanged."""
         self.cfg, self.params = load_llama(path)
-        self.params = fuse_llama_params(self.params) if tp == 1 else self.params
+        sharded = tp > 1 or dp > 1
+        self.params = self.params if sharded else fuse_llama_params(self.params)
         with GGUFReader(path) as r:
             md = r.metadata
         self.tokenizer = tokenizer_from_metadata(md)
@@ -67,12 +71,13 @@ class LLM:
         self.prefill_chunk = max(8, prefill_chunk)
         self.opts = opts
 
-        if tp > 1:
+        if tp > 1 or dp > 1:
             from ..parallel import (
                 init_sharded_cache, make_mesh, shard_llama, tp_forward_fn,
             )
 
-            self.mesh = make_mesh(tp=tp, dp=1)
+            assert max_batch % dp == 0, (max_batch, dp)
+            self.mesh = make_mesh(tp=tp, dp=dp)
             self.params, self.cfg = shard_llama(self.params, self.cfg, self.mesh)
             self.cache = init_sharded_cache(
                 self.cfg, self.mesh, max_batch, self.max_seq)
@@ -81,7 +86,7 @@ class LLM:
             self.mesh = None
             self.cache = init_kv_cache(self.cfg, max_batch, self.max_seq)
 
-            def fwd(params, tokens, pos, cache, span=None,
+            def fwd(params, tokens, pos, cache, span=None, batch_axis=None,
                     _cfg=self.cfg, _o=self.opts):
                 return forward(params, _cfg, tokens, pos, cache, _o,
                                span=span)
@@ -96,7 +101,7 @@ class LLM:
                 lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0), cache)
             logits, cache_1 = fwd(params, tokens,
                                   jnp.reshape(start, (1,)).astype(jnp.int32),
-                                  cache_1, span=span)
+                                  cache_1, span=span, batch_axis=None)
             cache = jax.tree_util.tree_map(
                 lambda c, c1: jax.lax.dynamic_update_slice_in_dim(c, c1, slot, axis=0),
                 cache, cache_1)

@@ -85,14 +85,16 @@ def param_specs(params: dict) -> dict:
     return specs
 
 
-def cache_specs(n_layers: int) -> list:
-    """KV cache sharding: kv heads over tp, batch over dp (a list of
-    per-layer spec dicts, matching models.llama.init_kv_cache)."""
+def cache_specs(n_layers: int, batch_axis: str | None = "dp") -> list:
+    """KV cache sharding: kv heads over tp, batch over `batch_axis` (a
+    list of per-layer spec dicts, matching models.llama.init_kv_cache).
+    batch_axis=None replicates the batch dim — used for single-request
+    prefill, whose batch of 1 cannot shard over dp."""
     layer = {
-        "k": P("dp", "tp", None, None),
-        "v": P("dp", "tp", None, None),
-        "k_scale": P("dp", "tp", None),
-        "v_scale": P("dp", "tp", None),
+        "k": P(batch_axis, "tp", None, None),
+        "v": P(batch_axis, "tp", None, None),
+        "k_scale": P(batch_axis, "tp", None),
+        "v_scale": P(batch_axis, "tp", None),
     }
     return [dict(layer) for _ in range(n_layers)]
 
@@ -131,7 +133,11 @@ def tp_forward_fn(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
     cfg_local = local_cfg(cfg, tp)
     opts_tp = opts._replace(axis_name="tp")
 
-    def wrapped(params, tokens, pos, cache, span=None):
+    def wrapped(params, tokens, pos, cache, span=None, batch_axis="dp"):
+        """batch_axis: "dp" shards the batch over the dp mesh axis (the
+        decode steady state); None replicates it — every dp group runs the
+        same program, which is how a single-request prefill executes on a
+        dp>1 mesh (redundant but correct; tp still splits the weights)."""
         def fn(params, tokens, pos, cache):
             return forward(params, cfg_local, tokens, pos, cache, opts_tp,
                            span=span)
@@ -139,9 +145,9 @@ def tp_forward_fn(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
         return jax.shard_map(
             fn,
             mesh=mesh,
-            in_specs=(param_specs(params), P("dp"), P("dp"),
-                      cache_specs(cfg.n_layers)),
-            out_specs=(P("dp"), cache_specs(cfg.n_layers)),
+            in_specs=(param_specs(params), P(batch_axis), P(batch_axis),
+                      cache_specs(cfg.n_layers, batch_axis)),
+            out_specs=(P(batch_axis), cache_specs(cfg.n_layers, batch_axis)),
             check_vma=False,
         )(params, tokens, pos, cache)
 

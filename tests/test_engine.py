@@ -229,3 +229,27 @@ def test_chunked_prefill_matches_single_shot(tmp_path):
                       prefill_chunk=8).generate(
             [prompt], max_new_tokens=10, sampler=greedy, stop_at_eos=False)
         assert whole[0].token_ids == chunked[0].token_ids, max_seq
+
+
+def test_engine_data_parallel(tmp_path):
+    """LLM(dp=2) (batch sharded over data-parallel replicas) must produce
+    the same greedy completions as the single-device engine."""
+    path = str(tmp_path / "tiny.gguf")
+    cfg = LlamaConfig(vocab_size=256, dim=512, n_layers=2, n_heads=8,
+                      n_kv_heads=2, ffn_dim=1024, max_seq_len=64)
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q4_K, seed=11)
+    prompts = [[3, 4, 5], [6, 7], [8, 9, 10, 11], [12]]
+    greedy = SamplerConfig(temperature=0.0)
+
+    ref = LLM(path, max_batch=4, max_seq=32).generate(
+        prompts, max_new_tokens=8, sampler=greedy, stop_at_eos=False)
+    dpe = LLM(path, max_batch=4, max_seq=32, dp=2).generate(
+        prompts, max_new_tokens=8, sampler=greedy, stop_at_eos=False)
+    assert [r.token_ids for r in ref] == [r.token_ids for r in dpe]
+
+    # dp x tp: tp's different psum reduction orders can flip a late greedy
+    # pick (same caveat as test_engine_tensor_parallel); prefixes must agree
+    dptp = LLM(path, max_batch=4, max_seq=32, dp=2, tp=2).generate(
+        prompts, max_new_tokens=8, sampler=greedy, stop_at_eos=False)
+    for a, b in zip(ref, dptp):
+        assert a.token_ids[:3] == b.token_ids[:3], (a.token_ids, b.token_ids)
