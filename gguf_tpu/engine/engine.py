@@ -171,6 +171,7 @@ class LLM:
         stop_at_eos: bool = True,
         stop: list[str] | None = None,
         decode_chunk: int = 8,
+        on_tokens=None,
     ) -> list[GenerationResult]:
         """Generate completions with continuous batching over the slot pool.
 
@@ -181,12 +182,33 @@ class LLM:
         amortize host sync/scheduler overhead; a finished sequence wastes at
         most chunk-1 speculative steps and new requests wait at most one
         chunk for a slot. Sampling key streams differ across chunk sizes
-        (greedy output does not)."""
+        (greedy output does not).
+        `on_tokens(request_index, new_token_ids, finished)`: streaming
+        callback, invoked from this thread after each prefill/decode chunk
+        with that request's newly available raw token ids (stop-string
+        trimming only applies to the final .text; a stream may overshoot
+        by up to the stop string + one chunk)."""
         t_start = time.perf_counter()
         queue = [(i, self._encode(p)) for i, p in enumerate(prompts)]
         queue.reverse()  # pop() takes the earliest request
         results = {i: GenerationResult(prompt_ids=ids) for i, ids in
                    ((i, ids) for i, ids in reversed(queue))}
+
+        emitted = {i: 0 for i in results}
+        done_emitted: set = set()
+
+        def _flush():
+            if on_tokens is None:
+                return
+            for rid, res in results.items():
+                n = len(res.token_ids)
+                if n > emitted[rid] or (res.finished
+                                        and rid not in done_emitted):
+                    on_tokens(rid, res.token_ids[emitted[rid]:n],
+                              res.finished)
+                    emitted[rid] = n
+                    if res.finished:
+                        done_emitted.add(rid)
 
         slots: list[int | None] = [None] * self.max_batch  # request id per slot
         pos = np.zeros(self.max_batch, np.int64)
@@ -267,12 +289,14 @@ class LLM:
                 slots[s] = None
 
         admit()
+        _flush()
         while any(s is not None for s in slots) or queue:
             live = [s for s in range(self.max_batch) if slots[s] is not None]
             if not live:
                 # every admitted request finished during admit() (e.g.
                 # max_new_tokens=1 or first-token EOS) with more queued
                 admit()
+                _flush()
                 continue
             key, sub = jax.random.split(key)
             # bound the chunk by the smallest live budget / remaining room so
@@ -299,8 +323,10 @@ class LLM:
                     budget[s] -= 1
                     _maybe_finish(s, tok)
             admit()
+            _flush()
 
         out = [results[i] for i in sorted(results)]
+        _flush()
         wall = time.perf_counter() - t_start
         new_tokens = sum(len(r.token_ids) for r in out)
         stats = {"wall_s": round(wall, 4), "new_tokens": new_tokens,

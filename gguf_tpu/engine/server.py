@@ -27,12 +27,16 @@ from .sampler import SamplerConfig
 
 
 class _Request:
-    def __init__(self, prompt, max_tokens, sampler, seed, stop=None):
+    def __init__(self, prompt, max_tokens, sampler, seed, stop=None,
+                 stream=False):
         self.prompt = prompt
         self.max_tokens = max_tokens
         self.sampler = sampler
         self.seed = seed
         self.stop = stop
+        self.stream = stream
+        # streaming: (new_token_ids, finished) tuples, then a None sentinel
+        self.events: queue.Queue = queue.Queue()
         self.done = threading.Event()
         self.result = None
         self.error = None
@@ -75,17 +79,26 @@ class EngineWorker:
                        tuple(r.stop) if r.stop else None)
                 groups.setdefault(key, []).append(r)
             for (sampler, max_tokens, seed, stop), reqs in groups.items():
+                streaming = any(r.stream for r in reqs)
+
+                def on_tokens(idx, ids, finished, _reqs=reqs):
+                    r = _reqs[idx]
+                    if r.stream:
+                        r.events.put((list(ids), finished))
+
                 try:
                     results = self.llm.generate(
                         [r.prompt for r in reqs], max_new_tokens=max_tokens,
                         sampler=sampler, seed=seed,
-                        stop=list(stop) if stop else None)
+                        stop=list(stop) if stop else None,
+                        on_tokens=on_tokens if streaming else None)
                     for r, res in zip(reqs, results):
                         r.result = res
                 except Exception as e:  # surface engine errors to the client
                     for r in reqs:
                         r.error = str(e)
                 for r in reqs:
+                    r.events.put(None)
                     r.done.set()
 
 
@@ -101,6 +114,43 @@ def make_handler(worker: EngineWorker):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _stream_reply(self, req: _Request) -> None:
+            """Server-sent events: one `data: {...}` line per token delta,
+            then `data: [DONE]`. Deltas carry raw token ids and the
+            incrementally decoded text (decode-full-and-diff, so multi-byte
+            characters split across byte-fallback tokens emerge intact)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            tok = worker.llm.tokenizer
+            all_ids: list = []
+            sent_text = 0
+            while True:
+                ev = req.events.get()
+                if ev is None:
+                    break
+                ids, finished = ev
+                all_ids.extend(ids)
+                text = tok.decode(all_ids) if tok is not None else ""
+                delta, sent_text = text[sent_text:], len(text)
+                chunk = {"object": "text_completion.chunk",
+                         "choices": [{"text": delta, "token_ids": ids,
+                                      "finish_reason":
+                                          "stop" if finished else None}]}
+                try:
+                    self.wfile.write(b"data: " + json.dumps(chunk).encode()
+                                     + b"\n\n")
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    return  # client hung up; engine finishes on its own
+            try:
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass
 
         def do_GET(self):
             if self.path == "/health":
@@ -131,11 +181,15 @@ def make_handler(worker: EngineWorker):
                 if isinstance(stop, str):
                     stop = [stop]
                 req = _Request(prompt, int(payload.get("max_tokens", 64)),
-                               sampler, int(payload.get("seed", 0)), stop)
+                               sampler, int(payload.get("seed", 0)), stop,
+                               stream=bool(payload.get("stream", False)))
             except (ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
                 return
             worker.submit(req)
+            if req.stream:
+                self._stream_reply(req)
+                return
             req.done.wait()
             if req.error:
                 self._reply(500, {"error": req.error})

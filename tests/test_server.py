@@ -78,3 +78,35 @@ def test_bad_request(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_streaming_completion(server):
+    """stream=true returns SSE chunks whose token ids concatenate to the
+    non-streaming result."""
+    ref = _post(server, {"prompt": [1, 5, 9], "max_tokens": 6,
+                         "temperature": 0.0, "seed": 1})
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps({"prompt": [1, 5, 9], "max_tokens": 6,
+                         "temperature": 0.0, "seed": 1,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    ids, finish = [], None
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        saw_done = False
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            body = line[len("data: "):]
+            if body == "[DONE]":
+                saw_done = True
+                break
+            chunk = json.loads(body)["choices"][0]
+            ids.extend(chunk["token_ids"])
+            if chunk["finish_reason"] is not None:
+                finish = chunk["finish_reason"]
+    assert saw_done
+    assert ids == ref["choices"][0]["token_ids"]
+    assert finish == "stop" or len(ids) == 6
