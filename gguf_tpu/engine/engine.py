@@ -63,6 +63,7 @@ class LLM:
         with GGUFReader(path) as r:
             md = r.metadata
         self.tokenizer = tokenizer_from_metadata(md)
+        self.chat_template = md.get("tokenizer.chat_template")
         self.max_batch = max_batch
         self.max_seq = max_seq or self.cfg.max_seq_len
         # prompts longer than this prefill in fixed chunks (bounded
@@ -136,6 +137,29 @@ class LLM:
         self._decode = _decode
 
     # ------------------------------------------------------------- utils ---
+    def apply_chat_template(self, messages,
+                            add_generation_prompt: bool = True) -> str:
+        """Render the GGUF's embedded jinja chat template
+        (tokenizer.chat_template) over OpenAI-style messages
+        [{"role": ..., "content": ...}, ...]. Raises ValueError when the
+        checkpoint ships no template."""
+        if not self.chat_template:
+            raise ValueError(
+                "model has no tokenizer.chat_template; use plain prompts")
+        import jinja2
+
+        env = jinja2.Environment(trim_blocks=True, lstrip_blocks=True)
+        env.globals["raise_exception"] = lambda msg: (_ for _ in ()).throw(
+            jinja2.TemplateError(msg))
+        tok = self.tokenizer
+        bos = tok.tokens[tok.bos_id] if tok is not None and getattr(
+            tok, "bos_id", None) is not None else ""
+        eos = tok.tokens[tok.eos_id] if tok is not None and getattr(
+            tok, "eos_id", None) is not None else ""
+        return env.from_string(self.chat_template).render(
+            messages=messages, bos_token=bos, eos_token=eos,
+            add_generation_prompt=add_generation_prompt)
+
     def _encode(self, prompt) -> list[int]:
         if isinstance(prompt, str):
             if self.tokenizer is None:

@@ -50,6 +50,11 @@ class EngineWorker:
         self.llm = llm
         self.queue: queue.Queue[_Request] = queue.Queue()
         self.max_wait_s = max_wait_s
+        # serving counters (read by /metrics; single writer = this thread)
+        self.metrics = {"requests_total": 0, "requests_failed": 0,
+                        "prompt_tokens_total": 0,
+                        "completion_tokens_total": 0,
+                        "engine_busy_s_total": 0.0}
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -86,6 +91,7 @@ class EngineWorker:
                     if r.stream:
                         r.events.put((list(ids), finished))
 
+                t0 = time.monotonic()
                 try:
                     results = self.llm.generate(
                         [r.prompt for r in reqs], max_new_tokens=max_tokens,
@@ -94,9 +100,14 @@ class EngineWorker:
                         on_tokens=on_tokens if streaming else None)
                     for r, res in zip(reqs, results):
                         r.result = res
+                        self.metrics["prompt_tokens_total"] += len(res.prompt_ids)
+                        self.metrics["completion_tokens_total"] += len(res.token_ids)
                 except Exception as e:  # surface engine errors to the client
                     for r in reqs:
                         r.error = str(e)
+                    self.metrics["requests_failed"] += len(reqs)
+                self.metrics["requests_total"] += len(reqs)
+                self.metrics["engine_busy_s_total"] += time.monotonic() - t0
                 for r in reqs:
                     r.events.put(None)
                     r.done.set()
@@ -156,11 +167,17 @@ def make_handler(worker: EngineWorker):
             if self.path == "/health":
                 self._reply(200, {"status": "ok",
                                   "model": worker.llm.cfg.__dict__})
+            elif self.path == "/metrics":
+                m = dict(worker.metrics)
+                m["queue_depth"] = worker.queue.qsize()
+                self._reply(200, m)
             else:
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path not in ("/v1/completions", "/completions"):
+            chat = self.path in ("/v1/chat/completions", "/chat/completions")
+            if not chat and self.path not in ("/v1/completions",
+                                              "/completions"):
                 self._reply(404, {"error": "not found"})
                 return
             try:
@@ -168,7 +185,13 @@ def make_handler(worker: EngineWorker):
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 if not isinstance(payload, dict):
                     raise ValueError("request body must be a JSON object")
-                prompt = payload.get("prompt")
+                if chat:
+                    messages = payload.get("messages")
+                    if not isinstance(messages, list) or not messages:
+                        raise ValueError("missing 'messages' list")
+                    prompt = worker.llm.apply_chat_template(messages)
+                else:
+                    prompt = payload.get("prompt")
                 if prompt is None:
                     raise ValueError("missing 'prompt' (string or token id list)")
                 sampler = SamplerConfig(
@@ -195,13 +218,16 @@ def make_handler(worker: EngineWorker):
                 self._reply(500, {"error": req.error})
                 return
             res = req.result
+            choice = ({"message": {"role": "assistant", "content": res.text},
+                       "token_ids": res.token_ids,
+                       "finish_reason": "stop" if res.finished else "length"}
+                      if chat else
+                      {"text": res.text,
+                       "token_ids": res.token_ids,
+                       "finish_reason": "stop" if res.finished else "length"})
             self._reply(200, {
-                "object": "text_completion",
-                "choices": [{
-                    "text": res.text,
-                    "token_ids": res.token_ids,
-                    "finish_reason": "stop" if res.finished else "length",
-                }],
+                "object": "chat.completion" if chat else "text_completion",
+                "choices": [choice],
                 "usage": {
                     "prompt_tokens": len(res.prompt_ids),
                     "completion_tokens": len(res.token_ids),

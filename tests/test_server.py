@@ -110,3 +110,50 @@ def test_streaming_completion(server):
     assert saw_done
     assert ids == ref["choices"][0]["token_ids"]
     assert finish == "stop" or len(ids) == 6
+
+
+def _toy_spm_metadata():
+    tokens = ["<unk>", "<s>", "</s>"]
+    tokens += [f"<0x{b:02X}>" for b in range(256)]
+    tokens = (tokens + [f"<p{i}>" for i in range(512)])[:CFG.vocab_size]
+    return {
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": np.zeros(CFG.vocab_size, np.float32),
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+    }
+
+
+def test_chat_completions_with_template(tmp_path):
+    """/v1/chat/completions renders the GGUF's jinja chat template and
+    returns an assistant message."""
+    tpl = ("{{ bos_token }}{% for m in messages %}[{{ m.role }}]: "
+           "{{ m.content }}\n{% endfor %}"
+           "{% if add_generation_prompt %}[assistant]: {% endif %}")
+    path = str(tmp_path / "chat.gguf")
+    md = _toy_spm_metadata()
+    md["tokenizer.chat_template"] = tpl
+    write_random_llama_gguf(path, CFG, fmt=GGMLType.Q4_K, seed=3,
+                            extra_metadata=md)
+    llm = LLM(path, max_batch=2, max_seq=64)
+    rendered = llm.apply_chat_template(
+        [{"role": "user", "content": "hi"}])
+    assert rendered == "<s>[user]: hi\n[assistant]: "
+
+    worker = EngineWorker(llm)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                             "max_tokens": 4, "temperature": 0.0}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = json.loads(r.read())
+        assert body["object"] == "chat.completion"
+        assert body["choices"][0]["message"]["role"] == "assistant"
+        assert len(body["choices"][0]["token_ids"]) >= 1
+    finally:
+        httpd.shutdown()
