@@ -37,6 +37,9 @@ class GenerationResult:
     # batch-level serving stats, shared by every result of one generate()
     # call: wall_s, new_tokens, tokens_per_s (aggregate decode throughput)
     stats: dict = field(default_factory=dict)
+    # when generate(logprobs=k): one {"logprob": f, "top": [(id, lp), ...]}
+    # entry per generated token
+    logprobs: list | None = None
 
 
 class LLM:
@@ -110,9 +113,9 @@ class LLM:
             return last[0, 0], cache
 
         @functools.partial(jax.jit, donate_argnums=(1,),
-                           static_argnums=(5, 6, 7))
+                           static_argnums=(5, 6, 7, 8))
         def _decode(params, cache, tokens, pos, key, sampler_cfg, steps,
-                    span):
+                    span, logprobs):
             """`steps` decode iterations in one jit (lax.scan): one
             device->host sync per chunk instead of per token — the host
             round-trip otherwise dominates small-model decode. Returns the
@@ -120,18 +123,31 @@ class LLM:
             (cache rows written past a finished slot's end are harmless:
             re-admission prefills from position 0 and the causal mask never
             reaches them). `span` (static, scheduler-computed bucket) bounds
-            how deep attention reads into the cache this chunk."""
+            how deep attention reads into the cache this chunk. `logprobs`
+            (static int) additionally returns each chosen token's logprob
+            and the top-k alternatives per step (None-filled when 0)."""
             def step(carry, _):
                 cache, toks, pos, key = carry
                 logits, cache = fwd(params, toks[:, None], pos, cache,
                                     span=span)
                 key, sub = jax.random.split(key)
                 nxt = sample(logits[:, 0], sub, sampler_cfg)
-                return (cache, nxt, pos + 1, key), nxt
+                if logprobs:
+                    lp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32))
+                    chosen = jnp.take_along_axis(lp, nxt[:, None], 1)[:, 0]
+                    top_lp, top_id = jax.lax.top_k(lp, logprobs)
+                    extras = (chosen, top_id.astype(jnp.int32), top_lp)
+                else:
+                    extras = (jnp.zeros(nxt.shape, jnp.float32),
+                              jnp.zeros((*nxt.shape, 1), jnp.int32),
+                              jnp.zeros((*nxt.shape, 1), jnp.float32))
+                return (cache, nxt, pos + 1, key), (nxt, *extras)
 
-            (cache, _, _, _), ids = jax.lax.scan(
+            (cache, _, _, _), (ids, lps, tids, tlps) = jax.lax.scan(
                 step, (cache, tokens, pos, key), None, length=steps)
-            return ids.T, cache  # (B, steps)
+            # scan stacks on axis 0 (steps); put batch first
+            return (ids.T, lps.T, tids.transpose(1, 0, 2),
+                    tlps.transpose(1, 0, 2)), cache
 
         self._prefill = _prefill
         self._decode = _decode
@@ -196,6 +212,7 @@ class LLM:
         stop: list[str] | None = None,
         decode_chunk: int = 8,
         on_tokens=None,
+        logprobs: int = 0,
     ) -> list[GenerationResult]:
         """Generate completions with continuous batching over the slot pool.
 
@@ -211,12 +228,15 @@ class LLM:
         callback, invoked from this thread after each prefill/decode chunk
         with that request's newly available raw token ids (stop-string
         trimming only applies to the final .text; a stream may overshoot
-        by up to the stop string + one chunk)."""
+        by up to the stop string + one chunk).
+        `logprobs`: when > 0, each result's .logprobs records the chosen
+        token's logprob and the top-k alternatives per generated token."""
         t_start = time.perf_counter()
         queue = [(i, self._encode(p)) for i, p in enumerate(prompts)]
         queue.reverse()  # pop() takes the earliest request
-        results = {i: GenerationResult(prompt_ids=ids) for i, ids in
-                   ((i, ids) for i, ids in reversed(queue))}
+        results = {i: GenerationResult(prompt_ids=ids,
+                                       logprobs=[] if logprobs else None)
+                   for i, ids in ((i, ids) for i, ids in reversed(queue))}
 
         emitted = {i: 0 for i in results}
         done_emitted: set = set()
@@ -277,6 +297,13 @@ class LLM:
                     span)
                 key, sub = jax.random.split(key)
                 first = int(sample(logits[None, :], sub, sampler)[0])
+                if logprobs:
+                    lp = np.asarray(jax.nn.log_softmax(
+                        logits.astype(jnp.float32)))
+                    order = np.argsort(-lp)[:logprobs]
+                    results[rid].logprobs.append({
+                        "logprob": float(lp[first]),
+                        "top": [(int(t), float(lp[t])) for t in order]})
                 slots[s] = rid
                 pos[s] = n
                 last_tok[s] = first
@@ -310,6 +337,8 @@ class LLM:
                 res.finished = True
                 if stop_at_eos and res.token_ids and res.token_ids[-1] == eos:
                     res.token_ids.pop()
+                    if res.logprobs:
+                        res.logprobs.pop()
                 slots[s] = None
 
         admit()
@@ -331,16 +360,24 @@ class LLM:
             while steps * 2 <= min(decode_chunk, max(room, 1)):
                 steps *= 2
             span = self._span_bucket(max(int(pos[s]) for s in live) + steps)
-            ids, self.cache = self._decode(
+            (ids, lps, tids, tlps), self.cache = self._decode(
                 self.params, self.cache,
                 jnp.asarray(last_tok, jnp.int32), jnp.asarray(pos, jnp.int32),
-                sub, sampler, steps, span)
+                sub, sampler, steps, span, logprobs)
             ids = np.asarray(ids)
+            if logprobs:
+                lps, tids, tlps = (np.asarray(lps), np.asarray(tids),
+                                   np.asarray(tlps))
             for j in range(steps):
                 for s in range(self.max_batch):
                     if slots[s] is None:
                         continue
                     tok = int(ids[s, j])
+                    if logprobs:
+                        results[slots[s]].logprobs.append({
+                            "logprob": float(lps[s, j]),
+                            "top": [(int(t), float(l)) for t, l in
+                                    zip(tids[s, j], tlps[s, j])]})
                     results[slots[s]].token_ids.append(tok)
                     pos[s] += 1
                     last_tok[s] = tok

@@ -28,13 +28,14 @@ from .sampler import SamplerConfig
 
 class _Request:
     def __init__(self, prompt, max_tokens, sampler, seed, stop=None,
-                 stream=False):
+                 stream=False, logprobs=0):
         self.prompt = prompt
         self.max_tokens = max_tokens
         self.sampler = sampler
         self.seed = seed
         self.stop = stop
         self.stream = stream
+        self.logprobs = logprobs
         # streaming: (new_token_ids, finished) tuples, then a None sentinel
         self.events: queue.Queue = queue.Queue()
         self.done = threading.Event()
@@ -81,9 +82,9 @@ class EngineWorker:
             groups: dict = {}
             for r in batch:
                 key = (r.sampler, r.max_tokens, r.seed,
-                       tuple(r.stop) if r.stop else None)
+                       tuple(r.stop) if r.stop else None, r.logprobs)
                 groups.setdefault(key, []).append(r)
-            for (sampler, max_tokens, seed, stop), reqs in groups.items():
+            for (sampler, max_tokens, seed, stop, lpk), reqs in groups.items():
                 streaming = any(r.stream for r in reqs)
 
                 def on_tokens(idx, ids, finished, _reqs=reqs):
@@ -97,7 +98,8 @@ class EngineWorker:
                         [r.prompt for r in reqs], max_new_tokens=max_tokens,
                         sampler=sampler, seed=seed,
                         stop=list(stop) if stop else None,
-                        on_tokens=on_tokens if streaming else None)
+                        on_tokens=on_tokens if streaming else None,
+                        logprobs=lpk)
                     for r, res in zip(reqs, results):
                         r.result = res
                         self.metrics["prompt_tokens_total"] += len(res.prompt_ids)
@@ -205,7 +207,8 @@ def make_handler(worker: EngineWorker):
                     stop = [stop]
                 req = _Request(prompt, int(payload.get("max_tokens", 64)),
                                sampler, int(payload.get("seed", 0)), stop,
-                               stream=bool(payload.get("stream", False)))
+                               stream=bool(payload.get("stream", False)),
+                               logprobs=int(payload.get("logprobs", 0) or 0))
             except (ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
                 return
@@ -225,6 +228,8 @@ def make_handler(worker: EngineWorker):
                       {"text": res.text,
                        "token_ids": res.token_ids,
                        "finish_reason": "stop" if res.finished else "length"})
+            if req.logprobs:
+                choice["logprobs"] = res.logprobs
             self._reply(200, {
                 "object": "chat.completion" if chat else "text_completion",
                 "choices": [choice],

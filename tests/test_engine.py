@@ -253,3 +253,20 @@ def test_engine_data_parallel(tmp_path):
         prompts, max_new_tokens=8, sampler=greedy, stop_at_eos=False)
     for a, b in zip(ref, dptp):
         assert a.token_ids[:3] == b.token_ids[:3], (a.token_ids, b.token_ids)
+
+
+def test_logprobs(llm):
+    """generate(logprobs=k) records the chosen token's logprob and top-k
+    alternatives for every generated token, consistent with greedy picks."""
+    res = llm.generate([[1, 5, 9]], max_new_tokens=4,
+                       sampler=SamplerConfig(temperature=0.0),
+                       stop_at_eos=False, logprobs=3)[0]
+    assert len(res.logprobs) == len(res.token_ids) == 4
+    for tok, entry in zip(res.token_ids, res.logprobs):
+        top = entry["top"]
+        assert len(top) == 3
+        # greedy: the chosen token IS the top-1 alternative
+        assert top[0][0] == tok
+        assert abs(entry["logprob"] - top[0][1]) < 1e-4
+        assert entry["logprob"] <= 0.0
+        assert top[0][1] >= top[1][1] >= top[2][1]

@@ -157,3 +157,13 @@ def test_chat_completions_with_template(tmp_path):
         assert len(body["choices"][0]["token_ids"]) >= 1
     finally:
         httpd.shutdown()
+
+
+def test_completion_logprobs(server):
+    res = _post(server, {"prompt": [1, 5, 9], "max_tokens": 3,
+                         "temperature": 0.0, "logprobs": 2})
+    c = res["choices"][0]
+    assert len(c["logprobs"]) == len(c["token_ids"])
+    for tok, entry in zip(c["token_ids"], c["logprobs"]):
+        assert entry["top"][0][0] == tok          # greedy picks top-1
+        assert entry["logprob"] <= 0.0
