@@ -42,6 +42,109 @@ class GenerationResult:
     logprobs: list | None = None
 
 
+class ChatSession:
+    """Multi-turn generation over a pinned cache slot: each send() prefills
+    only its NEW tokens — the conversation so far (including the model's
+    own replies, whose K/V were inserted while decoding) already lives in
+    the slot's KV cache, so follow-up turns skip the history re-prefill
+    entirely. Obtain via LLM.start_session(); not thread-safe with respect
+    to concurrent generate() calls (the engine is single-threaded by
+    design).
+
+    State: `cached` tokens have K/V in the slot; `_pending` is the last
+    generated token, which is part of the conversation but whose K/V is
+    not yet inserted (it rides along with the next turn's prefill)."""
+
+    def __init__(self, llm: "LLM", slot: int):
+        self.llm = llm
+        self.slot = slot
+        self.cached = 0
+        self._pending: int | None = None
+        self.closed = False
+
+    def send(self, prompt, max_new_tokens: int = 64,
+             sampler: SamplerConfig = SamplerConfig(), seed: int = 0,
+             stop_at_eos: bool = True,
+             decode_chunk: int = 8) -> GenerationResult:
+        assert not self.closed, "session is closed"
+        llm = self.llm
+        new_ids = llm._encode(prompt)
+        ids = ([self._pending] if self._pending is not None else []) + new_ids
+        self._pending = None
+        n = len(ids)
+        assert self.cached + n < llm.max_seq, (
+            f"conversation ({self.cached + n}) exceeds max_seq {llm.max_seq}")
+        key = jax.random.PRNGKey(seed ^ (self.cached << 8))
+
+        # chunked prefill of the delta at the conversation's position
+        ck = llm.prefill_chunk
+        off = 0
+        while n - off > ck:
+            span = llm._span_bucket(self.cached + off + ck)
+            _, llm.cache = llm._prefill(
+                llm.params, llm.cache,
+                jnp.asarray(np.asarray(ids[off:off + ck], np.int32)[None]),
+                jnp.int32(self.slot), jnp.int32(self.cached + off),
+                jnp.int32(ck - 1), span)
+            off += ck
+        tail = n - off
+        tp = min(llm._bucket(tail), llm.max_seq)
+        toks = np.zeros((1, tp), np.int32)
+        toks[0, :tail] = ids[off:]
+        span = llm._span_bucket(self.cached + off + tp)
+        logits, llm.cache = llm._prefill(
+            llm.params, llm.cache, jnp.asarray(toks), jnp.int32(self.slot),
+            jnp.int32(self.cached + off), jnp.int32(tail - 1), span)
+        self.cached += n
+
+        key, sub = jax.random.split(key)
+        tok = int(sample(logits[None, :], sub, sampler)[0])
+        res = GenerationResult(prompt_ids=new_ids)
+        res.token_ids.append(tok)
+        eos = llm.tokenizer.eos_id if llm.tokenizer else -1
+        budget = max_new_tokens - 1
+
+        def finished(t):
+            return (stop_at_eos and t == eos) or \
+                self.cached + 1 >= llm.max_seq - 1
+
+        while budget > 0 and not finished(tok):
+            steps = 1
+            room = min(budget, llm.max_seq - self.cached - 2)
+            while steps * 2 <= min(decode_chunk, max(room, 1)):
+                steps *= 2
+            # each step inserts the pending token's K/V at `cached`
+            pos_arr = np.full(llm.max_batch, llm.max_seq, np.int64)
+            pos_arr[self.slot] = self.cached
+            last = np.zeros(llm.max_batch, np.int64)
+            last[self.slot] = tok
+            key, sub = jax.random.split(key)
+            span = llm._span_bucket(self.cached + steps)
+            (ids_o, _, _, _), llm.cache = llm._decode(
+                llm.params, llm.cache, jnp.asarray(last, jnp.int32),
+                jnp.asarray(pos_arr, jnp.int32), sub, sampler, steps, span, 0)
+            ids_o = np.asarray(ids_o)
+            for j in range(steps):
+                self.cached += 1       # previous pending token is now cached
+                tok = int(ids_o[self.slot, j])
+                res.token_ids.append(tok)
+                budget -= 1
+                if finished(tok) or budget <= 0:
+                    break
+        if stop_at_eos and res.token_ids and res.token_ids[-1] == eos:
+            res.token_ids.pop()        # EOS leaves the conversation entirely
+        else:
+            self._pending = res.token_ids[-1] if res.token_ids else None
+        res.finished = True
+        if llm.tokenizer is not None:
+            res.text = llm.tokenizer.decode(res.token_ids)
+        return res
+
+    def close(self) -> None:
+        self.llm._reserved.discard(self.slot)
+        self.closed = True
+
+
 class LLM:
     def __init__(
         self,
@@ -69,6 +172,7 @@ class LLM:
         self.chat_template = md.get("tokenizer.chat_template")
         self.max_batch = max_batch
         self.max_seq = max_seq or self.cfg.max_seq_len
+        self._reserved: set[int] = set()   # slots pinned by ChatSessions
         # prompts longer than this prefill in fixed chunks (bounded
         # activation memory; attention still sees the whole prefix via the
         # KV cache + span)
@@ -153,6 +257,15 @@ class LLM:
         self._decode = _decode
 
     # ------------------------------------------------------------- utils ---
+    def start_session(self) -> ChatSession:
+        """Pin a cache slot for multi-turn generation (see ChatSession).
+        The slot is excluded from generate()'s pool until close()."""
+        free = [s for s in range(self.max_batch) if s not in self._reserved]
+        if not free:
+            raise RuntimeError("all slots reserved by sessions")
+        self._reserved.add(free[0])
+        return ChatSession(self, free[0])
+
     def apply_chat_template(self, messages,
                             add_generation_prompt: bool = True) -> str:
         """Render the GGUF's embedded jinja chat template
@@ -264,7 +377,7 @@ class LLM:
         def admit():
             nonlocal key
             for s in range(self.max_batch):
-                if slots[s] is not None or not queue:
+                if slots[s] is not None or s in self._reserved or not queue:
                     continue
                 rid, ids = queue.pop()
                 n = len(ids)
@@ -360,9 +473,16 @@ class LLM:
             while steps * 2 <= min(decode_chunk, max(room, 1)):
                 steps *= 2
             span = self._span_bucket(max(int(pos[s]) for s in live) + steps)
+            # inactive slots run at pos=max_seq: attention output is garbage
+            # (discarded) and the windowed cache insert clamps to a no-op,
+            # so reserved ChatSession slots keep their KV intact
+            pos_dev = np.where([slots[s] is not None
+                                for s in range(self.max_batch)],
+                               pos, self.max_seq)
             (ids, lps, tids, tlps), self.cache = self._decode(
                 self.params, self.cache,
-                jnp.asarray(last_tok, jnp.int32), jnp.asarray(pos, jnp.int32),
+                jnp.asarray(last_tok, jnp.int32),
+                jnp.asarray(pos_dev, jnp.int32),
                 sub, sampler, steps, span, logprobs)
             ids = np.asarray(ids)
             if logprobs:

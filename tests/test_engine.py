@@ -270,3 +270,33 @@ def test_logprobs(llm):
         assert abs(entry["logprob"] - top[0][1]) < 1e-4
         assert entry["logprob"] <= 0.0
         assert top[0][1] >= top[1][1] >= top[2][1]
+
+
+def test_chat_session_matches_one_shot(tmp_path):
+    """Multi-turn sessions (delta prefill over a pinned slot) must produce
+    the same greedy tokens as one-shot generation over the concatenated
+    conversation — including when an unrelated generate() runs between
+    turns (reserved slots decode at pos=max_seq: no cache writes)."""
+    path = str(tmp_path / "tiny.gguf")
+    write_random_llama_gguf(path, CFG, fmt=GGMLType.Q4_K, seed=13)
+    llm = LLM(path, max_batch=2, max_seq=64)
+    greedy = SamplerConfig(temperature=0.0)
+    a, b = [3, 4, 5, 6], [9, 8]
+
+    sess = llm.start_session()
+    r1 = sess.send(a, max_new_tokens=5, sampler=greedy, stop_at_eos=False)
+    # interleave an unrelated batch job through the remaining slot
+    llm.generate([[7, 7, 7]], max_new_tokens=6, sampler=greedy,
+                 stop_at_eos=False)
+    r2 = sess.send(b, max_new_tokens=5, sampler=greedy, stop_at_eos=False)
+    sess.close()
+
+    ref1 = llm.generate([a], max_new_tokens=5, sampler=greedy,
+                        stop_at_eos=False)[0]
+    assert r1.token_ids == ref1.token_ids, (r1.token_ids, ref1.token_ids)
+    ref2 = llm.generate([a + r1.token_ids + b], max_new_tokens=5,
+                        sampler=greedy, stop_at_eos=False)[0]
+    assert r2.token_ids == ref2.token_ids, (r2.token_ids, ref2.token_ids)
+
+    # the slot returns to the pool after close()
+    assert llm._reserved == set()
