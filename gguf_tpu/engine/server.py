@@ -128,11 +128,12 @@ def make_handler(worker: EngineWorker):
             self.end_headers()
             self.wfile.write(body)
 
-        def _stream_reply(self, req: _Request) -> None:
+        def _stream_reply(self, req: _Request, chat: bool = False) -> None:
             """Server-sent events: one `data: {...}` line per token delta,
             then `data: [DONE]`. Deltas carry raw token ids and the
             incrementally decoded text (decode-full-and-diff, so multi-byte
-            characters split across byte-fallback tokens emerge intact)."""
+            characters split across byte-fallback tokens emerge intact).
+            Chat requests stream OpenAI chat-style `delta` objects."""
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -149,10 +150,14 @@ def make_handler(worker: EngineWorker):
                 all_ids.extend(ids)
                 text = tok.decode(all_ids) if tok is not None else ""
                 delta, sent_text = text[sent_text:], len(text)
-                chunk = {"object": "text_completion.chunk",
-                         "choices": [{"text": delta, "token_ids": ids,
-                                      "finish_reason":
-                                          "stop" if finished else None}]}
+                fin = "stop" if finished else None
+                choice = ({"delta": {"content": delta}, "token_ids": ids,
+                           "finish_reason": fin} if chat else
+                          {"text": delta, "token_ids": ids,
+                           "finish_reason": fin})
+                chunk = {"object": "chat.completion.chunk" if chat
+                         else "text_completion.chunk",
+                         "choices": [choice]}
                 try:
                     self.wfile.write(b"data: " + json.dumps(chunk).encode()
                                      + b"\n\n")
@@ -214,7 +219,7 @@ def make_handler(worker: EngineWorker):
                 return
             worker.submit(req)
             if req.stream:
-                self._stream_reply(req)
+                self._stream_reply(req, chat=chat)
                 return
             req.done.wait()
             if req.error:
