@@ -37,6 +37,8 @@ class BPETokenizer:
         self.vocab = {t: i for i, t in enumerate(self.tokens)}
         self.ranks = {tuple(m.split(" ", 1)): r for r, m in enumerate(merges)}
         self.bos_id = bos_id
+        # special/control token strings -> ids (chat-template parsing)
+        self.specials: dict[str, int] = {}
         self.eos_id = eos_id
         self.add_bos = add_bos
         self._b2u = _byte_alphabet()
@@ -44,14 +46,18 @@ class BPETokenizer:
 
     @classmethod
     def from_gguf_metadata(cls, md: dict) -> "BPETokenizer":
+        from .tokenizer import specials_from_metadata
+
         bos = md.get("tokenizer.ggml.bos_token_id")
-        return cls(
+        tok = cls(
             tokens=md["tokenizer.ggml.tokens"],
             merges=md.get("tokenizer.ggml.merges", []),
             bos_id=int(bos) if bos is not None else None,
             eos_id=int(md.get("tokenizer.ggml.eos_token_id", 0)),
             add_bos=bool(md.get("tokenizer.ggml.add_bos_token", False)),
         )
+        tok.specials = specials_from_metadata(md)
+        return tok
 
     # ------------------------------------------------------------ encode ---
     def _bpe(self, word: str) -> list[str]:

@@ -28,6 +28,42 @@ from .bpe_tokenizer import tokenizer_from_metadata
 from .tokenizer import SPMTokenizer
 
 
+def encode_with_specials(tokenizer, text: str) -> list[int]:
+    """Encode text that may contain special/control token strings (chat
+    template output): exact occurrences map to their single token ids,
+    plain segments encode normally with no implicit BOS, and only the very
+    first plain piece gets the SPM space prefix (llama.cpp parse_special
+    semantics)."""
+    import re
+
+    specials = getattr(tokenizer, "specials", None)
+
+    def enc(seg, first):
+        try:
+            return tokenizer.encode(seg, add_bos=False,
+                                    add_space_prefix=None if first else False)
+        except TypeError:  # BPE has no space-prefix concept
+            return tokenizer.encode(seg, add_bos=False)
+
+    if not specials:
+        return enc(text, True)
+    pat = re.compile("|".join(
+        re.escape(t) for t in sorted(specials, key=len, reverse=True)))
+    out: list[int] = []
+    last = 0
+    first = True
+    for m in pat.finditer(text):
+        if m.start() > last:
+            out.extend(enc(text[last:m.start()], first))
+            first = False
+        out.append(specials[m.group(0)])
+        first = False
+        last = m.end()
+    if last < len(text):
+        out.extend(enc(text[last:], first))
+    return out
+
+
 @dataclass
 class GenerationResult:
     prompt_ids: list
@@ -35,7 +71,8 @@ class GenerationResult:
     text: str = ""
     finished: bool = False
     # batch-level serving stats, shared by every result of one generate()
-    # call: wall_s, new_tokens, tokens_per_s (aggregate decode throughput)
+    # call: wall_s, new_tokens, tokens_per_s — END-TO-END throughput (wall
+    # time includes prefill and host scheduling, not just decode)
     stats: dict = field(default_factory=dict)
     # when generate(logprobs=k): one {"logprob": f, "top": [(id, lp), ...]}
     # entry per generated token
@@ -75,26 +112,7 @@ class ChatSession:
         assert self.cached + n < llm.max_seq, (
             f"conversation ({self.cached + n}) exceeds max_seq {llm.max_seq}")
         key = jax.random.PRNGKey(seed ^ (self.cached << 8))
-
-        # chunked prefill of the delta at the conversation's position
-        ck = llm.prefill_chunk
-        off = 0
-        while n - off > ck:
-            span = llm._span_bucket(self.cached + off + ck)
-            _, llm.cache = llm._prefill(
-                llm.params, llm.cache,
-                jnp.asarray(np.asarray(ids[off:off + ck], np.int32)[None]),
-                jnp.int32(self.slot), jnp.int32(self.cached + off),
-                jnp.int32(ck - 1), span)
-            off += ck
-        tail = n - off
-        tp = min(llm._bucket(tail), llm.max_seq)
-        toks = np.zeros((1, tp), np.int32)
-        toks[0, :tail] = ids[off:]
-        span = llm._span_bucket(self.cached + off + tp)
-        logits, llm.cache = llm._prefill(
-            llm.params, llm.cache, jnp.asarray(toks), jnp.int32(self.slot),
-            jnp.int32(self.cached + off), jnp.int32(tail - 1), span)
+        logits = llm._prefill_chunks(ids, self.slot, start=self.cached)
         self.cached += n
 
         key, sub = jax.random.split(key)
@@ -266,6 +284,18 @@ class LLM:
         self._reserved.add(free[0])
         return ChatSession(self, free[0])
 
+    def encode_chat(self, messages,
+                    add_generation_prompt: bool = True) -> list[int]:
+        """Render the chat template and encode it with special-token
+        parsing: template-emitted control tokens (<s>, <|im_start|>, ...)
+        become their single token ids, exactly as a chat-tuned checkpoint
+        expects (no extra BOS is prepended — templates render their own)."""
+        text = self.apply_chat_template(
+            messages, add_generation_prompt=add_generation_prompt)
+        if self.tokenizer is None:
+            raise ValueError("model file has no embedded tokenizer")
+        return encode_with_specials(self.tokenizer, text)
+
     def apply_chat_template(self, messages,
                             add_generation_prompt: bool = True) -> str:
         """Render the GGUF's embedded jinja chat template
@@ -275,7 +305,11 @@ class LLM:
         if not self.chat_template:
             raise ValueError(
                 "model has no tokenizer.chat_template; use plain prompts")
-        import jinja2
+        try:
+            import jinja2
+        except ImportError as e:  # optional extra: gguf_tpu[chat]
+            raise ValueError(
+                "chat templates need jinja2 (pip install jinja2)") from e
 
         env = jinja2.Environment(trim_blocks=True, lstrip_blocks=True)
         env.globals["raise_exception"] = lambda msg: (_ for _ in ()).throw(
@@ -302,6 +336,35 @@ class LLM:
         while b < n:
             b *= 2
         return b
+
+    def _prefill_chunks(self, ids, slot: int, start: int = 0):
+        """Prefill `ids` into cache slot `slot` at positions
+        start..start+len(ids)-1, in prefill_chunk-size pieces (bounded
+        activation memory) with power-of-two tail buckets HALVED until the
+        padded call fits the remaining cache rows — a bucket that overruns
+        max_seq would clamp the t>16 dynamic_update_slice insert start and
+        silently overwrite earlier history. Returns the logits of the last
+        real token."""
+        n = len(ids)
+        assert start + n < self.max_seq, (start, n, self.max_seq)
+        ids = np.asarray(ids, np.int32)
+        off = 0
+        while True:
+            tail = n - off
+            tp = min(self._bucket(tail), self.prefill_chunk)
+            while tp > self.max_seq - (start + off):
+                tp //= 2
+            take = min(tail, tp)
+            toks = np.zeros((1, tp), np.int32)
+            toks[0, :take] = ids[off:off + take]
+            span = self._span_bucket(start + off + tp)
+            logits, self.cache = self._prefill(
+                self.params, self.cache, jnp.asarray(toks),
+                jnp.int32(slot), jnp.int32(start + off),
+                jnp.int32(take - 1), span)
+            off += take
+            if off >= n:
+                return logits
 
     def _span_bucket(self, need: int) -> int | None:
         """Smallest 128*2^j cache span covering `need` rows (None = whole
@@ -374,6 +437,11 @@ class LLM:
         key = jax.random.PRNGKey(seed)
         eos = self.tokenizer.eos_id if self.tokenizer else -1
 
+        if queue and len(self._reserved) >= self.max_batch:
+            raise RuntimeError(
+                "every cache slot is reserved by ChatSessions; close one "
+                "before calling generate()")
+
         def admit():
             nonlocal key
             for s in range(self.max_batch):
@@ -382,32 +450,7 @@ class LLM:
                 rid, ids = queue.pop()
                 n = len(ids)
                 assert n < self.max_seq, f"prompt ({n}) exceeds max_seq {self.max_seq}"
-                # long prompts prefill in fixed-size chunks: activation
-                # memory stays bounded (attention scores scale with
-                # chunk x span, not prompt^2) and jit specializations stay
-                # few (one full-chunk shape + power-of-two tail buckets)
-                ck = self.prefill_chunk
-                off = 0
-                while n - off > ck:
-                    span = self._span_bucket(off + ck)
-                    _, self.cache = self._prefill(
-                        self.params, self.cache,
-                        jnp.asarray(np.asarray(ids[off:off + ck],
-                                               np.int32)[None]),
-                        jnp.int32(s), jnp.int32(off), jnp.int32(ck - 1),
-                        span)
-                    off += ck
-                # final chunk: power-of-two bucket, clamped to max_seq (=
-                # the cache length) so the prefill cache insert fits
-                tail = n - off
-                tp = min(self._bucket(tail), self.max_seq)
-                toks = np.zeros((1, tp), np.int32)
-                toks[0, :tail] = ids[off:]
-                span = self._span_bucket(off + tp)
-                logits, self.cache = self._prefill(
-                    self.params, self.cache, jnp.asarray(toks),
-                    jnp.int32(s), jnp.int32(off), jnp.int32(tail - 1),
-                    span)
+                logits = self._prefill_chunks(ids, s)
                 key, sub = jax.random.split(key)
                 first = int(sample(logits[None, :], sub, sampler)[0])
                 if logprobs:

@@ -111,6 +111,8 @@ class EngineWorker:
                 self.metrics["requests_total"] += len(reqs)
                 self.metrics["engine_busy_s_total"] += time.monotonic() - t0
                 for r in reqs:
+                    if r.error:
+                        r.events.put(("error", r.error))
                     r.events.put(None)
                     r.done.set()
 
@@ -141,15 +143,30 @@ def make_handler(worker: EngineWorker):
             self.end_headers()
             tok = worker.llm.tokenizer
             all_ids: list = []
-            sent_text = 0
             while True:
                 ev = req.events.get()
                 if ev is None:
                     break
+                if ev[0] == "error":
+                    try:
+                        self.wfile.write(
+                            b"data: " + json.dumps({"error": ev[1]}).encode()
+                            + b"\n\n")
+                        self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        return
+                    continue
                 ids, finished = ev
                 all_ids.extend(ids)
-                text = tok.decode(all_ids) if tok is not None else ""
-                delta, sent_text = text[sent_text:], len(text)
+                # bounded-window incremental decode: re-decoding the whole
+                # stream would be O(n^2); a 16-token overlap is enough for
+                # any multi-byte sequence split across byte-fallback tokens
+                win = ids if len(all_ids) == len(ids) else \
+                    all_ids[-(len(ids) + 16):]
+                text = tok.decode(win) if tok is not None else ""
+                prev = len(tok.decode(win[:len(win) - len(ids)])) \
+                    if tok is not None and len(win) > len(ids) else 0
+                delta = text[prev:]
                 fin = "stop" if finished else None
                 choice = ({"delta": {"content": delta}, "token_ids": ids,
                            "finish_reason": fin} if chat else
@@ -196,7 +213,14 @@ def make_handler(worker: EngineWorker):
                     messages = payload.get("messages")
                     if not isinstance(messages, list) or not messages:
                         raise ValueError("missing 'messages' list")
-                    prompt = worker.llm.apply_chat_template(messages)
+                    try:
+                        # token ids with template specials parsed to single
+                        # control-token ids (no double BOS)
+                        prompt = worker.llm.encode_chat(messages)
+                    except ValueError:
+                        raise
+                    except Exception as e:  # jinja syntax/render errors
+                        raise ValueError(f"chat template failed: {e}")
                 else:
                     prompt = payload.get("prompt")
                 if prompt is None:

