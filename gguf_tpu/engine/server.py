@@ -28,7 +28,7 @@ from .sampler import SamplerConfig
 
 class _Request:
     def __init__(self, prompt, max_tokens, sampler, seed, stop=None,
-                 stream=False, logprobs=0):
+                 stream=False, logprobs=0, session=None):
         self.prompt = prompt
         self.max_tokens = max_tokens
         self.sampler = sampler
@@ -36,6 +36,7 @@ class _Request:
         self.stop = stop
         self.stream = stream
         self.logprobs = logprobs
+        self.session = session          # conversation id (chat sessions)
         # streaming: (new_token_ids, finished) tuples, then a None sentinel
         self.events: queue.Queue = queue.Queue()
         self.done = threading.Event()
@@ -56,6 +57,10 @@ class EngineWorker:
                         "prompt_tokens_total": 0,
                         "completion_tokens_total": 0,
                         "engine_busy_s_total": 0.0}
+        # conversation id -> (ChatSession, last-used); LRU-evicted when the
+        # slot pool runs dry (one slot always stays free for stateless
+        # requests). Only the engine thread touches this.
+        self.sessions: dict = {}
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -75,9 +80,68 @@ class EngineWorker:
                 break
         return batch
 
+    def _fresh_session(self, sid: str):
+        # keep >= 1 slot unreserved for stateless requests
+        while len(self.llm._reserved) >= self.llm.max_batch - 1:
+            lru = min(self.sessions, key=lambda k: self.sessions[k]["ts"])
+            self.sessions.pop(lru)["sess"].close()
+        entry = {"sess": self.llm.start_session(), "covered": "",
+                 "ts": time.monotonic()}
+        self.sessions[sid] = entry
+        return entry
+
+    def _run_session(self, r: _Request) -> None:
+        """Chat request bound to a conversation id: the session's pinned
+        slot caches the conversation's K/V, and each request prefills only
+        the rendered-template SUFFIX beyond what the cache covers
+        (llama.cpp-style prompt-cache diffing — clients resend the full
+        message list every turn). A history edit (covered text no longer a
+        prefix) resets the session transparently."""
+        from .engine import encode_with_specials
+
+        t0 = time.monotonic()
+        try:
+            llm = self.llm
+            rendered = llm.apply_chat_template(r.prompt)  # full conversation
+            entry = self.sessions.get(r.session)
+            if entry is None or not rendered.startswith(entry["covered"]):
+                if entry is not None:            # history edited: reset
+                    entry["sess"].close()
+                    del self.sessions[r.session]
+                entry = self._fresh_session(r.session)
+            entry["ts"] = time.monotonic()
+            delta = rendered[len(entry["covered"]):]
+            ids = encode_with_specials(llm.tokenizer, delta)
+            res = entry["sess"].send(ids, max_new_tokens=r.max_tokens,
+                                     sampler=r.sampler, seed=r.seed)
+            # the generated reply is cached too; the template's turn-closing
+            # tokens arrive with the next request's rendered suffix
+            entry["covered"] = rendered + res.text
+            r.result = res
+            self.metrics["prompt_tokens_total"] += len(res.prompt_ids)
+            self.metrics["completion_tokens_total"] += len(res.token_ids)
+            if r.stream:
+                r.events.put((list(res.token_ids), True))
+        except Exception as e:
+            r.error = str(e)
+            self.metrics["requests_failed"] += 1
+            if r.stream:
+                r.events.put(("error", r.error))
+        self.metrics["requests_total"] += 1
+        self.metrics["engine_busy_s_total"] += time.monotonic() - t0
+        r.events.put(None)
+        r.done.set()
+
     def _run(self) -> None:
         while True:
             batch = self._drain_batch()
+            # session-bound requests run through their pinned slots, one at
+            # a time (their KV prefix lives in a specific slot)
+            for r in [x for x in batch if x.session is not None]:
+                self._run_session(r)
+            batch = [x for x in batch if x.session is None]
+            if not batch:
+                continue
             # group by sampler/max_tokens (static jit args); serve each group
             groups: dict = {}
             for r in batch:
@@ -213,14 +277,19 @@ def make_handler(worker: EngineWorker):
                     messages = payload.get("messages")
                     if not isinstance(messages, list) or not messages:
                         raise ValueError("missing 'messages' list")
-                    try:
-                        # token ids with template specials parsed to single
-                        # control-token ids (no double BOS)
-                        prompt = worker.llm.encode_chat(messages)
-                    except ValueError:
-                        raise
-                    except Exception as e:  # jinja syntax/render errors
-                        raise ValueError(f"chat template failed: {e}")
+                    if payload.get("session"):
+                        # session requests carry the raw messages; the
+                        # engine thread renders + diffs against its cache
+                        prompt = messages
+                    else:
+                        try:
+                            # token ids with template specials parsed to
+                            # single control-token ids (no double BOS)
+                            prompt = worker.llm.encode_chat(messages)
+                        except ValueError:
+                            raise
+                        except Exception as e:  # jinja render errors
+                            raise ValueError(f"chat template failed: {e}")
                 else:
                     prompt = payload.get("prompt")
                 if prompt is None:
@@ -234,10 +303,14 @@ def make_handler(worker: EngineWorker):
                 stop = payload.get("stop")
                 if isinstance(stop, str):
                     stop = [stop]
+                session = payload.get("session")
+                if session is not None and not chat:
+                    raise ValueError("'session' requires /v1/chat/completions")
                 req = _Request(prompt, int(payload.get("max_tokens", 64)),
                                sampler, int(payload.get("seed", 0)), stop,
                                stream=bool(payload.get("stream", False)),
-                               logprobs=int(payload.get("logprobs", 0) or 0))
+                               logprobs=int(payload.get("logprobs", 0) or 0),
+                               session=str(session) if session else None)
             except (ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
                 return

@@ -167,3 +167,49 @@ def test_completion_logprobs(server):
     for tok, entry in zip(c["token_ids"], c["logprobs"]):
         assert entry["top"][0][0] == tok          # greedy picks top-1
         assert entry["logprob"] <= 0.0
+
+
+def test_chat_session_reuses_cache(tmp_path):
+    """'session' chat requests prefill only the rendered-template suffix;
+    turn 2's prompt_tokens must be far smaller than the full conversation,
+    and the replies must still match the stateless endpoint."""
+    tpl = ("{% for m in messages %}[{{ m.role }}]: {{ m.content }}\n"
+           "{% endfor %}{% if add_generation_prompt %}[assistant]: {% endif %}")
+    path = str(tmp_path / "sess.gguf")
+    md = _toy_spm_metadata()
+    md["tokenizer.chat_template"] = tpl
+    write_random_llama_gguf(path, CFG, fmt=GGMLType.Q4_K, seed=3,
+                            extra_metadata=md)
+    llm = LLM(path, max_batch=2, max_seq=256)
+    worker = EngineWorker(llm)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}/v1/chat/completions"
+
+    def chat(messages, session=None):
+        body = {"messages": messages, "max_tokens": 4, "temperature": 0.0}
+        if session:
+            body["session"] = session
+        req = urllib.request.Request(
+            url, data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())
+
+    try:
+        m1 = [{"role": "user", "content": "hello"}]
+        r1 = chat(m1, session="c1")
+        reply1 = r1["choices"][0]["message"]["content"]
+        m2 = m1 + [{"role": "assistant", "content": reply1},
+                   {"role": "user", "content": "more"}]
+        r2 = chat(m2, session="c1")
+        # turn 2 prefilled only the suffix (closing + new turn), not the
+        # whole conversation
+        assert r2["usage"]["prompt_tokens"] < r1["usage"]["prompt_tokens"] + 25
+        # stateless endpoint over the identical conversation agrees
+        ref = chat(m2)
+        assert (r2["choices"][0]["message"]["content"]
+                == ref["choices"][0]["message"]["content"])
+    finally:
+        httpd.shutdown()
