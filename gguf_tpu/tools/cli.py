@@ -93,6 +93,46 @@ def cmd_ppl(args):
                       "window": args.window}))
 
 
+def cmd_chat(args):
+    """Interactive chat REPL over a pinned-slot session (delta prefill)."""
+    from ..engine import LLM, SamplerConfig
+
+    llm = LLM(args.model, max_batch=2)
+    sampler = SamplerConfig(temperature=args.temperature)
+    use_template = bool(llm.chat_template)
+    sess = llm.start_session()
+    messages = []
+    print("(/exit to quit; conversation stays in the KV cache)")
+    while True:
+        try:
+            line = input("you> ")
+        except (EOFError, KeyboardInterrupt):
+            break
+        if line.strip() in ("/exit", "/quit"):
+            break
+        if use_template:
+            from ..engine.engine import encode_with_specials
+
+            messages.append({"role": "user", "content": line})
+            # render only this turn's delta against the running template
+            full = llm.apply_chat_template(messages)
+            prev = llm.apply_chat_template(messages[:-1],
+                                           add_generation_prompt=False) \
+                if len(messages) > 1 else ""
+            if not full.startswith(prev):   # unusual template: start over
+                sess.close()
+                sess = llm.start_session()
+                prev = ""
+            ids = encode_with_specials(llm.tokenizer, full[len(prev):])
+        else:
+            ids = line
+        res = sess.send(ids, max_new_tokens=args.n, sampler=sampler)
+        print(res.text)
+        if use_template:
+            messages.append({"role": "assistant", "content": res.text})
+    sess.close()
+
+
 def cmd_serve(args):
     from ..engine.server import serve
 
@@ -121,7 +161,8 @@ def cmd_bench(args):
         def many(params, tokens, pos, cache):
             def body(i, carry):
                 toks, pos, cache = carry
-                logits, cache = forward(params, cfg, toks, pos, cache, opts)
+                logits, cache = forward(params, cfg, toks, pos, cache, opts,
+                                        span=128 if args.seq >= 128 else None)
                 nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
                 return nxt[:, None], pos + 1, cache
             toks, pos, _ = jax.lax.fori_loop(0, iters, body,
@@ -177,6 +218,12 @@ def main(argv=None):
     s.add_argument("--batch", type=int, default=16)
     s.add_argument("--seq", type=int, default=256)
     s.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("chat", help="interactive chat REPL (KV-cached turns)")
+    s.add_argument("model")
+    s.add_argument("-n", type=int, default=256)
+    s.add_argument("--temperature", type=float, default=0.7)
+    s.set_defaults(fn=cmd_chat)
 
     s = sub.add_parser("serve", help="OpenAI-style HTTP completions server")
     s.add_argument("model")
