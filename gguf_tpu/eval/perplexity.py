@@ -28,9 +28,13 @@ from ..models.config import LlamaConfig
 
 
 def _window_nll(params, cfg: LlamaConfig, tokens: jax.Array,
-                n_valid: jax.Array, opts: MMOpts):
-    """NLL sum + count over one (B, W) window batch; positions 1..n_valid-1
-    are scored (each token conditioned on the window prefix)."""
+                n_valid: jax.Array, opts: MMOpts, first: int):
+    """NLL sum + count over one (B, W) window batch; positions
+    first..n_valid-1 are scored (each token conditioned on the window
+    prefix). llama.cpp's perplexity tool sets first = max(1, W/2): only
+    the second half of each window counts, so every scored token has at
+    least W/2 tokens of context — matching that accounting is required
+    for the "within 0.01 of llama.cpp" comparison."""
     b, w = tokens.shape
     cache = init_kv_cache(cfg, batch=b, max_seq=w)
     logits, _ = forward(params, cfg, tokens, jnp.zeros(b, jnp.int32),
@@ -38,21 +42,28 @@ def _window_nll(params, cfg: LlamaConfig, tokens: jax.Array,
     logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
     tgt = tokens[:, 1:]
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    valid = (jnp.arange(1, w)[None, :] < n_valid[:, None])
+    idx = jnp.arange(1, w)[None, :]
+    valid = (idx >= first) & (idx < n_valid[:, None])
     return jnp.sum(nll * valid), jnp.sum(valid)
 
 
 def sequence_nll(params, cfg: LlamaConfig, token_ids, *, window: int = 512,
-                 batch: int = 8, opts: MMOpts = MMOpts()):
+                 batch: int = 8, opts: MMOpts = MMOpts(),
+                 full_window: bool = False):
     """(total_nll, token_count) over a token stream, llama.cpp-style
-    non-overlapping windows. Windows shorter than 2 tokens are skipped."""
+    non-overlapping windows scoring each window's SECOND half (every
+    scored token gets >= window/2 context, llama.cpp's accounting).
+    full_window=True scores positions 1.. instead (more tokens, higher
+    ppl, NOT comparable to llama.cpp). Windows shorter than 2 tokens are
+    skipped."""
     ids = np.asarray(token_ids, dtype=np.int32).reshape(-1)
     window = min(window, cfg.max_seq_len)
     n_win = len(ids) // window + (1 if len(ids) % window > 1 else 0)
     if n_win == 0:
         raise ValueError(f"need at least 2 tokens, got {len(ids)}")
 
-    fn = jax.jit(lambda p, t, n: _window_nll(p, cfg, t, n, opts))
+    first = 1 if full_window else max(1, window // 2)
+    fn = jax.jit(lambda p, t, n: _window_nll(p, cfg, t, n, opts, first))
     total, count = 0.0, 0
     for start in range(0, n_win, batch):
         rows = min(batch, n_win - start)

@@ -58,6 +58,13 @@ GGML_BLOCK_INFO = {
     GGMLType.F32: (1, 4),
     GGMLType.F16: (1, 2),
     GGMLType.BF16: (1, 2),
+    GGMLType.Q4_0: (32, 18),   # parse/size only — no codec yet
+    GGMLType.Q4_1: (32, 20),
+    GGMLType.Q5_0: (32, 22),
+    GGMLType.Q5_1: (32, 24),
+    GGMLType.Q2_K: (256, 84),
+    GGMLType.Q3_K: (256, 110),
+    GGMLType.Q8_K: (256, 292),
     GGMLType.Q8_0: (32, 34),
     GGMLType.Q8_1: (32, 36),
     GGMLType.Q4_K: (256, 144),
@@ -66,6 +73,7 @@ GGML_BLOCK_INFO = {
     GGMLType.I8: (1, 1),
     GGMLType.I16: (1, 2),
     GGMLType.I32: (1, 4),
+    GGMLType.I64: (1, 8),
     GGMLType.F64: (1, 8),
 }
 
@@ -79,8 +87,14 @@ GGML_TO_FMT = {
 FMT_TO_GGML = {v: k for k, v in GGML_TO_FMT.items()}
 
 
-def tensor_nbytes(ggml_type: GGMLType, n_elements: int) -> int:
-    block, nbytes = GGML_BLOCK_INFO[ggml_type]
+def tensor_nbytes(ggml_type, n_elements: int) -> int | None:
+    """On-disk byte size, or None for types whose block size is unknown
+    (the tensor table still parses — GGUF stores explicit offsets — and
+    only LOADING such a tensor errors)."""
+    info = GGML_BLOCK_INFO.get(ggml_type)
+    if info is None:
+        return None
+    block, nbytes = info
     if n_elements % block:
         raise ValueError(f"{ggml_type.name}: {n_elements} not a multiple of block {block}")
     return n_elements // block * nbytes

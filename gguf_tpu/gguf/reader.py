@@ -46,6 +46,7 @@ class GGUFReader:
         self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
         self._pos = 0
         self.metadata: dict = {}
+        self.metadata_types: dict = {}  # key -> GGUFValueType (round-trips)
         self.tensors: dict[str, TensorInfo] = {}
         self._parse()
 
@@ -96,19 +97,25 @@ class GGUFReader:
             key = self._string()
             vt = GGUFValueType(struct.unpack("<I", self._read(4))[0])
             self.metadata[key] = self._value(vt)
+            self.metadata_types[key] = vt
 
         infos = []
         for _ in range(n_tensors):
             name = self._string()
             n_dims = struct.unpack("<I", self._read(4))[0]
             dims = struct.unpack(f"<{n_dims}Q", self._read(8 * n_dims))
-            ggml_type = GGMLType(struct.unpack("<I", self._read(4))[0])
+            raw_type = struct.unpack("<I", self._read(4))[0]
+            try:
+                ggml_type = GGMLType(raw_type)
+            except ValueError:      # e.g. IQ-series: table still parses;
+                ggml_type = raw_type  # loading the tensor errors
             offset = struct.unpack("<Q", self._read(8))[0]
             # GGUF dims: ne[0] fastest-varying -> numpy shape is reversed
             shape = tuple(reversed(dims))
             n_elems = int(np.prod(dims)) if dims else 1
-            infos.append(TensorInfo(name, shape, ggml_type, offset,
-                                    tensor_nbytes(ggml_type, n_elems)))
+            nbytes = (tensor_nbytes(ggml_type, n_elems)
+                      if isinstance(ggml_type, GGMLType) else None)
+            infos.append(TensorInfo(name, shape, ggml_type, offset, nbytes))
 
         align = int(self.metadata.get("general.alignment", GGUF_DEFAULT_ALIGNMENT))
         self.data_start = (self._pos + align - 1) // align * align
@@ -119,6 +126,12 @@ class GGUFReader:
     def tensor_bytes(self, name: str) -> np.ndarray:
         """Raw GGUF block bytes of a tensor as a zero-copy uint8 view."""
         ti = self.tensors[name]
+        if ti.nbytes is None:
+            tname = (ti.ggml_type.name if isinstance(ti.ggml_type, GGMLType)
+                     else f"type {ti.ggml_type}")
+            raise ValueError(
+                f"{name}: unsupported quantization {tname} (metadata and "
+                f"other tensors in this file remain readable)")
         start = self.data_start + ti.offset
         return np.frombuffer(self._mm, dtype=np.uint8, count=ti.nbytes, offset=start)
 

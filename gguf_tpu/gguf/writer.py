@@ -50,13 +50,23 @@ def _pack_value(v, vt: GGUFValueType) -> bytes:
         return _pack_string(v)
     if vt == GGUFValueType.ARRAY:
         if isinstance(v, np.ndarray):
-            item_vt = {
+            dtype_map = {
                 np.dtype(np.float32): GGUFValueType.FLOAT32,
                 np.dtype(np.int32): GGUFValueType.INT32,
                 np.dtype(np.uint32): GGUFValueType.UINT32,
                 np.dtype(np.int64): GGUFValueType.INT64,
+                np.dtype(np.uint64): GGUFValueType.UINT64,
                 np.dtype(np.float64): GGUFValueType.FLOAT64,
-            }[v.dtype]
+                np.dtype(np.uint8): GGUFValueType.UINT8,
+                np.dtype(np.int8): GGUFValueType.INT8,
+                np.dtype(np.uint16): GGUFValueType.UINT16,
+                np.dtype(np.int16): GGUFValueType.INT16,
+                np.dtype(np.bool_): GGUFValueType.BOOL,
+            }
+            if v.dtype not in dtype_map:
+                raise TypeError(
+                    f"no GGUF value type for array dtype {v.dtype}")
+            item_vt = dtype_map[v.dtype]
             body = v.astype(v.dtype.newbyteorder("<")).tobytes()
             return struct.pack("<IQ", item_vt, v.size) + body
         items = list(v)
@@ -73,15 +83,22 @@ def write_gguf(
     metadata: Mapping,
     tensors: Mapping[str, tuple],
     alignment: int = GGUF_DEFAULT_ALIGNMENT,
+    metadata_types: Mapping | None = None,
 ) -> None:
     """Write a GGUF v3 file.
 
     tensors: name -> (ggml_type, shape, bytes_or_array) where shape is the
     numpy (row-major) shape and bytes are the GGUF block bytes (for quantized
     types) or a float/int numpy array (for F32/F16/I32).
+    metadata_types: optional key -> GGUFValueType (e.g. a GGUFReader's
+    .metadata_types) so rewritten files keep each key's EXACT value type —
+    inference maps python float to FLOAT32 and positive ints to UINT32,
+    which would silently retype FLOAT64/INT64 keys on a read-modify-write.
     """
     meta = dict(metadata)
     meta["general.alignment"] = alignment
+    metadata_types = dict(metadata_types or {})
+    metadata_types["general.alignment"] = GGUFValueType.UINT32
 
     header = bytearray()
     header += GGUF_MAGIC
@@ -91,7 +108,7 @@ def write_gguf(
     # general.alignment (any rewritten file does) and the dict dedups
     header += struct.pack("<Q", len(meta))
     for key, val in meta.items():
-        vt = _infer_vt(val)
+        vt = metadata_types.get(key) or _infer_vt(val)
         header += _pack_string(key)
         header += struct.pack("<I", vt)
         header += _pack_value(val, vt)

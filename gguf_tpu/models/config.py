@@ -5,6 +5,18 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 
+def _rope_scale(g) -> float:
+    """Linear rope position scaling; non-linear schemes (yarn, ...) would
+    silently produce wrong long-context logits, so refuse them loudly."""
+    kind = str(g("rope.scaling.type", "linear") or "linear")
+    factor = float(g("rope.scaling.factor", 1.0) or 1.0)
+    if kind in ("linear", "none"):
+        return factor if kind == "linear" else 1.0
+    raise ValueError(
+        f"unsupported rope scaling type {kind!r} (factor {factor}); only "
+        "linear position interpolation is implemented")
+
+
 @dataclass(frozen=True)
 class LlamaConfig:
     vocab_size: int
@@ -40,8 +52,7 @@ class LlamaConfig:
             ffn_dim=int(g("feed_forward_length")),
             norm_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
             rope_theta=float(g("rope.freq_base", 10000.0)),
-            rope_scale=(float(g("rope.scaling.factor", 1.0))
-                        if g("rope.scaling.type", "linear") == "linear" else 1.0),
+            rope_scale=_rope_scale(g),
             max_seq_len=int(g("context_length", 2048)),
         )
 

@@ -32,10 +32,12 @@ def _pad_k_to(t, k_target: int):
 
     if isinstance(t, QuantTensor):
         m, k = t.shape
-        ratio = k_target / k
 
         def pad(a):
-            rows = int(a.shape[0] * ratio)
+            # integer math: float-ratio truncation loses a row for many
+            # (k, k_target) pairs (e.g. 6016 rows * 12288/12032 -> 6143)
+            rows = a.shape[0] * k_target // k
+            assert rows * k == a.shape[0] * k_target, (a.shape, k, k_target)
             return jnp.pad(a, ((0, rows - a.shape[0]), (0, 0)))
 
         return jax.tree_util.tree_map(pad, t)
@@ -145,9 +147,12 @@ def load_llama(path: str):
         "output_norm": jnp.asarray(reader.load_array("output_norm.weight"), jnp.float32),
         "layers": [],
     }
-    # tied embeddings: some checkpoints omit output.weight
-    out_name = "output.weight" if "output.weight" in reader.tensors else "token_embd.weight"
-    params["output"] = _load_weight(reader, out_name)
+    # tied embeddings: some checkpoints omit output.weight — share the
+    # already-loaded object instead of reading + converting the (largest)
+    # tensor twice (_pad_vocab_weights pads shared objects once)
+    params["output"] = (_load_weight(reader, "output.weight")
+                        if "output.weight" in reader.tensors
+                        else params["token_embd"])
 
     for i in range(cfg.n_layers):
         p = f"blk.{i}."

@@ -23,11 +23,12 @@ from .q5_k import parse_q5_k
 from .q6_k import parse_q6_k
 from .q8_1 import parse_q8_1
 
-Q8_0_BLOCK_BYTES = 34
-Q8_1_BLOCK_BYTES = 36
-Q4_K_BLOCK_BYTES = 144
-Q5_K_BLOCK_BYTES = 176
-Q6_K_BLOCK_BYTES = 210
+# canonical block sizes live in the codec modules (one source of truth)
+from .q8_0 import BLOCK_BYTES as Q8_0_BLOCK_BYTES  # noqa: E402
+from .q8_1 import BLOCK_BYTES as Q8_1_BLOCK_BYTES  # noqa: E402
+from .q4_k import BLOCK_BYTES as Q4_K_BLOCK_BYTES  # noqa: E402
+from .q5_k import BLOCK_BYTES as Q5_K_BLOCK_BYTES  # noqa: E402
+from .q6_k import BLOCK_BYTES as Q6_K_BLOCK_BYTES  # noqa: E402
 
 
 def _parse_q8_0_matrix(a_bytes: np.ndarray, m: int, k: int):

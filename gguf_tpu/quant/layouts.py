@@ -244,7 +244,7 @@ def q5_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     (K/8, M): byte row j of a superblock (j<32) holds the 5th bit of elems
     {32b + j} at bit position b (whole-tile shift/mask unpack lands in
     element order — see ops/mmq_q5_k.py)."""
-    from .q5_k import parse_q5_k
+    from .q5_k import parse_q5_k_codes
 
     sb = k // QK_K
     b = np.asarray(qbytes).reshape(-1).view(np.uint8)
@@ -252,7 +252,7 @@ def q5_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     d_bits = blocks[:, 0:2].copy().view(np.uint16).reshape(m, sb)
     dmin_bits = blocks[:, 2:4].copy().view(np.uint16).reshape(m, sb)
     sc, mn = unpack_scale_min(blocks[:, 4:16])
-    _, _, _, _, codes = parse_q5_k(qbytes)         # (nb, 256) in [0, 32)
+    codes = parse_q5_k_codes(qbytes)               # (nb, 256) in [0, 32)
     qs = _repack_nibbles(codes & 0x0F).reshape(m, k // 2)
     hib = (codes >> 4).astype(np.uint8)            # (nb, 256) in {0, 1}
     g = hib.reshape(-1, 8, 32)                     # [sub-block b, j]

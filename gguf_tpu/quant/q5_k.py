@@ -34,6 +34,23 @@ def quantize_q5_k(x: np.ndarray) -> np.ndarray:
     return native.quantize_q5_k(np.asarray(x))
 
 
+def parse_q5_k_codes(qbytes: np.ndarray) -> np.ndarray:
+    """Flat Q5_K bytes -> uint8 (nb, 256) unpacked 5-bit codes in element
+    order (no scale conversion — the load-time SoA transform keeps scales
+    as raw fp16 bits and only needs the codes)."""
+    b = np.asarray(qbytes).reshape(-1).view(np.uint8)
+    if b.size % BLOCK_BYTES:
+        raise ValueError(f"Q5_K byte size must be a multiple of {BLOCK_BYTES}")
+    blocks = b.reshape(-1, BLOCK_BYTES)
+    nb = blocks.shape[0]
+    qh = blocks[:, 16:48]                          # (nb, 32)
+    qv = blocks[:, 48:].reshape(nb, 4, 32)         # 4 groups of 64 elems
+    low = np.stack([qv & 0x0F, qv >> 4], axis=2)   # (nb, 4, 2, 32)
+    bit = np.arange(4)[:, None, None] * 2 + np.arange(2)[None, :, None]
+    hi = (qh[:, None, None, :] >> bit[None]) & 1   # (nb, 4, 2, 32)
+    return (low + (hi << 4).astype(np.uint8)).reshape(nb, QK_K)
+
+
 def parse_q5_k(qbytes: np.ndarray):
     """Flat Q5_K bytes -> (d, dmin: f32 (nb,), sc, mn: f32 (nb,8),
     q: uint8 (nb, 256) unpacked 5-bit codes in element order)."""
@@ -45,12 +62,7 @@ def parse_q5_k(qbytes: np.ndarray):
     d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32).reshape(nb)
     dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32).reshape(nb)
     sc, mn = unpack_scale_min(blocks[:, 4:16])
-    qh = blocks[:, 16:48]                          # (nb, 32)
-    qv = blocks[:, 48:].reshape(nb, 4, 32)         # 4 groups of 64 elems
-    low = np.stack([qv & 0x0F, qv >> 4], axis=2)   # (nb, 4, 2, 32)
-    bit = np.arange(4)[:, None, None] * 2 + np.arange(2)[None, :, None]
-    hi = (qh[:, None, None, :] >> bit[None]) & 1   # (nb, 4, 2, 32)
-    q = (low + (hi << 4).astype(np.uint8)).reshape(nb, QK_K)
+    q = parse_q5_k_codes(qbytes)
     return d, dmin, sc.astype(np.float32), mn.astype(np.float32), q
 
 
@@ -72,7 +84,6 @@ def pack_q5_k_codes(codes: np.ndarray) -> np.ndarray:
     low = c & 0x0F
     hi = (c >> 4) & 1
     qs = (low[:, :, 0, :] | (low[:, :, 1, :] << 4)).reshape(nb, 128)
-    bit = np.arange(4)[:, None, None] * 2 + np.arange(2)[None, :, None]
     qh = np.zeros((nb, 32), np.uint8)
     for g in range(4):
         for h in range(2):

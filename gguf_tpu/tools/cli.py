@@ -29,9 +29,11 @@ def cmd_inspect(args):
         print(json.dumps(meta, indent=2, default=str))
         total = 0
         for name, ti in r.tensors.items():
-            print(f"{name:44s} {GGMLType(ti.ggml_type).name:6s} "
-                  f"{tuple(ti.shape)} {ti.nbytes:>12,d}B")
-            total += ti.nbytes
+            tname = (ti.ggml_type.name if isinstance(ti.ggml_type, GGMLType)
+                     else f"?{ti.ggml_type}")
+            nb = ti.nbytes or 0
+            print(f"{name:44s} {tname:6s} {tuple(ti.shape)} {nb:>12,d}B")
+            total += nb
         print(f"-- {len(r.tensors)} tensors, {total/1e6:,.1f} MB")
 
 
@@ -46,6 +48,7 @@ def cmd_requantize(args):
     tensors = {}
     with GGUFReader(args.model) as r:
         md = dict(r.metadata)
+        md_types = dict(r.metadata_types)
         for name, ti in r.tensors.items():
             x = r.dequantize(name)
             # norms / biases / odd-width tensors stay float (llama.cpp recipe)
@@ -53,7 +56,7 @@ def cmd_requantize(args):
                 tensors[name] = (GGMLType.F32, x.shape, x.astype(np.float32))
             else:
                 tensors[name] = (target, x.shape, quantize_tensor(x, target))
-    write_gguf(args.out, md, tensors)
+    write_gguf(args.out, md, tensors, metadata_types=md_types)
     print(f"wrote {args.out} ({args.fmt})")
 
 

@@ -99,3 +99,57 @@ def test_bad_magic(tmp_path):
     p.write_bytes(b"NOPE" + b"\0" * 100)
     with pytest.raises(ValueError, match="not a GGUF"):
         GGUFReader(str(p))
+
+
+def test_reader_tolerates_unsupported_tensor_types(tmp_path):
+    """Files containing tensor types without a codec (Q4_0, IQ-series)
+    still parse: metadata and supported tensors stay readable; only
+    loading the unsupported tensor raises an informative error."""
+    import struct
+
+    from gguf_tpu.gguf import GGMLType, GGUFReader
+    from gguf_tpu.gguf.writer import write_gguf
+
+    path = str(tmp_path / "mixed.gguf")
+    ok = np.arange(8, dtype=np.float32)
+    write_gguf(path, {"general.name": "mixed"},
+               {"good": (GGMLType.F32, (8,), ok)})
+    # append-edit: rewrite the file with a second tensor of type Q4_0
+    # (size known, no codec) by crafting it through the writer's raw path
+    q40_bytes = np.zeros(18, np.uint8)  # one 32-elem Q4_0 block
+    write_gguf(path, {"general.name": "mixed"},
+               {"good": (GGMLType.F32, (8,), ok),
+                "q40": (GGMLType.Q4_0, (32,), q40_bytes)})
+    with GGUFReader(path) as r:
+        assert r.metadata["general.name"] == "mixed"
+        np.testing.assert_array_equal(r.load_array("good"), ok)
+        assert r.tensors["q40"].nbytes == 18
+        with pytest.raises(ValueError, match="no MMQ kernel"):
+            r.load_quant("q40")
+
+
+def test_metadata_types_round_trip(tmp_path):
+    """Rewriting a file with the reader's metadata_types keeps each key's
+    exact GGUF value type (FLOAT64 precision, INT64 signedness, typed
+    arrays) instead of re-inferring FLOAT32/UINT32."""
+    from gguf_tpu.gguf.constants import GGUFValueType
+
+    path = str(tmp_path / "typed.gguf")
+    pi = 3.141592653589793
+    write_gguf(path, {"f64key": pi, "i64key": 7, "arr16": np.arange(4, dtype=np.int16)},
+               {"t": (GGMLType.F32, (4,), np.zeros(4, np.float32))},
+               metadata_types={"f64key": GGUFValueType.FLOAT64,
+                               "i64key": GGUFValueType.INT64})
+    with GGUFReader(path) as r:
+        assert r.metadata_types["f64key"] == GGUFValueType.FLOAT64
+        assert r.metadata["f64key"] == pi          # no f32 truncation
+        assert r.metadata_types["i64key"] == GGUFValueType.INT64
+        assert r.metadata["arr16"].dtype == np.int16
+        md, mdt = dict(r.metadata), dict(r.metadata_types)
+    # full read-modify-write keeps the types
+    path2 = str(tmp_path / "typed2.gguf")
+    write_gguf(path2, md, {"t": (GGMLType.F32, (4,), np.zeros(4, np.float32))},
+               metadata_types=mdt)
+    with GGUFReader(path2) as r2:
+        assert r2.metadata["f64key"] == pi
+        assert r2.metadata_types["f64key"] == GGUFValueType.FLOAT64

@@ -76,3 +76,23 @@ def test_quant_tensor_is_pytree(rng):
     assert len(leaves) == 5  # d, dmin, sc, mn, qs
     t2 = jax.tree_util.tree_map(lambda a: a, t)
     assert t2.fmt == "q4_k" and t2.shape == (4, 256)
+
+
+def test_pad_k_to_integer_rows():
+    """Float-ratio row scaling truncated a row for many (k, k_target)
+    pairs (e.g. 6016 * 12288/12032 = 6143.99); every SoA field must scale
+    by exact integer math and agree on the padded K."""
+    import numpy as np
+
+    from gguf_tpu.models.loader import _pad_k_to
+    from gguf_tpu.quant import quantize_q4_k
+    from gguf_tpu.quant.layouts import to_soa
+
+    rng = np.random.default_rng(0)
+    m, k, k_target = 128, 12032, 12288
+    w = to_soa("q4_k", quantize_q4_k(
+        rng.standard_normal((m, k)).astype(np.float16)), m, k)
+    padded = _pad_k_to(w, k_target)
+    assert padded.shape == (m, k_target), padded.shape
+    assert padded.qs.shape[0] == k_target // 2
+    assert padded.d_bits.shape[0] == k_target // 256

@@ -366,3 +366,32 @@ def test_long_span_tiled_path_matches_pallas(model, monkeypatch):
         for key in ("k", "v", "k_scale", "v_scale"):
             np.testing.assert_array_equal(np.asarray(lp[key]),
                                           np.asarray(lt[key]))
+
+
+def test_tied_embeddings_checkpoint(tmp_path):
+    """Checkpoints without output.weight tie the LM head to token_embd:
+    the loader must share ONE object (no double load/pad) and forward must
+    produce logits = x @ token_embd^T."""
+    from gguf_tpu.gguf import GGUFReader
+    from gguf_tpu.gguf.writer import write_gguf
+
+    src = str(tmp_path / "untied.gguf")
+    write_random_llama_gguf(src, CFG, fmt=GGMLType.Q4_K, seed=23)
+    # rewrite without output.weight
+    tied_path = str(tmp_path / "tied.gguf")
+    with GGUFReader(src) as r:
+        tensors = {n: (r.tensors[n].ggml_type, r.tensors[n].shape,
+                       np.array(r.tensor_bytes(n)))
+                   for n in r.tensors if n != "output.weight"}
+        write_gguf(tied_path, dict(r.metadata), tensors,
+                   metadata_types=dict(r.metadata_types))
+
+    cfg, params = load_llama(tied_path)
+    assert params["output"] is params["token_embd"], "must share one object"
+
+    cache = init_kv_cache(cfg, batch=1, max_seq=16)
+    toks = jnp.asarray([[1, 5, 9]], jnp.int32)
+    logits, _ = forward(params, cfg, toks, jnp.zeros(1, jnp.int32), cache,
+                        MMOpts(precision="high"))
+    assert np.isfinite(np.asarray(logits)).all()
+    assert logits.shape == (1, 3, cfg.vocab_size)

@@ -49,10 +49,18 @@ def test_perplexity_quant_vs_float(model):
 def test_perplexity_window_accounting(model):
     path, cfg, params = model
     ids = np.arange(2, 71) % cfg.vocab_size  # 69 tokens -> 2 windows @ 32 + 5
+    # llama.cpp accounting: only positions >= window/2 count, so every
+    # scored token has at least half a window of context
     total, count = sequence_nll(params, cfg, ids, window=32, batch=4)
-    # each full window scores 31 tokens; the 5-token tail scores 4
-    assert count == 31 + 31 + 4, count
+    # full windows score positions 16..31 (16 each); the 5-token tail
+    # window has no valid positions past 16
+    assert count == 16 + 16 + 0, count
     assert np.isfinite(total)
+    # full-window accounting keeps the old positions-1.. behavior
+    total_f, count_f = sequence_nll(params, cfg, ids, window=32, batch=4,
+                                    full_window=True)
+    assert count_f == 31 + 31 + 4, count_f
+    assert total_f > total  # strictly more scored tokens
 
 
 def test_perplexity_of_gguf_entrypoint(model):
