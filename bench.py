@@ -27,7 +27,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gguf_tpu.utils.benchmark import slope_time
+    from gguf_tpu.utils.benchmark import mmq_loop, slope_time
 
     from gguf_tpu.ops import mmq_q4_k
     from gguf_tpu.quant import quantize_q4_k
@@ -41,19 +41,12 @@ def main():
     wbytes = m * (k // 256) * 144
     x0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
 
-    def mk_mmq(iters):
-        def many(w, x):
-            def body(i, carry):
-                acc, xx = carry
-                out = mmq_q4_k(w, xx, precision="fast", act_quant=False)
-                # loop-carried dependency: next input depends on this output
-                return acc + out, x + acc[:, :1] * 1e-30
-            acc, _ = jax.lax.fori_loop(
-                0, iters, body, (jnp.zeros((n, m), jnp.float32), x))
-            return acc.sum()
-        return many
-
-    t_mmq = slope_time(mk_mmq, (w, x0))
+    # the shared loop-carried-dependency recipe (one definition; see
+    # gguf_tpu/utils/benchmark.py for why naive timing is invalid here)
+    t_mmq = slope_time(
+        mmq_loop(lambda w_, x_: mmq_q4_k(w_, x_, precision="fast",
+                                         act_quant=False), n, m, x0),
+        (w, x0))
 
     # baseline: the same decode GEMM from bf16 weights (what a non-quantized
     # serving stack pays per token), XLA native matmul, same harness

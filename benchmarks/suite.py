@@ -130,7 +130,6 @@ def bench_decode(quick=False, model="tinyllama", batch=16):
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, sys.path[0])
     from __graft_entry__ import _flagship
 
     from gguf_tpu.models import (LlamaConfig, MMOpts, forward,
@@ -172,18 +171,27 @@ def bench_decode(quick=False, model="tinyllama", batch=16):
                 "7b": "llama2-7b-q4km", "13b": "llama2-13b-q6k"}[model]
     params = fuse_llama_params(params)
     cache = init_kv_cache(cfg, batch=batch, max_seq=256)
+    # decode streams every weight EXCEPT the embedding table (only `batch`
+    # rows of it are gathered per step); tied checkpoints stream it as the
+    # LM head, so only subtract when untied
     wbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
                  for a in jax.tree_util.tree_leaves(params))
+    if params["output"] is not params["token_embd"]:
+        wbytes -= sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                      for a in jax.tree_util.tree_leaves(params["token_embd"]))
     tokens0 = jnp.zeros((batch, 1), jnp.int32)
-    pos0 = jnp.arange(batch, dtype=jnp.int32)
+    # all slots start at 0 so the span contract (pos + 1 <= span) holds
+    # for any iteration count slope_time picks (< span steps)
+    pos0 = jnp.zeros(batch, dtype=jnp.int32)
     opts = MMOpts(precision="fast")
+    span = None if quick else 128
 
     def make(iters):
         def many(params, tokens, pos, cache):
             def body(i, carry):
                 toks, pos, cache = carry
                 logits, cache = forward(params, cfg, toks, pos, cache, opts,
-                                        span=128)
+                                        span=span)
                 nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
                 return nxt[:, None], pos + 1, cache
             toks, pos, _ = jax.lax.fori_loop(

@@ -183,6 +183,8 @@ class LLM:
         continuous-batching scheduler below is unchanged."""
         self.cfg, self.params = load_llama(path)
         sharded = tp > 1 or dp > 1
+        # single-chip fuses here; the sharded path fuses inside shard_llama
+        # (interleaved per tp shard)
         self.params = self.params if sharded else fuse_llama_params(self.params)
         with GGUFReader(path) as r:
             md = r.metadata

@@ -284,30 +284,59 @@ def mlp(layer, x, opts: MMOpts):
     return down.reshape(b, t, -1)
 
 
-def fuse_llama_params(params: dict) -> dict:
+def fuse_llama_params(params: dict, tp: int = 1) -> dict:
     """Fuse per-layer QKV and gate+up projections along M (one MMQ launch
     instead of three/two — per-kernel fixed cost dominates small decode
     GEMMs). Only same-format quantized groups fuse; mixed-format layers
     (e.g. Q4_K_M checkpoints that keep attn_v at Q6_K) keep those weights
-    separate. Single-chip only: the TP path shards the UNfused weights so
-    each device's head slices stay contiguous."""
+    separate.
+
+    tp > 1 fuses INTERLEAVED per tensor-parallel shard — the fused matrix
+    is laid out [q_0 k_0 v_0 | q_1 k_1 v_1 | ...] so a uniform
+    P(None, "tp") column shard hands each device a locally contiguous
+    [q_d k_d v_d], and the per-device split by LOCAL head counts in
+    attention() stays correct."""
     from ..quant.layouts import concat_m
 
     def fusable(ws):
         return (all(isinstance(w, QuantTensor) for w in ws)
-                and len({w.fmt for w in ws}) == 1)
+                and len({w.fmt for w in ws}) == 1
+                and all(w.shape[0] % tp == 0 for w in ws))
+
+    def slice_m(t, lo, hi):
+        return jax.tree_util.tree_map(lambda a: a[..., lo:hi], t)
+
+    def fuse(ws):
+        if tp == 1:
+            return concat_m(ws)
+        parts = []
+        for d in range(tp):
+            for w in ws:
+                step = w.shape[0] // tp
+                parts.append(slice_m(w, d * step, (d + 1) * step))
+        return concat_m(parts)
+
+    def fuse_bias(bs):
+        if tp == 1:
+            return jnp.concatenate(bs)
+        parts = []
+        for d in range(tp):
+            for b in bs:
+                step = b.shape[0] // tp
+                parts.append(b[d * step:(d + 1) * step])
+        return jnp.concatenate(parts)
 
     layers = []
     for layer in params["layers"]:
         layer = dict(layer)
         if fusable([layer["wq"], layer["wk"], layer["wv"]]):
-            layer["wqkv"] = concat_m([layer.pop("wq"), layer.pop("wk"),
-                                      layer.pop("wv")])
+            layer["wqkv"] = fuse([layer.pop("wq"), layer.pop("wk"),
+                                  layer.pop("wv")])
             if "bq" in layer:
-                layer["bqkv"] = jnp.concatenate(
+                layer["bqkv"] = fuse_bias(
                     [layer.pop("bq"), layer.pop("bk"), layer.pop("bv")])
         if fusable([layer["gate"], layer["up"]]):
-            layer["gate_up"] = concat_m([layer.pop("gate"), layer.pop("up")])
+            layer["gate_up"] = fuse([layer.pop("gate"), layer.pop("up")])
         layers.append(layer)
     return {**params, "layers": layers}
 

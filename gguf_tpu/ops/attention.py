@@ -134,6 +134,10 @@ def kv_cache_insert(
     match), so finished continuous-batching slots are harmless."""
     b, kvh, s, hd = k.shape
     assert k_new.shape == (b, kvh, t, hd), (k_new.shape, (b, kvh, t, hd))
+    # two j-windows of 32 rows cover pos..pos+t-1 only while
+    # pos%32 + t <= 64 for every pos, i.e. t <= 33; guard the API so a
+    # larger t cannot silently drop rows from the cache
+    assert t <= 32, f"kv_cache_insert handles t <= 32 rows, got {t}"
 
     # window sizes: int8 sublane tile is 32 rows; scales live on lanes, 128
     # cols. Tiny caches (tests) fall back to whole-S windows.
@@ -275,7 +279,10 @@ def decode_attention(
     _, kvh, s, _ = k.shape
     g = h // kvh
     span = s if span is None else min(span, s)
-    assert span % 32 == 0 or span == s, f"span {span} must be 32-aligned"
+    # prefix reads block the scale arrays' LANE dim at `span`; Mosaic only
+    # lowers lane-dim blocks at 128-multiples (span == s reads whole rows)
+    assert span % 128 == 0 or span == s, (
+        f"span {span} must be a multiple of 128 (or the full cache {s})")
 
     qr = q.reshape(b, kvh, g * t, hd)
     scale = 1.0 / (hd ** 0.5)

@@ -52,16 +52,30 @@ def init_distributed(coordinator_address: str | None = None,
 
 
 def _looks_multihost() -> bool:
+    """Environment says this process is part of a multi-host slice. Cloud
+    TPU pods usually set no COORDINATOR_ADDRESS — JAX auto-discovers peers
+    from TPU metadata — so also trigger on the TPU pod variables the VM
+    images export (missing any of these silently left a pod running as N
+    independent single-host processes)."""
     import os
 
+    def multi(var):  # comma-separated peer list with >1 entry
+        v = os.environ.get(var, "")
+        return len([h for h in v.split(",") if h.strip()]) > 1
+
     return bool(os.environ.get("COORDINATOR_ADDRESS")
-                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+                or os.environ.get("MEGASCALE_NUM_SLICES")
+                or multi("TPU_WORKER_HOSTNAMES")
+                or multi("TPU_PROCESS_ADDRESSES"))
 
 
 def _psum_health_check() -> bool:
     """One tiny psum across every chip in the slice: catches a dead ICI
-    link / wedged host before a model load is attempted."""
-    from jax.sharding import Mesh, PartitionSpec as P
+    link / wedged host before a model load is attempted. The input is
+    built per-process from host-local data (a plain host array cannot be
+    fed to a mesh containing other hosts' non-addressable devices)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     devs = np.asarray(jax.devices())
     mesh = Mesh(devs, ("all",))
@@ -69,7 +83,13 @@ def _psum_health_check() -> bool:
     def f(x):
         return jax.lax.psum(x, "all")
 
+    sharding = NamedSharding(mesh, P("all"))
+    if jax.process_count() > 1:
+        x = jax.make_array_from_process_local_data(
+            sharding, np.ones(len(jax.local_devices()), np.int32),
+            (len(devs),))
+    else:
+        x = jax.device_put(jnp.ones(len(devs), jnp.int32), sharding)
     got = jax.jit(jax.shard_map(f, mesh=mesh, in_specs=P("all"),
-                                out_specs=P()))(
-        jnp.ones(len(devs), jnp.int32))
-    return int(got[0]) == len(devs)
+                                out_specs=P()))(x)
+    return int(np.asarray(got)[0]) == len(devs)

@@ -61,8 +61,11 @@ LAYER_KINDS = {
     "attn_norm": REP, "ffn_norm": REP,
     "wq": COL, "wk": COL, "wv": COL, "wo": ROW,
     "gate": COL, "up": COL, "down": ROW,
+    # fused projections (fuse_llama_params(tp=...) interleaves per-shard,
+    # so a plain column shard hands each device contiguous local q/k/v)
+    "wqkv": COL, "gate_up": COL,
     # qwen2-family QKV bias vectors: 1-D, sharded with their projections
-    "bq": "col1d", "bk": "col1d", "bv": "col1d",
+    "bq": "col1d", "bk": "col1d", "bv": "col1d", "bqkv": "col1d",
 }
 
 
@@ -99,14 +102,21 @@ def cache_specs(n_layers: int, batch_axis: str | None = "dp") -> list:
     return [dict(layer) for _ in range(n_layers)]
 
 
-def shard_llama(params: dict, cfg: LlamaConfig, mesh: Mesh):
-    """Pad + device_put the params across the mesh. Returns (params, cfg)."""
+def shard_llama(params: dict, cfg: LlamaConfig, mesh: Mesh,
+                fuse: bool = True):
+    """Pad + device_put the params across the mesh. Returns (params, cfg).
+    fuse=True applies the interleaved QKV / gate+up fusion so the sharded
+    path gets the same one-launch projections as single-chip serving."""
+    from ..models.llama import fuse_llama_params
+
     tp = mesh.shape["tp"]
     assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, (
         f"heads ({cfg.n_heads}/{cfg.n_kv_heads}) must divide tp={tp}")
     assert cfg.dim % (256 * tp) == 0, (
         f"row-parallel wo needs dim ({cfg.dim}) % 256*tp ({256 * tp}) == 0")
     params, cfg = pad_ffn_for_tp(params, cfg, tp)
+    if fuse:
+        params = fuse_llama_params(params, tp=tp)
     specs = param_specs(params)
     sharded = jax.tree_util.tree_map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs,

@@ -43,8 +43,18 @@ def slope_time(make_f, args, lo: int = 20, hi: int = 220, reps: int = 7,
     """
     import jax
 
+    # cache compiled loops per trip count: the rough pass and the final
+    # measure otherwise re-jit identical lo/hi programs (fresh closures
+    # miss the jit cache — tens of seconds per metric on big models)
+    jits: dict = {}
+
+    def get(iters):
+        if iters not in jits:
+            jits[iters] = jax.jit(make_f(iters))
+        return jits[iters]
+
     def measure(lo, hi, reps):
-        f_lo, f_hi = jax.jit(make_f(lo)), jax.jit(make_f(hi))
+        f_lo, f_hi = get(lo), get(hi)
         np.asarray(f_lo(*args)), np.asarray(f_hi(*args))  # compile + warm
         ts = []
         for _ in range(reps):
