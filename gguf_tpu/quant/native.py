@@ -187,3 +187,86 @@ def fp32_to_fp16_bits(f: np.ndarray) -> np.ndarray:
         ctypes.c_int64(f.size),
     )
     return out
+
+
+# ----------------------------------------------------- SoA transform core ---
+
+_SOA_SO_PATH = os.path.join(_CSRC_DIR, "build", "libgguf_soa.so")
+_soa_lib = None
+
+
+def get_soa_lib() -> ctypes.CDLL:
+    """Load (building if necessary) the native SoA-transform library — the
+    fast model-load path (layouts.py's numpy transforms are the tested
+    reference; these produce byte-identical arrays ~50x faster)."""
+    global _soa_lib
+    if _soa_lib is not None:
+        return _soa_lib
+    with _lib_lock:
+        if _soa_lib is not None:
+            return _soa_lib
+        if not os.path.exists(_SOA_SO_PATH):
+            _build_library()
+        lib = ctypes.CDLL(_SOA_SO_PATH)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        i64 = ctypes.c_int64
+        lib.q8_0_to_soa_c.argtypes = [u8p, i64, i64, u16p, i8p]
+        lib.q8_0_to_soa_c.restype = None
+        lib.q4_k_to_soa_c.argtypes = [u8p, i64, i64, u16p, u16p, u8p, u8p, u8p]
+        lib.q4_k_to_soa_c.restype = None
+        lib.q5_k_to_soa_c.argtypes = [u8p, i64, i64, u16p, u16p, u8p, u8p,
+                                      u8p, u8p]
+        lib.q5_k_to_soa_c.restype = None
+        lib.q6_k_to_soa_c.argtypes = [u8p, i64, i64, u16p, i8p, u8p, u8p]
+        lib.q6_k_to_soa_c.restype = None
+        _soa_lib = lib
+    return _soa_lib
+
+
+def _u8(a):
+    return np.ascontiguousarray(a).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def soa_arrays(fmt: str, qbytes, m: int, k: int) -> dict:
+    """GGUF block bytes -> dict of K-major SoA numpy arrays (same contents
+    as layouts.py's numpy transforms, computed natively)."""
+    lib = get_soa_lib()
+    src = np.ascontiguousarray(np.asarray(qbytes).reshape(-1).view(np.uint8))
+    srcp = src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    sb = k // QK_K
+    u16 = lambda rows: np.empty((rows, m), np.uint16)
+    u8a = lambda rows: np.empty((rows, m), np.uint8)
+    i8a = lambda rows: np.empty((rows, m), np.int8)
+    cp = lambda a, ct: a.ctypes.data_as(ctypes.POINTER(ct))
+
+    if fmt == "q8_0":
+        nbk = k // 32
+        d, qs = u16(nbk), i8a(k)
+        lib.q8_0_to_soa_c(srcp, m, nbk, cp(d, ctypes.c_uint16),
+                          cp(qs, ctypes.c_int8))
+        return {"d_bits": d, "qs": qs}
+    if fmt == "q4_k":
+        d, dm, sc, mn, qs = u16(sb), u16(sb), u8a(sb * 8), u8a(sb * 8), \
+            u8a(k // 2)
+        lib.q4_k_to_soa_c(srcp, m, sb, cp(d, ctypes.c_uint16),
+                          cp(dm, ctypes.c_uint16), cp(sc, ctypes.c_uint8),
+                          cp(mn, ctypes.c_uint8), cp(qs, ctypes.c_uint8))
+        return {"d_bits": d, "dmin_bits": dm, "sc": sc, "mn": mn, "qs": qs}
+    if fmt == "q5_k":
+        d, dm, sc, mn = u16(sb), u16(sb), u8a(sb * 8), u8a(sb * 8)
+        qs, qh = u8a(k // 2), u8a(k // 8)
+        lib.q5_k_to_soa_c(srcp, m, sb, cp(d, ctypes.c_uint16),
+                          cp(dm, ctypes.c_uint16), cp(sc, ctypes.c_uint8),
+                          cp(mn, ctypes.c_uint8), cp(qs, ctypes.c_uint8),
+                          cp(qh, ctypes.c_uint8))
+        return {"d_bits": d, "dmin_bits": dm, "sc": sc, "mn": mn,
+                "qs": qs, "qh": qh}
+    if fmt == "q6_k":
+        d, sc, ql, qh = u16(sb), i8a(sb * 16), u8a(k // 2), u8a(k // 4)
+        lib.q6_k_to_soa_c(srcp, m, sb, cp(d, ctypes.c_uint16),
+                          cp(sc, ctypes.c_int8), cp(ql, ctypes.c_uint8),
+                          cp(qh, ctypes.c_uint8))
+        return {"d_bits": d, "sc": sc, "ql": ql, "qh": qh}
+    raise ValueError(f"unknown format {fmt!r}")

@@ -96,3 +96,29 @@ def test_pad_k_to_integer_rows():
     assert padded.shape == (m, k_target), padded.shape
     assert padded.qs.shape[0] == k_target // 2
     assert padded.d_bits.shape[0] == k_target // 256
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q5_k", "q6_k"])
+def test_native_soa_matches_numpy(fmt):
+    """The C SoA transform core must produce byte-identical arrays to the
+    numpy reference transforms for every format and field."""
+    import numpy as np
+
+    from gguf_tpu.quant import (quantize_q4_k, quantize_q5_k, quantize_q6_k,
+                                quantize_q8_0)
+    from gguf_tpu.quant.layouts import to_soa
+
+    rng = np.random.default_rng(hash(fmt) % 2**31)
+    m, k = 160, 1536     # non-tile-multiple M, several superblocks
+    quant = {"q8_0": quantize_q8_0, "q4_k": quantize_q4_k,
+             "q5_k": quantize_q5_k, "q6_k": quantize_q6_k}[fmt]
+    qbytes = quant(rng.standard_normal((m, k)).astype(np.float16))
+
+    ref = to_soa(fmt, qbytes, m, k, native=False)
+    nat = to_soa(fmt, qbytes, m, k, native=True)
+    for field in ("d_bits", "dmin_bits", "sc", "mn", "qs", "ql", "qh"):
+        a, b = getattr(ref, field), getattr(nat, field)
+        assert (a is None) == (b is None), field
+        if a is not None:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=field)
