@@ -71,7 +71,20 @@ def parse_q4_k(qbytes: np.ndarray):
     return d, dmin, sc.astype(np.float32), mn.astype(np.float32), q
 
 
-def dequantize_q4_k(qbytes: np.ndarray, shape) -> np.ndarray:
+def dequantize_q4_k(qbytes: np.ndarray, shape, native: bool = True) -> np.ndarray:
+    if native:
+        try:    # C core (csrc/gguf_kquant.c): ~25x the numpy path below,
+                # output exactly equal (same float op order)
+            from .native import dequantize_q4_k_native
+
+            n = int(np.prod(shape))
+            return dequantize_q4_k_native(np.asarray(qbytes), n).reshape(shape)
+        except (OSError, ImportError):
+            pass
+    return _dequantize_q4_k_np(qbytes, shape)
+
+
+def _dequantize_q4_k_np(qbytes: np.ndarray, shape) -> np.ndarray:
     """Flat Q4_K bytes -> float32 array of `shape` (x = d*sc*q - dmin*mn)."""
     d, dmin, sc, mn, q = parse_q4_k(qbytes)
     nb = d.shape[0]

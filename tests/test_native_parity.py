@@ -96,3 +96,18 @@ def _make_data(rng, dist: str, n: int) -> np.ndarray:
     if dist == "positive":
         return np.abs(rng.standard_normal(n)).astype(np.float32)
     raise ValueError(dist)
+
+
+@pytest.mark.parametrize("fmt", ["q4_k", "q5_k", "q6_k"])
+def test_native_dequant_equals_numpy(fmt):
+    """The C dequantizers must produce floats exactly equal to the numpy
+    reference path (same op order)."""
+    import gguf_tpu.quant as q
+
+    rng = np.random.default_rng(hash(fmt) % 2**31)
+    x = rng.standard_normal((8, 1024)).astype(np.float32)
+    qb = getattr(q, f"quantize_{fmt}")(x)
+    deq = getattr(q, f"dequantize_{fmt}")
+    a = deq(qb, x.shape, native=True)
+    b = deq(qb, x.shape, native=False)
+    np.testing.assert_array_equal(a, b)
