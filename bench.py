@@ -1,10 +1,23 @@
-"""Headline benchmark — prints ONE JSON line.
+"""Headline benchmark — prints ONE JSON line on stdout, guaranteed.
 
 Metric: effective weight bandwidth of the flagship mmq_q4_k kernel on the
 BASELINE config (4096x4096 GEMM, 16 decode tokens): GGUF weight bytes read
 per second of kernel time. `vs_baseline` is the speedup over the
 non-quantized path — the same decode GEMM from bf16 weights via XLA's native
 matmul on the same chip (which reads 3.6x the bytes per token).
+
+Robustness contract (round-2 hardening; round 1 timed out under the driver):
+
+- A persistent XLA compilation cache (`.jax_cache/` next to this file) makes
+  every run after the first reuse compiled kernels instead of waiting on the
+  relay compiler (fresh Pallas compiles take 1-9 min under contention).
+- All measurement runs in a worker thread; the main thread prints the JSON
+  line with whatever has been measured when the worker finishes OR when the
+  wall-clock budget (GGUF_TPU_BENCH_BUDGET_S, default 420 s) expires —
+  whichever comes first. Fields not yet measured are null.
+- The MMQ metric is measured FIRST; the bf16 baseline only afterwards, so a
+  slow baseline can never cost the headline number.
+- Progress goes to stderr; stdout carries exactly one JSON line.
 
 Timing methodology (this environment's TPU is behind a relay where
 `block_until_ready` returns before the device is done and a device->host
@@ -13,25 +26,68 @@ data dependency (so XLA cannot collapse iterations algebraically or DCE the
 matmul down to the consumed slice), consume the FULL output into an f32
 accumulator, sync via np.asarray readback, and report the slope
 (T(hi_iters) - T(lo_iters)) / (hi - lo) — median over repeats — which
-cancels the fixed relay/dispatch cost.
+cancels the fixed relay/dispatch cost. Methodology lineage: the reference's
+do_bench wall-clock quantiles (/root/reference/kernels/add_kernel.py:69-94).
 
 Run `python benchmarks/suite.py` for the full per-format sweep.
 """
 
 import json
+import os
+import sys
+import threading
+import time
 
 import numpy as np
 
+T0 = time.time()
+BUDGET = float(os.environ.get("GGUF_TPU_BENCH_BUDGET_S", "420"))
 
-def main():
+STATE = {
+    "metric": "mmq_q4_k 4096x4096 GEMM @16 decode tokens, "
+              "effective weight bandwidth",
+    "value": None,
+    "unit": "GB/s",
+    "vs_baseline": None,
+}
+_DONE = threading.Event()
+
+
+def log(msg):
+    print(f"[bench {time.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def deadline():
+    return T0 + BUDGET - 10.0  # leave 10 s of slack for the final print
+
+
+def work():
+    # Persistent compilation cache: the single biggest round-1 failure was
+    # waiting on fresh relay compiles. Cache entries are keyed by program +
+    # compiler version, so driver re-runs in the same image hit warm.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # config name drift between jax versions
+        log(f"compile cache unavailable: {e}")
+
     import jax.numpy as jnp
 
     from gguf_tpu.utils.benchmark import mmq_loop, slope_time
-
     from gguf_tpu.ops import mmq_q4_k
     from gguf_tpu.quant import quantize_q4_k
     from gguf_tpu.quant.layouts import to_soa
+
+    log(f"jax up, devices={jax.devices()}")
+    # First device->host transfer through the axon relay takes 70-220 s;
+    # do it on a 1-element array so the cost isn't charged to a measurement.
+    np.asarray(jnp.zeros((1, 1)))
+    log("relay warm")
 
     m = k = 4096
     n = 16
@@ -40,16 +96,24 @@ def main():
     w = jax.device_put(to_soa("q4_k", quantize_q4_k(a), m, k))
     wbytes = m * (k // 256) * 144
     x0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    log("weights quantized + on device")
 
-    # the shared loop-carried-dependency recipe (one definition; see
-    # gguf_tpu/utils/benchmark.py for why naive timing is invalid here)
+    # Fixed lo/hi spans sized so the hi-lo delta clears relay jitter
+    # (~22 us/iter * 1200 = ~26 ms): exactly two programs to compile,
+    # no auto-extend re-jits.
     t_mmq = slope_time(
         mmq_loop(lambda w_, x_: mmq_q4_k(w_, x_, precision="fast",
                                          act_quant=False), n, m, x0),
-        (w, x0))
+        (w, x0), lo=50, hi=1250, deadline=deadline())
+    STATE["value"] = round(wbytes / t_mmq / 1e9, 2)
+    log(f"mmq_q4_k: {t_mmq * 1e6:.1f} us/iter -> {STATE['value']} GB/s")
 
-    # baseline: the same decode GEMM from bf16 weights (what a non-quantized
-    # serving stack pays per token), XLA native matmul, same harness
+    if time.time() > deadline() - 30:
+        log("budget exhausted before baseline; vs_baseline stays null")
+        return
+
+    # Baseline: the same decode GEMM from bf16 weights (what a non-quantized
+    # serving stack pays per token), XLA native matmul, same harness.
     wb16 = jnp.asarray(rng.standard_normal((k, m)), jnp.bfloat16)
     xb = x0.astype(jnp.bfloat16)
 
@@ -64,14 +128,29 @@ def main():
             return acc.sum()
         return many
 
-    t_ref = slope_time(mk_ref, (wb16, xb))
+    t_ref = slope_time(mk_ref, (wb16, xb), lo=50, hi=700, deadline=deadline())
+    STATE["vs_baseline"] = round(t_ref / t_mmq, 3)
+    log(f"bf16 baseline: {t_ref * 1e6:.1f} us/iter -> "
+        f"vs_baseline {STATE['vs_baseline']}")
 
-    print(json.dumps({
-        "metric": "mmq_q4_k 4096x4096 GEMM @16 decode tokens, effective weight bandwidth",
-        "value": round(wbytes / t_mmq / 1e9, 2),
-        "unit": "GB/s",
-        "vs_baseline": round(t_ref / t_mmq, 3),
-    }))
+
+def main():
+    def target():
+        try:
+            work()
+        except Exception as e:
+            log(f"worker error: {type(e).__name__}: {e}")
+        finally:
+            _DONE.set()
+
+    worker = threading.Thread(target=target, daemon=True)
+    worker.start()
+    _DONE.wait(timeout=max(5.0, BUDGET - (time.time() - T0)))
+    if not _DONE.is_set():
+        log(f"budget ({BUDGET:.0f}s) expired; emitting partial result")
+    print(json.dumps(STATE), flush=True)
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,16 @@ def emit(**kv):
     print(json.dumps(kv), flush=True)
 
 
+# v5e HBM peak is ~820 GB/s (we measure ~1000 GB/s reads through the relay's
+# slope method); anything past 1.5 TB/s — or a non-positive time — is a
+# measurement artifact, not physics, and must not be archived as a number.
+HBM_CEILING_GBPS = 1500.0
+
+
+def _physical(t_s: float, nbytes: int) -> bool:
+    return t_s > 0 and nbytes / t_s / 1e9 < HBM_CEILING_GBPS
+
+
 def bench_streams(sizes):
     """Pallas vector-add GB/s (3 x nbytes moved per element, like the
     reference's add benchmark)."""
@@ -78,10 +88,20 @@ def bench_streams(sizes):
             return many
 
         t = slope_time(make, (x, y), lo=20, hi=120)
-        gbps = 3 * n * 4 / t / 1e9
-        emit(metric=f"stream add {n} f32 elems", value=round(gbps, 1),
-             unit="GB/s", time_us=round(t * 1e6, 1))
-        log(f"  stream {n:>9} elems: {t*1e6:7.1f}us  {gbps:6.1f} GB/s")
+        if not _physical(t, 3 * n * 4):
+            # sub-readback-jitter op: the slope can come out negative or
+            # absurdly high at tiny sizes — re-measure over a wider span
+            t = slope_time(make, (x, y), lo=20, hi=2020)
+        if _physical(t, 3 * n * 4):
+            gbps = 3 * n * 4 / t / 1e9
+            emit(metric=f"stream add {n} f32 elems", value=round(gbps, 1),
+                 unit="GB/s", time_us=round(t * 1e6, 1))
+            log(f"  stream {n:>9} elems: {t*1e6:7.1f}us  {gbps:6.1f} GB/s")
+        else:
+            emit(metric=f"stream add {n} f32 elems", value=None,
+                 unit="GB/s", time_us=round(t * 1e6, 1), note="unreliable")
+            log(f"  stream {n:>9} elems: unreliable slope "
+                f"({t*1e6:.1f}us) — not archived")
 
 
 def bench_mmq(ns, quick=False):

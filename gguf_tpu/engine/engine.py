@@ -563,9 +563,10 @@ class LLM:
             for r in out:
                 r.text = self.tokenizer.decode(r.token_ids)
                 if stop:
-                    for sp in stop:
-                        idx = r.text.find(sp)
-                        if idx >= 0:
-                            r.text = r.text[:idx]
-                            break
+                    # trim at the EARLIEST occurrence across all stop
+                    # strings, not the first list entry that matches
+                    cuts = [i for i in (r.text.find(sp) for sp in stop)
+                            if i >= 0]
+                    if cuts:
+                        r.text = r.text[:min(cuts)]
         return out

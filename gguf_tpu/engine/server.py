@@ -83,6 +83,14 @@ class EngineWorker:
     def _fresh_session(self, sid: str):
         # keep >= 1 slot unreserved for stateless requests
         while len(self.llm._reserved) >= self.llm.max_batch - 1:
+            if not self.sessions:
+                # slots are reserved but none are ours to evict (max_batch=1,
+                # or slots pinned outside the server): clear capacity error
+                # instead of min() on an empty dict
+                raise ValueError(
+                    "no session capacity: all engine slots are reserved and "
+                    "no server-owned session can be evicted "
+                    f"(max_batch={self.llm.max_batch})")
             lru = min(self.sessions, key=lambda k: self.sessions[k]["ts"])
             self.sessions.pop(lru)["sess"].close()
         entry = {"sess": self.llm.start_session(), "covered": "",
@@ -197,16 +205,29 @@ def make_handler(worker: EngineWorker):
         def _stream_reply(self, req: _Request, chat: bool = False) -> None:
             """Server-sent events: one `data: {...}` line per token delta,
             then `data: [DONE]`. Deltas carry raw token ids and the
-            incrementally decoded text (decode-full-and-diff, so multi-byte
-            characters split across byte-fallback tokens emerge intact).
+            incrementally decoded text. Decoding is byte-level: each token's
+            raw bytes feed an incremental UTF-8 decoder that holds back an
+            incomplete multi-byte tail until the next chunk completes it —
+            slicing decoded strings by prefix length instead would garble a
+            character whose bytes span two chunks (its U+FFFD-prefix decode
+            has a different length than the final character).
             Chat requests stream OpenAI chat-style `delta` objects."""
+            import codecs
+
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.send_header("Connection", "close")
             self.end_headers()
             tok = worker.llm.tokenizer
-            all_ids: list = []
+            utf8 = codecs.getincrementaldecoder("utf-8")("replace")
+            skip = set()
+            if tok is not None:
+                for tid in (getattr(tok, "bos_id", None),
+                            getattr(tok, "eos_id", None)):
+                    if tid is not None:
+                        skip.add(int(tid))
+            first_text = True
             while True:
                 ev = req.events.get()
                 if ev is None:
@@ -221,16 +242,16 @@ def make_handler(worker: EngineWorker):
                         return
                     continue
                 ids, finished = ev
-                all_ids.extend(ids)
-                # bounded-window incremental decode: re-decoding the whole
-                # stream would be O(n^2); a 16-token overlap is enough for
-                # any multi-byte sequence split across byte-fallback tokens
-                win = ids if len(all_ids) == len(ids) else \
-                    all_ids[-(len(ids) + 16):]
-                text = tok.decode(win) if tok is not None else ""
-                prev = len(tok.decode(win[:len(win) - len(ids)])) \
-                    if tok is not None and len(win) > len(ids) else 0
-                delta = text[prev:]
+                raw = b"".join(tok.decode_token(int(t)) for t in ids
+                               if int(t) not in skip) if tok is not None else b""
+                delta = utf8.decode(raw, final=bool(finished))
+                if first_text and delta:
+                    # SPM synthetic leading space (add_space_prefix), matching
+                    # what full decode() strips from non-streamed .text
+                    if getattr(tok, "add_space_prefix", False) and \
+                            delta.startswith(" "):
+                        delta = delta[1:]
+                    first_text = False
                 fin = "stop" if finished else None
                 choice = ({"delta": {"content": delta}, "token_ids": ids,
                            "finish_reason": fin} if chat else

@@ -162,7 +162,9 @@ class GGUFReader:
         ti = self.tensors[name]
         fmt = GGML_TO_FMT.get(ti.ggml_type)
         if fmt is None:
-            raise ValueError(f"{name}: {ti.ggml_type.name} has no MMQ kernel")
+            tname = (ti.ggml_type.name if isinstance(ti.ggml_type, GGMLType)
+                     else f"type {ti.ggml_type}")  # tolerant parser keeps
+            raise ValueError(f"{name}: {tname} has no MMQ kernel")  # raw ints
         m, k = ti.shape
         raw = self.tensor_bytes(name)
         if rows is not None:

@@ -28,7 +28,8 @@ import numpy as np
 
 
 def slope_time(make_f, args, lo: int = 20, hi: int = 220, reps: int = 7,
-               target_delta: float = 0.02, max_iters: int = 20000) -> float:
+               target_delta: float = 0.02, max_iters: int = 20000,
+               deadline: float | None = None) -> float:
     """Median marginal seconds/iteration between lo- and hi-iteration jits.
 
     `make_f(iters)` must return a function running the measured op `iters`
@@ -40,6 +41,11 @@ def slope_time(make_f, args, lo: int = 20, hi: int = 220, reps: int = 7,
     millisecond-scale readback jitter and the slope can even come out
     negative. fori_loop bodies compile once regardless of the trip count, so
     large spans cost nothing extra to build.
+
+    `deadline` (absolute time.time() value) is a hard wall-clock budget:
+    once past it, no further repetitions or auto-extension re-jits are
+    started and the best estimate so far is returned. The first lo/hi
+    measurement always completes (there is no answer without it).
     """
     import jax
 
@@ -65,9 +71,13 @@ def slope_time(make_f, args, lo: int = 20, hi: int = 220, reps: int = 7,
             np.asarray(f_hi(*args))
             t_hi = time.perf_counter() - t0
             ts.append((t_hi - t_lo) / (hi - lo))
+            if deadline is not None and time.time() > deadline:
+                break
         return float(np.median(ts))
 
     rough = measure(lo, hi, 3)
+    if deadline is not None and time.time() > deadline:
+        return rough
     if rough * (hi - lo) < target_delta:
         per_iter = max(rough, 1e-8)
         hi = min(max_iters, lo + int(target_delta / per_iter))
