@@ -90,10 +90,18 @@ def perplexity(params, cfg: LlamaConfig, token_ids, **kw) -> float:
     return float(np.exp(total / max(count, 1)))
 
 
-def perplexity_of_gguf(path: str, token_ids, **kw) -> float:
-    """Load a GGUF checkpoint and score a token stream."""
+def perplexity_of_gguf(path: str, token_ids, *, act_quant: bool = False,
+                       **kw) -> float:
+    """Load a GGUF checkpoint and score a token stream.
+
+    act_quant=True scores with Q8_1-quantized activations — llama.cpp's MMQ
+    numerics, the numerics BASELINE.md's "ppl within 0.01" target is defined
+    against. The default (False) scores the bf16-activation fast path that
+    `LLM` serves by default; state which one a published number used.
+    """
     from ..models import fuse_llama_params, load_llama
 
     cfg, params = load_llama(path)
     params = fuse_llama_params(params)
+    kw.setdefault("opts", MMOpts(act_quant=act_quant))
     return perplexity(params, cfg, token_ids, **kw)

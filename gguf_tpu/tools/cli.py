@@ -91,9 +91,11 @@ def cmd_ppl(args):
     else:  # whitespace-separated token ids
         with open(args.tokens) as f:
             ids = [int(x) for x in f.read().split()]
-    ppl = perplexity_of_gguf(args.model, ids, window=args.window)
+    ppl = perplexity_of_gguf(args.model, ids, window=args.window,
+                             act_quant=args.act_quant)
     print(json.dumps({"perplexity": round(ppl, 4), "tokens": len(ids),
-                      "window": args.window}))
+                      "window": args.window,
+                      "numerics": "q8_1-mmq" if args.act_quant else "bf16"}))
 
 
 def cmd_chat(args):
@@ -214,6 +216,10 @@ def main(argv=None):
     s.add_argument("tokens", help=".txt (tokenized with the model's "
                    "tokenizer) or whitespace-separated token ids")
     s.add_argument("--window", type=int, default=512)
+    s.add_argument("--act-quant", action="store_true",
+                   help="score with Q8_1-quantized activations (llama.cpp "
+                        "MMQ numerics — what BASELINE's ppl target is "
+                        "defined against) instead of bf16 activations")
     s.set_defaults(fn=cmd_ppl)
 
     s = sub.add_parser("bench", help="decode throughput of a checkpoint")

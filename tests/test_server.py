@@ -213,3 +213,48 @@ def test_chat_session_reuses_cache(tmp_path):
                 == ref["choices"][0]["message"]["content"])
     finally:
         httpd.shutdown()
+
+
+def test_stream_reply_splits_multibyte_utf8():
+    """A multi-byte UTF-8 character whose byte-fallback tokens arrive in
+    different SSE chunks must stream out intact: the incremental decoder
+    holds back the incomplete tail instead of emitting U+FFFD and slicing
+    the next delta at the wrong offset."""
+    import io
+    import queue
+
+    from gguf_tpu.engine.server import _Request, make_handler
+
+    class Tok:
+        bos_id, eos_id = 1, 2
+        add_space_prefix = False
+
+        def decode_token(self, tid):
+            return bytes([tid])           # token id IS the raw byte
+
+    class WorkerStub:
+        class llm:
+            tokenizer = Tok()
+
+    Handler = make_handler(WorkerStub())
+    h = Handler.__new__(Handler)          # no socket; drive the method alone
+    h.wfile = io.BytesIO()
+    h.send_response = lambda code: None
+    h.send_header = lambda *a: None
+    h.end_headers = lambda: None
+
+    req = _Request("p", 4, None, 0, stream=True)
+    # "né!" = 6e | c3 a9 | 21 — é's two bytes split across two chunks
+    req.events.put(([0x6E, 0xC3], False))
+    req.events.put(([0xA9, 0x21], True))
+    req.events.put(None)
+    h._stream_reply(req)
+
+    deltas = []
+    for line in h.wfile.getvalue().decode().splitlines():
+        if line.startswith("data: ") and line != "data: [DONE]":
+            deltas.append(json.loads(line[6:])["choices"][0]["text"])
+    assert "".join(deltas) == "né!"
+    assert "�" not in "".join(deltas)
+    # the held-back byte belongs to the SECOND delta, not the first
+    assert deltas[0] == "n"
