@@ -24,6 +24,13 @@
  *         d (SB, M) u16, sc (SB*16, M) i8,
  *         ql (K/2, M) like q4_k's qs, qh (K/4, M): byte j =
  *         hi2(elem j) | hi2(elem j+64)<<2 | hi2(j+128)<<4 | hi2(j+192)<<6
+ *   q2_k:  84B block [scales:16B][qs:64B][d:u16][dmin:u16];
+ *         d/dmin (SB, M) u16, sc/mn (SB*16, M) u8 (4-bit split), qs (K/4, M):
+ *         byte j = code(elem j) | code(j+64)<<2 | code(j+128)<<4 | code(j+192)<<6
+ *   q3_k: 110B block [hmask:32B][qs:64B][scales:12B][d:u16];
+ *         d (SB, M) u16, sc (SB*16, M) i8 (-32 applied), qs (K/4, M) the
+ *         low-2-bit plane of code+4 packed like q2_k, qh (K/8, M): byte j
+ *         bit b = third bit of elem 32b+j (the on-disk hmask layout)
  */
 
 #include <stdint.h>
@@ -175,6 +182,97 @@ void q5_k_to_soa_c(const uint8_t *src, int64_t m, int64_t sb,
             }
             for (int j = 0; j < 128; j++)
                 memcpy(qs_out + (si * 128 + j) * m + mi0, qst[j], tw);
+            for (int j = 0; j < 32; j++)
+                memcpy(qh_out + (si * 32 + j) * m + mi0, qht[j], tw);
+        }
+    }
+}
+
+/* ------------------------------------------------------------------ q2_k */
+
+static inline uint8_t q2k_elem(const uint8_t *qs, int e) {
+    /* disk: per 128-half h, byte 32h+l holds elems 128h+32s+l at shift 2s */
+    int h = e >> 7, s = (e & 127) >> 5, l = e & 31;
+    return (uint8_t)((qs[32 * h + l] >> (2 * s)) & 3);
+}
+
+void q2_k_to_soa_c(const uint8_t *src, int64_t m, int64_t sb,
+                   uint16_t *d_out, uint16_t *dmin_out,
+                   uint8_t *sc_out, uint8_t *mn_out, uint8_t *qs_out) {
+#ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+#endif
+    for (int64_t si = 0; si < sb; si++) {
+        for (int64_t mi0 = 0; mi0 < m; mi0 += TILE) {
+            int64_t tw = m - mi0 < TILE ? m - mi0 : TILE;
+            uint16_t dt[TILE], dmt[TILE];
+            uint8_t sct[16][TILE], mnt[16][TILE], qst[64][TILE];
+            for (int64_t t = 0; t < tw; t++) {
+                const uint8_t *b = src + ((mi0 + t) * sb + si) * 84;
+                dt[t] = rd16(b + 80);
+                dmt[t] = rd16(b + 82);
+                for (int j = 0; j < 16; j++) {
+                    sct[j][t] = (uint8_t)(b[j] & 0x0F);
+                    mnt[j][t] = (uint8_t)(b[j] >> 4);
+                }
+                const uint8_t *qs = b + 16;
+                for (int j = 0; j < 64; j++)
+                    qst[j][t] = (uint8_t)(q2k_elem(qs, j)
+                                          | (q2k_elem(qs, j + 64) << 2)
+                                          | (q2k_elem(qs, j + 128) << 4)
+                                          | (q2k_elem(qs, j + 192) << 6));
+            }
+            memcpy(d_out + si * m + mi0, dt, tw * sizeof(uint16_t));
+            memcpy(dmin_out + si * m + mi0, dmt, tw * sizeof(uint16_t));
+            for (int j = 0; j < 16; j++) {
+                memcpy(sc_out + (si * 16 + j) * m + mi0, sct[j], tw);
+                memcpy(mn_out + (si * 16 + j) * m + mi0, mnt[j], tw);
+            }
+            for (int j = 0; j < 64; j++)
+                memcpy(qs_out + (si * 64 + j) * m + mi0, qst[j], tw);
+        }
+    }
+}
+
+/* ------------------------------------------------------------------ q3_k */
+
+void q3_k_to_soa_c(const uint8_t *src, int64_t m, int64_t sb,
+                   uint16_t *d_out, int8_t *sc_out,
+                   uint8_t *qs_out, uint8_t *qh_out) {
+#ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+#endif
+    for (int64_t si = 0; si < sb; si++) {
+        for (int64_t mi0 = 0; mi0 < m; mi0 += TILE) {
+            int64_t tw = m - mi0 < TILE ? m - mi0 : TILE;
+            uint16_t dt[TILE];
+            int8_t sct[16][TILE];
+            uint8_t qst[64][TILE], qht[32][TILE];
+            for (int64_t t = 0; t < tw; t++) {
+                const uint8_t *b = src + ((mi0 + t) * sb + si) * 110;
+                dt[t] = rd16(b + 108);
+                const uint8_t *sc = b + 96;
+                for (int j = 0; j < 16; j++) {
+                    int lo = j < 8 ? (sc[j] & 0x0F) : (sc[j - 8] >> 4);
+                    int hi = (sc[8 + (j & 3)] >> (2 * (j >> 2))) & 3;
+                    sct[j][t] = (int8_t)((lo | (hi << 4)) - 32);
+                }
+                /* low-2-bit plane: same on-disk packing as q2_k's qs */
+                const uint8_t *qs = b + 32;
+                for (int j = 0; j < 64; j++)
+                    qst[j][t] = (uint8_t)(q2k_elem(qs, j)
+                                          | (q2k_elem(qs, j + 64) << 2)
+                                          | (q2k_elem(qs, j + 128) << 4)
+                                          | (q2k_elem(qs, j + 192) << 6));
+                /* hmask bytes already have the SoA qh bit layout */
+                for (int j = 0; j < 32; j++)
+                    qht[j][t] = b[j];
+            }
+            memcpy(d_out + si * m + mi0, dt, tw * sizeof(uint16_t));
+            for (int j = 0; j < 16; j++)
+                memcpy(sc_out + (si * 16 + j) * m + mi0, sct[j], tw);
+            for (int j = 0; j < 64; j++)
+                memcpy(qs_out + (si * 64 + j) * m + mi0, qst[j], tw);
             for (int j = 0; j < 32; j++)
                 memcpy(qh_out + (si * 32 + j) * m + mi0, qht[j], tw);
         }

@@ -34,6 +34,16 @@ def mmq_q8_0(a, b, m: int, n: int, k: int, **kw) -> jax.Array:
     return _mmq("q8_0", a, b, m, n, k, **kw)
 
 
+def mmq_q2_k(a, b, m: int, n: int, k: int, **kw) -> jax.Array:
+    """Q2_K weight bytes x float (N, K) -> (N, M). K % 256 == 0."""
+    return _mmq("q2_k", a, b, m, n, k, **kw)
+
+
+def mmq_q3_k(a, b, m: int, n: int, k: int, **kw) -> jax.Array:
+    """Q3_K weight bytes x float (N, K) -> (N, M). K % 256 == 0."""
+    return _mmq("q3_k", a, b, m, n, k, **kw)
+
+
 def mmq_q4_k(a, b, m: int, n: int, k: int, **kw) -> jax.Array:
     """Q4_K weight bytes x float (N, K) -> (N, M). K % 256 == 0."""
     return _mmq("q4_k", a, b, m, n, k, **kw)

@@ -80,6 +80,8 @@ GGML_BLOCK_INFO = {
 # ggml type -> our codec format name (for SoA transforms)
 GGML_TO_FMT = {
     GGMLType.Q8_0: "q8_0",
+    GGMLType.Q2_K: "q2_k",
+    GGMLType.Q3_K: "q3_k",
     GGMLType.Q4_K: "q4_k",
     GGMLType.Q5_K: "q5_k",
     GGMLType.Q6_K: "q6_k",

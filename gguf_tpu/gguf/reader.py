@@ -178,13 +178,15 @@ class GGUFReader:
 
     def dequantize(self, name: str) -> np.ndarray:
         """Any tensor -> float32 numpy array (host-side, via the codecs)."""
-        from ..quant import (dequantize_q8_0, dequantize_q4_k,
+        from ..quant import (dequantize_q8_0, dequantize_q2_k,
+                             dequantize_q3_k, dequantize_q4_k,
                              dequantize_q5_k, dequantize_q6_k)
 
         ti = self.tensors[name]
         if ti.ggml_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
             return self.load_array(name).astype(np.float32)
-        deq = {GGMLType.Q8_0: dequantize_q8_0, GGMLType.Q4_K: dequantize_q4_k,
+        deq = {GGMLType.Q8_0: dequantize_q8_0, GGMLType.Q2_K: dequantize_q2_k,
+               GGMLType.Q3_K: dequantize_q3_k, GGMLType.Q4_K: dequantize_q4_k,
                GGMLType.Q5_K: dequantize_q5_k,
                GGMLType.Q6_K: dequantize_q6_k}[ti.ggml_type]
         return np.asarray(deq(self.tensor_bytes(name), ti.shape), dtype=np.float32)

@@ -152,14 +152,15 @@ def write_gguf(
 
 def quantize_tensor(x: np.ndarray, ggml_type: GGMLType):
     """Quantize a float array to GGUF block bytes for the given type."""
-    from ..quant import (quantize_q8_0, quantize_q4_k, quantize_q5_k,
-                         quantize_q6_k)
+    from ..quant import (quantize_q8_0, quantize_q2_k, quantize_q3_k,
+                         quantize_q4_k, quantize_q5_k, quantize_q6_k)
 
     if ggml_type == GGMLType.F32:
         return np.ascontiguousarray(x, dtype=np.float32)
     if ggml_type == GGMLType.F16:
         return np.ascontiguousarray(x, dtype=np.float16)
-    fn = {GGMLType.Q8_0: quantize_q8_0, GGMLType.Q4_K: quantize_q4_k,
+    fn = {GGMLType.Q8_0: quantize_q8_0, GGMLType.Q2_K: quantize_q2_k,
+          GGMLType.Q3_K: quantize_q3_k, GGMLType.Q4_K: quantize_q4_k,
           GGMLType.Q5_K: quantize_q5_k,
           GGMLType.Q6_K: quantize_q6_k}[ggml_type]
     return np.asarray(fn(x))

@@ -1,6 +1,8 @@
 """Pallas TPU kernels and compute ops."""
 
 from .mmq_q8_0 import mmq_q8_0
+from .mmq_q2_k import mmq_q2_k
+from .mmq_q3_k import mmq_q3_k
 from .mmq_q4_k import mmq_q4_k
 from .mmq_q5_k import mmq_q5_k
 from .mmq_q6_k import mmq_q6_k
@@ -8,11 +10,12 @@ from .activation import quantize_q8_1_act, fake_quantize_q8_1
 from .attention import (decode_attention, decode_attention_tiled,
                         decode_attention_update, kv_cache_insert)
 
-MMQ = {"q8_0": mmq_q8_0, "q4_k": mmq_q4_k, "q5_k": mmq_q5_k,
-       "q6_k": mmq_q6_k}
+MMQ = {"q8_0": mmq_q8_0, "q2_k": mmq_q2_k, "q3_k": mmq_q3_k,
+       "q4_k": mmq_q4_k, "q5_k": mmq_q5_k, "q6_k": mmq_q6_k}
 
 __all__ = [
-    "mmq_q8_0", "mmq_q4_k", "mmq_q5_k", "mmq_q6_k", "MMQ",
+    "mmq_q8_0", "mmq_q2_k", "mmq_q3_k", "mmq_q4_k", "mmq_q5_k", "mmq_q6_k",
+    "MMQ",
     "quantize_q8_1_act", "fake_quantize_q8_1",
     "decode_attention", "decode_attention_tiled", "decode_attention_update",
     "kv_cache_insert",

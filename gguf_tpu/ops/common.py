@@ -49,6 +49,20 @@ def unpack_nibbles_tile(v: jax.Array, sbt: int) -> jax.Array:
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
+def unpack_crumbs_tile(v: jax.Array, sbt: int) -> jax.Array:
+    """Mosaic-safe 2-bit unpack, K-major: (sbt*64, TM) packed u8 ->
+    (sbt*256, TM) i32 codes in element order (packed byte j of a superblock
+    holds elems j, j+64, j+128, j+192 at bits 0, 2, 4, 6; see
+    quant/layouts.py). Everything runs in int32 — u8 shifts don't lower on
+    TPU."""
+    vi = v.astype(jnp.int32)
+    parts = []
+    for s in range(sbt):
+        sl = vi[s * 64:(s + 1) * 64, :]
+        parts.extend((sl >> sh) & 3 for sh in (0, 2, 4, 6))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
 def pad_rows(a: jax.Array, rows: int) -> jax.Array:
     """Zero-pad axis 0 of `a` up to `rows`."""
     if a.shape[0] == rows:

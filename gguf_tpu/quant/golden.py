@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .q2_k import parse_q2_k
+from .q3_k import parse_q3_k
 from .q4_k import parse_q4_k
 from .q5_k import parse_q5_k
 from .q6_k import parse_q6_k
@@ -93,6 +95,53 @@ def mmq_q5_k_q8_1_golden(a_bytes, b_bytes, m: int, n: int, k: int) -> np.ndarray
     r = np.einsum("mbk,nbk->mnb", qa.astype(np.int32), qb.astype(np.int32))
     c = np.einsum("mb,nb,mnb->mn", scale_full, db, r.astype(np.float32))
     c -= np.einsum("mb,nb->mn", min_full, s)
+    return c.T.astype(np.float32)
+
+
+def mmq_q2_k_q8_1_golden(a_bytes, b_bytes, m: int, n: int, k: int) -> np.ndarray:
+    """Q2_K weights x Q8_1 activations.
+
+    Scales AND mins are per 16 elements (two weight sub-blocks per Q8_1
+    block): d*sc*dB*dot_16(q, qb) - dmin*mn*dB*sum_16(qb). The per-16
+    activation sums come straight from the Q8_1 codes (dB*sum_16(qb) is
+    exactly the sum of the dequantized activations over the half-block).
+    """
+    assert k % 256 == 0
+    sb = k // 256
+    d, dmin, sc, mn, q = (x.reshape(m, sb, *x.shape[1:]) for x in _split_blocks(parse_q2_k(a_bytes), m * sb))
+    db, _, qb = _parse_q8_1_matrix(b_bytes, n, k)
+
+    scale_full = (d[:, :, None] * sc).reshape(m, k // 16)       # d*sc per 16
+    min_full = (dmin[:, :, None] * mn).reshape(m, k // 16)      # dmin*mn per 16
+    qa16 = q.reshape(m, k // 16, 16)
+    qb16 = qb.reshape(n, k // 16, 16)
+    db16 = np.repeat(db, 2, axis=1)   # each Q8_1 32-block covers two 16-dots
+
+    r = np.einsum("mbk,nbk->mnb", qa16.astype(np.int32), qb16.astype(np.int32))
+    c = np.einsum("mb,nb,mnb->mn", scale_full, db16, r.astype(np.float32))
+    s16 = db16 * qb16.astype(np.int32).sum(-1)                  # (n, k//16)
+    c -= np.einsum("mb,nb->mn", min_full, s16)
+    return c.T.astype(np.float32)
+
+
+def mmq_q3_k_q8_1_golden(a_bytes, b_bytes, m: int, n: int, k: int) -> np.ndarray:
+    """Q3_K weights x Q8_1 activations.
+
+    Signed per-16 scales, no min term: dB * d*(sc-32)*dot_16(q, qb) with
+    q already signed in [-4, 4).
+    """
+    assert k % 256 == 0
+    sb = k // 256
+    d, sc, q = (x.reshape(m, sb, *x.shape[1:]) for x in _split_blocks(parse_q3_k(a_bytes), m * sb))
+    db, _, qb = _parse_q8_1_matrix(b_bytes, n, k)
+
+    scale_full = (d[:, :, None] * sc.astype(np.float32)).reshape(m, k // 16)
+    qa16 = q.reshape(m, k // 16, 16)
+    qb16 = qb.reshape(n, k // 16, 16)
+    db16 = np.repeat(db, 2, axis=1)
+
+    r = np.einsum("mbk,nbk->mnb", qa16.astype(np.int32), qb16.astype(np.int32))
+    c = np.einsum("mb,nb,mnb->mn", scale_full, db16, r.astype(np.float32))
     return c.T.astype(np.float32)
 
 

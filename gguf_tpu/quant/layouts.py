@@ -27,6 +27,14 @@ Per-format fields (M x K logical matrix, SB = K/256 superblocks per row):
   q6_k: d_bits (SB, M) u16 | sc (SB*16, M) i8 | ql (K/2, M) u8, packed like
         q4_k's qs | qh (K/4, M) u8: byte j (j<64) of a superblock holds the
         high-2-bits of elements j, j+64, j+128, j+192 at bits 0, 2, 4, 6.
+  q2_k: d_bits, dmin_bits (SB, M) u16 | sc, mn (SB*16, M) u8 | qs (K/4, M)
+        u8: byte j (j<64) of a superblock holds the 2-bit codes of elements
+        j, j+64, j+128, j+192 at bits 0, 2, 4, 6.
+  q3_k: d_bits (SB, M) u16 | sc (SB*16, M) i8 (the -32 offset applied at
+        load) | qs (K/4, M) u8, packed like q2_k's qs (low 2 bits of the
+        +4-offset code in [0, 8)) | qh (K/8, M) u8: byte j (j<32) of a
+        superblock holds the third code bit of elements {32b + j} at bit b
+        (same shape as q5_k's qh).
 """
 
 from __future__ import annotations
@@ -42,6 +50,8 @@ import numpy as np
 from .q4_k import unpack_scale_min, pack_scale_min
 from .q5_k import pack_q5_k_codes
 from .q8_0 import BLOCK_BYTES as Q8_0_BYTES
+from .q2_k import BLOCK_BYTES as Q2K_BYTES
+from .q3_k import BLOCK_BYTES as Q3K_BYTES
 from .q4_k import BLOCK_BYTES as Q4K_BYTES
 from .q5_k import BLOCK_BYTES as Q5K_BYTES
 from .q6_k import BLOCK_BYTES as Q6K_BYTES
@@ -59,7 +69,7 @@ class QuantTensor:
     The logical shape is DERIVED from the array shapes, so sliced or
     shard_map-local views automatically report their local (M, K)."""
 
-    fmt: str                    # 'q8_0' | 'q4_k' | 'q6_k'
+    fmt: str                    # 'q8_0' | 'q2_k' | 'q3_k' | 'q4_k' | 'q5_k' | 'q6_k'
     d_bits: jax.Array           # fp16 scale bits, u16
     dmin_bits: Optional[jax.Array] = None
     sc: Optional[jax.Array] = None
@@ -73,6 +83,8 @@ class QuantTensor:
         """Logical (M, K), derived from the K-major arrays."""
         if self.fmt == "q8_0":
             return (self.qs.shape[1], self.qs.shape[0])
+        if self.fmt in ("q2_k", "q3_k"):      # 4 codes per packed byte
+            return (self.qs.shape[1], self.qs.shape[0] * 4)
         codes = self.ql if self.fmt == "q6_k" else self.qs
         return (codes.shape[1], codes.shape[0] * 2)
 
@@ -87,7 +99,8 @@ class QuantTensor:
 
     def packed_bytes_per_row(self) -> int:
         m, k = self.shape
-        per_block = {"q8_0": (32, Q8_0_BYTES), "q4_k": (QK_K, Q4K_BYTES),
+        per_block = {"q8_0": (32, Q8_0_BYTES), "q2_k": (QK_K, Q2K_BYTES),
+                     "q3_k": (QK_K, Q3K_BYTES), "q4_k": (QK_K, Q4K_BYTES),
                      "q5_k": (QK_K, Q5K_BYTES), "q6_k": (QK_K, Q6K_BYTES)}[self.fmt]
         return k // per_block[0] * per_block[1]
 
@@ -197,6 +210,113 @@ def _repack_nibbles(codes: np.ndarray) -> np.ndarray:
     lo = codes[:, :128].astype(np.uint8)
     hi = codes[:, 128:].astype(np.uint8)
     return lo | (hi << 4)
+
+
+def _repack_crumbs(codes: np.ndarray) -> np.ndarray:
+    """(nb, 256) 2-bit codes -> (nb, 64) bytes: byte j holds elems j, j+64,
+    j+128, j+192 at bits 0, 2, 4, 6 (concat of 4 shift/masks unpacks in
+    element order)."""
+    c = codes.reshape(-1, 4, 64).astype(np.uint8)
+    out = np.zeros((c.shape[0], 64), np.uint8)
+    for s in range(4):
+        out |= (c[:, s, :] << (2 * s)).astype(np.uint8)
+    return out
+
+
+def q2_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
+    from .q2_k import parse_q2_k_codes
+
+    sb = k // QK_K
+    b = np.asarray(qbytes).reshape(-1).view(np.uint8)
+    blocks = b.reshape(m * sb, Q2K_BYTES)
+    d_bits = blocks[:, 80:82].copy().view(np.uint16).reshape(m, sb)
+    dmin_bits = blocks[:, 82:84].copy().view(np.uint16).reshape(m, sb)
+    sc = blocks[:, :16] & 0x0F
+    mn = blocks[:, :16] >> 4
+    codes = parse_q2_k_codes(qbytes)               # (nb, 256) in [0, 4)
+    qs = _repack_crumbs(codes).reshape(m, k // 4)
+    t = lambda a: jnp.asarray(np.ascontiguousarray(a.T))
+    return QuantTensor(
+        fmt="q2_k",
+        d_bits=t(d_bits), dmin_bits=t(dmin_bits),
+        sc=t(sc.reshape(m, sb * 16)), mn=t(mn.reshape(m, sb * 16)),
+        qs=t(qs),
+    )
+
+
+def soa_to_q2_k(t: QuantTensor) -> np.ndarray:
+    from .q2_k import pack_q2_k_codes
+
+    m, k = t.shape
+    sb = k // QK_K
+    nb = m * sb
+    packed = np.asarray(t.qs).T.reshape(nb, 64)
+    codes = np.empty((nb, QK_K), dtype=np.uint8)
+    for s in range(4):
+        codes[:, 64 * s:64 * (s + 1)] = (packed >> (2 * s)) & 3
+
+    out = np.empty((nb, Q2K_BYTES), dtype=np.uint8)
+    out[:, :16] = ((np.asarray(t.sc).T.reshape(nb, 16) & 0x0F)
+                   | (np.asarray(t.mn).T.reshape(nb, 16) << 4))
+    out[:, 16:80] = pack_q2_k_codes(codes)
+    out[:, 80:82] = np.ascontiguousarray(np.asarray(t.d_bits).T).reshape(nb).view(np.uint8).reshape(nb, 2)
+    out[:, 82:84] = np.ascontiguousarray(np.asarray(t.dmin_bits).T).reshape(nb).view(np.uint8).reshape(nb, 2)
+    return out.reshape(-1)
+
+
+def q3_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
+    """Q3_K SoA: signed per-16 scales (the -32 offset applied at load), the
+    +4-offset codes in [0, 8) split into a q2_k-style 2-bit plane (qs) and a
+    q5_k-style high-bit plane (qh — the on-disk hmask already has exactly
+    that shape)."""
+    from .q3_k import parse_q3_k_codes, unpack_q3_k_scales
+
+    sb = k // QK_K
+    b = np.asarray(qbytes).reshape(-1).view(np.uint8)
+    blocks = b.reshape(m * sb, Q3K_BYTES)
+    d_bits = blocks[:, 108:110].copy().view(np.uint16).reshape(m, sb)
+    sc = unpack_q3_k_scales(blocks[:, 96:108]).astype(np.int8)  # [-32, 32)
+    codes = parse_q3_k_codes(qbytes)               # (nb, 256) signed [-4, 4)
+    full = (codes.astype(np.int16) + 4).astype(np.uint8)        # [0, 8)
+    qs = _repack_crumbs(full & 3).reshape(m, k // 4)
+    qh = np.ascontiguousarray(blocks[:, 0:32]).reshape(m, k // 8)
+    t = lambda a: jnp.asarray(np.ascontiguousarray(a.T))
+    return QuantTensor(
+        fmt="q3_k",
+        d_bits=t(d_bits),
+        sc=t(sc.reshape(m, sb * 16)),
+        qs=t(qs), qh=t(qh),
+    )
+
+
+def soa_to_q3_k(t: QuantTensor) -> np.ndarray:
+    from .q3_k import pack_q3_k_scales
+
+    m, k = t.shape
+    sb = k // QK_K
+    nb = m * sb
+    packed = np.asarray(t.qs).T.reshape(nb, 64)
+    low2 = np.empty((nb, QK_K), dtype=np.uint8)
+    for s in range(4):
+        low2[:, 64 * s:64 * (s + 1)] = (packed >> (2 * s)) & 3
+
+    out = np.empty((nb, Q3K_BYTES), dtype=np.uint8)
+    out[:, 0:32] = np.asarray(t.qh).T.reshape(nb, 32)
+    out[:, 32:96] = _disk_pack_q3_qs(low2)
+    out[:, 96:108] = pack_q3_k_scales(np.asarray(t.sc).T.reshape(nb, 16))
+    out[:, 108:110] = np.ascontiguousarray(np.asarray(t.d_bits).T).reshape(nb).view(np.uint8).reshape(nb, 2)
+    return out.reshape(-1)
+
+
+def _disk_pack_q3_qs(low2: np.ndarray) -> np.ndarray:
+    """(nb, 256) low-2-bit planes -> on-disk qs (nb, 64): per 128-half h,
+    byte 32h+l = elems 128h+l, +32, +64, +96 at bits 0, 2, 4, 6."""
+    nb = low2.shape[0]
+    c = low2.reshape(nb, 2, 4, 32)
+    qs = np.zeros((nb, 2, 32), np.uint8)
+    for s in range(4):
+        qs |= (c[:, :, s, :] << (2 * s)).astype(np.uint8)
+    return qs.reshape(nb, 64)
 
 
 def q4_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
@@ -340,10 +460,10 @@ def soa_to_q6_k(t: QuantTensor) -> np.ndarray:
     return out.reshape(-1)
 
 
-TO_SOA = {"q8_0": q8_0_to_soa, "q4_k": q4_k_to_soa, "q5_k": q5_k_to_soa,
-          "q6_k": q6_k_to_soa}
-FROM_SOA = {"q8_0": soa_to_q8_0, "q4_k": soa_to_q4_k, "q5_k": soa_to_q5_k,
-            "q6_k": soa_to_q6_k}
+TO_SOA = {"q8_0": q8_0_to_soa, "q2_k": q2_k_to_soa, "q3_k": q3_k_to_soa,
+          "q4_k": q4_k_to_soa, "q5_k": q5_k_to_soa, "q6_k": q6_k_to_soa}
+FROM_SOA = {"q8_0": soa_to_q8_0, "q2_k": soa_to_q2_k, "q3_k": soa_to_q3_k,
+            "q4_k": soa_to_q4_k, "q5_k": soa_to_q5_k, "q6_k": soa_to_q6_k}
 
 
 def to_soa(fmt: str, qbytes: np.ndarray, m: int, k: int,
@@ -432,7 +552,41 @@ def _dequant_q6_k(t: QuantTensor) -> jax.Array:
     return _expand_scales(scale16, 16) * q.astype(jnp.float32)
 
 
-_DEQUANT = {"q8_0": _dequant_q8_0, "q4_k": _dequant_q4_k,
+def _unpack_crumbs_jnp(packed_t: jax.Array, sb: int) -> jax.Array:
+    """(K/4, M) packed bytes -> (M, K) 2-bit codes, inverting _repack_crumbs."""
+    packed = packed_t.T
+    m = packed.shape[0]
+    v = packed.reshape(m, sb, 64)
+    parts = [(v >> (2 * s)) & jnp.uint8(3) for s in range(4)]
+    return jnp.concatenate(parts, axis=-1).reshape(m, sb * QK_K)
+
+
+def _dequant_q2_k(t: QuantTensor) -> jax.Array:
+    m, k = t.shape
+    sb = k // QK_K
+    d = fp16_bits_to_f32(t.d_bits.T)                    # (M, SB)
+    dmin = fp16_bits_to_f32(t.dmin_bits.T)
+    scale16 = _expand_scales(d, 16) * t.sc.T.astype(jnp.float32)  # (M, SB*16)
+    min16 = _expand_scales(dmin, 16) * t.mn.T.astype(jnp.float32)
+    q = _unpack_crumbs_jnp(t.qs, sb).astype(jnp.float32)
+    return _expand_scales(scale16, 16) * q - _expand_scales(min16, 16)
+
+
+def _dequant_q3_k(t: QuantTensor) -> jax.Array:
+    m, k = t.shape
+    sb = k // QK_K
+    d = fp16_bits_to_f32(t.d_bits.T)                    # (M, SB)
+    scale16 = _expand_scales(d, 16) * t.sc.T.astype(jnp.float32)  # (M, SB*16)
+    low2 = _unpack_crumbs_jnp(t.qs, sb)                 # (M, K) in [0, 4)
+    h = t.qh.T.reshape(m, sb, 32)
+    hib = jnp.concatenate(
+        [(h >> b) & jnp.uint8(1) for b in range(8)], axis=-1).reshape(m, k)
+    q = (low2 | (hib << 2)).astype(jnp.int8) - jnp.int8(4)
+    return _expand_scales(scale16, 16) * q.astype(jnp.float32)
+
+
+_DEQUANT = {"q8_0": _dequant_q8_0, "q2_k": _dequant_q2_k,
+            "q3_k": _dequant_q3_k, "q4_k": _dequant_q4_k,
             "q5_k": _dequant_q5_k, "q6_k": _dequant_q6_k}
 
 
@@ -447,6 +601,12 @@ def quantize_to_soa(x: np.ndarray, fmt: str) -> QuantTensor:
     m, k = x.shape
     if fmt == "q8_0":
         return q8_0_to_soa(_q8.quantize_q8_0(x.astype(np.float16)), m, k)
+    if fmt == "q2_k":
+        from . import q2_k as _q2
+        return q2_k_to_soa(_q2.quantize_q2_k(x.astype(np.float32)), m, k)
+    if fmt == "q3_k":
+        from . import q3_k as _q3
+        return q3_k_to_soa(_q3.quantize_q3_k(x.astype(np.float32)), m, k)
     if fmt == "q4_k":
         return q4_k_to_soa(_q4.quantize_q4_k(x.astype(np.float32)), m, k)
     if fmt == "q5_k":

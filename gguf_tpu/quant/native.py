@@ -24,6 +24,8 @@ _lib = None
 _lib_lock = threading.Lock()
 
 QK_K = 256
+Q2K_BLOCK_BYTES = 84
+Q3K_BLOCK_BYTES = 110
 Q4K_BLOCK_BYTES = 144
 Q5K_BLOCK_BYTES = 176
 Q6K_BLOCK_BYTES = 210
@@ -53,6 +55,13 @@ def get_lib() -> ctypes.CDLL:
         u8p = ctypes.POINTER(ctypes.c_uint8)
         u16p = ctypes.POINTER(ctypes.c_uint16)
 
+        for fmt in ("q2_k", "q3_k"):
+            q = getattr(lib, f"gq_quantize_{fmt}")
+            q.argtypes = [f32p, u8p, ctypes.c_int64]
+            q.restype = None
+            dq = getattr(lib, f"gq_dequantize_{fmt}")
+            dq.argtypes = [u8p, f32p, ctypes.c_int64]
+            dq.restype = None
         lib.gq_quantize_q4_k.argtypes = [f32p, u8p, ctypes.c_int64]
         lib.gq_quantize_q4_k.restype = None
         lib.gq_quantize_q5_k.argtypes = [f32p, u8p, ctypes.c_int64]
@@ -82,6 +91,49 @@ def get_lib() -> ctypes.CDLL:
 
 def _as_f32_c(x: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(x, dtype=np.float32)
+
+
+def _quantize_kquant(x: np.ndarray, fmt: str, block_bytes: int) -> np.ndarray:
+    x = _as_f32_c(x.reshape(-1))
+    n = x.size
+    if n % QK_K:
+        raise ValueError(f"{fmt} needs size % 256 == 0, got {n}")
+    out = np.empty(n // QK_K * block_bytes, dtype=np.uint8)
+    getattr(get_lib(), f"gq_quantize_{fmt}")(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n),
+    )
+    return out
+
+
+def _dequantize_kquant(q: np.ndarray, n_elems: int, fmt: str) -> np.ndarray:
+    q = np.ascontiguousarray(q.reshape(-1).view(np.uint8))
+    out = np.empty(n_elems, dtype=np.float32)
+    getattr(get_lib(), f"gq_dequantize_{fmt}")(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(n_elems),
+    )
+    return out
+
+
+def quantize_q2_k(x: np.ndarray) -> np.ndarray:
+    """Quantize a float array (size % 256 == 0) to flat Q2_K bytes (uint8)."""
+    return _quantize_kquant(x, "q2_k", Q2K_BLOCK_BYTES)
+
+
+def quantize_q3_k(x: np.ndarray) -> np.ndarray:
+    """Quantize a float array (size % 256 == 0) to flat Q3_K bytes (uint8)."""
+    return _quantize_kquant(x, "q3_k", Q3K_BLOCK_BYTES)
+
+
+def dequantize_q2_k_native(q: np.ndarray, n_elems: int) -> np.ndarray:
+    return _dequantize_kquant(q, n_elems, "q2_k")
+
+
+def dequantize_q3_k_native(q: np.ndarray, n_elems: int) -> np.ndarray:
+    return _dequantize_kquant(q, n_elems, "q3_k")
 
 
 def quantize_q4_k(x: np.ndarray) -> np.ndarray:
@@ -214,6 +266,10 @@ def get_soa_lib() -> ctypes.CDLL:
         i64 = ctypes.c_int64
         lib.q8_0_to_soa_c.argtypes = [u8p, i64, i64, u16p, i8p]
         lib.q8_0_to_soa_c.restype = None
+        lib.q2_k_to_soa_c.argtypes = [u8p, i64, i64, u16p, u16p, u8p, u8p, u8p]
+        lib.q2_k_to_soa_c.restype = None
+        lib.q3_k_to_soa_c.argtypes = [u8p, i64, i64, u16p, i8p, u8p, u8p]
+        lib.q3_k_to_soa_c.restype = None
         lib.q4_k_to_soa_c.argtypes = [u8p, i64, i64, u16p, u16p, u8p, u8p, u8p]
         lib.q4_k_to_soa_c.restype = None
         lib.q5_k_to_soa_c.argtypes = [u8p, i64, i64, u16p, u16p, u8p, u8p,
@@ -247,6 +303,19 @@ def soa_arrays(fmt: str, qbytes, m: int, k: int) -> dict:
         lib.q8_0_to_soa_c(srcp, m, nbk, cp(d, ctypes.c_uint16),
                           cp(qs, ctypes.c_int8))
         return {"d_bits": d, "qs": qs}
+    if fmt == "q2_k":
+        d, dm, sc, mn, qs = u16(sb), u16(sb), u8a(sb * 16), u8a(sb * 16), \
+            u8a(k // 4)
+        lib.q2_k_to_soa_c(srcp, m, sb, cp(d, ctypes.c_uint16),
+                          cp(dm, ctypes.c_uint16), cp(sc, ctypes.c_uint8),
+                          cp(mn, ctypes.c_uint8), cp(qs, ctypes.c_uint8))
+        return {"d_bits": d, "dmin_bits": dm, "sc": sc, "mn": mn, "qs": qs}
+    if fmt == "q3_k":
+        d, sc, qs, qh = u16(sb), i8a(sb * 16), u8a(k // 4), u8a(k // 8)
+        lib.q3_k_to_soa_c(srcp, m, sb, cp(d, ctypes.c_uint16),
+                          cp(sc, ctypes.c_int8), cp(qs, ctypes.c_uint8),
+                          cp(qh, ctypes.c_uint8))
+        return {"d_bits": d, "sc": sc, "qs": qs, "qh": qh}
     if fmt == "q4_k":
         d, dm, sc, mn, qs = u16(sb), u16(sb), u8a(sb * 8), u8a(sb * 8), \
             u8a(k // 2)

@@ -197,7 +197,8 @@ def main(argv=None):
     s = sub.add_parser("requantize", help="convert a GGUF to another format")
     s.add_argument("model")
     s.add_argument("out")
-    s.add_argument("--fmt", default="q4_k", choices=["q4_k", "q5_k", "q6_k", "q8_0"])
+    s.add_argument("--fmt", default="q4_k",
+                   choices=["q2_k", "q3_k", "q4_k", "q5_k", "q6_k", "q8_0"])
     s.set_defaults(fn=cmd_requantize)
 
     s = sub.add_parser("generate", help="generate completions")

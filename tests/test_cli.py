@@ -40,6 +40,22 @@ def test_requantize_roundtrip(model, tmp_path):
     assert bool(jnp.isfinite(logits).all())
 
 
+@pytest.mark.parametrize("fmt", ["q2_k", "q3_k"])
+def test_requantize_low_bit_serves(model, tmp_path, fmt):
+    """The sub-4-bit K-quants requantize and serve end to end (formats the
+    upstream reference cannot produce at all)."""
+    out_path = str(tmp_path / f"re_{fmt}.gguf")
+    main(["requantize", model, out_path, "--fmt", fmt])
+    cfg, params = load_llama(out_path)
+    assert params["layers"][0]["wq"].fmt == fmt
+    import jax.numpy as jnp
+
+    from gguf_tpu.models import forward, init_kv_cache
+    logits, _ = forward(params, cfg, jnp.zeros((1, 2), jnp.int32),
+                        jnp.zeros(1, jnp.int32), init_kv_cache(cfg, 1, 8))
+    assert bool(jnp.isfinite(logits).all())
+
+
 def test_generate_cli(model, capsys):
     main(["generate", model, "--ids", "1 5 9", "-n", "4",
           "--temperature", "0.0"])

@@ -10,11 +10,12 @@ import numpy as np
 import pytest
 
 from gguf_tpu.quant import (
-    quantize_q8_0, quantize_q8_1, quantize_q4_k, quantize_q5_k, quantize_q6_k,
-    dequantize_q8_0, dequantize_q4_k, dequantize_q5_k, dequantize_q6_k,
-    dequantize_q8_1,
-    mmq_q8_0_q8_1_golden, mmq_q4_k_q8_1_golden, mmq_q5_k_q8_1_golden,
-    mmq_q6_k_q8_1_golden,
+    quantize_q8_0, quantize_q8_1, quantize_q2_k, quantize_q3_k,
+    quantize_q4_k, quantize_q5_k, quantize_q6_k,
+    dequantize_q8_0, dequantize_q2_k, dequantize_q3_k, dequantize_q4_k,
+    dequantize_q5_k, dequantize_q6_k, dequantize_q8_1,
+    mmq_q8_0_q8_1_golden, mmq_q2_k_q8_1_golden, mmq_q3_k_q8_1_golden,
+    mmq_q4_k_q8_1_golden, mmq_q5_k_q8_1_golden, mmq_q6_k_q8_1_golden,
 )
 from gguf_tpu.utils import snr_db, allclose_rel
 
@@ -44,6 +45,25 @@ def test_golden_q4_k_snr(rng, m, n, k):
     assert snr_db(c, c - got) > 12
 
 
+# 2/3-bit dot SNR is ~11/16 dB in aggregate but wildly variable for a
+# single dot (the signal can land near zero), so the coarse formats assert
+# over many-dot shapes only.
+@pytest.mark.parametrize("m,n,k", [(8, 4, 512), (16, 8, 1024)])
+def test_golden_q2_k_snr(rng, m, n, k):
+    a, b, c = _mats(rng, m, n, k)
+    got = mmq_q2_k_q8_1_golden(quantize_q2_k(a), quantize_q8_1(b), m, n, k)
+    assert got.shape == (n, m)
+    assert snr_db(c, c - got) > 6
+
+
+@pytest.mark.parametrize("m,n,k", [(8, 4, 512), (16, 8, 1024)])
+def test_golden_q3_k_snr(rng, m, n, k):
+    a, b, c = _mats(rng, m, n, k)
+    got = mmq_q3_k_q8_1_golden(quantize_q3_k(a), quantize_q8_1(b), m, n, k)
+    assert got.shape == (n, m)
+    assert snr_db(c, c - got) > 11
+
+
 @pytest.mark.parametrize("m,n,k", [(1, 1, 256), (4, 4, 512), (16, 8, 1024)])
 def test_golden_q6_k_snr(rng, m, n, k):
     a, b, c = _mats(rng, m, n, k)
@@ -56,11 +76,13 @@ def test_golden_q6_k_snr(rng, m, n, k):
     "quantize,golden,dequantize",
     [
         (quantize_q8_0, mmq_q8_0_q8_1_golden, dequantize_q8_0),
+        (quantize_q2_k, mmq_q2_k_q8_1_golden, dequantize_q2_k),
+        (quantize_q3_k, mmq_q3_k_q8_1_golden, dequantize_q3_k),
         (quantize_q4_k, mmq_q4_k_q8_1_golden, dequantize_q4_k),
         (quantize_q5_k, mmq_q5_k_q8_1_golden, dequantize_q5_k),
         (quantize_q6_k, mmq_q6_k_q8_1_golden, dequantize_q6_k),
     ],
-    ids=["q8_0", "q4_k", "q5_k", "q6_k"],
+    ids=["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k"],
 )
 def test_golden_equals_dequant_matmul(rng, quantize, golden, dequantize):
     """The integer-dot golden must equal the dequantize-then-matmul product of

@@ -5,20 +5,24 @@ import numpy as np
 import pytest
 
 from gguf_tpu.quant import (
-    quantize_q8_0, quantize_q4_k, quantize_q5_k, quantize_q6_k,
-    dequantize_q8_0, dequantize_q4_k, dequantize_q5_k, dequantize_q6_k,
+    quantize_q8_0, quantize_q2_k, quantize_q3_k, quantize_q4_k,
+    quantize_q5_k, quantize_q6_k,
+    dequantize_q8_0, dequantize_q2_k, dequantize_q3_k, dequantize_q4_k,
+    dequantize_q5_k, dequantize_q6_k,
 )
 from gguf_tpu.quant.layouts import (
     to_soa, from_soa, quantize_to_soa, fp16_bits_to_f32,
 )
 
-QUANTIZERS = {"q8_0": quantize_q8_0, "q4_k": quantize_q4_k,
+QUANTIZERS = {"q8_0": quantize_q8_0, "q2_k": quantize_q2_k,
+              "q3_k": quantize_q3_k, "q4_k": quantize_q4_k,
               "q5_k": quantize_q5_k, "q6_k": quantize_q6_k}
-DEQUANTIZERS = {"q8_0": dequantize_q8_0, "q4_k": dequantize_q4_k,
+DEQUANTIZERS = {"q8_0": dequantize_q8_0, "q2_k": dequantize_q2_k,
+                "q3_k": dequantize_q3_k, "q4_k": dequantize_q4_k,
                 "q5_k": dequantize_q5_k, "q6_k": dequantize_q6_k}
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q5_k", "q6_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k"])
 @pytest.mark.parametrize("m,k", [(2, 256), (8, 512), (3, 1024)])
 def test_soa_roundtrip_lossless(rng, fmt, m, k):
     x = rng.standard_normal((m, k)).astype(np.float32)
@@ -28,7 +32,7 @@ def test_soa_roundtrip_lossless(rng, fmt, m, k):
     np.testing.assert_array_equal(np.asarray(back), np.asarray(qbytes).view(np.uint8))
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q5_k", "q6_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k"])
 def test_jnp_dequant_matches_numpy(rng, fmt):
     m, k = 4, 512
     x = rng.standard_normal((m, k)).astype(np.float32)
@@ -98,20 +102,17 @@ def test_pad_k_to_integer_rows():
     assert padded.d_bits.shape[0] == k_target // 256
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q5_k", "q6_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k"])
 def test_native_soa_matches_numpy(fmt):
     """The C SoA transform core must produce byte-identical arrays to the
     numpy reference transforms for every format and field."""
     import numpy as np
 
-    from gguf_tpu.quant import (quantize_q4_k, quantize_q5_k, quantize_q6_k,
-                                quantize_q8_0)
     from gguf_tpu.quant.layouts import to_soa
 
     rng = np.random.default_rng(hash(fmt) % 2**31)
     m, k = 160, 1536     # non-tile-multiple M, several superblocks
-    quant = {"q8_0": quantize_q8_0, "q4_k": quantize_q4_k,
-             "q5_k": quantize_q5_k, "q6_k": quantize_q6_k}[fmt]
+    quant = QUANTIZERS[fmt]
     qbytes = quant(rng.standard_normal((m, k)).astype(np.float16))
 
     ref = to_soa(fmt, qbytes, m, k, native=False)

@@ -10,17 +10,21 @@ quantizes internally (act_quant=True) — both must agree to 1% of max|C|.
 import numpy as np
 import pytest
 
-from gguf_tpu.ops import mmq_q8_0, mmq_q4_k, mmq_q5_k, mmq_q6_k
+from gguf_tpu.ops import (mmq_q8_0, mmq_q2_k, mmq_q3_k, mmq_q4_k,
+                          mmq_q5_k, mmq_q6_k)
 from gguf_tpu.quant import (
-    quantize_q8_0, quantize_q4_k, quantize_q5_k, quantize_q6_k, quantize_q8_1,
-    mmq_q8_0_q8_1_golden, mmq_q4_k_q8_1_golden, mmq_q5_k_q8_1_golden,
-    mmq_q6_k_q8_1_golden,
+    quantize_q8_0, quantize_q2_k, quantize_q3_k, quantize_q4_k,
+    quantize_q5_k, quantize_q6_k, quantize_q8_1,
+    mmq_q8_0_q8_1_golden, mmq_q2_k_q8_1_golden, mmq_q3_k_q8_1_golden,
+    mmq_q4_k_q8_1_golden, mmq_q5_k_q8_1_golden, mmq_q6_k_q8_1_golden,
 )
 from gguf_tpu.quant.layouts import to_soa
 from gguf_tpu.utils import allclose_rel, max_rel_err
 
 CASES = {
     "q8_0": (quantize_q8_0, mmq_q8_0_q8_1_golden, mmq_q8_0, "q8_0", 32),
+    "q2_k": (quantize_q2_k, mmq_q2_k_q8_1_golden, mmq_q2_k, "q2_k", 256),
+    "q3_k": (quantize_q3_k, mmq_q3_k_q8_1_golden, mmq_q3_k, "q3_k", 256),
     "q4_k": (quantize_q4_k, mmq_q4_k_q8_1_golden, mmq_q4_k, "q4_k", 256),
     "q5_k": (quantize_q5_k, mmq_q5_k_q8_1_golden, mmq_q5_k, "q5_k", 256),
     "q6_k": (quantize_q6_k, mmq_q6_k_q8_1_golden, mmq_q6_k, "q6_k", 256),
@@ -63,6 +67,22 @@ def test_mmq_q5_k_parity(rng, m, n, k):
     assert allclose_rel(got, want, 0.01)
 
 
+@pytest.mark.parametrize("m", [1, 4, 16])
+@pytest.mark.parametrize("n", [1, 4, 16])
+@pytest.mark.parametrize("k", [256, 512, 1024])
+def test_mmq_q2_k_parity(rng, m, n, k):
+    got, want = _run(rng, "q2_k", m, n, k)
+    assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
+
+
+@pytest.mark.parametrize("m", [1, 4, 16])
+@pytest.mark.parametrize("n", [1, 4, 16])
+@pytest.mark.parametrize("k", [256, 512, 1024])
+def test_mmq_q3_k_parity(rng, m, n, k):
+    got, want = _run(rng, "q3_k", m, n, k)
+    assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
+
+
 @pytest.mark.parametrize("m,n", [(1, 1), (4, 4), (16, 16), (16, 1)])
 @pytest.mark.parametrize("k", [256, 512, 1024])
 def test_mmq_q6_k_parity(rng, m, n, k):
@@ -70,14 +90,14 @@ def test_mmq_q6_k_parity(rng, m, n, k):
     assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q5_k", "q6_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k"])
 def test_mmq_multi_tile_grid(rng, fmt):
     """Shapes that force multiple M and K grid steps (accumulator reuse)."""
     got, want = _run(rng, fmt, 200, 4, 1024, block_m=128, block_k=256)
     assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q5_k", "q6_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k"])
 def test_mmq_no_act_quant_matches_dequant_matmul(rng, fmt):
     """act_quant=False: kernel must equal dequantized-weights x float B."""
     quantize, _, kernel, _, _ = CASES[fmt]
@@ -90,7 +110,7 @@ def test_mmq_no_act_quant_matches_dequant_matmul(rng, fmt):
     assert allclose_rel(got, want, 0.005), max_rel_err(got, want)
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q5_k", "q6_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k"])
 def test_mmq_large_n_tiled(rng, fmt):
     """Prefill-sized N (> the 256-row tile) exercises the N grid dimension
     (regression: untiled N OOM'd VMEM at b*t >= ~512)."""
@@ -98,7 +118,7 @@ def test_mmq_large_n_tiled(rng, fmt):
     assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_k", "q5_k", "q6_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k"])
 def test_compat_reference_signature(rng, fmt):
     """The reference's exact calling convention — raw GGUF bytes +
     (N, K) activations + explicit M, N, K — works through gguf_tpu.compat

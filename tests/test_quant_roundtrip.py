@@ -179,6 +179,58 @@ def test_relative_error_heatmap(tmp_path, rng):
 
 
 @pytest.mark.parametrize("n", [256, 1024])
+def test_q2_k_roundtrip(rng, n):
+    """2-bit: the coarsest K-quant; SNR for unit normals sits near 11 dB."""
+    from gguf_tpu.quant import quantize_q2_k, dequantize_q2_k, parse_q2_k
+    from gguf_tpu.utils.testing import snr_db
+
+    x = rng.standard_normal(n).astype(np.float32)
+    q = quantize_q2_k(x)
+    assert q.size == n // 256 * 84
+    y = dequantize_q2_k(q, (n,))
+    assert snr_db(x, x - y) > 8.0
+    d, dmin, sc, mn, codes = parse_q2_k(q)
+    assert codes.max() <= 3 and np.all(sc < 16) and np.all(mn < 16)
+
+
+@pytest.mark.parametrize("n", [256, 1024])
+def test_q3_k_roundtrip(rng, n):
+    """3-bit signed: SNR between q2_k (~11 dB) and q4_k (~24 dB)."""
+    from gguf_tpu.quant import quantize_q3_k, dequantize_q3_k, parse_q3_k
+    from gguf_tpu.utils.testing import snr_db
+
+    x = rng.standard_normal(n).astype(np.float32)
+    q = quantize_q3_k(x)
+    assert q.size == n // 256 * 110
+    y = dequantize_q3_k(q, (n,))
+    assert snr_db(x, x - y) > 13.0
+    d, sc, codes = parse_q3_k(q)
+    assert codes.max() <= 3 and codes.min() >= -4
+    assert sc.max() < 32 and sc.min() >= -32
+
+
+def test_q2_k_q3_k_code_pack_unpack_inverse(rng):
+    from gguf_tpu.quant.q2_k import pack_q2_k_codes, parse_q2_k_codes
+    from gguf_tpu.quant.q3_k import (pack_q3_k_codes, parse_q3_k_codes,
+                                     pack_q3_k_scales, unpack_q3_k_scales)
+
+    codes2 = rng.integers(0, 4, (4, 256)).astype(np.uint8)
+    blocks = np.zeros((4, 84), np.uint8)
+    blocks[:, 16:80] = pack_q2_k_codes(codes2)
+    np.testing.assert_array_equal(parse_q2_k_codes(blocks.reshape(-1)), codes2)
+
+    codes3 = rng.integers(-4, 4, (4, 256)).astype(np.int8)
+    hm, qs = pack_q3_k_codes(codes3)
+    blocks = np.zeros((4, 110), np.uint8)
+    blocks[:, :32] = hm
+    blocks[:, 32:96] = qs
+    np.testing.assert_array_equal(parse_q3_k_codes(blocks.reshape(-1)), codes3)
+
+    sc = rng.integers(-32, 32, (4, 16))
+    np.testing.assert_array_equal(unpack_q3_k_scales(pack_q3_k_scales(sc)), sc)
+
+
+@pytest.mark.parametrize("n", [256, 1024])
 def test_q5_k_roundtrip(rng, n):
     """5-bit SNR sits between q4_k (~24 dB) and q6_k (~34 dB)."""
     from gguf_tpu.utils.testing import snr_db

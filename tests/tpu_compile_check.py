@@ -26,11 +26,12 @@ def main():
 
     # 1. every MMQ kernel at decode and prefill N, odd M
     from gguf_tpu.ops import MMQ
-    from gguf_tpu.quant import (quantize_q4_k, quantize_q5_k, quantize_q6_k,
-                                quantize_q8_0)
+    from gguf_tpu.quant import (quantize_q2_k, quantize_q3_k, quantize_q4_k,
+                                quantize_q5_k, quantize_q6_k, quantize_q8_0)
     from gguf_tpu.quant.layouts import to_soa
 
-    quants = {"q8_0": quantize_q8_0, "q4_k": quantize_q4_k,
+    quants = {"q8_0": quantize_q8_0, "q2_k": quantize_q2_k,
+              "q3_k": quantize_q3_k, "q4_k": quantize_q4_k,
               "q5_k": quantize_q5_k, "q6_k": quantize_q6_k}
     a = rng.standard_normal((300, 512)).astype(np.float16)
     for fmt, q in quants.items():
