@@ -40,6 +40,10 @@ class MMOpts(NamedTuple):
     block_m: int = 2048
     block_k: int = 1024
     axis_name: str | None = None
+    # context parallelism: mesh axis the KV cache's sequence dim is sharded
+    # over (contiguous shards). attention() then inserts only shard-owned
+    # rows and combines per-shard flash partials with a log-sum-exp psum.
+    seq_axis: str | None = None
 
 
 def linear(w, x: jax.Array, opts: MMOpts = MMOpts()) -> jax.Array:
@@ -188,6 +192,10 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
     q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :])
     k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
 
+    if opts.seq_axis:
+        return _cp_attention(layer, x, cfg, cache_l, q, k, v, tok_pos, pos,
+                             opts)
+
     s_cache = cache_l["k"].shape[2]
     span_eff = s_cache if span is None else min(span, s_cache)
     # the fused Pallas kernel holds one batch element's span-prefix K/V
@@ -264,6 +272,70 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
         out = out.reshape(b, h, t, hd).transpose(0, 2, 1, 3).reshape(b * t, h * hd)
     proj = linear(layer["wo"], out.astype(x.dtype), opts)
     if opts.axis_name:  # row-parallel wo: sum partial products over tp
+        proj = jax.lax.psum(proj, opts.axis_name)
+    return proj.reshape(b, t, -1), cache_l
+
+
+def _cp_attention(layer, x, cfg: LlamaConfig, cache_l, q, k, v, tok_pos,
+                  pos, opts: MMOpts):
+    """Sequence-parallel (context-parallel) attention: the cache's sequence
+    dim is sharded contiguously over mesh axis `opts.seq_axis`, so each
+    device holds S/sp rows of every sequence and the full query. The TPU
+    shape of long-context decode: per-shard flash partials (max, sum-exp,
+    unnormalized output) joined by one pmax + two psums riding ICI — the
+    collective payload is O(B·H·T·hd), independent of sequence length.
+    No ring is needed for a cache that is already resident: ring attention
+    (ppermute of KV blocks) only pays off when KV lives with the queries;
+    here KV lives where it was inserted and the small partials move instead.
+
+    Inserts write only shard-owned rows: local position = pos - lo may be
+    negative (earlier shard) or >= S_loc (later shard) and the windowed
+    Pallas insert no-ops those (ops/attention.py:kv_cache_insert). Chunks
+    longer than the 32-row insert window are split into repeated calls.
+    `span` bounding is skipped — each shard attends its whole (already
+    1/sp-sized) slice and the global causal mask zeroes the rest."""
+    b, t, _ = x.shape
+    hd, h, kvh = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    sp = opts.seq_axis
+    s_loc = cache_l["k"].shape[2]
+    lo = jax.lax.axis_index(sp) * s_loc    # first global row this shard owns
+
+    from ..ops.attention import kv_cache_insert
+
+    kn = k.transpose(0, 2, 1, 3).astype(jnp.float32)
+    vn = v.transpose(0, 2, 1, 3).astype(jnp.float32)
+    local_pos = (pos - lo).astype(jnp.int32)
+    ck, cks = cache_l["k"], cache_l["k_scale"]
+    cv, cvs = cache_l["v"], cache_l["v_scale"]
+    for off in range(0, t, 32):
+        tc = min(32, t - off)
+        ck, cks, cv, cvs = kv_cache_insert(
+            kn[:, :, off:off + tc], vn[:, :, off:off + tc],
+            ck, cks, cv, cvs, local_pos + off, t=tc)
+    cache_l = {"k": ck, "k_scale": cks, "v": cv, "v_scale": cvs}
+
+    k_all = ck.astype(jnp.float32) * cks[..., None]        # (B, KVH, S_loc, hd)
+    v_all = cv.astype(jnp.float32) * cvs[..., None]
+    g = h // kvh
+    qg = q.transpose(0, 2, 1, 3).reshape(b, kvh, g * t, hd)
+    scores = jnp.einsum("bgqd,bgsd->bgqs", qg.astype(jnp.float32), k_all)
+    scores = scores.reshape(b, kvh, g, t, s_loc) / jnp.sqrt(hd).astype(jnp.float32)
+    rows = lo + jnp.arange(s_loc)                          # global row ids
+    valid = rows[None, None, :] <= tok_pos[:, :, None]     # (B, T, S_loc)
+    scores = jnp.where(valid[:, None, None, :, :], scores, -jnp.inf)
+
+    # flash combine: m = global max, l = global sum-exp, o = Σ p·V
+    m_loc = jnp.max(scores, axis=-1)                       # (B, KVH, G, T)
+    m = jax.lax.pmax(m_loc, sp)      # finite: a token attends to itself
+    p = jnp.exp(scores - m[..., None])
+    p = jnp.where(valid[:, None, None, :, :], p, 0.0)      # exp(-inf-m)=0; guard anyway
+    l = jax.lax.psum(jnp.sum(p, axis=-1), sp)
+    o = jax.lax.psum(jnp.einsum("bghqs,bgsd->bghqd", p, v_all), sp)
+    out = (o / l[..., None]).reshape(b, h, t, hd)
+    out = out.transpose(0, 2, 1, 3).reshape(b * t, h * hd)
+
+    proj = linear(layer["wo"], out.astype(x.dtype), opts)
+    if opts.axis_name:               # row-parallel wo under tp x sp meshes
         proj = jax.lax.psum(proj, opts.axis_name)
     return proj.reshape(b, t, -1), cache_l
 

@@ -64,8 +64,12 @@ def _insert_kernel(t, s, bs, sc, pos_ref, kn_ref, vn_ref, k_ref, ks_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
     pos = pos_ref[i]
-    base = jnp.minimum(pos // bs + j, s // bs - 1) * bs
-    scbase = jnp.minimum(pos // sc + j, s // sc - 1) * sc
+    # clip (not just min): sequence-parallel shards pass pos < 0 for rows
+    # owned by an earlier shard — the clamped window then simply never
+    # row-matches, making the insert a cheap no-op (must mirror the
+    # BlockSpec index_maps exactly or row labels drift off the loaded block)
+    base = jnp.clip(pos // bs + j, 0, s // bs - 1) * bs
+    scbase = jnp.clip(pos // sc + j, 0, s // sc - 1) * sc
     kvh = k_ref.shape[1]
 
     def quant(new):                       # (..., t, hd) f32 -> int8 + scale
@@ -130,8 +134,11 @@ def kv_cache_insert(
     (token, head), matching models/llama._quantize_kv) and write them into
     the cache at pos..pos+t-1. Returns (k, k_scale, v, v_scale) — the same
     HBM buffers, updated in place via aliasing; only the touched 32-row /
-    128-col blocks move. Positions >= S are ignored (clamped windows never
-    match), so finished continuous-batching slots are harmless."""
+    128-col blocks move. Positions outside [0, S) are ignored (clamped
+    windows never row-match): finished continuous-batching slots (pos >= S)
+    and rows owned by another sequence-parallel shard (local pos < 0, see
+    parallel/cp notes in models/llama.attention) are both harmless
+    no-ops."""
     b, kvh, s, hd = k.shape
     assert k_new.shape == (b, kvh, t, hd), (k_new.shape, (b, kvh, t, hd))
     # two j-windows of 32 rows cover pos..pos+t-1 only while
@@ -153,11 +160,11 @@ def kv_cache_insert(
                             memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec(
         (1, kvh, bs, hd),
-        lambda i, j, p: (i, 0, jnp.minimum(p[i] // bs + j, s // bs - 1), 0),
+        lambda i, j, p: (i, 0, jnp.clip(p[i] // bs + j, 0, s // bs - 1), 0),
         memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec(
         (1, kvh, 1, sc),
-        lambda i, j, p: (i, 0, 0, jnp.minimum(p[i] // sc + j, s // sc - 1)),
+        lambda i, j, p: (i, 0, 0, jnp.clip(p[i] // sc + j, 0, s // sc - 1)),
         memory_space=pltpu.VMEM)
 
     ko, kso, vo, vso = pl.pallas_call(

@@ -40,11 +40,16 @@ ROW = "row"   # shard K (input features / superblocks)
 REP = "rep"
 
 
-def make_mesh(tp: int, dp: int = 1, devices=None) -> Mesh:
+def make_mesh(tp: int, dp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """dp x sp x tp device mesh. tp innermost (tightest ICI ring — one psum
+    per row-parallel projection every layer); sp (sequence/context
+    parallelism, one small LSE-combine per attention) between; dp outermost
+    (no collectives at all). The sp axis always exists so the same jitted
+    program serves sp=1 and sp>1 meshes."""
     devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= tp * dp, (len(devices), tp, dp)
-    arr = np.asarray(devices[: tp * dp]).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+    assert len(devices) >= tp * dp * sp, (len(devices), tp, dp, sp)
+    arr = np.asarray(devices[: tp * dp * sp]).reshape(dp, sp, tp)
+    return Mesh(arr, ("dp", "sp", "tp"))
 
 
 def _qt_spec(kind: str) -> P:
@@ -88,16 +93,18 @@ def param_specs(params: dict) -> dict:
     return specs
 
 
-def cache_specs(n_layers: int, batch_axis: str | None = "dp") -> list:
-    """KV cache sharding: kv heads over tp, batch over `batch_axis` (a
-    list of per-layer spec dicts, matching models.llama.init_kv_cache).
+def cache_specs(n_layers: int, batch_axis: str | None = "dp",
+                seq_axis: str | None = None) -> list:
+    """KV cache sharding: kv heads over tp, batch over `batch_axis`, and —
+    for context parallelism — the sequence dim contiguously over `seq_axis`
+    (a list of per-layer spec dicts, matching models.llama.init_kv_cache).
     batch_axis=None replicates the batch dim — used for single-request
     prefill, whose batch of 1 cannot shard over dp."""
     layer = {
-        "k": P(batch_axis, "tp", None, None),
-        "v": P(batch_axis, "tp", None, None),
-        "k_scale": P(batch_axis, "tp", None),
-        "v_scale": P(batch_axis, "tp", None),
+        "k": P(batch_axis, "tp", seq_axis, None),
+        "v": P(batch_axis, "tp", seq_axis, None),
+        "k_scale": P(batch_axis, "tp", seq_axis),
+        "v_scale": P(batch_axis, "tp", seq_axis),
     }
     return [dict(layer) for _ in range(n_layers)]
 
@@ -140,24 +147,29 @@ def tp_forward_fn(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
     engine embeds it in its prefill/decode steps); jit it or use
     make_tp_forward for standalone stepping."""
     tp = mesh.shape["tp"]
+    sp = mesh.shape.get("sp", 1)
+    seq_axis = "sp" if sp > 1 else None
     cfg_local = local_cfg(cfg, tp)
-    opts_tp = opts._replace(axis_name="tp")
+    opts_tp = opts._replace(axis_name="tp", seq_axis=seq_axis)
 
     def wrapped(params, tokens, pos, cache, span=None, batch_axis="dp"):
         """batch_axis: "dp" shards the batch over the dp mesh axis (the
         decode steady state); None replicates it — every dp group runs the
         same program, which is how a single-request prefill executes on a
-        dp>1 mesh (redundant but correct; tp still splits the weights)."""
+        dp>1 mesh (redundant but correct; tp still splits the weights).
+        On an sp>1 mesh the cache's sequence dim is additionally sharded
+        over sp; span bounding is per-shard (see llama._cp_attention)."""
         def fn(params, tokens, pos, cache):
             return forward(params, cfg_local, tokens, pos, cache, opts_tp,
-                           span=span)
+                           span=None if seq_axis else span)
 
+        cspecs = cache_specs(cfg.n_layers, batch_axis, seq_axis)
         return jax.shard_map(
             fn,
             mesh=mesh,
             in_specs=(param_specs(params), P(batch_axis), P(batch_axis),
-                      cache_specs(cfg.n_layers, batch_axis)),
-            out_specs=(P(batch_axis), cache_specs(cfg.n_layers, batch_axis)),
+                      cspecs),
+            out_specs=(P(batch_axis), cspecs),
             check_vma=False,
         )(params, tokens, pos, cache)
 
@@ -168,13 +180,18 @@ def make_tp_forward(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
     """Build the jitted sharded forward: fn(params, tokens, pos, cache) ->
     (logits, cache). Call with params from shard_llama and a cache made by
     init_sharded_cache."""
-    return jax.jit(tp_forward_fn(cfg, mesh, opts))
+    return jax.jit(tp_forward_fn(cfg, mesh, opts),
+                   static_argnames=("span", "batch_axis"))
 
 
 def init_sharded_cache(cfg: LlamaConfig, mesh: Mesh, batch: int, max_seq: int):
     from ..models.llama import init_kv_cache
 
+    sp = mesh.shape.get("sp", 1)
+    assert max_seq % sp == 0, (
+        f"sp={sp} must divide max_seq ({max_seq}) into equal shards")
     cache = init_kv_cache(cfg, batch, max_seq)
     return jax.tree_util.tree_map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
-        cache, cache_specs(cfg.n_layers), is_leaf=lambda x: isinstance(x, P))
+        cache, cache_specs(cfg.n_layers, seq_axis="sp" if sp > 1 else None),
+        is_leaf=lambda x: isinstance(x, P))
