@@ -173,16 +173,21 @@ class LLM:
         opts: MMOpts = MMOpts(),
         tp: int = 1,
         dp: int = 1,
+        sp: int = 1,
         prefill_chunk: int = 512,
     ):
         """tp > 1 serves the model tensor-sharded (Megatron column/row
         sharding, psum over ICI — parallel/tp.py); dp > 1 additionally
         shards the slot pool's batch over data-parallel replicas (decode
         throughput scales with dp; each single-request prefill runs
-        dp-replicated). Uses the first tp*dp devices; the
-        continuous-batching scheduler below is unchanged."""
+        dp-replicated); sp > 1 additionally shards every slot's KV cache
+        along the sequence dim (context parallelism — attention combines
+        per-shard flash partials, models/llama._cp_attention), letting a
+        context that exceeds one chip's HBM serve across the mesh. Uses
+        the first tp*dp*sp devices; the continuous-batching scheduler
+        below is unchanged."""
         self.cfg, self.params = load_llama(path)
-        sharded = tp > 1 or dp > 1
+        sharded = tp > 1 or dp > 1 or sp > 1
         # single-chip fuses here; the sharded path fuses inside shard_llama
         # (interleaved per tp shard)
         self.params = self.params if sharded else fuse_llama_params(self.params)
@@ -199,13 +204,13 @@ class LLM:
         self.prefill_chunk = max(8, prefill_chunk)
         self.opts = opts
 
-        if tp > 1 or dp > 1:
+        if sharded:
             from ..parallel import (
                 init_sharded_cache, make_mesh, shard_llama, tp_forward_fn,
             )
 
             assert max_batch % dp == 0, (max_batch, dp)
-            self.mesh = make_mesh(tp=tp, dp=dp)
+            self.mesh = make_mesh(tp=tp, dp=dp, sp=sp)
             self.params, self.cfg = shard_llama(self.params, self.cfg, self.mesh)
             self.cache = init_sharded_cache(
                 self.cfg, self.mesh, max_batch, self.max_seq)

@@ -367,12 +367,12 @@ def make_handler(worker: EngineWorker):
 
 
 def serve(model: str, host: str = "0.0.0.0", port: int = 8000,
-          max_batch: int = 8, tp: int = 1):
-    llm = LLM(model, max_batch=max_batch, tp=tp)  # generate() chunks decode
+          max_batch: int = 8, tp: int = 1, dp: int = 1, sp: int = 1):
+    llm = LLM(model, max_batch=max_batch, tp=tp, dp=dp, sp=sp)  # generate() chunks decode
 
     worker = EngineWorker(llm)
     httpd = ThreadingHTTPServer((host, port), make_handler(worker))
-    print(f"serving {model} on {host}:{port} (max_batch={max_batch}, tp={tp})")
+    print(f"serving {model} on {host}:{port} (max_batch={max_batch}, tp={tp}, dp={dp}, sp={sp})")
     httpd.serve_forever()
 
 

@@ -142,7 +142,7 @@ def cmd_serve(args):
     from ..engine.server import serve
 
     serve(args.model, host=args.host, port=args.port,
-          max_batch=args.max_batch, tp=args.tp)
+          max_batch=args.max_batch, tp=args.tp, dp=args.dp, sp=args.sp)
 
 
 def cmd_bench(args):
@@ -242,6 +242,10 @@ def main(argv=None):
     s.add_argument("--max-batch", type=int, default=8)
     s.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways (shards over the first N devices)")
+    s.add_argument("--dp", type=int, default=1,
+                   help="data-parallel replicas (shards the slot pool's batch)")
+    s.add_argument("--sp", type=int, default=1,
+                   help="context-parallel ways (shards each KV cache's sequence dim)")
     s.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

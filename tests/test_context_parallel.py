@@ -75,7 +75,11 @@ def _stream(rng, batch, chunks):
             for t in chunks]
 
 
-@pytest.mark.parametrize("tp,sp", [(1, 2), (1, 4), (2, 2)])
+@pytest.mark.parametrize("tp,sp", [
+    (1, 2),
+    pytest.param(1, 4, marks=pytest.mark.slow),
+    pytest.param(2, 2, marks=pytest.mark.slow),
+])
 def test_cp_matches_single_device(model, rng, tp, sp):
     """Prefill chunks that straddle the 16/32-row shard boundaries (t=40
     crosses two boundaries at sp=4) + decode steps must reproduce the
@@ -90,6 +94,7 @@ def test_cp_matches_single_device(model, rng, tp, sp):
             err_msg=f"step {step} tp={tp} sp={sp}")
 
 
+@pytest.mark.slow
 def test_cp_with_dp(model, rng):
     """Full dp x sp x tp mesh (2x2x2 = 8 virtual devices)."""
     cfg, params = model

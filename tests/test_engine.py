@@ -109,6 +109,7 @@ def test_generate_respects_max_seq(llm):
     assert len(res.prompt_ids) + len(res.token_ids) <= 32
 
 
+@pytest.mark.slow
 def test_engine_tensor_parallel(tmp_path):
     """The continuous-batching engine over a tensor-sharded model produces
     the same greedy tokens as the single-device engine (BASELINE config:
@@ -129,6 +130,28 @@ def test_engine_tensor_parallel(tmp_path):
     # float reduction orders can flip a late greedy pick; the first tokens
     # must agree exactly
     for a, b in zip(ref, tpe):
+        assert a.token_ids[:3] == b.token_ids[:3], (a.token_ids, b.token_ids)
+
+
+@pytest.mark.slow
+def test_engine_context_parallel(tmp_path):
+    """Serving with the KV cache sequence-sharded (sp=2) matches the
+    single-device engine's greedy tokens — chunked prefill + span-bucketed
+    decode all running through _cp_attention's LSE combine."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    cfg = LlamaConfig(vocab_size=64, dim=512, n_layers=2, n_heads=4,
+                      n_kv_heads=2, ffn_dim=512, max_seq_len=64)
+    path = str(tmp_path / "sp.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q4_K, seed=9)
+    greedy = SamplerConfig(temperature=0.0)
+    prompts = [[1, 5, 9, 3], [2, 7]]
+
+    ref = LLM(path, max_batch=2, max_seq=32).generate(
+        prompts, max_new_tokens=6, sampler=greedy, stop_at_eos=False)
+    spe = LLM(path, max_batch=2, max_seq=32, sp=2).generate(
+        prompts, max_new_tokens=6, sampler=greedy, stop_at_eos=False)
+    for a, b in zip(ref, spe):
         assert a.token_ids[:3] == b.token_ids[:3], (a.token_ids, b.token_ids)
 
 
@@ -191,6 +214,7 @@ def test_stop_sequences(llm):
     assert len(res.token_ids) <= len(res_free.token_ids)
 
 
+@pytest.mark.slow
 def test_decode_crosses_span_buckets_on_fallback_paths(tmp_path, monkeypatch):
     """Generation that crosses the 128 -> 256 span bucket exercises the
     XLA fallback (span 128) and the tiled flash-decoding kernel (span 256)
@@ -210,6 +234,7 @@ def test_decode_crosses_span_buckets_on_fallback_paths(tmp_path, monkeypatch):
     assert all(0 <= t < CFG.vocab_size for o in outs for t in o.token_ids)
 
 
+@pytest.mark.slow
 def test_chunked_prefill_matches_single_shot(tmp_path):
     """A long prompt prefilled in chunks must produce the same greedy
     completion as one whole-prompt prefill (the cache + span carry the
@@ -231,6 +256,7 @@ def test_chunked_prefill_matches_single_shot(tmp_path):
         assert whole[0].token_ids == chunked[0].token_ids, max_seq
 
 
+@pytest.mark.slow
 def test_engine_data_parallel(tmp_path):
     """LLM(dp=2) (batch sharded over data-parallel replicas) must produce
     the same greedy completions as the single-device engine."""
@@ -272,6 +298,7 @@ def test_logprobs(llm):
         assert top[0][1] >= top[1][1] >= top[2][1]
 
 
+@pytest.mark.slow
 def test_chat_session_matches_one_shot(tmp_path):
     """Multi-turn sessions (delta prefill over a pinned slot) must produce
     the same greedy tokens as one-shot generation over the concatenated
@@ -302,6 +329,7 @@ def test_chat_session_matches_one_shot(tmp_path):
     assert llm._reserved == set()
 
 
+@pytest.mark.slow
 def test_prefill_near_cache_end_no_corruption(tmp_path):
     """A turn whose power-of-two tail bucket would overrun max_seq must
     split instead of letting dynamic_update_slice clamp the insert start

@@ -97,6 +97,7 @@ def test_forward_matches_numpy_reference(model):
     assert np.max(np.abs(got - ref)) / denom < 0.03, np.max(np.abs(got - ref)) / denom
 
 
+@pytest.mark.slow
 def test_prefill_equals_stepwise_decode(model):
     """One T=4 prefill must produce the same final logits as 4 sequential
     T=1 steps through the INT8 KV cache."""
@@ -118,6 +119,7 @@ def test_prefill_equals_stepwise_decode(model):
         np.asarray(logits_pre[0, -1]), outs[-1][0], rtol=0, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_per_slot_positions(model):
     """Continuous batching: two sequences at different depths in one batch."""
     _, cfg, params = model
@@ -135,6 +137,7 @@ def test_per_slot_positions(model):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_float_fallback_weights(model):
     """Float (non-quantized) weight path through the same forward."""
     path, cfg, params = model
@@ -188,6 +191,7 @@ def test_fused_projections_match(model):
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_q5_k_m_checkpoint_forward(tmp_path):
     """Q5_K_M recipe end to end: q5_k body + q6_k head loads and decodes."""
     cfg = LlamaConfig(vocab_size=128, dim=256, n_layers=1, n_heads=4,
@@ -288,6 +292,7 @@ def test_linear_rope_scaling_metadata(tmp_path):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_span_bound_matches_full_cache(model):
     """forward(span=...) must equal forward(span=None) exactly whenever
     every pos + T <= span: rows beyond span are causally masked to exact

@@ -169,6 +169,7 @@ def test_completion_logprobs(server):
         assert entry["logprob"] <= 0.0
 
 
+@pytest.mark.slow
 def test_chat_session_reuses_cache(tmp_path):
     """'session' chat requests prefill only the rendered-template suffix;
     turn 2's prompt_tokens must be far smaller than the full conversation,

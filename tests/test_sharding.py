@@ -37,7 +37,11 @@ def _single_device_logits(cfg, params, tokens, pos):
     return np.asarray(logits)
 
 
-@pytest.mark.parametrize("tp,dp", [(2, 1), (2, 2), (2, 4)])
+@pytest.mark.parametrize("tp,dp", [
+    (2, 1),
+    pytest.param(2, 2, marks=pytest.mark.slow),
+    pytest.param(2, 4, marks=pytest.mark.slow),
+])
 def test_tp_forward_matches_single_device(model, tp, dp):
     cfg, params = model
     mesh = make_mesh(tp=tp, dp=dp)
