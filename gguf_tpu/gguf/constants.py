@@ -58,7 +58,7 @@ GGML_BLOCK_INFO = {
     GGMLType.F32: (1, 4),
     GGMLType.F16: (1, 2),
     GGMLType.BF16: (1, 2),
-    GGMLType.Q4_0: (32, 18),   # parse/size only — no codec yet
+    GGMLType.Q4_0: (32, 18),
     GGMLType.Q4_1: (32, 20),
     GGMLType.Q5_0: (32, 22),
     GGMLType.Q5_1: (32, 24),
@@ -80,6 +80,10 @@ GGML_BLOCK_INFO = {
 # ggml type -> our codec format name (for SoA transforms)
 GGML_TO_FMT = {
     GGMLType.Q8_0: "q8_0",
+    GGMLType.Q4_0: "q4_0",
+    GGMLType.Q4_1: "q4_1",
+    GGMLType.Q5_0: "q5_0",
+    GGMLType.Q5_1: "q5_1",
     GGMLType.Q2_K: "q2_k",
     GGMLType.Q3_K: "q3_k",
     GGMLType.Q4_K: "q4_k",

@@ -180,7 +180,9 @@ class GGUFReader:
         """Any tensor -> float32 numpy array (host-side, via the codecs)."""
         from ..quant import (dequantize_q8_0, dequantize_q2_k,
                              dequantize_q3_k, dequantize_q4_k,
-                             dequantize_q5_k, dequantize_q6_k)
+                             dequantize_q5_k, dequantize_q6_k,
+                             dequantize_q4_0, dequantize_q4_1,
+                             dequantize_q5_0, dequantize_q5_1)
 
         ti = self.tensors[name]
         if ti.ggml_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
@@ -188,7 +190,10 @@ class GGUFReader:
         deq = {GGMLType.Q8_0: dequantize_q8_0, GGMLType.Q2_K: dequantize_q2_k,
                GGMLType.Q3_K: dequantize_q3_k, GGMLType.Q4_K: dequantize_q4_k,
                GGMLType.Q5_K: dequantize_q5_k,
-               GGMLType.Q6_K: dequantize_q6_k}[ti.ggml_type]
+               GGMLType.Q6_K: dequantize_q6_k,
+               GGMLType.Q4_0: dequantize_q4_0, GGMLType.Q4_1: dequantize_q4_1,
+               GGMLType.Q5_0: dequantize_q5_0, GGMLType.Q5_1: dequantize_q5_1,
+               }[ti.ggml_type]
         return np.asarray(deq(self.tensor_bytes(name), ti.shape), dtype=np.float32)
 
     def close(self):

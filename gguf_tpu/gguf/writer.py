@@ -153,7 +153,9 @@ def write_gguf(
 def quantize_tensor(x: np.ndarray, ggml_type: GGMLType):
     """Quantize a float array to GGUF block bytes for the given type."""
     from ..quant import (quantize_q8_0, quantize_q2_k, quantize_q3_k,
-                         quantize_q4_k, quantize_q5_k, quantize_q6_k)
+                         quantize_q4_k, quantize_q5_k, quantize_q6_k,
+                         quantize_q4_0, quantize_q4_1, quantize_q5_0,
+                         quantize_q5_1)
 
     if ggml_type == GGMLType.F32:
         return np.ascontiguousarray(x, dtype=np.float32)
@@ -162,5 +164,8 @@ def quantize_tensor(x: np.ndarray, ggml_type: GGMLType):
     fn = {GGMLType.Q8_0: quantize_q8_0, GGMLType.Q2_K: quantize_q2_k,
           GGMLType.Q3_K: quantize_q3_k, GGMLType.Q4_K: quantize_q4_k,
           GGMLType.Q5_K: quantize_q5_k,
-          GGMLType.Q6_K: quantize_q6_k}[ggml_type]
+          GGMLType.Q6_K: quantize_q6_k,
+          GGMLType.Q4_0: quantize_q4_0, GGMLType.Q4_1: quantize_q4_1,
+          GGMLType.Q5_0: quantize_q5_0, GGMLType.Q5_1: quantize_q5_1,
+          }[ggml_type]
     return np.asarray(fn(x))

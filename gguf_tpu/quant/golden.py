@@ -166,6 +166,50 @@ def mmq_q6_k_q8_1_golden(a_bytes, b_bytes, m: int, n: int, k: int) -> np.ndarray
     return c.T.astype(np.float32)
 
 
+def _legacy_golden(parse, offset: float | None):
+    """Golden dot for the 32-block legacy formats. offset=None: affine
+    (x = d*q + m, min term rides Q8_1's precomputed s = dB*sum(qB));
+    else symmetric (x = d*(q - offset), the offset folds into the same s
+    term: -offset*d*s/dB... computed as d*dB*dot(q - offset, qB))."""
+
+    def fn(a_bytes, b_bytes, m: int, n: int, k: int) -> np.ndarray:
+        assert k % 32 == 0
+        parsed = parse(a_bytes)
+        da = parsed[0].reshape(m, k // 32)
+        qa = parsed[-1].reshape(m, k // 32, 32)
+        db, s, qb = _parse_q8_1_matrix(b_bytes, n, k)
+        r = np.einsum("mbk,nbk->mnb", qa.astype(np.int32), qb.astype(np.int32))
+        c = np.einsum("mb,nb,mnb->mn", da, db, r.astype(np.float32))
+        if offset is None:
+            mn = parsed[1].reshape(m, k // 32)
+            c += np.einsum("mb,nb->mn", mn, s)
+        else:
+            # sum_j offset*d*x_j = offset * d * (s/dB) * dB = offset*d*s
+            c -= np.float32(offset) * np.einsum("mb,nb->mn", da, s)
+        return c.T.astype(np.float32)
+
+    return fn
+
+
+def _make_legacy_goldens():
+    from .legacy import parse_q4_0, parse_q4_1, parse_q5_0, parse_q5_1
+
+    return {
+        "q4_0": _legacy_golden(parse_q4_0, 8.0),
+        "q4_1": _legacy_golden(parse_q4_1, None),
+        "q5_0": _legacy_golden(parse_q5_0, 16.0),
+        "q5_1": _legacy_golden(parse_q5_1, None),
+    }
+
+
+_lg = _make_legacy_goldens()
+mmq_q4_0_q8_1_golden = _lg["q4_0"]
+mmq_q4_1_q8_1_golden = _lg["q4_1"]
+mmq_q5_0_q8_1_golden = _lg["q5_0"]
+mmq_q5_1_q8_1_golden = _lg["q5_1"]
+del _lg
+
+
 def _split_blocks(parsed: tuple, expected_blocks: int) -> tuple:
     """Validate block count of a parse_* result and pass it through."""
     assert parsed[0].shape[0] == expected_blocks, (

@@ -69,7 +69,7 @@ class QuantTensor:
     The logical shape is DERIVED from the array shapes, so sliced or
     shard_map-local views automatically report their local (M, K)."""
 
-    fmt: str                    # 'q8_0' | 'q2_k' | 'q3_k' | 'q4_k' | 'q5_k' | 'q6_k'
+    fmt: str   # q8_0 | q2_k | q3_k | q4_k | q5_k | q6_k | q4_0 | q4_1 | q5_0 | q5_1
     d_bits: jax.Array           # fp16 scale bits, u16
     dmin_bits: Optional[jax.Array] = None
     sc: Optional[jax.Array] = None
@@ -101,7 +101,9 @@ class QuantTensor:
         m, k = self.shape
         per_block = {"q8_0": (32, Q8_0_BYTES), "q2_k": (QK_K, Q2K_BYTES),
                      "q3_k": (QK_K, Q3K_BYTES), "q4_k": (QK_K, Q4K_BYTES),
-                     "q5_k": (QK_K, Q5K_BYTES), "q6_k": (QK_K, Q6K_BYTES)}[self.fmt]
+                     "q5_k": (QK_K, Q5K_BYTES), "q6_k": (QK_K, Q6K_BYTES),
+                     "q4_0": (32, 18), "q4_1": (32, 20),
+                     "q5_0": (32, 22), "q5_1": (32, 24)}[self.fmt]
         return k // per_block[0] * per_block[1]
 
 
@@ -460,10 +462,97 @@ def soa_to_q6_k(t: QuantTensor) -> np.ndarray:
     return out.reshape(-1)
 
 
+# ------------------------------------------------- legacy 32-block formats ---
+
+
+def _legacy_codes_to_device(codes: np.ndarray, m: int, k: int,
+                            five_bit: bool):
+    """(m*k//32, 32) element-order codes -> (qs (k/2, m) nibble-repacked per
+    256-group, qh (k/8, m) q5_k-style 5th bits or None). Legacy formats have
+    no 256 superblock on disk, but the device layout adopts the K-quants'
+    256-group repacking so the kernels reuse the same whole-tile unpacks."""
+    full = codes.reshape(m, k).reshape(-1, QK_K)           # (m*k/256, 256)
+    qs = _repack_nibbles(full & 0x0F).reshape(m, k // 2)
+    if not five_bit:
+        return qs, None
+    hib = (full >> 4).astype(np.uint8).reshape(-1, 8, 32)
+    qh = np.zeros((hib.shape[0], 32), np.uint8)
+    for bb in range(8):
+        qh |= (hib[:, bb, :] << bb).astype(np.uint8)
+    return qs, qh.reshape(m, k // 8)
+
+
+def _legacy_codes_from_device(t: QuantTensor, five_bit: bool) -> np.ndarray:
+    """Inverse of _legacy_codes_to_device -> (m*k//32, 32) codes."""
+    m, k = t.shape
+    packed = np.asarray(t.qs).T.reshape(-1, 128)           # per 256-group
+    codes = np.concatenate([packed & 0x0F, packed >> 4], axis=1)  # (ng, 256)
+    if five_bit:
+        qh = np.asarray(t.qh).T.reshape(-1, 32)
+        hib = np.stack([(qh >> bb) & 1 for bb in range(8)], axis=1)
+        codes = codes | (hib.reshape(-1, QK_K) << 4)
+    return codes.reshape(m * (k // 32), 32).astype(np.uint8)
+
+
+def _legacy_to_soa(fmt: str):
+    from . import legacy as _lg
+
+    parse = {"q4_0": _lg.parse_q4_0, "q4_1": _lg.parse_q4_1,
+             "q5_0": _lg.parse_q5_0, "q5_1": _lg.parse_q5_1}[fmt]
+    affine = fmt.endswith("_1")
+
+    def fn(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
+        assert k % QK_K == 0, (
+            f"{fmt} device layout groups K in {QK_K}s (loader pads), got {k}")
+        parsed = parse(qbytes)
+        t = lambda a: jnp.asarray(np.ascontiguousarray(a.T))
+        raw = np.asarray(qbytes).reshape(-1).view(np.uint8).reshape(
+            m * (k // 32), _lg.BLOCK_BYTES[fmt])
+        d_bits = raw[:, 0:2].copy().view(np.uint16).reshape(m, k // 32)
+        dmin_bits = (t(raw[:, 2:4].copy().view(np.uint16).reshape(m, k // 32))
+                     if affine else None)
+        codes = parsed[-1]              # (m*k//32, 32), 4- or 5-bit
+        qs, qh = _legacy_codes_to_device(codes, m, k, fmt.startswith("q5"))
+        return QuantTensor(fmt=fmt, d_bits=t(d_bits), dmin_bits=dmin_bits,
+                           qs=t(qs), qh=t(qh) if qh is not None else None)
+
+    return fn
+
+
+def _legacy_from_soa(fmt: str):
+    from . import legacy as _lg
+
+    affine = fmt.endswith("_1")
+    five = fmt.startswith("q5")
+
+    def fn(t: QuantTensor) -> np.ndarray:
+        m, k = t.shape
+        nb = m * (k // 32)
+        codes = _legacy_codes_from_device(t, five)
+        bb = _lg.BLOCK_BYTES[fmt]
+        out = np.empty((nb, bb), np.uint8)
+        out[:, 0:2] = np.ascontiguousarray(
+            np.asarray(t.d_bits).T).reshape(nb).view(np.uint8).reshape(nb, 2)
+        o = 2
+        if affine:
+            out[:, 2:4] = np.ascontiguousarray(
+                np.asarray(t.dmin_bits).T).reshape(nb).view(np.uint8).reshape(nb, 2)
+            o = 4
+        if five:
+            out[:, o:o + 4] = _lg._pack_qh(codes >> 4)
+            o += 4
+        out[:, o:] = _lg._pack_nibbles(codes)
+        return out.reshape(-1)
+
+    return fn
+
+
 TO_SOA = {"q8_0": q8_0_to_soa, "q2_k": q2_k_to_soa, "q3_k": q3_k_to_soa,
-          "q4_k": q4_k_to_soa, "q5_k": q5_k_to_soa, "q6_k": q6_k_to_soa}
+          "q4_k": q4_k_to_soa, "q5_k": q5_k_to_soa, "q6_k": q6_k_to_soa,
+          **{f: _legacy_to_soa(f) for f in ("q4_0", "q4_1", "q5_0", "q5_1")}}
 FROM_SOA = {"q8_0": soa_to_q8_0, "q2_k": soa_to_q2_k, "q3_k": soa_to_q3_k,
-            "q4_k": soa_to_q4_k, "q5_k": soa_to_q5_k, "q6_k": soa_to_q6_k}
+            "q4_k": soa_to_q4_k, "q5_k": soa_to_q5_k, "q6_k": soa_to_q6_k,
+            **{f: _legacy_from_soa(f) for f in ("q4_0", "q4_1", "q5_0", "q5_1")}}
 
 
 def to_soa(fmt: str, qbytes: np.ndarray, m: int, k: int,
@@ -472,7 +561,7 @@ def to_soa(fmt: str, qbytes: np.ndarray, m: int, k: int,
     produces byte-identical arrays ~50x faster than the numpy transforms
     above (7B cold load: minutes -> seconds) and is parity-tested against
     them; native=False forces the numpy reference path."""
-    if native:
+    if native and fmt in ("q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k"):
         try:
             from .native import soa_arrays
 
@@ -481,6 +570,8 @@ def to_soa(fmt: str, qbytes: np.ndarray, m: int, k: int,
                                **{f: jnp.asarray(a) for f, a in arrs.items()})
         except (OSError, ImportError):   # no toolchain: numpy fallback
             pass
+    # legacy 32-block formats go through numpy: their repack is a single
+    # nibble shuffle, cheap enough that the C fast path isn't needed
     return TO_SOA[fmt](qbytes, m, k)
 
 
@@ -585,9 +676,31 @@ def _dequant_q3_k(t: QuantTensor) -> jax.Array:
     return _expand_scales(scale16, 16) * q.astype(jnp.float32)
 
 
+def _dequant_legacy(t: QuantTensor) -> jax.Array:
+    """Q4_0/Q4_1/Q5_0/Q5_1: per-32-block d (and fp16 min for the _1
+    variants; fixed -8/-16 offset for the _0 variants)."""
+    m, k = t.shape
+    sb = k // QK_K
+    d = fp16_bits_to_f32(t.d_bits.T)                    # (M, K/32)
+    q = _unpack_nibbles_jnp(t.qs, sb)                   # (M, K) in [0,16)
+    if t.fmt.startswith("q5"):
+        h = t.qh.T.reshape(m, sb, 32)
+        hib = jnp.concatenate(
+            [(h >> b) & jnp.uint8(1) for b in range(8)], axis=-1).reshape(m, k)
+        q = q | (hib << 4)
+    q = q.astype(jnp.float32)
+    scale = _expand_scales(d, 32)
+    if t.fmt.endswith("_1"):
+        mn = fp16_bits_to_f32(t.dmin_bits.T)
+        return scale * q + _expand_scales(mn, 32)
+    off = 8.0 if t.fmt == "q4_0" else 16.0
+    return scale * (q - jnp.float32(off))
+
+
 _DEQUANT = {"q8_0": _dequant_q8_0, "q2_k": _dequant_q2_k,
             "q3_k": _dequant_q3_k, "q4_k": _dequant_q4_k,
-            "q5_k": _dequant_q5_k, "q6_k": _dequant_q6_k}
+            "q5_k": _dequant_q5_k, "q6_k": _dequant_q6_k,
+            **{f: _dequant_legacy for f in ("q4_0", "q4_1", "q5_0", "q5_1")}}
 
 
 # ------------------------------------------------------------ quantize ---
@@ -614,4 +727,9 @@ def quantize_to_soa(x: np.ndarray, fmt: str) -> QuantTensor:
         return q5_k_to_soa(_q5.quantize_q5_k(x.astype(np.float32)), m, k)
     if fmt == "q6_k":
         return q6_k_to_soa(_q6.quantize_q6_k(x.astype(np.float32)), m, k)
+    if fmt in ("q4_0", "q4_1", "q5_0", "q5_1"):
+        from . import legacy as _lg
+        quant = {"q4_0": _lg.quantize_q4_0, "q4_1": _lg.quantize_q4_1,
+                 "q5_0": _lg.quantize_q5_0, "q5_1": _lg.quantize_q5_1}[fmt]
+        return TO_SOA[fmt](quant(x.astype(np.float32)), m, k)
     raise ValueError(f"unknown format {fmt!r}")

@@ -102,7 +102,7 @@ def test_bad_magic(tmp_path):
 
 
 def test_reader_tolerates_unsupported_tensor_types(tmp_path):
-    """Files containing tensor types without a codec (Q4_0, IQ-series)
+    """Files containing tensor types without a codec (Q8_K, IQ-series)
     still parse: metadata and supported tensors stay readable; only
     loading the unsupported tensor raises an informative error."""
     import struct
@@ -114,18 +114,18 @@ def test_reader_tolerates_unsupported_tensor_types(tmp_path):
     ok = np.arange(8, dtype=np.float32)
     write_gguf(path, {"general.name": "mixed"},
                {"good": (GGMLType.F32, (8,), ok)})
-    # append-edit: rewrite the file with a second tensor of type Q4_0
+    # append-edit: rewrite the file with a second tensor of type Q8_K
     # (size known, no codec) by crafting it through the writer's raw path
-    q40_bytes = np.zeros(18, np.uint8)  # one 32-elem Q4_0 block
+    q8k_bytes = np.zeros(292, np.uint8)  # one 256-elem Q8_K block
     write_gguf(path, {"general.name": "mixed"},
                {"good": (GGMLType.F32, (8,), ok),
-                "q40": (GGMLType.Q4_0, (32,), q40_bytes)})
+                "q8k": (GGMLType.Q8_K, (256,), q8k_bytes)})
     with GGUFReader(path) as r:
         assert r.metadata["general.name"] == "mixed"
         np.testing.assert_array_equal(r.load_array("good"), ok)
-        assert r.tensors["q40"].nbytes == 18
+        assert r.tensors["q8k"].nbytes == 292
         with pytest.raises(ValueError, match="no MMQ kernel"):
-            r.load_quant("q40")
+            r.load_quant("q8k")
 
 
 def test_metadata_types_round_trip(tmp_path):

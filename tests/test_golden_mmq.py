@@ -16,6 +16,8 @@ from gguf_tpu.quant import (
     dequantize_q5_k, dequantize_q6_k, dequantize_q8_1,
     mmq_q8_0_q8_1_golden, mmq_q2_k_q8_1_golden, mmq_q3_k_q8_1_golden,
     mmq_q4_k_q8_1_golden, mmq_q5_k_q8_1_golden, mmq_q6_k_q8_1_golden,
+    mmq_q4_0_q8_1_golden, mmq_q4_1_q8_1_golden, mmq_q5_0_q8_1_golden,
+    mmq_q5_1_q8_1_golden,
 )
 from gguf_tpu.utils import snr_db, allclose_rel
 
@@ -98,3 +100,20 @@ def test_golden_equals_dequant_matmul(rng, quantize, golden, dequantize):
     b_deq = np.asarray(dequantize_q8_1(qb, (n, k)), dtype=np.float64)
     expect = (a_deq @ b_deq.T).T
     assert allclose_rel(got, expect, 1e-3)
+
+
+@pytest.mark.parametrize("fmt,floor", [
+    ("q4_0", 16.0), ("q4_1", 17.0), ("q5_0", 21.0), ("q5_1", 22.0),
+])
+@pytest.mark.parametrize("m,n,k", [(4, 4, 256), (16, 8, 1024)])
+def test_golden_legacy_snr(rng, fmt, floor, m, n, k):
+    """Legacy-format goldens against full-precision matmul: the integer-dot
+    result must sit within each format's quantization noise floor."""
+    import gguf_tpu.quant as Q
+
+    a, b, c = _mats(rng, m, n, k)
+    quant = getattr(Q, f"quantize_{fmt}")
+    golden = getattr(Q, f"mmq_{fmt}_q8_1_golden")
+    got = golden(quant(a), quantize_q8_1(b), m, n, k)
+    assert got.shape == (n, m)
+    assert snr_db(c, c - got) > floor

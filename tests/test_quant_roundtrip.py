@@ -268,3 +268,47 @@ def test_force_interpret_context(rng):
         with annotate("test-region"):
             pass
     assert common.running_interpreted() == before
+
+
+@pytest.mark.parametrize("fmt,bpb,floor", [
+    ("q4_0", 18, 18.0), ("q4_1", 20, 19.0),
+    ("q5_0", 22, 24.0), ("q5_1", 24, 25.0),
+])
+@pytest.mark.parametrize("n", [32, 1024])
+def test_legacy_roundtrip(rng, fmt, bpb, floor, n):
+    """Legacy 32-block formats: byte sizes, SNR floors (about +6 dB per
+    extra bit), code ranges, and quantize->parse->dequantize coherence."""
+    from gguf_tpu.quant import legacy as lg
+    from gguf_tpu.utils.testing import snr_db
+
+    quant = getattr(lg, f"quantize_{fmt}")
+    deq = getattr(lg, f"dequantize_{fmt}")
+    parse = getattr(lg, f"parse_{fmt}")
+
+    x = rng.standard_normal(n).astype(np.float32)
+    q = quant(x)
+    assert q.size == n // 32 * bpb
+    y = deq(q, (n,))
+    assert snr_db(x, x - y) > floor
+    codes = parse(q)[-1]
+    assert codes.max() < (32 if fmt.startswith("q5") else 16)
+    assert codes.min() >= 0
+
+
+def test_legacy_qh_pack_unpack_inverse(rng):
+    from gguf_tpu.quant.legacy import _pack_qh, _unpack_qh
+
+    hi = rng.integers(0, 2, (6, 32)).astype(np.uint8)
+    np.testing.assert_array_equal(_unpack_qh(_pack_qh(hi)), hi)
+
+
+def test_legacy_all_zero_block():
+    """d == 0 blocks must quantize without dividing by zero and dequantize
+    back to exact zeros (the GGML id = d ? 1/d : 0 guard)."""
+    from gguf_tpu.quant import legacy as lg
+
+    x = np.zeros(64, np.float32)
+    for fmt in ("q4_0", "q4_1", "q5_0", "q5_1"):
+        q = getattr(lg, f"quantize_{fmt}")(x)
+        y = getattr(lg, f"dequantize_{fmt}")(q, (64,))
+        np.testing.assert_array_equal(y, 0.0)
