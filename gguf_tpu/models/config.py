@@ -29,7 +29,13 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rope_scale: float = 1.0    # linear position scaling (rope.scaling.factor)
     max_seq_len: int = 2048
-    head_dim_override: int | None = None  # set for tp-local configs
+    head_dim_override: int | None = None  # set for tp-local configs and
+                                          # archs with explicit head_dim (gemma)
+    # gemma-family switches (general.architecture == "gemma"). The (1+w)
+    # RMSNorm convention needs none: llama.cpp's converter bakes +1 into
+    # the GGUF norm weights, so plain RMSNorm is the on-disk contract.
+    act_fn: str = "silu"       # "silu" (llama/qwen2) | "gelu_tanh" (gemma)
+    embed_scale: float = 1.0      # gemma multiplies embeddings by sqrt(dim)
 
     @property
     def head_dim(self) -> int:
@@ -43,17 +49,28 @@ class LlamaConfig:
         vocab = md.get(f"{arch}.vocab_size")
         if vocab is None:
             vocab = len(md["tokenizer.ggml.tokens"])
+        dim = int(g("embedding_length"))
+        gemma = arch == "gemma"
+        # gemma's head_dim (attention.key_length) is decoupled from
+        # dim / n_heads (e.g. 2B: dim 2048, 8 heads, head_dim 256)
+        key_len = g("attention.key_length")
+        head_dim = (int(key_len) if key_len is not None
+                    and int(key_len) != dim // n_heads else None)
         return cls(
             vocab_size=int(vocab),
-            dim=int(g("embedding_length")),
+            dim=dim,
             n_layers=int(g("block_count")),
             n_heads=n_heads,
             n_kv_heads=int(g("attention.head_count_kv", n_heads)),
             ffn_dim=int(g("feed_forward_length")),
-            norm_eps=float(g("attention.layer_norm_rms_epsilon", 1e-5)),
+            norm_eps=float(g("attention.layer_norm_rms_epsilon",
+                             1e-6 if gemma else 1e-5)),
             rope_theta=float(g("rope.freq_base", 10000.0)),
             rope_scale=_rope_scale(g),
             max_seq_len=int(g("context_length", 2048)),
+            head_dim_override=head_dim,
+            act_fn="gelu_tanh" if gemma else "silu",
+            embed_scale=float(dim) ** 0.5 if gemma else 1.0,
         )
 
     def to_gguf_metadata(self, arch: str = "llama") -> dict:
@@ -70,5 +87,8 @@ class LlamaConfig:
             **({f"{arch}.rope.scaling.type": "linear",
                 f"{arch}.rope.scaling.factor": self.rope_scale}
                if self.rope_scale != 1.0 else {}),
+            **({f"{arch}.attention.key_length": self.head_dim,
+                f"{arch}.attention.value_length": self.head_dim}
+               if self.head_dim_override is not None else {}),
             f"{arch}.context_length": self.max_seq_len,
         }

@@ -71,6 +71,8 @@ def embed(table, ids: jax.Array) -> jax.Array:
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    # gemma's (1 + w) convention needs no switch here: llama.cpp's GGUF
+    # converter bakes the +1 into the stored norm weights at convert time
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     return (xf * jax.lax.rsqrt(var + eps) * weight).astype(x.dtype)
@@ -340,7 +342,7 @@ def _cp_attention(layer, x, cfg: LlamaConfig, cache_l, q, k, v, tok_pos,
     return proj.reshape(b, t, -1), cache_l
 
 
-def mlp(layer, x, opts: MMOpts):
+def mlp(layer, x, opts: MMOpts, act_fn: str = "silu"):
     b, t, _ = x.shape
     xf = x.reshape(b * t, -1)
     if "gate_up" in layer:  # fused projection (see fuse_llama_params)
@@ -349,7 +351,9 @@ def mlp(layer, x, opts: MMOpts):
     else:
         g = linear(layer["gate"], xf, opts)
         u = linear(layer["up"], xf, opts)
-    act = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+    gf = g.astype(jnp.float32)
+    act = (jax.nn.silu(gf) if act_fn == "silu"
+           else jax.nn.gelu(gf, approximate=True)).astype(x.dtype) * u
     down = linear(layer["down"], act, opts)
     if opts.axis_name:  # row-parallel down: sum partial products over tp
         down = jax.lax.psum(down, opts.axis_name)
@@ -429,7 +433,10 @@ def forward(
     `span` (static) promises every pos + T <= span so attention reads only
     the first span cache rows; None reads the whole cache.
     """
-    x = embed(params["token_embd"], tokens).astype(jnp.bfloat16)
+    x = embed(params["token_embd"], tokens)
+    if cfg.embed_scale != 1.0:   # gemma: sqrt(dim), rounded through bf16
+        x = x * jnp.bfloat16(cfg.embed_scale).astype(jnp.float32)
+    x = x.astype(jnp.bfloat16)
     tok_pos = pos[:, None] + jnp.arange(tokens.shape[1])[None, :]
     rope = rope_cos_sin(tok_pos, cfg.head_dim, cfg.rope_theta,
                         cfg.rope_scale)
@@ -441,7 +448,7 @@ def forward(
                                       rope=rope, span=span)
         x = x + attn_out
         h = rms_norm(x, layer["ffn_norm"], cfg.norm_eps)
-        x = x + mlp(layer, h, opts)
+        x = x + mlp(layer, h, opts, cfg.act_fn)
         new_layers.append(cache_l)
     cache = new_layers
 

@@ -187,15 +187,19 @@ def write_random_llama_gguf(
     fmt: GGMLType = GGMLType.Q4_K,
     seed: int = 0,
     extra_metadata: dict | None = None,
+    arch: str = "llama",
 ) -> None:
-    """Create a random llama GGUF checkpoint (tests / benchmarks).
+    """Create a random llama-schema GGUF checkpoint (tests / benchmarks).
 
     Projection weights are quantized to `fmt`; norms stay F32, the output
     head uses Q6_K when `fmt` is K-quant (mirroring llama.cpp's Q4_K_M
-    recipe, where output.weight is kept at higher precision).
+    recipe, where output.weight is kept at higher precision). arch="gemma"
+    writes gemma metadata (explicit head_dim via attention.key_length);
+    the tensor schema is shared.
     """
     rng = np.random.default_rng(seed)
     d, f, v = cfg.dim, cfg.ffn_dim, cfg.vocab_size
+    q_d = cfg.n_heads * cfg.head_dim
     kv_d = cfg.n_kv_heads * cfg.head_dim
     scale = 0.5 / np.sqrt(d)
 
@@ -214,13 +218,13 @@ def write_random_llama_gguf(
         tensors[p + "attn_norm.weight"] = (GGMLType.F32, (d,), np.ones(d, np.float32))
         tensors[p + "ffn_norm.weight"] = (GGMLType.F32, (d,), np.ones(d, np.float32))
         for name, shape in [
-            ("attn_q.weight", (d, d)), ("attn_k.weight", (kv_d, d)),
-            ("attn_v.weight", (kv_d, d)), ("attn_output.weight", (d, d)),
+            ("attn_q.weight", (q_d, d)), ("attn_k.weight", (kv_d, d)),
+            ("attn_v.weight", (kv_d, d)), ("attn_output.weight", (d, q_d)),
             ("ffn_gate.weight", (f, d)), ("ffn_up.weight", (f, d)),
             ("ffn_down.weight", (d, f)),
         ]:
             tensors[p + name] = (fmt, shape, quantize_tensor(w(shape), fmt))
 
-    md = cfg.to_gguf_metadata()
+    md = cfg.to_gguf_metadata(arch)
     md.update(extra_metadata or {})
     write_gguf(path, md, tensors)

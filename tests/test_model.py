@@ -400,3 +400,82 @@ def test_tied_embeddings_checkpoint(tmp_path):
                         MMOpts(precision="high"))
     assert np.isfinite(np.asarray(logits)).all()
     assert logits.shape == (1, 3, cfg.vocab_size)
+
+
+def test_gemma_arch_forward_matches_numpy(tmp_path):
+    """Gemma family (beyond the reference's scope): GGUF-contract semantics —
+    sqrt(dim)-scaled embeddings (bf16-rounded scale, as served), tanh-approx
+    GELU FFN, head_dim decoupled from dim/n_heads via attention.key_length.
+    The (1+w) norm needs no switch: llama.cpp's converter bakes +1 into the
+    stored norm weights, so plain RMSNorm is correct on GGUF bytes."""
+    cfg0 = LlamaConfig(vocab_size=64, dim=512, n_layers=2, n_heads=4,
+                       n_kv_heads=2, ffn_dim=256, max_seq_len=32,
+                       head_dim_override=64)   # 4*64 != 512: decoupled
+    path = str(tmp_path / "gemma.gguf")
+    write_random_llama_gguf(path, cfg0, fmt=GGMLType.Q4_K, seed=13,
+                            arch="gemma")
+    cfg, params = load_llama(path)
+    assert cfg.act_fn == "gelu_tanh" and cfg.head_dim == 64
+    assert abs(cfg.embed_scale - np.sqrt(512)) < 1e-6
+
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, cfg.vocab_size, (1, 5)).astype(np.int32)
+    cache = init_kv_cache(cfg, batch=1, max_seq=16)
+    logits, _ = forward(params, cfg, jnp.asarray(tokens),
+                        jnp.zeros(1, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    got = np.asarray(logits)
+
+    # numpy reference with gemma semantics
+    r = GGUFReader(path)
+    deq = lambda n: r.dequantize(n)
+    b, t = tokens.shape
+    hd, h, kvh = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    x = deq("token_embd.weight")[tokens.reshape(-1)].reshape(b, t, cfg.dim)
+    x = x * np.float32(jnp.bfloat16(cfg.embed_scale))
+
+    def rmsn(x, w):
+        return x / np.sqrt(np.mean(x * x, -1, keepdims=True) + cfg.norm_eps) * w
+
+    posn = np.arange(t)
+    freqs = cfg.rope_theta ** (-np.arange(0, hd, 2) / hd)
+    ang = posn[:, None] * freqs[None, :]
+    cos, sin = np.cos(ang), np.sin(ang)
+
+    def rope(xh):
+        x2 = xh.reshape(*xh.shape[:-1], -1, 2)
+        e, o = x2[..., 0], x2[..., 1]
+        c, s = cos[None, :, None, :], sin[None, :, None, :]
+        return np.stack([e * c - o * s, e * s + o * c], -1).reshape(xh.shape)
+
+    def gelu_tanh(v):
+        return 0.5 * v * (1 + np.tanh(np.sqrt(2 / np.pi) * (v + 0.044715 * v**3)))
+
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        hx = rmsn(x, r.load_array(p + "attn_norm.weight"))
+        q = (hx @ deq(p + "attn_q.weight").T).reshape(b, t, h, hd)
+        k = (hx @ deq(p + "attn_k.weight").T).reshape(b, t, kvh, hd)
+        v = (hx @ deq(p + "attn_v.weight").T).reshape(b, t, kvh, hd)
+        q, k = rope(q), rope(k)
+        rep = h // kvh
+        k = np.repeat(k, rep, axis=2)
+        v = np.repeat(v, rep, axis=2)
+        scores = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        mask = np.tril(np.ones((t, t), bool))
+        scores = np.where(mask[None, None], scores, -np.inf)
+        probs = np.exp(scores - scores.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        att = np.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, h * hd)
+        x = x + att @ deq(p + "attn_output.weight").T
+        hx = rmsn(x, r.load_array(p + "ffn_norm.weight"))
+        g = hx @ deq(p + "ffn_gate.weight").T
+        u = hx @ deq(p + "ffn_up.weight").T
+        x = x + (gelu_tanh(g) * u) @ deq(p + "ffn_down.weight").T
+    x = rmsn(x, r.load_array("output_norm.weight"))
+    ref = x @ deq("output.weight").T
+    r.close()
+
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 0.03, \
+        np.max(np.abs(got - ref)) / denom
