@@ -109,8 +109,10 @@ def bench_mmq(ns, quick=False):
     import jax.numpy as jnp
 
     from gguf_tpu.ops import MMQ
-    from gguf_tpu.quant import (quantize_q4_k, quantize_q5_k, quantize_q6_k,
-                                quantize_q8_0)
+    from gguf_tpu.quant import (quantize_q2_k, quantize_q3_k, quantize_q4_k,
+                                quantize_q5_k, quantize_q6_k, quantize_q8_0,
+                                quantize_q4_0, quantize_q4_1, quantize_q5_0,
+                                quantize_q5_1)
     from gguf_tpu.quant.layouts import to_soa
     from gguf_tpu.utils.benchmark import mmq_loop, slope_time
 
@@ -118,10 +120,18 @@ def bench_mmq(ns, quick=False):
     rng = np.random.default_rng(0)
     a = rng.standard_normal((m, k)).astype(np.float16)
     bytes_per_row = {"q8_0": (k // 32) * 34, "q4_k": (k // 256) * 144,
-                     "q5_k": (k // 256) * 176, "q6_k": (k // 256) * 210}
+                     "q5_k": (k // 256) * 176, "q6_k": (k // 256) * 210,
+                     "q2_k": (k // 256) * 84, "q3_k": (k // 256) * 110,
+                     "q4_0": (k // 32) * 18, "q4_1": (k // 32) * 20,
+                     "q5_0": (k // 32) * 22, "q5_1": (k // 32) * 24}
     quants = {"q8_0": quantize_q8_0, "q4_k": quantize_q4_k,
-              "q5_k": quantize_q5_k, "q6_k": quantize_q6_k}
-    fmts = ["q4_k"] if quick else ["q8_0", "q4_k", "q5_k", "q6_k"]
+              "q5_k": quantize_q5_k, "q6_k": quantize_q6_k,
+              "q2_k": quantize_q2_k, "q3_k": quantize_q3_k,
+              "q4_0": quantize_q4_0, "q4_1": quantize_q4_1,
+              "q5_0": quantize_q5_0, "q5_1": quantize_q5_1}
+    fmts = (["q4_k"] if quick else
+            ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k",
+             "q4_0", "q4_1", "q5_0", "q5_1"])
 
     for fmt in fmts:
         w = jax.device_put(to_soa(fmt, quants[fmt](a), m, k))

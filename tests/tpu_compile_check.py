@@ -27,12 +27,16 @@ def main():
     # 1. every MMQ kernel at decode and prefill N, odd M
     from gguf_tpu.ops import MMQ
     from gguf_tpu.quant import (quantize_q2_k, quantize_q3_k, quantize_q4_k,
-                                quantize_q5_k, quantize_q6_k, quantize_q8_0)
+                                quantize_q5_k, quantize_q6_k, quantize_q8_0,
+                                quantize_q4_0, quantize_q4_1, quantize_q5_0,
+                                quantize_q5_1)
     from gguf_tpu.quant.layouts import to_soa
 
     quants = {"q8_0": quantize_q8_0, "q2_k": quantize_q2_k,
               "q3_k": quantize_q3_k, "q4_k": quantize_q4_k,
-              "q5_k": quantize_q5_k, "q6_k": quantize_q6_k}
+              "q5_k": quantize_q5_k, "q6_k": quantize_q6_k,
+              "q4_0": quantize_q4_0, "q4_1": quantize_q4_1,
+              "q5_0": quantize_q5_0, "q5_1": quantize_q5_1}
     a = rng.standard_normal((300, 512)).astype(np.float16)
     for fmt, q in quants.items():
         w = jax.device_put(to_soa(fmt, q(a), 300, 512))
@@ -96,6 +100,20 @@ def main():
                        stop_at_eos=False)
     assert all(len(r.token_ids) == 8 for r in res)
     print("engine generate: ok", [r.token_ids[:3] for r in res])
+
+    # 3b. gemma-arch forward (GELU FFN, scaled embeddings, decoupled head_dim)
+    gpath = os.path.join(tempfile.gettempdir(), "tpu_compile_check_gemma.gguf")
+    if not os.path.exists(gpath):
+        write_random_llama_gguf(gpath, LlamaConfig(
+            vocab_size=256, dim=512, n_layers=1, n_heads=4, n_kv_heads=2,
+            ffn_dim=512, max_seq_len=64, head_dim_override=64),
+            seed=5, arch="gemma")
+    gllm = LLM(gpath, max_batch=2, max_seq=32)
+    gres = gllm.generate([[1, 2, 3]], max_new_tokens=4,
+                         sampler=SamplerConfig(temperature=0.0),
+                         stop_at_eos=False)
+    assert len(gres[0].token_ids) == 4
+    print("gemma generate: ok", gres[0].token_ids)
     print("ALL TPU COMPILE CHECKS PASSED")
 
 
