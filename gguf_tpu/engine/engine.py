@@ -97,6 +97,7 @@ class ChatSession:
         self.slot = slot
         self.cached = 0
         self._pending: int | None = None
+        self._history: list[int] = []   # full context, for the penalties
         self.closed = False
 
     def send(self, prompt, max_new_tokens: int = 64,
@@ -114,9 +115,18 @@ class ChatSession:
         key = jax.random.PRNGKey(seed ^ (self.cached << 8))
         logits = llm._prefill_chunks(ids, self.slot, start=self.cached)
         self.cached += n
+        # _pending (ids[0]) was already appended when it was generated
+        self._history.extend(new_ids)
+
+        def _counts_row():
+            c = np.zeros((1, llm.cfg.vocab_size), np.int32)
+            np.add.at(c[0], np.asarray(self._history, np.int64), 1)
+            return jnp.asarray(c)
 
         key, sub = jax.random.split(key)
-        tok = int(sample(logits[None, :], sub, sampler)[0])
+        tok = int(sample(logits[None, :], sub, sampler,
+                         _counts_row() if sampler.uses_penalties else None)[0])
+        self._history.append(tok)
         res = GenerationResult(prompt_ids=new_ids)
         res.token_ids.append(tok)
         eos = llm.tokenizer.eos_id if llm.tokenizer else -1
@@ -138,19 +148,30 @@ class ChatSession:
             last[self.slot] = tok
             key, sub = jax.random.split(key)
             span = llm._span_bucket(self.cached + steps)
+            if sampler.uses_penalties:
+                counts = np.zeros((llm.max_batch, llm.cfg.vocab_size), np.int32)
+                np.add.at(counts[self.slot],
+                          np.asarray(self._history, np.int64), 1)
+                counts = jnp.asarray(counts)
+            else:
+                counts = jnp.zeros((llm.max_batch, 1), jnp.int32)
             (ids_o, _, _, _), llm.cache = llm._decode(
                 llm.params, llm.cache, jnp.asarray(last, jnp.int32),
-                jnp.asarray(pos_arr, jnp.int32), sub, sampler, steps, span, 0)
+                jnp.asarray(pos_arr, jnp.int32), counts, sub, sampler,
+                steps, span, 0)
             ids_o = np.asarray(ids_o)
             for j in range(steps):
                 self.cached += 1       # previous pending token is now cached
                 tok = int(ids_o[self.slot, j])
+                self._history.append(tok)
                 res.token_ids.append(tok)
                 budget -= 1
                 if finished(tok) or budget <= 0:
                     break
         if stop_at_eos and res.token_ids and res.token_ids[-1] == eos:
             res.token_ids.pop()        # EOS leaves the conversation entirely
+            if self._history and self._history[-1] == eos:
+                self._history.pop()
         else:
             self._pending = res.token_ids[-1] if res.token_ids else None
         res.finished = True
@@ -241,10 +262,10 @@ class LLM:
             last = jax.lax.dynamic_slice_in_dim(logits, last_idx, 1, axis=1)
             return last[0, 0], cache
 
-        @functools.partial(jax.jit, donate_argnums=(1,),
-                           static_argnums=(5, 6, 7, 8))
-        def _decode(params, cache, tokens, pos, key, sampler_cfg, steps,
-                    span, logprobs):
+        @functools.partial(jax.jit, donate_argnums=(1, 4),
+                           static_argnums=(6, 7, 8, 9))
+        def _decode(params, cache, tokens, pos, counts, key, sampler_cfg,
+                    steps, span, logprobs):
             """`steps` decode iterations in one jit (lax.scan): one
             device->host sync per chunk instead of per token — the host
             round-trip otherwise dominates small-model decode. Returns the
@@ -256,11 +277,15 @@ class LLM:
             (static int) additionally returns each chosen token's logprob
             and the top-k alternatives per step (None-filled when 0)."""
             def step(carry, _):
-                cache, toks, pos, key = carry
+                cache, toks, pos, counts, key = carry
                 logits, cache = fwd(params, toks[:, None], pos, cache,
                                     span=span)
                 key, sub = jax.random.split(key)
-                nxt = sample(logits[:, 0], sub, sampler_cfg)
+                nxt = sample(logits[:, 0], sub, sampler_cfg,
+                             counts if sampler_cfg.uses_penalties else None)
+                if sampler_cfg.uses_penalties:
+                    counts = counts + jax.nn.one_hot(
+                        nxt, counts.shape[1], dtype=counts.dtype)
                 if logprobs:
                     lp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32))
                     chosen = jnp.take_along_axis(lp, nxt[:, None], 1)[:, 0]
@@ -270,10 +295,10 @@ class LLM:
                     extras = (jnp.zeros(nxt.shape, jnp.float32),
                               jnp.zeros((*nxt.shape, 1), jnp.int32),
                               jnp.zeros((*nxt.shape, 1), jnp.float32))
-                return (cache, nxt, pos + 1, key), (nxt, *extras)
+                return (cache, nxt, pos + 1, counts, key), (nxt, *extras)
 
-            (cache, _, _, _), (ids, lps, tids, tlps) = jax.lax.scan(
-                step, (cache, tokens, pos, key), None, length=steps)
+            (cache, _, _, _, _), (ids, lps, tids, tlps) = jax.lax.scan(
+                step, (cache, tokens, pos, counts, key), None, length=steps)
             # scan stacks on axis 0 (steps); put batch first
             return (ids.T, lps.T, tids.transpose(1, 0, 2),
                     tlps.transpose(1, 0, 2)), cache
@@ -449,6 +474,13 @@ class LLM:
                 "every cache slot is reserved by ChatSessions; close one "
                 "before calling generate()")
 
+        def _ids_counts(rows_ids):
+            """(slot -> context ids) -> (max_batch, V) int32 counts."""
+            cnts = np.zeros((self.max_batch, self.cfg.vocab_size), np.int32)
+            for s, ids in rows_ids.items():
+                np.add.at(cnts[s], np.asarray(ids, np.int64), 1)
+            return jnp.asarray(cnts)
+
         def admit():
             nonlocal key
             for s in range(self.max_batch):
@@ -459,7 +491,9 @@ class LLM:
                 assert n < self.max_seq, f"prompt ({n}) exceeds max_seq {self.max_seq}"
                 logits = self._prefill_chunks(ids, s)
                 key, sub = jax.random.split(key)
-                first = int(sample(logits[None, :], sub, sampler)[0])
+                cnt1 = (_ids_counts({0: ids})[:1]
+                        if sampler.uses_penalties else None)
+                first = int(sample(logits[None, :], sub, sampler, cnt1)[0])
                 if logprobs:
                     lp = np.asarray(jax.nn.log_softmax(
                         logits.astype(jnp.float32)))
@@ -529,11 +563,17 @@ class LLM:
             pos_dev = np.where([slots[s] is not None
                                 for s in range(self.max_batch)],
                                pos, self.max_seq)
+            if sampler.uses_penalties:
+                counts = _ids_counts({
+                    s: results[slots[s]].prompt_ids + results[slots[s]].token_ids
+                    for s in live})
+            else:
+                counts = jnp.zeros((self.max_batch, 1), jnp.int32)
             (ids, lps, tids, tlps), self.cache = self._decode(
                 self.params, self.cache,
                 jnp.asarray(last_tok, jnp.int32),
                 jnp.asarray(pos_dev, jnp.int32),
-                sub, sampler, steps, span, logprobs)
+                counts, sub, sampler, steps, span, logprobs)
             ids = np.asarray(ids)
             if logprobs:
                 lps, tids, tlps = (np.asarray(lps), np.asarray(tids),

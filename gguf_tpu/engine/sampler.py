@@ -1,4 +1,5 @@
-"""Token samplers: greedy, temperature, top-k, top-p, min-p — batched, jit-safe."""
+"""Token samplers: greedy, temperature, top-k, top-p, min-p, repetition /
+presence / frequency penalties — batched, jit-safe."""
 
 from __future__ import annotations
 
@@ -15,10 +16,46 @@ class SamplerConfig:
     top_p: float = 1.0         # 1 => disabled
     min_p: float = 0.0         # 0 => disabled (keep tokens with
                                # prob >= min_p * max_prob)
+    # context-repetition penalties; counts cover the WHOLE context
+    # (prompt + generated), the OpenAI semantics
+    repeat_penalty: float = 1.0    # llama.cpp: >1 shrinks seen tokens'
+                                   # logits (divide if >0, multiply if <0)
+    presence_penalty: float = 0.0  # OpenAI: flat subtraction once seen
+    frequency_penalty: float = 0.0  # OpenAI: subtraction per occurrence
+
+    @property
+    def uses_penalties(self) -> bool:
+        return (self.repeat_penalty != 1.0 or self.presence_penalty != 0.0
+                or self.frequency_penalty != 0.0)
 
 
-def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig) -> jax.Array:
-    """logits (B, V) -> token ids (B,). Static sampler config."""
+def apply_penalties(logits: jax.Array, counts: jax.Array,
+                    cfg: SamplerConfig) -> jax.Array:
+    """logits (B, V) f32, counts (B, V) int token occurrences over each
+    sequence's context -> penalized logits. llama.cpp's repeat_penalty
+    divides positive / multiplies negative logits of seen tokens; the
+    OpenAI penalties subtract presence*(seen) + frequency*count."""
+    c = counts.astype(jnp.float32)
+    seen = c > 0
+    if cfg.repeat_penalty != 1.0:
+        rp = jnp.float32(cfg.repeat_penalty)
+        pen = jnp.where(logits > 0, logits / rp, logits * rp)
+        logits = jnp.where(seen, pen, logits)
+    if cfg.presence_penalty != 0.0 or cfg.frequency_penalty != 0.0:
+        logits = (logits - jnp.float32(cfg.frequency_penalty) * c
+                  - jnp.float32(cfg.presence_penalty) * seen.astype(jnp.float32))
+    return logits
+
+
+def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig,
+           counts: jax.Array | None = None) -> jax.Array:
+    """logits (B, V) -> token ids (B,). Static sampler config. `counts`
+    (B, V): per-sequence context token counts, required when
+    cfg.uses_penalties (penalties apply before temperature, so greedy
+    decoding honors them too — same order as llama.cpp)."""
+    if cfg.uses_penalties:
+        assert counts is not None, "penalties need context token counts"
+        logits = apply_penalties(logits.astype(jnp.float32), counts, cfg)
     if cfg.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 

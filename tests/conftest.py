@@ -19,6 +19,18 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-bound on CPU (every
+# test jits its own forward); warm re-runs skip straight to execution.
+# Keyed by program hash + compiler version, so stale entries cannot match.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache_tests")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass  # config name drift between jax versions
+
 import numpy as np
 import pytest
 

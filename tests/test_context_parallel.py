@@ -76,7 +76,7 @@ def _stream(rng, batch, chunks):
 
 
 @pytest.mark.parametrize("tp,sp", [
-    (1, 2),
+    pytest.param(1, 2, marks=pytest.mark.slow),
     pytest.param(1, 4, marks=pytest.mark.slow),
     pytest.param(2, 2, marks=pytest.mark.slow),
 ])
@@ -101,6 +101,18 @@ def test_cp_with_dp(model, rng):
     stream = _stream(rng, batch=2, chunks=[12, 1, 1])
     ref = _reference_stream(cfg, params, stream, batch=2)
     got = _sharded_stream(cfg, params, stream, batch=2, tp=2, sp=2, dp=2)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g, r, rtol=0, atol=2e-2 * np.abs(r).max())
+
+
+def test_cp_smoke_boundary_chunk(model, rng):
+    """Fast-suite CP coverage: one boundary-straddling prefill + one decode
+    step at sp=2 must match single-device logits (the full multi-chunk
+    streams and tp x sp x dp grids run under -m slow)."""
+    cfg, params = model
+    stream = _stream(rng, batch=1, chunks=[40, 1])
+    ref = _reference_stream(cfg, params, stream, batch=1)
+    got = _sharded_stream(cfg, params, stream, batch=1, tp=1, sp=2)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(g, r, rtol=0, atol=2e-2 * np.abs(r).max())
 

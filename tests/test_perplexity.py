@@ -31,6 +31,7 @@ def _dequantize_params(tree):
         tree, is_leaf=lambda x: isinstance(x, QuantTensor))
 
 
+@pytest.mark.slow
 def test_perplexity_quant_vs_float(model):
     """Quantized ppl tracks the float-weight ppl of the same checkpoint —
     the harness behind BASELINE's 'within 0.01 of llama.cpp' gate."""

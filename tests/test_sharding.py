@@ -62,6 +62,7 @@ def test_tp_forward_matches_single_device(model, tp, dp):
     assert "tp" in tuple(cache2[0]["k"].sharding.spec)
 
 
+@pytest.mark.slow
 def test_tp_decode_after_prefill(model):
     """Sharded prefill + sharded decode step chain (cache carried through)."""
     cfg, params = model
