@@ -303,6 +303,68 @@ class LLM:
             return (ids.T, lps.T, tids.transpose(1, 0, 2),
                     tlps.transpose(1, 0, 2)), cache
 
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnums=(5, 6, 7))
+        def _spec_decode(params, cache, tokbuf, pos, last, iters, k, span):
+            """Greedy speculative decoding via device-side prompt-lookup
+            drafting (the ROADMAP's 'device-side drafting design': zero
+            host round-trips — draft, verify and accept all live inside one
+            jitted scan). Per iteration each sequence:
+
+              1. drafts k tokens by finding the most recent earlier
+                 occurrence of its trailing bigram in `tokbuf` (B, S) and
+                 copying what followed it (any draft is CORRECT — bad
+                 drafts just get rejected),
+              2. verifies with ONE t=k+1 forward (the chunked-prefill
+                 shape class), taking the greedy argmax at every position,
+              3. accepts the matching draft prefix + the bonus token, so a
+                 step emits 1..k+1 tokens — output is exactly the plain
+                 greedy stream, only faster when text repeats.
+
+            Stale cache rows past an accepted prefix are always rewritten
+            by a later insert before any query can attend them (inserts
+            cover pos'..pos'+k ⊇ the previous overshoot because pos
+            advances by at most k+1). Returns per-iteration greedy tokens
+            (B, iters, k+1) and accept counts (B, iters)."""
+            b, s = tokbuf.shape
+            idxs = jnp.arange(s)
+
+            def step(carry, _):
+                cache, tokbuf, pos, last = carry
+                # trailing bigram (g0, last); g0 = token before `last`
+                g0 = jnp.take_along_axis(
+                    tokbuf, jnp.maximum(pos - 1, 0)[:, None], 1)[:, 0]
+                t1 = jnp.concatenate(
+                    [tokbuf[:, 1:], jnp.full((b, 1), -1, tokbuf.dtype)], 1)
+                valid = idxs[None, :] + 1 < pos[:, None]
+                m = ((tokbuf == g0[:, None]) & (t1 == last[:, None]) & valid)
+                j = jnp.where(m.any(1), s - 1 - jnp.argmax(m[:, ::-1], 1), 0)
+                offs = jnp.clip(j[:, None] + 2 + jnp.arange(k)[None, :],
+                                0, s - 1)
+                draft = jnp.take_along_axis(tokbuf, offs, 1)      # (B, k)
+
+                toks = jnp.concatenate([last[:, None], draft], 1)  # (B, k+1)
+                logits, cache = fwd(params, toks, pos, cache, span=span)
+                g = jnp.argmax(logits, -1).astype(jnp.int32)       # (B, k+1)
+                match = (draft == g[:, :k]).astype(jnp.int32)
+                acc = jnp.sum(jnp.cumprod(match, 1), 1)            # (B,)
+                nlast = jnp.take_along_axis(g, acc[:, None], 1)[:, 0]
+
+                # record the emitted tokens in the lookup buffer; rows past
+                # acc+1 are overwritten before the draft search can reach
+                # them (search is bounded by pos)
+                tokbuf = jax.vmap(
+                    lambda buf, em, p: jax.lax.dynamic_update_slice(
+                        buf, em, (p,)))(
+                    tokbuf, g, jnp.minimum(pos, s - (k + 1)))
+                return (cache, tokbuf, pos + acc + 1, nlast), (g, acc)
+
+            (cache, _, _, _), (em, accs) = jax.lax.scan(
+                step, (cache, tokbuf, pos, last), None, length=iters)
+            # scan stacks iters first; put batch first
+            return (em.transpose(1, 0, 2), accs.T), cache
+
+        self._spec_decode = _spec_decode
         self._prefill = _prefill
         self._decode = _decode
 
@@ -421,6 +483,7 @@ class LLM:
         decode_chunk: int = 8,
         on_tokens=None,
         logprobs: int = 0,
+        speculative: int = 0,
     ) -> list[GenerationResult]:
         """Generate completions with continuous batching over the slot pool.
 
@@ -438,7 +501,13 @@ class LLM:
         trimming only applies to the final .text; a stream may overshoot
         by up to the stop string + one chunk).
         `logprobs`: when > 0, each result's .logprobs records the chosen
-        token's logprob and the top-k alternatives per generated token."""
+        token's logprob and the top-k alternatives per generated token.
+        `speculative`: draft length k for device-side prompt-lookup
+        speculative decoding (greedy only — requires temperature 0, no
+        penalties, no logprobs). Output is token-for-token identical to
+        plain greedy decoding; repetitive text decodes up to (k+1)x
+        faster because each verify step can accept k drafts + 1 bonus
+        token in one forward."""
         t_start = time.perf_counter()
         queue = [(i, self._encode(p)) for i, p in enumerate(prompts)]
         queue.reverse()  # pop() takes the earliest request
@@ -556,13 +625,47 @@ class LLM:
             steps = 1
             while steps * 2 <= min(decode_chunk, max(room, 1)):
                 steps *= 2
-            span = self._span_bucket(max(int(pos[s]) for s in live) + steps)
             # inactive slots run at pos=max_seq: attention output is garbage
             # (discarded) and the windowed cache insert clamps to a no-op,
             # so reserved ChatSession slots keep their KV intact
             pos_dev = np.where([slots[s] is not None
                                 for s in range(self.max_batch)],
                                pos, self.max_seq)
+            use_spec = (speculative > 0 and sampler.temperature <= 0.0
+                        and not sampler.uses_penalties and logprobs == 0
+                        and room >= speculative + 1)
+            if use_spec:
+                k = speculative
+                iters = max(1, min(decode_chunk, room // (k + 1)))
+                span = self._span_bucket(
+                    max(int(pos[s]) for s in live) + iters * (k + 1))
+                tokbuf = np.zeros((self.max_batch, self.max_seq), np.int32)
+                for s in live:
+                    ctx = results[slots[s]].prompt_ids + \
+                        results[slots[s]].token_ids
+                    tokbuf[s, :len(ctx)] = ctx
+                (em, accs), self.cache = self._spec_decode(
+                    self.params, self.cache, jnp.asarray(tokbuf),
+                    jnp.asarray(pos_dev, jnp.int32),
+                    jnp.asarray(last_tok, jnp.int32), iters, k, span)
+                em, accs = np.asarray(em), np.asarray(accs)
+                for it in range(iters):
+                    for s in range(self.max_batch):
+                        if slots[s] is None:
+                            continue
+                        for tok in em[s, it, :int(accs[s, it]) + 1]:
+                            tok = int(tok)
+                            results[slots[s]].token_ids.append(tok)
+                            pos[s] += 1
+                            last_tok[s] = tok
+                            budget[s] -= 1
+                            _maybe_finish(s, tok)
+                            if slots[s] is None:
+                                break
+                admit()
+                _flush()
+                continue
+            span = self._span_bucket(max(int(pos[s]) for s in live) + steps)
             if sampler.uses_penalties:
                 counts = _ids_counts({
                     s: results[slots[s]].prompt_ids + results[slots[s]].token_ids

@@ -70,6 +70,7 @@ def cmd_generate(args):
               else args.prompt)
     prompts = [prompt] * max(args.batch, 1)
     res = llm.generate(prompts, max_new_tokens=args.n, sampler=sampler,
+                       speculative=args.speculative,
                        seed=args.seed)
     for r in res:
         print(r.text if r.text else r.token_ids)
@@ -211,6 +212,10 @@ def main(argv=None):
     s.add_argument("--temperature", type=float, default=0.8)
     s.add_argument("--top-p", type=float, default=0.95)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="prompt-lookup speculative decoding draft length "
+                        "(greedy only; exact same output, faster on "
+                        "repetitive text)")
     s.set_defaults(fn=cmd_generate)
 
     s = sub.add_parser("ppl", help="perplexity over a token stream")

@@ -423,3 +423,38 @@ def test_repeat_penalty_changes_greedy_choice(llm):
                                                repeat_penalty=1e6),
                          stop_at_eos=False)
     assert base.token_ids != pen.token_ids
+
+
+def test_speculative_greedy_exact(llm):
+    """Prompt-lookup speculative decoding must reproduce the plain greedy
+    stream token for token (drafts only change HOW tokens are produced)."""
+    prompts = [[1, 5, 9], [2, 7]]
+    g = SamplerConfig(temperature=0.0)
+    base = llm.generate(prompts, max_new_tokens=20, sampler=g,
+                        stop_at_eos=False)
+    spec = llm.generate(prompts, max_new_tokens=20, sampler=g,
+                        stop_at_eos=False, speculative=3)
+    for b, sp in zip(base, spec):
+        assert b.token_ids == sp.token_ids, (b.token_ids, sp.token_ids)
+
+
+def test_speculative_accepts_on_repetition(llm):
+    """On a context that loops, the bigram lookup must draft the loop and
+    the verifier must accept at least one draft (accs > 0 somewhere) —
+    i.e. the speedup mechanism actually engages, not just falls back."""
+    # build a looping context with the model's own greedy stream
+    g = SamplerConfig(temperature=0.0)
+    [base] = llm.generate([[1, 5, 9]], max_new_tokens=16, sampler=g,
+                          stop_at_eos=False)
+    ctx = [1, 5, 9] + base.token_ids
+    tokbuf = np.zeros((llm.max_batch, llm.max_seq), np.int32)
+    tokbuf[0, :len(ctx)] = ctx
+    pos = np.full(llm.max_batch, llm.max_seq, np.int32)
+    pos[0] = len(ctx) - 1           # last ctx token is the pending one
+    last = np.zeros(llm.max_batch, np.int32)
+    last[0] = ctx[-1]
+    (em, accs), llm.cache = llm._spec_decode(
+        llm.params, llm.cache, jnp.asarray(tokbuf), jnp.asarray(pos),
+        jnp.asarray(last), 2, 3, llm.max_seq)
+    accs = np.asarray(accs)
+    assert accs[0].max() >= 1, f"no draft accepted on a looping stream: {accs[0]}"
