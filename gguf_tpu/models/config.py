@@ -34,8 +34,13 @@ class LlamaConfig:
     # gemma-family switches (general.architecture == "gemma"). The (1+w)
     # RMSNorm convention needs none: llama.cpp's converter bakes +1 into
     # the GGUF norm weights, so plain RMSNorm is the on-disk contract.
-    act_fn: str = "silu"       # "silu" (llama/qwen2) | "gelu_tanh" (gemma)
+    act_fn: str = "silu"       # "silu" (llama/qwen2) | "gelu_tanh" (gemma/phi2)
     embed_scale: float = 1.0      # gemma multiplies embeddings by sqrt(dim)
+    # phi2-family switches (general.architecture == "phi2"):
+    norm_type: str = "rms"     # "rms" | "layer" (mean-subtracting, biased)
+    parallel_residual: bool = False  # x + attn(norm(x)) + mlp(norm(x))
+    rope_dim: int | None = None  # partial rotary: rotate only the first
+                                 # rope_dim dims of each head (phi2: 32)
 
     @property
     def head_dim(self) -> int:
@@ -56,6 +61,12 @@ class LlamaConfig:
         key_len = g("attention.key_length")
         head_dim = (int(key_len) if key_len is not None
                     and int(key_len) != dim // n_heads else None)
+        phi2 = arch == "phi2"
+        rope_dim = g("rope.dimension_count")
+        eps = g("attention.layer_norm_rms_epsilon")
+        if eps is None:   # phi2 stores a plain layer_norm_epsilon
+            eps = g("attention.layer_norm_epsilon",
+                    1e-6 if gemma else 1e-5)
         return cls(
             vocab_size=int(vocab),
             dim=dim,
@@ -63,17 +74,23 @@ class LlamaConfig:
             n_heads=n_heads,
             n_kv_heads=int(g("attention.head_count_kv", n_heads)),
             ffn_dim=int(g("feed_forward_length")),
-            norm_eps=float(g("attention.layer_norm_rms_epsilon",
-                             1e-6 if gemma else 1e-5)),
+            norm_eps=float(eps),
             rope_theta=float(g("rope.freq_base", 10000.0)),
             rope_scale=_rope_scale(g),
             max_seq_len=int(g("context_length", 2048)),
             head_dim_override=head_dim,
-            act_fn="gelu_tanh" if gemma else "silu",
+            act_fn="gelu_tanh" if (gemma or phi2) else "silu",
             embed_scale=float(dim) ** 0.5 if gemma else 1.0,
+            norm_type="layer" if phi2 else "rms",
+            parallel_residual=phi2,
+            rope_dim=(int(rope_dim) if rope_dim is not None
+                      and int(rope_dim) != (head_dim or dim // n_heads)
+                      else None),
         )
 
     def to_gguf_metadata(self, arch: str = "llama") -> dict:
+        eps_key = ("attention.layer_norm_epsilon" if arch == "phi2"
+                   else "attention.layer_norm_rms_epsilon")
         return {
             "general.architecture": arch,
             f"{arch}.vocab_size": self.vocab_size,
@@ -82,7 +99,9 @@ class LlamaConfig:
             f"{arch}.attention.head_count": self.n_heads,
             f"{arch}.attention.head_count_kv": self.n_kv_heads,
             f"{arch}.feed_forward_length": self.ffn_dim,
-            f"{arch}.attention.layer_norm_rms_epsilon": self.norm_eps,
+            f"{arch}.{eps_key}": self.norm_eps,
+            **({f"{arch}.rope.dimension_count": self.rope_dim}
+               if self.rope_dim is not None else {}),
             f"{arch}.rope.freq_base": self.rope_theta,
             **({f"{arch}.rope.scaling.type": "linear",
                 f"{arch}.rope.scaling.factor": self.rope_scale}

@@ -70,6 +70,28 @@ def embed(table, ids: jax.Array) -> jax.Array:
     return out.reshape(*ids.shape, -1)
 
 
+def layer_norm(x: jax.Array, weight: jax.Array, bias, eps: float) -> jax.Array:
+    """Mean-subtracting LayerNorm with optional bias (phi2-family)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    out = xc * jax.lax.rsqrt(var + eps) * weight
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+def _norm(x, layer_or_params, name: str, cfg: LlamaConfig) -> jax.Array:
+    """Dispatch rms/layer norm for the weight at `name` (+ optional
+    `name`_bias) in a layer or params dict."""
+    w = layer_or_params[name]
+    if cfg.norm_type == "layer":
+        return layer_norm(x, w, layer_or_params.get(name + "_bias"),
+                          cfg.norm_eps)
+    return rms_norm(x, w, cfg.norm_eps)
+
+
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     # gemma's (1 + w) convention needs no switch here: llama.cpp's GGUF
     # converter bakes the +1 into the stored norm weights at convert time
@@ -189,10 +211,17 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
         v = v.reshape(b, t, kvh, hd)
 
     tok_pos = pos[:, None] + jnp.arange(t)[None, :]            # (B, T)
+    rd = cfg.rope_dim or hd
     cos, sin = rope if rope is not None else rope_cos_sin(
-        tok_pos, hd, cfg.rope_theta, cfg.rope_scale)           # (B, T, hd/2)
-    q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :])
-    k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
+        tok_pos, rd, cfg.rope_theta, cfg.rope_scale)           # (B, T, rd/2)
+    if rd < hd:   # partial rotary (phi2): rotate the leading rd dims only
+        q = jnp.concatenate([apply_rope(q[..., :rd], cos[:, :, None, :],
+                                        sin[:, :, None, :]), q[..., rd:]], -1)
+        k = jnp.concatenate([apply_rope(k[..., :rd], cos[:, :, None, :],
+                                        sin[:, :, None, :]), k[..., rd:]], -1)
+    else:
+        q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :])
+        k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
 
     if opts.seq_axis:
         return _cp_attention(layer, x, cfg, cache_l, q, k, v, tok_pos, pos,
@@ -275,6 +304,8 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
     proj = linear(layer["wo"], out.astype(x.dtype), opts)
     if opts.axis_name:  # row-parallel wo: sum partial products over tp
         proj = jax.lax.psum(proj, opts.axis_name)
+    if "bo" in layer:   # phi2-family output-projection bias
+        proj = proj + layer["bo"].astype(proj.dtype)
     return proj.reshape(b, t, -1), cache_l
 
 
@@ -348,15 +379,27 @@ def mlp(layer, x, opts: MMOpts, act_fn: str = "silu"):
     if "gate_up" in layer:  # fused projection (see fuse_llama_params)
         gu = linear(layer["gate_up"], xf, opts)
         g, u = jnp.split(gu, 2, axis=-1)
-    else:
+    elif "gate" in layer:
         g = linear(layer["gate"], xf, opts)
         u = linear(layer["up"], xf, opts)
-    gf = g.astype(jnp.float32)
-    act = (jax.nn.silu(gf) if act_fn == "silu"
-           else jax.nn.gelu(gf, approximate=True)).astype(x.dtype) * u
+    else:                   # gateless MLP (phi2): act(up(x)) @ down
+        g = None
+        u = linear(layer["up"], xf, opts)
+    if "bup" in layer:
+        u = u + layer["bup"].astype(u.dtype)
+    if g is None:
+        uf = u.astype(jnp.float32)
+        act = (jax.nn.silu(uf) if act_fn == "silu"
+               else jax.nn.gelu(uf, approximate=True)).astype(x.dtype)
+    else:
+        gf = g.astype(jnp.float32)
+        act = (jax.nn.silu(gf) if act_fn == "silu"
+               else jax.nn.gelu(gf, approximate=True)).astype(x.dtype) * u
     down = linear(layer["down"], act, opts)
     if opts.axis_name:  # row-parallel down: sum partial products over tp
         down = jax.lax.psum(down, opts.axis_name)
+    if "bdown" in layer:
+        down = down + layer["bdown"].astype(down.dtype)
     return down.reshape(b, t, -1)
 
 
@@ -405,13 +448,14 @@ def fuse_llama_params(params: dict, tp: int = 1) -> dict:
     layers = []
     for layer in params["layers"]:
         layer = dict(layer)
-        if fusable([layer["wq"], layer["wk"], layer["wv"]]):
+        if ("wq" in layer
+                and fusable([layer["wq"], layer["wk"], layer["wv"]])):
             layer["wqkv"] = fuse([layer.pop("wq"), layer.pop("wk"),
                                   layer.pop("wv")])
             if "bq" in layer:
                 layer["bqkv"] = fuse_bias(
                     [layer.pop("bq"), layer.pop("bk"), layer.pop("bv")])
-        if fusable([layer["gate"], layer["up"]]):
+        if "gate" in layer and fusable([layer["gate"], layer["up"]]):
             layer["gate_up"] = fuse([layer.pop("gate"), layer.pop("up")])
         layers.append(layer)
     return {**params, "layers": layers}
@@ -438,25 +482,31 @@ def forward(
         x = x * jnp.bfloat16(cfg.embed_scale).astype(jnp.float32)
     x = x.astype(jnp.bfloat16)
     tok_pos = pos[:, None] + jnp.arange(tokens.shape[1])[None, :]
-    rope = rope_cos_sin(tok_pos, cfg.head_dim, cfg.rope_theta,
-                        cfg.rope_scale)
+    rope = rope_cos_sin(tok_pos, cfg.rope_dim or cfg.head_dim,
+                        cfg.rope_theta, cfg.rope_scale)
 
     new_layers = []
     for i, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        h = _norm(x, layer, "attn_norm", cfg)
         attn_out, cache_l = attention(layer, h, cfg, cache[i], pos, opts,
                                       rope=rope, span=span)
-        x = x + attn_out
-        h = rms_norm(x, layer["ffn_norm"], cfg.norm_eps)
-        x = x + mlp(layer, h, opts, cfg.act_fn)
+        if cfg.parallel_residual:
+            # phi2: one shared pre-norm feeds both branches
+            x = x + attn_out + mlp(layer, h, opts, cfg.act_fn)
+        else:
+            x = x + attn_out
+            h = _norm(x, layer, "ffn_norm", cfg)
+            x = x + mlp(layer, h, opts, cfg.act_fn)
         new_layers.append(cache_l)
     cache = new_layers
 
-    x = rms_norm(x, params["output_norm"], cfg.norm_eps)
+    x = _norm(x, params, "output_norm", cfg)
     b, t, _ = x.shape
     logits = linear(params["output"], x.reshape(b * t, -1), opts)
     if opts.axis_name:  # column-parallel LM head: gather the vocab shards
         logits = jax.lax.all_gather(logits, opts.axis_name, axis=-1, tiled=True)
     # the loader may have padded the vocab dim for tile alignment
     logits = logits[:, :cfg.vocab_size]
+    if "output_bias" in params:   # phi2-family LM-head bias (unpadded)
+        logits = logits + params["output_bias"].astype(logits.dtype)
     return logits.reshape(b, t, -1).astype(jnp.float32), cache

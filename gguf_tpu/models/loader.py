@@ -109,9 +109,14 @@ def pad_ffn_for_tp(params: dict, cfg: LlamaConfig, tp: int):
     layers = []
     for layer in params["layers"]:
         layer = dict(layer)
-        layer["gate"] = _pad_cols_to(layer["gate"], ffn_pad)
+        if "gate" in layer:
+            layer["gate"] = _pad_cols_to(layer["gate"], ffn_pad)
         layer["up"] = _pad_cols_to(layer["up"], ffn_pad)
         layer["down"] = _pad_k_to(layer["down"], ffn_pad)
+        if "bup" in layer:   # phi2 up-bias follows the padded M dim
+            b = np.asarray(layer["bup"])
+            layer["bup"] = jnp.asarray(
+                np.pad(b, (0, ffn_pad - b.shape[0])))
         layers.append(layer)
     params = {**params, "layers": layers}
     return params, dataclasses.replace(cfg, ffn_dim=ffn_pad)
@@ -136,11 +141,14 @@ def _maybe_bias(reader: GGUFReader, name: str):
 
 
 def load_llama(path: str):
-    """Load a llama-architecture GGUF file (llama / mistral / tinyllama /
-    qwen2 tensor schema — qwen2's QKV biases load when present).
-    Returns (cfg, params)."""
+    """Load a llama-schema GGUF file (llama / mistral / tinyllama / qwen2 /
+    gemma — qwen2's QKV biases load when present) or a phi2-schema file
+    (fused attn_qkv + biases + LayerNorm, split back into the uniform
+    layer dict here). Returns (cfg, params)."""
     reader = GGUFReader(path)
     cfg = LlamaConfig.from_gguf_metadata(reader.metadata)
+    if reader.metadata.get("general.architecture") == "phi2":
+        return _load_phi2(reader, cfg)
 
     params = {
         "token_embd": _load_weight(reader, "token_embd.weight"),
@@ -178,6 +186,85 @@ def load_llama(path: str):
     return cfg, params
 
 
+def _load_phi2(reader: GGUFReader, cfg: LlamaConfig):
+    """phi2 tensor schema: fused blk.i.attn_qkv(+bias), biased LayerNorms,
+    gateless GELU MLP with biases, biased LM head. The fused QKV is split
+    into wq/wk/wv at load (M-dim lane slices are free in the K-major SoA
+    layout), so fuse_llama_params can re-fuse with tp interleaving and the
+    rest of the stack sees the uniform layer dict."""
+    import jax.tree_util
+
+    hd, h, kvh = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    q_d, kv_d = h * hd, kvh * hd
+
+    def norm_pair(prefix):
+        out = {prefix: jnp.asarray(
+            reader.load_array(prefix.replace("_bias", "") + ".weight"),
+            jnp.float32)}
+        bias_name = prefix + ".bias"
+        if bias_name in reader.tensors:
+            out[prefix + "_bias"] = jnp.asarray(
+                reader.load_array(bias_name), jnp.float32)
+        return out
+
+    params = {
+        "token_embd": _load_weight(reader, "token_embd.weight"),
+        "output_norm": jnp.asarray(
+            reader.load_array("output_norm.weight"), jnp.float32),
+        "layers": [],
+    }
+    if "output_norm.bias" in reader.tensors:
+        params["output_norm_bias"] = jnp.asarray(
+            reader.load_array("output_norm.bias"), jnp.float32)
+    params["output"] = (_load_weight(reader, "output.weight")
+                        if "output.weight" in reader.tensors
+                        else params["token_embd"])
+    if "output.bias" in reader.tensors:
+        params["output_bias"] = jnp.asarray(
+            reader.load_array("output.bias"), jnp.float32)
+
+    def slice_m(t, lo, hi):
+        if isinstance(t, jnp.ndarray):
+            return t[lo:hi]
+        return jax.tree_util.tree_map(lambda a: a[..., lo:hi], t)
+
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        layer = {
+            "attn_norm": jnp.asarray(
+                reader.load_array(p + "attn_norm.weight"), jnp.float32),
+        }
+        if p + "attn_norm.bias" in reader.tensors:
+            layer["attn_norm_bias"] = jnp.asarray(
+                reader.load_array(p + "attn_norm.bias"), jnp.float32)
+        wqkv = _load_weight(reader, p + "attn_qkv.weight")
+        layer["wq"] = slice_m(wqkv, 0, q_d)
+        layer["wk"] = slice_m(wqkv, q_d, q_d + kv_d)
+        layer["wv"] = slice_m(wqkv, q_d + kv_d, q_d + 2 * kv_d)
+        bqkv = _maybe_bias(reader, p + "attn_qkv.bias")
+        if bqkv is not None:
+            layer["bq"] = bqkv[:q_d]
+            layer["bk"] = bqkv[q_d:q_d + kv_d]
+            layer["bv"] = bqkv[q_d + kv_d:q_d + 2 * kv_d]
+        layer["wo"] = _load_weight(reader, p + "attn_output.weight")
+        bo = _maybe_bias(reader, p + "attn_output.bias")
+        if bo is not None:
+            layer["bo"] = bo
+        layer["up"] = _load_weight(reader, p + "ffn_up.weight")
+        layer["down"] = _load_weight(reader, p + "ffn_down.weight")
+        bup = _maybe_bias(reader, p + "ffn_up.bias")
+        if bup is not None:
+            layer["bup"] = bup
+        bdown = _maybe_bias(reader, p + "ffn_down.bias")
+        if bdown is not None:
+            layer["bdown"] = bdown
+        params["layers"].append(layer)
+    reader.close()
+    params, cfg = pad_ffn_for_tp(params, cfg, 1)
+    params = _pad_vocab_weights(params)
+    return cfg, params
+
+
 # ------------------------------------------------- synthetic checkpoints ---
 
 
@@ -208,14 +295,36 @@ def write_random_llama_gguf(
 
     head_fmt = (GGMLType.Q6_K if fmt in (GGMLType.Q4_K, GGMLType.Q5_K,
                                          GGMLType.Q6_K) else fmt)
+
+    def f32v(shape, fill=None):
+        arr = (np.ones(shape, np.float32) if fill is None
+               else (rng.standard_normal(shape) * 0.02).astype(np.float32))
+        return (GGMLType.F32, shape, arr)
+
     tensors = {
         "token_embd.weight": (fmt, (v, d), quantize_tensor(w((v, d)), fmt)),
         "output.weight": (head_fmt, (v, d), quantize_tensor(w((v, d)), head_fmt)),
         "output_norm.weight": (GGMLType.F32, (d,), np.ones(d, np.float32)),
     }
+    if arch == "phi2":
+        tensors["output_norm.bias"] = f32v((d,), "r")
+        tensors["output.bias"] = f32v((v,), "r")
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
         tensors[p + "attn_norm.weight"] = (GGMLType.F32, (d,), np.ones(d, np.float32))
+        if arch == "phi2":
+            tensors[p + "attn_norm.bias"] = f32v((d,), "r")
+            for name, shape in [
+                ("attn_qkv.weight", (q_d + 2 * kv_d, d)),
+                ("attn_output.weight", (d, q_d)),
+                ("ffn_up.weight", (f, d)), ("ffn_down.weight", (d, f)),
+            ]:
+                tensors[p + name] = (fmt, shape, quantize_tensor(w(shape), fmt))
+            tensors[p + "attn_qkv.bias"] = f32v((q_d + 2 * kv_d,), "r")
+            tensors[p + "attn_output.bias"] = f32v((d,), "r")
+            tensors[p + "ffn_up.bias"] = f32v((f,), "r")
+            tensors[p + "ffn_down.bias"] = f32v((d,), "r")
+            continue
         tensors[p + "ffn_norm.weight"] = (GGMLType.F32, (d,), np.ones(d, np.float32))
         for name, shape in [
             ("attn_q.weight", (q_d, d)), ("attn_k.weight", (kv_d, d)),

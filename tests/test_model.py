@@ -479,3 +479,116 @@ def test_gemma_arch_forward_matches_numpy(tmp_path):
     denom = np.abs(ref).max()
     assert np.max(np.abs(got - ref)) / denom < 0.03, \
         np.max(np.abs(got - ref)) / denom
+
+
+def test_phi2_arch_forward_matches_numpy(tmp_path):
+    """Phi-2 family (beyond the reference's scope): biased LayerNorm,
+    parallel attention+FFN residual off one shared pre-norm, partial
+    rotary (rope_dim < head_dim), gateless tanh-GELU MLP with biases,
+    biased LM head — checked against an independent numpy forward."""
+    cfg0 = LlamaConfig(vocab_size=64, dim=512, n_layers=2, n_heads=4,
+                       n_kv_heads=4, ffn_dim=512, max_seq_len=32,
+                       rope_dim=32)
+    path = str(tmp_path / "phi2.gguf")
+    write_random_llama_gguf(path, cfg0, fmt=GGMLType.Q4_K, seed=7,
+                            arch="phi2")
+    cfg, params = load_llama(path)
+    assert cfg.norm_type == "layer" and cfg.parallel_residual
+    assert cfg.rope_dim == 32 and cfg.act_fn == "gelu_tanh"
+
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, cfg.vocab_size, (1, 6)).astype(np.int32)
+    cache = init_kv_cache(cfg, batch=1, max_seq=16)
+    logits, _ = forward(params, cfg, jnp.asarray(tokens),
+                        jnp.zeros(1, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    got = np.asarray(logits)
+
+    r = GGUFReader(path)
+    deq = lambda n: r.dequantize(n)
+    arr = lambda n: r.load_array(n).astype(np.float32)
+    b, t = tokens.shape
+    hd, h = cfg.head_dim, cfg.n_heads
+    rd = cfg.rope_dim
+    x = deq("token_embd.weight")[tokens.reshape(-1)].reshape(b, t, cfg.dim)
+
+    def ln(x, w, bias):
+        mu = x.mean(-1, keepdims=True)
+        xc = x - mu
+        return xc / np.sqrt((xc * xc).mean(-1, keepdims=True)
+                            + cfg.norm_eps) * w + bias
+
+    posn = np.arange(t)
+    freqs = cfg.rope_theta ** (-np.arange(0, rd, 2) / rd)
+    ang = posn[:, None] * freqs[None, :]
+    cos, sin = np.cos(ang), np.sin(ang)
+
+    def rope(xh):  # rotate only the first rd dims of each head
+        rot, rest = xh[..., :rd], xh[..., rd:]
+        x2 = rot.reshape(*rot.shape[:-1], -1, 2)
+        e, o = x2[..., 0], x2[..., 1]
+        c, s = cos[None, :, None, :], sin[None, :, None, :]
+        out = np.stack([e * c - o * s, e * s + o * c], -1).reshape(rot.shape)
+        return np.concatenate([out, rest], -1)
+
+    def gelu_tanh(v):
+        return 0.5 * v * (1 + np.tanh(np.sqrt(2 / np.pi)
+                                      * (v + 0.044715 * v ** 3)))
+
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        hx = ln(x, arr(p + "attn_norm.weight"), arr(p + "attn_norm.bias"))
+        qkv = hx @ deq(p + "attn_qkv.weight").T + arr(p + "attn_qkv.bias")
+        q = qkv[..., :h * hd].reshape(b, t, h, hd)
+        k = qkv[..., h * hd:2 * h * hd].reshape(b, t, h, hd)
+        v = qkv[..., 2 * h * hd:].reshape(b, t, h, hd)
+        q, k = rope(q), rope(k)
+        scores = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        mask = np.tril(np.ones((t, t), bool))
+        scores = np.where(mask[None, None], scores, -np.inf)
+        probs = np.exp(scores - scores.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        att = np.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, h * hd)
+        attn_out = att @ deq(p + "attn_output.weight").T \
+            + arr(p + "attn_output.bias")
+        u = hx @ deq(p + "ffn_up.weight").T + arr(p + "ffn_up.bias")
+        mlp_out = gelu_tanh(u) @ deq(p + "ffn_down.weight").T \
+            + arr(p + "ffn_down.bias")
+        x = x + attn_out + mlp_out     # parallel residual
+    x = ln(x, arr("output_norm.weight"), arr("output_norm.bias"))
+    ref = x @ deq("output.weight").T + arr("output.bias")
+    r.close()
+
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 0.03, \
+        np.max(np.abs(got - ref)) / denom
+
+
+def test_phi2_engine_generate(tmp_path):
+    """Phi-2 through the serving engine: prefill + chunked decode over the
+    INT8 cache with partial rotary must stay consistent with the one-shot
+    forward (greedy prefix check)."""
+    from gguf_tpu.engine import LLM, SamplerConfig
+
+    cfg0 = LlamaConfig(vocab_size=64, dim=512, n_layers=2, n_heads=4,
+                       n_kv_heads=4, ffn_dim=512, max_seq_len=64,
+                       rope_dim=32)
+    path = str(tmp_path / "phi2e.gguf")
+    write_random_llama_gguf(path, cfg0, fmt=GGMLType.Q4_K, seed=8,
+                            arch="phi2")
+    llm = LLM(path, max_batch=2, max_seq=32)
+    res = llm.generate([[1, 5, 9], [2, 7]], max_new_tokens=6,
+                       sampler=SamplerConfig(temperature=0.0),
+                       stop_at_eos=False)
+    assert all(len(r.token_ids) == 6 for r in res)
+    # greedy stepwise decode must equal the one-shot forward's argmax chain
+    cfg, params = load_llama(path)
+    from gguf_tpu.models import fuse_llama_params
+    params = fuse_llama_params(params)
+    ids = [1, 5, 9] + res[0].token_ids
+    cache = init_kv_cache(cfg, batch=1, max_seq=32)
+    logits, _ = forward(params, cfg, jnp.asarray([ids[:-1]], jnp.int32),
+                        jnp.zeros(1, jnp.int32), cache,
+                        opts=MMOpts(precision="fast"))
+    want = np.asarray(logits[0, 2:]).argmax(-1)
+    assert list(want[:3]) == res[0].token_ids[:3], (list(want), res[0].token_ids)
