@@ -103,7 +103,8 @@ class ChatSession:
     def send(self, prompt, max_new_tokens: int = 64,
              sampler: SamplerConfig = SamplerConfig(), seed: int = 0,
              stop_at_eos: bool = True,
-             decode_chunk: int = 8) -> GenerationResult:
+             decode_chunk: int = 8,
+             speculative: int = 0) -> GenerationResult:
         assert not self.closed, "session is closed"
         llm = self.llm
         new_ids = llm._encode(prompt)
@@ -146,6 +147,36 @@ class ChatSession:
             pos_arr[self.slot] = self.cached
             last = np.zeros(llm.max_batch, np.int64)
             last[self.slot] = tok
+            use_spec = (speculative > 0 and sampler.temperature <= 0.0
+                        and not sampler.uses_penalties
+                        and room >= speculative + 1)
+            if use_spec:
+                k = speculative
+                iters = max(1, min(decode_chunk, room // (k + 1)))
+                span = llm._span_bucket(self.cached + iters * (k + 1))
+                tokbuf = np.zeros((llm.max_batch, llm.max_seq), np.int32)
+                ctx = self._history
+                tokbuf[self.slot, :len(ctx)] = ctx
+                (em, accs), llm.cache = llm._spec_decode(
+                    llm.params, llm.cache, jnp.asarray(tokbuf),
+                    jnp.asarray(pos_arr, jnp.int32),
+                    jnp.asarray(last, jnp.int32), iters, k, span)
+                em = np.asarray(em)[self.slot]
+                accs = np.asarray(accs)[self.slot]
+                stop_now = False
+                for it in range(iters):
+                    for tok in em[it, :int(accs[it]) + 1]:
+                        self.cached += 1
+                        tok = int(tok)
+                        self._history.append(tok)
+                        res.token_ids.append(tok)
+                        budget -= 1
+                        if finished(tok) or budget <= 0:
+                            stop_now = True
+                            break
+                    if stop_now:
+                        break
+                continue
             key, sub = jax.random.split(key)
             span = llm._span_bucket(self.cached + steps)
             if sampler.uses_penalties:

@@ -458,3 +458,19 @@ def test_speculative_accepts_on_repetition(llm):
         jnp.asarray(last), 2, 3, llm.max_seq)
     accs = np.asarray(accs)
     assert accs[0].max() >= 1, f"no draft accepted on a looping stream: {accs[0]}"
+
+
+def test_speculative_session_greedy_exact(tmp_path):
+    """ChatSession.send(speculative=k) must match the plain session stream
+    (fresh engines so the pinned slots start from identical caches)."""
+    path = str(tmp_path / "ss.gguf")
+    write_random_llama_gguf(path, CFG, fmt=GGMLType.Q4_K, seed=3)
+    g = SamplerConfig(temperature=0.0)
+
+    s1 = LLM(path, max_batch=2, max_seq=64).start_session()
+    base = s1.send([1, 5, 9], max_new_tokens=16, sampler=g,
+                   stop_at_eos=False)
+    s2 = LLM(path, max_batch=2, max_seq=64).start_session()
+    spec = s2.send([1, 5, 9], max_new_tokens=16, sampler=g,
+                   stop_at_eos=False, speculative=3)
+    assert base.token_ids == spec.token_ids
