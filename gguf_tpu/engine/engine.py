@@ -226,6 +226,7 @@ class LLM:
         tp: int = 1,
         dp: int = 1,
         sp: int = 1,
+        ep: int = 1,
         prefill_chunk: int = 512,
     ):
         """tp > 1 serves the model tensor-sharded (Megatron column/row
@@ -235,11 +236,13 @@ class LLM:
         dp-replicated); sp > 1 additionally shards every slot's KV cache
         along the sequence dim (context parallelism — attention combines
         per-shard flash partials, models/llama._cp_attention), letting a
-        context that exceeds one chip's HBM serve across the mesh. Uses
-        the first tp*dp*sp devices; the continuous-batching scheduler
-        below is unchanged."""
+        context that exceeds one chip's HBM serve across the mesh; ep > 1
+        shards an MoE model's expert stacks (mixtral-family — each device
+        evaluates its local experts, models/llama.moe_mlp). Uses the first
+        tp*dp*sp*ep devices; the continuous-batching scheduler below is
+        unchanged."""
         self.cfg, self.params = load_llama(path)
-        sharded = tp > 1 or dp > 1 or sp > 1
+        sharded = tp > 1 or dp > 1 or sp > 1 or ep > 1
         # single-chip fuses here; the sharded path fuses inside shard_llama
         # (interleaved per tp shard)
         self.params = self.params if sharded else fuse_llama_params(self.params)
@@ -262,7 +265,7 @@ class LLM:
             )
 
             assert max_batch % dp == 0, (max_batch, dp)
-            self.mesh = make_mesh(tp=tp, dp=dp, sp=sp)
+            self.mesh = make_mesh(tp=tp, dp=dp, sp=sp, ep=ep)
             self.params, self.cfg = shard_llama(self.params, self.cfg, self.mesh)
             self.cache = init_sharded_cache(
                 self.cfg, self.mesh, max_batch, self.max_seq)

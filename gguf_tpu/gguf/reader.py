@@ -156,6 +156,11 @@ class GGUFReader:
         `rows` optionally selects a row shard (output features) — rows are
         whole superblocks so any row range is valid; this is the
         tensor-parallel load path.
+
+        3-D tensors (MoE expert stacks, GGUF shape (E, M, K)) flatten to
+        (E*M, K): experts are row-major-contiguous in the file, so expert e
+        is exactly rows [e*M, (e+1)*M) of the flattened view (the MoE load
+        path in models/loader.py).
         """
         from ..quant.layouts import to_soa
 
@@ -165,7 +170,8 @@ class GGUFReader:
             tname = (ti.ggml_type.name if isinstance(ti.ggml_type, GGMLType)
                      else f"type {ti.ggml_type}")  # tolerant parser keeps
             raise ValueError(f"{name}: {tname} has no MMQ kernel")  # raw ints
-        m, k = ti.shape
+        *lead, k = ti.shape
+        m = int(np.prod(lead)) if lead else 1
         raw = self.tensor_bytes(name)
         if rows is not None:
             block, nbytes = GGML_BLOCK_INFO[ti.ggml_type]

@@ -41,6 +41,10 @@ class LlamaConfig:
     parallel_residual: bool = False  # x + attn(norm(x)) + mlp(norm(x))
     rope_dim: int | None = None  # partial rotary: rotate only the first
                                  # rope_dim dims of each head (phi2: 32)
+    # mixture-of-experts (mixtral-family: {arch}.expert_count/_used_count).
+    # 0 = dense FFN; > 0 switches every layer's FFN to top-k routed experts.
+    n_experts: int = 0
+    n_experts_used: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -86,6 +90,8 @@ class LlamaConfig:
             rope_dim=(int(rope_dim) if rope_dim is not None
                       and int(rope_dim) != (head_dim or dim // n_heads)
                       else None),
+            n_experts=int(g("expert_count", 0) or 0),
+            n_experts_used=int(g("expert_used_count", 0) or 0),
         )
 
     def to_gguf_metadata(self, arch: str = "llama") -> dict:
@@ -109,5 +115,8 @@ class LlamaConfig:
             **({f"{arch}.attention.key_length": self.head_dim,
                 f"{arch}.attention.value_length": self.head_dim}
                if self.head_dim_override is not None else {}),
+            **({f"{arch}.expert_count": self.n_experts,
+                f"{arch}.expert_used_count": self.n_experts_used}
+               if self.n_experts else {}),
             f"{arch}.context_length": self.max_seq_len,
         }

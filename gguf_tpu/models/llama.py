@@ -44,6 +44,10 @@ class MMOpts(NamedTuple):
     # over (contiguous shards). attention() then inserts only shard-owned
     # rows and combines per-shard flash partials with a log-sum-exp psum.
     seq_axis: str | None = None
+    # expert parallelism: mesh axis the MoE expert stacks' leading E dim is
+    # sharded over. moe_mlp() evaluates only the shard-local experts and the
+    # weighted partial outputs join in one psum (folded into the tp psum).
+    ep_axis: str | None = None
 
 
 def linear(w, x: jax.Array, opts: MMOpts = MMOpts()) -> jax.Array:
@@ -403,6 +407,62 @@ def mlp(layer, x, opts: MMOpts, act_fn: str = "silu"):
     return down.reshape(b, t, -1)
 
 
+def moe_mlp(layer, x, cfg: LlamaConfig, opts: MMOpts):
+    """Mixture-of-experts FFN (mixtral-family). Router math follows
+    llama.cpp/HF Mixtral: softmax over ALL experts, top-k selection, selected
+    weights renormalized to sum 1, weighted sum of per-expert SwiGLU outputs.
+
+    Evaluation is dense-per-expert: every (shard-local) expert runs over all
+    tokens and the combine multiplies by the zero-masked routing weights.
+    On TPU decode this is the fast shape, not a compromise — expert GEMMs at
+    decode are weight-bytes-bound and with B*T*k assignments spread over E
+    experts nearly every expert is hit every step, so a capacity-style
+    dispatch would stream the same weight bytes while adding token-row
+    gathers that lower to serialized per-row TPU scatters. At long-prefill
+    shapes the extra FLOPs (E/k x) are the documented trade (DESIGN.md §MoE).
+
+    The top-k mask is built by comparing indices against an iota instead of
+    a scatter (TPU scatters serialize row-by-row).
+
+    Expert parallelism: the expert stacks' leading E dim is sharded over
+    mesh axis `opts.ep_axis`; each device evaluates its local experts
+    against the GLOBAL routing-weight columns (offset by axis_index * E_loc)
+    and one psum over (ep, tp) both sums expert partials and completes the
+    row-parallel down projections — a single collective per MoE layer.
+    """
+    from ..quant.layouts import take_expert
+
+    b, t, _ = x.shape
+    xf = x.reshape(b * t, -1)
+    router = layer["gate_inp"]  # (E_global, dim), replicated float
+    logits = xf.astype(jnp.float32) @ router.T.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)                # (N, E_global)
+    _, topi = jax.lax.top_k(probs, cfg.n_experts_used)     # (N, k)
+    sel = (topi[..., None] == jnp.arange(cfg.n_experts)[None, None, :]).any(1)
+    w = jnp.where(sel, probs, 0.0)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)             # norm_topk_prob
+
+    gate, up, down = layer["gate_exps"], layer["up_exps"], layer["down_exps"]
+    # shard-local expert count = leading dim of any stacked field
+    e_loc = (gate.d_bits if isinstance(gate, QuantTensor) else gate).shape[0]
+    off = (jax.lax.axis_index(opts.ep_axis) * e_loc if opts.ep_axis
+           else 0)
+    acc = jnp.zeros((b * t, x.shape[-1]), jnp.float32)
+    for e in range(e_loc):
+        g = linear(take_expert(gate, e), xf, opts)
+        u = linear(take_expert(up, e), xf, opts)
+        gf = g.astype(jnp.float32)
+        act = (jax.nn.silu(gf) if cfg.act_fn == "silu"
+               else jax.nn.gelu(gf, approximate=True)).astype(x.dtype) * u
+        d = linear(take_expert(down, e), act, opts)
+        we = jax.lax.dynamic_slice_in_dim(w, off + e, 1, axis=1)  # (N, 1)
+        acc = acc + we * d.astype(jnp.float32)
+    axes = tuple(a for a in (opts.axis_name, opts.ep_axis) if a)
+    if axes:  # one psum finishes row-parallel down AND the expert partials
+        acc = jax.lax.psum(acc, axes)
+    return acc.astype(x.dtype).reshape(b, t, -1)
+
+
 def fuse_llama_params(params: dict, tp: int = 1) -> dict:
     """Fuse per-layer QKV and gate+up projections along M (one MMQ launch
     instead of three/two — per-kernel fixed cost dominates small decode
@@ -496,7 +556,8 @@ def forward(
         else:
             x = x + attn_out
             h = _norm(x, layer, "ffn_norm", cfg)
-            x = x + mlp(layer, h, opts, cfg.act_fn)
+            x = x + (moe_mlp(layer, h, cfg, opts) if "gate_inp" in layer
+                     else mlp(layer, h, opts, cfg.act_fn))
         new_layers.append(cache_l)
     cache = new_layers
 

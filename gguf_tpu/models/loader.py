@@ -96,11 +96,38 @@ def _ffn_pad_target(ffn: int, granule: int) -> int:
     return (ffn + granule - 1) // granule * granule  # give up gracefully
 
 
+def _pad_exps(t, ffn: int, ffn_pad: int, kind: str):
+    """Pad a STACKED expert tensor (leading E axis) along the output dim
+    (kind='m': gate/up) or the input dim (kind='k': down). QuantTensor SoA
+    stacks carry (E, k_rows, M); float stacks carry (E, M, K)."""
+    from ..quant.layouts import QuantTensor
+
+    delta = ffn_pad - ffn
+    if isinstance(t, QuantTensor):
+        if kind == "m":
+            return jax.tree_util.tree_map(
+                lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, delta)]),
+                t)
+
+        def pad(a):
+            rows = a.shape[-2] * ffn_pad // ffn
+            assert rows * ffn == a.shape[-2] * ffn_pad, (a.shape, ffn, ffn_pad)
+            return jnp.pad(a, [(0, 0)] * (a.ndim - 2)
+                           + [(0, rows - a.shape[-2]), (0, 0)])
+
+        return jax.tree_util.tree_map(pad, t)
+    if kind == "m":
+        return jnp.pad(t, [(0, 0), (0, delta), (0, 0)])
+    return jnp.pad(t, [(0, 0), (0, 0), (0, delta)])
+
+
 def pad_ffn_for_tp(params: dict, cfg: LlamaConfig, tp: int):
     """Pad the FFN dimension so row shards land on superblock boundaries
     (multiple of 256*tp — e.g. Llama-2-7B's 11008 -> 11264 at tp=8) AND so
     the gate/up/gate_up/down matrices get clean large M-tiles (see
-    _ffn_pad_target). The single-chip loader applies this with tp=1."""
+    _ffn_pad_target). The single-chip loader applies this with tp=1.
+    MoE expert stacks pad every expert the same way (the stacked arrays
+    carry the per-expert axes after the leading E dim)."""
     granule = 256 * tp
     ffn = cfg.ffn_dim
     ffn_pad = _ffn_pad_target(ffn, granule)
@@ -109,6 +136,12 @@ def pad_ffn_for_tp(params: dict, cfg: LlamaConfig, tp: int):
     layers = []
     for layer in params["layers"]:
         layer = dict(layer)
+        if "gate_exps" in layer:
+            layer["gate_exps"] = _pad_exps(layer["gate_exps"], ffn, ffn_pad, "m")
+            layer["up_exps"] = _pad_exps(layer["up_exps"], ffn, ffn_pad, "m")
+            layer["down_exps"] = _pad_exps(layer["down_exps"], ffn, ffn_pad, "k")
+            layers.append(layer)
+            continue
         if "gate" in layer:
             layer["gate"] = _pad_cols_to(layer["gate"], ffn_pad)
         layer["up"] = _pad_cols_to(layer["up"], ffn_pad)
@@ -140,6 +173,34 @@ def _maybe_bias(reader: GGUFReader, name: str):
     return None
 
 
+def _load_experts(reader: GGUFReader, name_3d: str, name_per: str,
+                  n_experts: int):
+    """Stacked expert weights (leading E axis on every SoA field).
+
+    Two on-disk schemas: the current 3-D `ffn_*_exps.weight` (E, M, K)
+    tensor — experts are row-contiguous, so expert e is rows [e*M, (e+1)*M)
+    of the flattened quantized view — and the pre-2024 per-expert 2-D
+    `ffn_*.{e}.weight` tensors. Float expert tensors stack to a plain
+    (E, M, K) array (single-chip only; ep sharding requires quantized)."""
+    from ..quant.layouts import stack_experts
+
+    if name_3d in reader.tensors:
+        ti = reader.tensors[name_3d]
+        e, m, _k = ti.shape
+        assert e == n_experts, (name_3d, ti.shape, n_experts)
+        if ti.ggml_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+            return jnp.asarray(np.ascontiguousarray(
+                reader.load_array(name_3d)))
+        return stack_experts([
+            reader.load_quant(name_3d, rows=slice(ex * m, (ex + 1) * m))
+            for ex in range(n_experts)])
+    parts = [_load_weight(reader, name_per.format(ex))
+             for ex in range(n_experts)]
+    if isinstance(parts[0], jnp.ndarray):
+        return jnp.stack(parts)
+    return stack_experts(parts)
+
+
 def load_llama(path: str):
     """Load a llama-schema GGUF file (llama / mistral / tinyllama / qwen2 /
     gemma — qwen2's QKV biases load when present) or a phi2-schema file
@@ -164,7 +225,7 @@ def load_llama(path: str):
 
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
-        params["layers"].append({
+        layer = {
             "attn_norm": jnp.asarray(reader.load_array(p + "attn_norm.weight"), jnp.float32),
             "ffn_norm": jnp.asarray(reader.load_array(p + "ffn_norm.weight"), jnp.float32),
             "wq": _load_weight(reader, p + "attn_q.weight"),
@@ -176,10 +237,25 @@ def load_llama(path: str):
                 ("bv", _maybe_bias(reader, p + "attn_v.bias")),
             ] if v is not None},
             "wo": _load_weight(reader, p + "attn_output.weight"),
-            "gate": _load_weight(reader, p + "ffn_gate.weight"),
-            "up": _load_weight(reader, p + "ffn_up.weight"),
-            "down": _load_weight(reader, p + "ffn_down.weight"),
-        })
+        }
+        if cfg.n_experts and p + "ffn_gate_inp.weight" in reader.tensors:
+            # mixtral-family MoE layer: router + stacked expert FFNs
+            layer["gate_inp"] = jnp.asarray(
+                reader.load_array(p + "ffn_gate_inp.weight"), jnp.float32)
+            layer["gate_exps"] = _load_experts(
+                reader, p + "ffn_gate_exps.weight",
+                p + "ffn_gate.{}.weight", cfg.n_experts)
+            layer["up_exps"] = _load_experts(
+                reader, p + "ffn_up_exps.weight",
+                p + "ffn_up.{}.weight", cfg.n_experts)
+            layer["down_exps"] = _load_experts(
+                reader, p + "ffn_down_exps.weight",
+                p + "ffn_down.{}.weight", cfg.n_experts)
+        else:
+            layer["gate"] = _load_weight(reader, p + "ffn_gate.weight")
+            layer["up"] = _load_weight(reader, p + "ffn_up.weight")
+            layer["down"] = _load_weight(reader, p + "ffn_down.weight")
+        params["layers"].append(layer)
     reader.close()
     params, cfg = pad_ffn_for_tp(params, cfg, 1)
     params = _pad_vocab_weights(params)
@@ -329,10 +405,33 @@ def write_random_llama_gguf(
         for name, shape in [
             ("attn_q.weight", (q_d, d)), ("attn_k.weight", (kv_d, d)),
             ("attn_v.weight", (kv_d, d)), ("attn_output.weight", (d, q_d)),
-            ("ffn_gate.weight", (f, d)), ("ffn_up.weight", (f, d)),
-            ("ffn_down.weight", (d, f)),
         ]:
             tensors[p + name] = (fmt, shape, quantize_tensor(w(shape), fmt))
+        if cfg.n_experts:
+            # mixtral-family MoE: random router (breaks routing ties so
+            # tests exercise real top-k selection) + 3-D expert stacks
+            e = cfg.n_experts
+            # scale 0.15: sharp routing margins, so parity tests across
+            # shardings/compilations don't hit top-k near-ties (a routing
+            # flip from bf16 rounding changes a token's output by the
+            # expert disagreement, which no numeric tolerance absorbs)
+            tensors[p + "ffn_gate_inp.weight"] = (
+                GGMLType.F32, (e, d),
+                (rng.standard_normal((e, d)) * 0.15).astype(np.float32))
+            for name, shape in [
+                ("ffn_gate_exps.weight", (e, f, d)),
+                ("ffn_up_exps.weight", (e, f, d)),
+                ("ffn_down_exps.weight", (e, d, f)),
+            ]:
+                tensors[p + name] = (fmt, shape,
+                                     quantize_tensor(w(shape), fmt))
+        else:
+            for name, shape in [
+                ("ffn_gate.weight", (f, d)), ("ffn_up.weight", (f, d)),
+                ("ffn_down.weight", (d, f)),
+            ]:
+                tensors[p + name] = (fmt, shape,
+                                     quantize_tensor(w(shape), fmt))
 
     md = cfg.to_gguf_metadata(arch)
     md.update(extra_metadata or {})

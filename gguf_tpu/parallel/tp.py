@@ -40,21 +40,26 @@ ROW = "row"   # shard K (input features / superblocks)
 REP = "rep"
 
 
-def make_mesh(tp: int, dp: int = 1, sp: int = 1, devices=None) -> Mesh:
-    """dp x sp x tp device mesh. tp innermost (tightest ICI ring — one psum
-    per row-parallel projection every layer); sp (sequence/context
-    parallelism, one small LSE-combine per attention) between; dp outermost
-    (no collectives at all). The sp axis always exists so the same jitted
-    program serves sp=1 and sp>1 meshes."""
+def make_mesh(tp: int, dp: int = 1, sp: int = 1, ep: int = 1,
+              devices=None) -> Mesh:
+    """dp x sp x ep x tp device mesh. tp innermost (tightest ICI ring — one
+    psum per row-parallel projection every layer); ep (expert parallelism,
+    one psum per MoE layer, folded into the tp psum) next; sp
+    (sequence/context parallelism, one small LSE-combine per attention)
+    above; dp outermost (no collectives at all). Every axis always exists so
+    the same jitted program serves meshes with any of them at size 1."""
     devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= tp * dp * sp, (len(devices), tp, dp, sp)
-    arr = np.asarray(devices[: tp * dp * sp]).reshape(dp, sp, tp)
-    return Mesh(arr, ("dp", "sp", "tp"))
+    assert len(devices) >= tp * dp * sp * ep, (len(devices), tp, dp, sp, ep)
+    arr = np.asarray(devices[: tp * dp * sp * ep]).reshape(dp, sp, ep, tp)
+    return Mesh(arr, ("dp", "sp", "ep", "tp"))
 
 
 def _qt_spec(kind: str) -> P:
     return {COL: P(None, "tp"), ROW: P("tp", None), REP: P(),
-            "col1d": P("tp")}[kind]
+            "col1d": P("tp"),
+            # stacked MoE expert tensors: leading E dim over ep, then the
+            # usual K-major SoA col/row sharding per expert
+            "ep_col": P("ep", None, "tp"), "ep_row": P("ep", "tp", None)}[kind]
 
 
 def _leaf_specs(tree, kind: str):
@@ -71,6 +76,10 @@ LAYER_KINDS = {
     "wqkv": COL, "gate_up": COL,
     # qwen2-family QKV bias vectors: 1-D, sharded with their projections
     "bq": "col1d", "bk": "col1d", "bv": "col1d", "bqkv": "col1d",
+    # mixtral-family MoE: replicated router + ep-sharded expert stacks
+    # (quantized SoA stacks only — see shard_llama's assert)
+    "gate_inp": REP, "gate_exps": "ep_col", "up_exps": "ep_col",
+    "down_exps": "ep_row",
 }
 
 
@@ -117,10 +126,19 @@ def shard_llama(params: dict, cfg: LlamaConfig, mesh: Mesh,
     from ..models.llama import fuse_llama_params
 
     tp = mesh.shape["tp"]
+    ep = mesh.shape.get("ep", 1)
     assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, (
         f"heads ({cfg.n_heads}/{cfg.n_kv_heads}) must divide tp={tp}")
     assert cfg.dim % (256 * tp) == 0, (
         f"row-parallel wo needs dim ({cfg.dim}) % 256*tp ({256 * tp}) == 0")
+    if ep > 1:
+        assert cfg.n_experts and cfg.n_experts % ep == 0, (
+            f"ep={ep} needs an MoE model with expert_count % ep == 0 "
+            f"(got {cfg.n_experts})")
+        from ..quant.layouts import QuantTensor
+        assert all(isinstance(params["layers"][0].get(k), QuantTensor)
+                   for k in ("gate_exps", "up_exps", "down_exps")), (
+            "ep sharding expects quantized (SoA) expert stacks")
     params, cfg = pad_ffn_for_tp(params, cfg, tp)
     if fuse:
         params = fuse_llama_params(params, tp=tp)
@@ -148,9 +166,11 @@ def tp_forward_fn(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
     make_tp_forward for standalone stepping."""
     tp = mesh.shape["tp"]
     sp = mesh.shape.get("sp", 1)
+    ep = mesh.shape.get("ep", 1)
     seq_axis = "sp" if sp > 1 else None
     cfg_local = local_cfg(cfg, tp)
-    opts_tp = opts._replace(axis_name="tp", seq_axis=seq_axis)
+    opts_tp = opts._replace(axis_name="tp", seq_axis=seq_axis,
+                            ep_axis="ep" if ep > 1 else None)
 
     def wrapped(params, tokens, pos, cache, span=None, batch_axis="dp"):
         """batch_axis: "dp" shards the batch over the dp mesh axis (the

@@ -107,6 +107,29 @@ class QuantTensor:
         return k // per_block[0] * per_block[1]
 
 
+def stack_experts(tensors: list) -> "QuantTensor":
+    """Stack per-expert quantized matrices along a NEW leading expert axis.
+
+    Every SoA field becomes (E, *field_shape) — a single array per field so
+    expert parallelism can shard the expert dim with one P("ep", ...) spec
+    (a list of per-expert leaves could not be split across a mesh axis).
+    The result is an opaque pytree: its 2-D `shape`/`dequantize` contract
+    does not apply; slice an expert back out with `take_expert` first."""
+    first = tensors[0]
+    assert all(t.fmt == first.fmt for t in tensors), [t.fmt for t in tensors]
+    assert all(t.shape == first.shape for t in tensors), \
+        [t.shape for t in tensors]
+    return jax.tree_util.tree_map(
+        lambda *arrs: jnp.stack(arrs, axis=0), *tensors)
+
+
+def take_expert(stacked: "QuantTensor", e: int) -> "QuantTensor":
+    """Slice expert `e` out of a stack_experts tensor -> ordinary 2-D
+    QuantTensor (static index; inside jit this is a fused slice, not a
+    copy)."""
+    return jax.tree_util.tree_map(lambda a: a[e], stacked)
+
+
 def concat_m(tensors: list) -> "QuantTensor":
     """Concatenate quantized matrices along M (output features). In the
     K-major SoA layout every field carries M on its LAST axis, so this is a
