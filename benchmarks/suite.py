@@ -112,7 +112,8 @@ def bench_mmq(ns, quick=False):
     from gguf_tpu.quant import (quantize_q2_k, quantize_q3_k, quantize_q4_k,
                                 quantize_q5_k, quantize_q6_k, quantize_q8_0,
                                 quantize_q4_0, quantize_q4_1, quantize_q5_0,
-                                quantize_q5_1)
+                                quantize_q5_1, quantize_iq4_nl,
+                                quantize_iq4_xs)
     from gguf_tpu.quant.layouts import to_soa
     from gguf_tpu.utils.benchmark import mmq_loop, slope_time
 
@@ -123,15 +124,17 @@ def bench_mmq(ns, quick=False):
                      "q5_k": (k // 256) * 176, "q6_k": (k // 256) * 210,
                      "q2_k": (k // 256) * 84, "q3_k": (k // 256) * 110,
                      "q4_0": (k // 32) * 18, "q4_1": (k // 32) * 20,
-                     "q5_0": (k // 32) * 22, "q5_1": (k // 32) * 24}
+                     "q5_0": (k // 32) * 22, "q5_1": (k // 32) * 24,
+                     "iq4_nl": (k // 32) * 18, "iq4_xs": (k // 256) * 136}
     quants = {"q8_0": quantize_q8_0, "q4_k": quantize_q4_k,
               "q5_k": quantize_q5_k, "q6_k": quantize_q6_k,
               "q2_k": quantize_q2_k, "q3_k": quantize_q3_k,
               "q4_0": quantize_q4_0, "q4_1": quantize_q4_1,
-              "q5_0": quantize_q5_0, "q5_1": quantize_q5_1}
+              "q5_0": quantize_q5_0, "q5_1": quantize_q5_1,
+              "iq4_nl": quantize_iq4_nl, "iq4_xs": quantize_iq4_xs}
     fmts = (["q4_k"] if quick else
             ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k",
-             "q4_0", "q4_1", "q5_0", "q5_1"])
+             "q4_0", "q4_1", "q5_0", "q5_1", "iq4_nl", "iq4_xs"])
 
     for fmt in fmts:
         w = jax.device_put(to_soa(fmt, quants[fmt](a), m, k))

@@ -141,12 +141,31 @@ def _rms_norm(x_bf16, weight, eps):
     return (xf / np.sqrt(var + eps) * weight).astype(BF16)
 
 
-def _rope(x_bf16, positions, theta, scale):
-    """Consecutive-pair rotation on (T, H, hd), f32 math, bf16 out."""
+def _rope(x_bf16, positions, theta, scale, cfg=None):
+    """Consecutive-pair rotation on (T, H, hd), f32 math, bf16 out.
+    With a cfg, mirrors models/llama.py:rope_for_cfg (yarn per-dim
+    interpolation ramp + mscale, optional rope_freqs divisors)."""
     t, h, hd = x_bf16.shape
     freqs = theta ** (-np.arange(0, hd, 2, dtype=np.float32) / hd)
-    ang = (positions.astype(np.float32) / scale)[:, None] * freqs  # (T, hd/2)
-    cos, sin = np.cos(ang), np.sin(ang)
+    if cfg is not None and cfg.rope_freq_factors is not None:
+        freqs = freqs / np.asarray(cfg.rope_freq_factors, np.float32)
+    if cfg is not None and cfg.rope_scaling_kind == "yarn":
+        import math
+
+        from ..models.llama import yarn_corr_dims
+
+        extrap = positions.astype(np.float32)[:, None] * freqs
+        low, high = yarn_corr_dims(hd, cfg.rope_orig_ctx or cfg.max_seq_len,
+                                   theta)
+        i_half = np.arange(hd // 2, dtype=np.float32)
+        ramp = 1.0 - np.clip((i_half - low) / max(1e-3, high - low), 0.0, 1.0)
+        ang = (extrap / scale) * (1.0 - ramp) + extrap * ramp
+        mscale = np.float32(cfg.rope_attn_factor
+                            * (1.0 + 0.1 * math.log(scale)))
+        cos, sin = np.cos(ang) * mscale, np.sin(ang) * mscale
+    else:
+        ang = (positions.astype(np.float32) / scale)[:, None] * freqs
+        cos, sin = np.cos(ang), np.sin(ang)
     xf = x_bf16.astype(np.float32).reshape(t, h, hd // 2, 2)
     e, o = xf[..., 0], xf[..., 1]
     out = np.empty_like(xf)
@@ -192,8 +211,8 @@ def golden_window_logits(cfg, params, tokens: np.ndarray) -> np.ndarray:
         q = q.reshape(t, h, hd)
         k = k.reshape(t, kvh, hd)
         v = v.reshape(t, kvh, hd)
-        q = _rope(q, pos, cfg.rope_theta, cfg.rope_scale)
-        k = _rope(k, pos, cfg.rope_theta, cfg.rope_scale)
+        q = _rope(q, pos, cfg.rope_theta, cfg.rope_scale, cfg)
+        k = _rope(k, pos, cfg.rope_theta, cfg.rope_scale, cfg)
 
         # the served full-window path round-trips K/V through the INT8 cache
         kf = _int8_kv_roundtrip(k.transpose(1, 0, 2))    # (KVH, T, hd) f32

@@ -45,6 +45,8 @@ class GGMLType(enum.IntEnum):
     Q5_K = 13
     Q6_K = 14
     Q8_K = 15
+    IQ4_NL = 20
+    IQ4_XS = 23
     I8 = 24
     I16 = 25
     I32 = 26
@@ -70,6 +72,8 @@ GGML_BLOCK_INFO = {
     GGMLType.Q4_K: (256, 144),
     GGMLType.Q5_K: (256, 176),
     GGMLType.Q6_K: (256, 210),
+    GGMLType.IQ4_NL: (32, 18),
+    GGMLType.IQ4_XS: (256, 136),
     GGMLType.I8: (1, 1),
     GGMLType.I16: (1, 2),
     GGMLType.I32: (1, 4),
@@ -89,6 +93,8 @@ GGML_TO_FMT = {
     GGMLType.Q4_K: "q4_k",
     GGMLType.Q5_K: "q5_k",
     GGMLType.Q6_K: "q6_k",
+    GGMLType.IQ4_NL: "iq4_nl",
+    GGMLType.IQ4_XS: "iq4_xs",
 }
 FMT_TO_GGML = {v: k for k, v in GGML_TO_FMT.items()}
 

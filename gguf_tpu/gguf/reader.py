@@ -188,7 +188,8 @@ class GGUFReader:
                              dequantize_q3_k, dequantize_q4_k,
                              dequantize_q5_k, dequantize_q6_k,
                              dequantize_q4_0, dequantize_q4_1,
-                             dequantize_q5_0, dequantize_q5_1)
+                             dequantize_q5_0, dequantize_q5_1,
+                             dequantize_iq4_nl, dequantize_iq4_xs)
 
         ti = self.tensors[name]
         if ti.ggml_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
@@ -199,6 +200,8 @@ class GGUFReader:
                GGMLType.Q6_K: dequantize_q6_k,
                GGMLType.Q4_0: dequantize_q4_0, GGMLType.Q4_1: dequantize_q4_1,
                GGMLType.Q5_0: dequantize_q5_0, GGMLType.Q5_1: dequantize_q5_1,
+               GGMLType.IQ4_NL: dequantize_iq4_nl,
+               GGMLType.IQ4_XS: dequantize_iq4_xs,
                }[ti.ggml_type]
         return np.asarray(deq(self.tensor_bytes(name), ti.shape), dtype=np.float32)
 

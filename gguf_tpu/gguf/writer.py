@@ -155,7 +155,7 @@ def quantize_tensor(x: np.ndarray, ggml_type: GGMLType):
     from ..quant import (quantize_q8_0, quantize_q2_k, quantize_q3_k,
                          quantize_q4_k, quantize_q5_k, quantize_q6_k,
                          quantize_q4_0, quantize_q4_1, quantize_q5_0,
-                         quantize_q5_1)
+                         quantize_q5_1, quantize_iq4_nl, quantize_iq4_xs)
 
     if ggml_type == GGMLType.F32:
         return np.ascontiguousarray(x, dtype=np.float32)
@@ -167,5 +167,6 @@ def quantize_tensor(x: np.ndarray, ggml_type: GGMLType):
           GGMLType.Q6_K: quantize_q6_k,
           GGMLType.Q4_0: quantize_q4_0, GGMLType.Q4_1: quantize_q4_1,
           GGMLType.Q5_0: quantize_q5_0, GGMLType.Q5_1: quantize_q5_1,
+          GGMLType.IQ4_NL: quantize_iq4_nl, GGMLType.IQ4_XS: quantize_iq4_xs,
           }[ggml_type]
     return np.asarray(fn(x))

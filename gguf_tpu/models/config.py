@@ -5,16 +5,25 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 
-def _rope_scale(g) -> float:
-    """Linear rope position scaling; non-linear schemes (yarn, ...) would
-    silently produce wrong long-context logits, so refuse them loudly."""
+def _rope_scaling(g) -> tuple:
+    """-> (kind, factor, orig_ctx, attn_factor). Supported kinds: "none",
+    "linear" (position interpolation), "yarn" (per-dimension NTK-by-parts
+    interpolation with attention-magnitude scaling — the llama.cpp
+    rope_yarn contract). Unknown schemes would silently produce wrong
+    long-context logits, so refuse them loudly."""
     kind = str(g("rope.scaling.type", "linear") or "linear")
     factor = float(g("rope.scaling.factor", 1.0) or 1.0)
-    if kind in ("linear", "none"):
-        return factor if kind == "linear" else 1.0
+    if kind == "none" or factor == 1.0 and kind == "linear":
+        return ("none", 1.0, 0, 1.0)
+    if kind == "linear":
+        return ("linear", factor, 0, 1.0)
+    if kind == "yarn":
+        return ("yarn", factor,
+                int(g("rope.scaling.original_context_length", 0) or 0),
+                float(g("rope.scaling.attn_factor", 1.0) or 1.0))
     raise ValueError(
-        f"unsupported rope scaling type {kind!r} (factor {factor}); only "
-        "linear position interpolation is implemented")
+        f"unsupported rope scaling type {kind!r} (factor {factor}); "
+        "supported: none, linear, yarn (+ rope_freqs.weight factors)")
 
 
 @dataclass(frozen=True)
@@ -27,7 +36,14 @@ class LlamaConfig:
     ffn_dim: int
     norm_eps: float = 1e-5
     rope_theta: float = 10000.0
-    rope_scale: float = 1.0    # linear position scaling (rope.scaling.factor)
+    rope_scale: float = 1.0    # position scaling factor (rope.scaling.factor);
+                               # interpretation depends on rope_scaling_kind
+    rope_scaling_kind: str = "none"   # none | linear | yarn
+    rope_orig_ctx: int = 0            # yarn: original_context_length
+    rope_attn_factor: float = 1.0     # yarn: attention magnitude scale
+    # per-dimension frequency divisors from a rope_freqs.weight tensor
+    # (llama-3.1-style GGUFs); tuple so the config stays hashable/static
+    rope_freq_factors: tuple | None = None
     max_seq_len: int = 2048
     head_dim_override: int | None = None  # set for tp-local configs and
                                           # archs with explicit head_dim (gemma)
@@ -66,6 +82,7 @@ class LlamaConfig:
         head_dim = (int(key_len) if key_len is not None
                     and int(key_len) != dim // n_heads else None)
         phi2 = arch == "phi2"
+        rs_kind, rs_factor, rs_orig, rs_attn = _rope_scaling(g)
         rope_dim = g("rope.dimension_count")
         eps = g("attention.layer_norm_rms_epsilon")
         if eps is None:   # phi2 stores a plain layer_norm_epsilon
@@ -80,7 +97,10 @@ class LlamaConfig:
             ffn_dim=int(g("feed_forward_length")),
             norm_eps=float(eps),
             rope_theta=float(g("rope.freq_base", 10000.0)),
-            rope_scale=_rope_scale(g),
+            rope_scale=rs_factor,
+            rope_scaling_kind=rs_kind,
+            rope_orig_ctx=rs_orig,
+            rope_attn_factor=rs_attn,
             max_seq_len=int(g("context_length", 2048)),
             head_dim_override=head_dim,
             act_fn="gelu_tanh" if (gemma or phi2) else "silu",
@@ -109,9 +129,14 @@ class LlamaConfig:
             **({f"{arch}.rope.dimension_count": self.rope_dim}
                if self.rope_dim is not None else {}),
             f"{arch}.rope.freq_base": self.rope_theta,
-            **({f"{arch}.rope.scaling.type": "linear",
+            **({f"{arch}.rope.scaling.type": self.rope_scaling_kind
+                    if self.rope_scaling_kind != "none" else "linear",
                 f"{arch}.rope.scaling.factor": self.rope_scale}
                if self.rope_scale != 1.0 else {}),
+            **({f"{arch}.rope.scaling.original_context_length":
+                    self.rope_orig_ctx} if self.rope_orig_ctx else {}),
+            **({f"{arch}.rope.scaling.attn_factor": self.rope_attn_factor}
+               if self.rope_attn_factor != 1.0 else {}),
             **({f"{arch}.attention.key_length": self.head_dim,
                 f"{arch}.attention.value_length": self.head_dim}
                if self.head_dim_override is not None else {}),

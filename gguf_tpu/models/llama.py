@@ -19,6 +19,7 @@ reproduces llama.cpp logits.
 
 from __future__ import annotations
 
+import math
 from typing import Any, NamedTuple
 
 import jax
@@ -104,14 +105,65 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps) * weight).astype(x.dtype)
 
 
+def yarn_corr_dims(head_dim: int, orig_ctx: int, theta: float,
+                   beta_fast: float = 32.0, beta_slow: float = 1.0):
+    """YaRN NTK-by-parts correction range: the (fractional) dimension
+    indices whose rotary wavelength crosses beta_fast / beta_slow turns of
+    the original context (the llama.cpp ggml_rope_yarn_corr_dims contract).
+    Dims below `low` rotate fast (many full turns in orig_ctx: safe to
+    extrapolate); dims above `high` rotate slow (must be interpolated)."""
+
+    def corr(n_rot):
+        return (head_dim * math.log(orig_ctx / (n_rot * 2 * math.pi))
+                / (2 * math.log(theta)))
+
+    low = max(0.0, math.floor(corr(beta_fast)))
+    high = min(head_dim - 1.0, math.ceil(corr(beta_slow)))
+    return low, high
+
+
 def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
-                 scale: float = 1.0):
+                 scale: float = 1.0, *, kind: str = "linear",
+                 orig_ctx: int = 0, attn_factor: float = 1.0,
+                 freq_factors: tuple | None = None):
     """(..., ) int positions -> cos/sin of shape (..., head_dim/2), f32.
-    `scale` > 1 is linear position interpolation (GGUF rope.scaling.factor
-    for linearly rope-scaled long-context checkpoints)."""
+
+    kind "linear"/"none": `scale` > 1 is linear position interpolation
+    (GGUF rope.scaling.factor for linearly rope-scaled checkpoints).
+    kind "yarn": NTK-by-parts — per-dimension mix of interpolated
+    (angle/scale) and extrapolated (unchanged) angles over the
+    yarn_corr_dims ramp, times the sqrt-attention-magnitude factor
+    mscale = attn_factor * (1 + 0.1*ln(scale)) baked into cos/sin
+    (llama.cpp rope_yarn with ext_factor=1).
+    `freq_factors` (head_dim/2 floats): per-dimension frequency divisors
+    from a rope_freqs.weight tensor (llama-3.1-style GGUFs); composes with
+    either kind."""
     freqs = theta ** (-jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
-    angles = (positions.astype(jnp.float32) / scale)[..., None] * freqs
-    return jnp.cos(angles), jnp.sin(angles)
+    if freq_factors is not None:
+        freqs = freqs / jnp.asarray(freq_factors, jnp.float32)
+    pos = positions.astype(jnp.float32)
+    if kind != "yarn":
+        angles = (pos / scale)[..., None] * freqs
+        return jnp.cos(angles), jnp.sin(angles)
+
+    extrap = pos[..., None] * freqs
+    interp = extrap / scale
+    low, high = yarn_corr_dims(head_dim, orig_ctx, theta)
+    i_half = jnp.arange(head_dim // 2, dtype=jnp.float32)
+    ramp = 1.0 - jnp.clip((i_half - low) / max(1e-3, high - low), 0.0, 1.0)
+    angles = interp * (1.0 - ramp) + extrap * ramp
+    mscale = jnp.float32(attn_factor * (1.0 + 0.1 * math.log(scale)))
+    return jnp.cos(angles) * mscale, jnp.sin(angles) * mscale
+
+
+def rope_for_cfg(positions: jax.Array, cfg):
+    """cos/sin for a model config — dispatches linear vs yarn scaling and
+    threads the optional per-dim frequency factors."""
+    rd = cfg.rope_dim or cfg.head_dim
+    return rope_cos_sin(
+        positions, rd, cfg.rope_theta, cfg.rope_scale,
+        kind=cfg.rope_scaling_kind, orig_ctx=cfg.rope_orig_ctx or cfg.max_seq_len,
+        attn_factor=cfg.rope_attn_factor, freq_factors=cfg.rope_freq_factors)
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
@@ -216,8 +268,8 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
 
     tok_pos = pos[:, None] + jnp.arange(t)[None, :]            # (B, T)
     rd = cfg.rope_dim or hd
-    cos, sin = rope if rope is not None else rope_cos_sin(
-        tok_pos, rd, cfg.rope_theta, cfg.rope_scale)           # (B, T, rd/2)
+    cos, sin = rope if rope is not None else rope_for_cfg(tok_pos, cfg)
+    # (B, T, rd/2)
     if rd < hd:   # partial rotary (phi2): rotate the leading rd dims only
         q = jnp.concatenate([apply_rope(q[..., :rd], cos[:, :, None, :],
                                         sin[:, :, None, :]), q[..., rd:]], -1)
@@ -542,8 +594,7 @@ def forward(
         x = x * jnp.bfloat16(cfg.embed_scale).astype(jnp.float32)
     x = x.astype(jnp.bfloat16)
     tok_pos = pos[:, None] + jnp.arange(tokens.shape[1])[None, :]
-    rope = rope_cos_sin(tok_pos, cfg.rope_dim or cfg.head_dim,
-                        cfg.rope_theta, cfg.rope_scale)
+    rope = rope_for_cfg(tok_pos, cfg)
 
     new_layers = []
     for i, layer in enumerate(params["layers"]):

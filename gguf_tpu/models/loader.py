@@ -208,6 +208,13 @@ def load_llama(path: str):
     layer dict here). Returns (cfg, params)."""
     reader = GGUFReader(path)
     cfg = LlamaConfig.from_gguf_metadata(reader.metadata)
+    if "rope_freqs.weight" in reader.tensors:
+        # llama-3.1-style per-dimension rope frequency divisors (the
+        # converter bakes the "llama3" scaling scheme into this tensor);
+        # a tuple keeps the config hashable for jit-static use
+        import dataclasses
+        cfg = dataclasses.replace(cfg, rope_freq_factors=tuple(
+            float(x) for x in reader.load_array("rope_freqs.weight")))
     if reader.metadata.get("general.architecture") == "phi2":
         return _load_phi2(reader, cfg)
 
@@ -432,6 +439,12 @@ def write_random_llama_gguf(
             ]:
                 tensors[p + name] = (fmt, shape,
                                      quantize_tensor(w(shape), fmt))
+
+    if cfg.rope_freq_factors is not None:
+        rd = cfg.rope_dim or cfg.head_dim
+        ff = np.asarray(cfg.rope_freq_factors, np.float32)
+        assert ff.shape == (rd // 2,), (ff.shape, rd)
+        tensors["rope_freqs.weight"] = (GGMLType.F32, (rd // 2,), ff)
 
     md = cfg.to_gguf_metadata(arch)
     md.update(extra_metadata or {})

@@ -11,6 +11,8 @@ from .legacy import (quantize_q4_0, dequantize_q4_0, parse_q4_0,
                      quantize_q5_0, dequantize_q5_0, parse_q5_0,
                      quantize_q5_1, dequantize_q5_1, parse_q5_1)
 from .q6_k import quantize_q6_k, dequantize_q6_k, parse_q6_k
+from .iq4 import (quantize_iq4_nl, dequantize_iq4_nl, parse_iq4_nl,
+                  quantize_iq4_xs, dequantize_iq4_xs, parse_iq4_xs)
 from .golden import (
     mmq_q8_0_q8_1_golden,
     mmq_q2_k_q8_1_golden,
@@ -22,6 +24,8 @@ from .golden import (
     mmq_q4_1_q8_1_golden,
     mmq_q5_0_q8_1_golden,
     mmq_q5_1_q8_1_golden,
+    mmq_iq4_nl_q8_1_golden,
+    mmq_iq4_xs_q8_1_golden,
 )
 
 __all__ = [
@@ -40,4 +44,7 @@ __all__ = [
     "mmq_q4_k_q8_1_golden", "mmq_q5_k_q8_1_golden", "mmq_q6_k_q8_1_golden",
     "mmq_q4_0_q8_1_golden", "mmq_q4_1_q8_1_golden", "mmq_q5_0_q8_1_golden",
     "mmq_q5_1_q8_1_golden",
+    "quantize_iq4_nl", "dequantize_iq4_nl", "parse_iq4_nl",
+    "quantize_iq4_xs", "dequantize_iq4_xs", "parse_iq4_xs",
+    "mmq_iq4_nl_q8_1_golden", "mmq_iq4_xs_q8_1_golden",
 ]

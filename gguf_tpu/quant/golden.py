@@ -210,6 +210,39 @@ mmq_q5_1_q8_1_golden = _lg["q5_1"]
 del _lg
 
 
+def mmq_iq4_nl_q8_1_golden(a_bytes, b_bytes, m: int, n: int, k: int) -> np.ndarray:
+    """IQ4_NL weights x Q8_1 activations. Per 32-block:
+    d * dB * dot(int32 KVALUES[codes], qB) — purely symmetric, no s term
+    (the codebook values carry the signs)."""
+    from .iq4 import KVALUES, parse_iq4_nl
+
+    assert k % 32 == 0
+    d, codes = parse_iq4_nl(a_bytes)
+    da = d.reshape(m, k // 32)
+    qa = KVALUES[codes].reshape(m, k // 32, 32)
+    db, _, qb = _parse_q8_1_matrix(b_bytes, n, k)
+    r = np.einsum("mbk,nbk->mnb", qa.astype(np.int32), qb.astype(np.int32))
+    c = np.einsum("mb,nb,mnb->mn", da, db, r.astype(np.float32))
+    return c.T.astype(np.float32)
+
+
+def mmq_iq4_xs_q8_1_golden(a_bytes, b_bytes, m: int, n: int, k: int) -> np.ndarray:
+    """IQ4_XS weights x Q8_1 activations. Per 32-sub-block:
+    d * (ls-32) * dB * dot(int32 KVALUES[codes], qB)."""
+    from .iq4 import KVALUES, parse_iq4_xs
+
+    assert k % 256 == 0
+    d, ls, codes = parse_iq4_xs(a_bytes)
+    sb = k // 256
+    scale32 = (d.reshape(m, sb)[:, :, None]
+               * ls.reshape(m, sb, 8).astype(np.float32)).reshape(m, k // 32)
+    qa = KVALUES[codes].reshape(m, k // 32, 32)
+    db, _, qb = _parse_q8_1_matrix(b_bytes, n, k)
+    r = np.einsum("mbk,nbk->mnb", qa.astype(np.int32), qb.astype(np.int32))
+    c = np.einsum("mb,nb,mnb->mn", scale32, db, r.astype(np.float32))
+    return c.T.astype(np.float32)
+
+
 def _split_blocks(parsed: tuple, expected_blocks: int) -> tuple:
     """Validate block count of a parse_* result and pass it through."""
     assert parsed[0].shape[0] == expected_blocks, (

@@ -69,7 +69,7 @@ class QuantTensor:
     The logical shape is DERIVED from the array shapes, so sliced or
     shard_map-local views automatically report their local (M, K)."""
 
-    fmt: str   # q8_0 | q2_k | q3_k | q4_k | q5_k | q6_k | q4_0 | q4_1 | q5_0 | q5_1
+    fmt: str   # q8_0 | q2_k | q3_k | q4_k | q5_k | q6_k | q4_0 | q4_1 | q5_0 | q5_1 | iq4_nl | iq4_xs
     d_bits: jax.Array           # fp16 scale bits, u16
     dmin_bits: Optional[jax.Array] = None
     sc: Optional[jax.Array] = None
@@ -103,7 +103,8 @@ class QuantTensor:
                      "q3_k": (QK_K, Q3K_BYTES), "q4_k": (QK_K, Q4K_BYTES),
                      "q5_k": (QK_K, Q5K_BYTES), "q6_k": (QK_K, Q6K_BYTES),
                      "q4_0": (32, 18), "q4_1": (32, 20),
-                     "q5_0": (32, 22), "q5_1": (32, 24)}[self.fmt]
+                     "q5_0": (32, 22), "q5_1": (32, 24),
+                     "iq4_nl": (32, 18), "iq4_xs": (QK_K, 136)}[self.fmt]
         return k // per_block[0] * per_block[1]
 
 
@@ -570,11 +571,86 @@ def _legacy_from_soa(fmt: str):
     return fn
 
 
+# --------------------------------------------- IQ4 codebook formats ---
+
+
+def iq4_nl_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
+    """IQ4_NL: d_bits (K/32, M) u16 | qs (K/2, M) nibble-repacked table
+    indices (per-256-group, same repack as the legacy 32-block formats)."""
+    from . import iq4 as _iq
+
+    assert k % QK_K == 0, (
+        f"iq4_nl device layout groups K in {QK_K}s (loader pads), got {k}")
+    raw = np.asarray(qbytes).reshape(-1).view(np.uint8).reshape(
+        m * (k // 32), _iq.BLOCK_BYTES_NL)
+    d_bits = raw[:, 0:2].copy().view(np.uint16).reshape(m, k // 32)
+    _, codes = _iq.parse_iq4_nl(qbytes)
+    qs, _ = _legacy_codes_to_device(codes, m, k, False)
+    t = lambda a: jnp.asarray(np.ascontiguousarray(a.T))
+    return QuantTensor(fmt="iq4_nl", d_bits=t(d_bits), qs=t(qs))
+
+
+def soa_to_iq4_nl(t: QuantTensor) -> np.ndarray:
+    from . import iq4 as _iq
+
+    m, k = t.shape
+    nb = m * (k // 32)
+    codes = _legacy_codes_from_device(t, False)
+    out = np.empty((nb, _iq.BLOCK_BYTES_NL), np.uint8)
+    out[:, 0:2] = np.ascontiguousarray(
+        np.asarray(t.d_bits).T).reshape(nb).view(np.uint8).reshape(nb, 2)
+    out[:, 2:] = codes[:, :16] | (codes[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def iq4_xs_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
+    """IQ4_XS: d_bits (SB, M) u16 | sc (SB*8, M) i8 signed 6-bit scales
+    (the -32 offset applied at load) | qs (K/2, M) repacked indices."""
+    from . import iq4 as _iq
+
+    assert k % QK_K == 0, f"iq4_xs needs K % {QK_K} == 0, got {k}"
+    d, ls, codes = _iq.parse_iq4_xs(qbytes)
+    sb = k // QK_K
+    d_bits = np.asarray(qbytes).reshape(-1).view(np.uint8).reshape(
+        m * sb, _iq.BLOCK_BYTES_XS)[:, 0:2].copy().view(np.uint16).reshape(m, sb)
+    qs, _ = _legacy_codes_to_device(
+        codes.reshape(m * sb * 8, 32), m, k, False)
+    t = lambda a: jnp.asarray(np.ascontiguousarray(a.T))
+    return QuantTensor(fmt="iq4_xs", d_bits=t(d_bits),
+                       sc=t(ls.reshape(m, sb * 8)), qs=t(qs))
+
+
+def soa_to_iq4_xs(t: QuantTensor) -> np.ndarray:
+    from . import iq4 as _iq
+
+    m, k = t.shape
+    sb = k // QK_K
+    ns = m * sb
+    codes = _legacy_codes_from_device(t, False).reshape(ns, QK_K)
+    ls = np.asarray(t.sc).T.reshape(ns, 8).astype(np.int16)
+    lsu = (ls + 32).astype(np.uint16)
+    out = np.empty((ns, _iq.BLOCK_BYTES_XS), np.uint8)
+    out[:, 0:2] = np.ascontiguousarray(
+        np.asarray(t.d_bits).T).reshape(ns).view(np.uint8).reshape(ns, 2)
+    sh = np.zeros(ns, np.uint16)
+    for ib in range(8):
+        sh |= ((lsu[:, ib] >> 4) << (2 * ib)).astype(np.uint16)
+    out[:, 2:4] = sh[:, None].view(np.uint8)
+    lo = lsu & 0xF
+    for i in range(4):
+        out[:, 4 + i] = (lo[:, 2 * i] | (lo[:, 2 * i + 1] << 4)).astype(np.uint8)
+    c = codes.reshape(ns, 8, 32)
+    out[:, 8:] = (c[:, :, :16] | (c[:, :, 16:] << 4)).reshape(ns, 128)
+    return out.reshape(-1)
+
+
 TO_SOA = {"q8_0": q8_0_to_soa, "q2_k": q2_k_to_soa, "q3_k": q3_k_to_soa,
           "q4_k": q4_k_to_soa, "q5_k": q5_k_to_soa, "q6_k": q6_k_to_soa,
+          "iq4_nl": iq4_nl_to_soa, "iq4_xs": iq4_xs_to_soa,
           **{f: _legacy_to_soa(f) for f in ("q4_0", "q4_1", "q5_0", "q5_1")}}
 FROM_SOA = {"q8_0": soa_to_q8_0, "q2_k": soa_to_q2_k, "q3_k": soa_to_q3_k,
             "q4_k": soa_to_q4_k, "q5_k": soa_to_q5_k, "q6_k": soa_to_q6_k,
+            "iq4_nl": soa_to_iq4_nl, "iq4_xs": soa_to_iq4_xs,
             **{f: _legacy_from_soa(f) for f in ("q4_0", "q4_1", "q5_0", "q5_1")}}
 
 
@@ -720,9 +796,56 @@ def _dequant_legacy(t: QuantTensor) -> jax.Array:
     return scale * (q - jnp.float32(off))
 
 
+# IQ4 codebook packed into four i32 words (4 byte lanes each, little-endian)
+# so the lookup is pure shift/mask vector ops — a 16-entry gather would
+# serialize on TPU (see v5e notes on gather/scatter).
+_IQ4_WORDS = None
+
+
+def iq4_lookup(q: jax.Array) -> jax.Array:
+    """Map i32 table indices in [0, 16) to the signed IQ4 codebook values
+    (i32 in [-127, 113]). Runs on the VPU as ~9 int ops/elem; safe inside
+    Pallas kernels and plain jit alike."""
+    global _IQ4_WORDS
+    if _IQ4_WORDS is None:
+        from .iq4 import KVALUES
+
+        kv = KVALUES.astype(np.int64) & 0xFF
+        _IQ4_WORDS = tuple(
+            int(kv[4 * i] | (kv[4 * i + 1] << 8) | (kv[4 * i + 2] << 16)
+                | (kv[4 * i + 3] << 24)) for i in range(4))
+    w = [jnp.int32(x - (1 << 32) if x >= (1 << 31) else x) for x in _IQ4_WORDS]
+    shift = (q & 3) << 3
+    hi = q >> 2
+    word = jnp.where(hi == 0, w[0],
+                     jnp.where(hi == 1, w[1],
+                               jnp.where(hi == 2, w[2], w[3])))
+    v = (word >> shift) & 0xFF
+    return v - ((v & 0x80) << 1)                # sign-extend int8
+
+
+def _dequant_iq4_nl(t: QuantTensor) -> jax.Array:
+    m, k = t.shape
+    d = fp16_bits_to_f32(t.d_bits.T)                    # (M, K/32)
+    q = _unpack_nibbles_jnp(t.qs, k // QK_K).astype(jnp.int32)
+    v = iq4_lookup(q).astype(jnp.float32)
+    return _expand_scales(d, 32) * v
+
+
+def _dequant_iq4_xs(t: QuantTensor) -> jax.Array:
+    m, k = t.shape
+    sb = k // QK_K
+    d = fp16_bits_to_f32(t.d_bits.T)                    # (M, SB)
+    scale32 = _expand_scales(d, 8) * t.sc.T.astype(jnp.float32)   # (M, SB*8)
+    q = _unpack_nibbles_jnp(t.qs, sb).astype(jnp.int32)
+    v = iq4_lookup(q).astype(jnp.float32)
+    return _expand_scales(scale32, 32) * v
+
+
 _DEQUANT = {"q8_0": _dequant_q8_0, "q2_k": _dequant_q2_k,
             "q3_k": _dequant_q3_k, "q4_k": _dequant_q4_k,
             "q5_k": _dequant_q5_k, "q6_k": _dequant_q6_k,
+            "iq4_nl": _dequant_iq4_nl, "iq4_xs": _dequant_iq4_xs,
             **{f: _dequant_legacy for f in ("q4_0", "q4_1", "q5_0", "q5_1")}}
 
 
@@ -754,5 +877,10 @@ def quantize_to_soa(x: np.ndarray, fmt: str) -> QuantTensor:
         from . import legacy as _lg
         quant = {"q4_0": _lg.quantize_q4_0, "q4_1": _lg.quantize_q4_1,
                  "q5_0": _lg.quantize_q5_0, "q5_1": _lg.quantize_q5_1}[fmt]
+        return TO_SOA[fmt](quant(x.astype(np.float32)), m, k)
+    if fmt in ("iq4_nl", "iq4_xs"):
+        from . import iq4 as _iq
+        quant = {"iq4_nl": _iq.quantize_iq4_nl,
+                 "iq4_xs": _iq.quantize_iq4_xs}[fmt]
         return TO_SOA[fmt](quant(x.astype(np.float32)), m, k)
     raise ValueError(f"unknown format {fmt!r}")

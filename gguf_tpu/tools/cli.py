@@ -200,7 +200,8 @@ def main(argv=None):
     s.add_argument("out")
     s.add_argument("--fmt", default="q4_k",
                    choices=["q2_k", "q3_k", "q4_k", "q5_k", "q6_k", "q8_0",
-                            "q4_0", "q4_1", "q5_0", "q5_1"])
+                            "q4_0", "q4_1", "q5_0", "q5_1",
+                            "iq4_nl", "iq4_xs"])
     s.set_defaults(fn=cmd_requantize)
 
     s = sub.add_parser("generate", help="generate completions")

@@ -40,7 +40,8 @@ def test_requantize_roundtrip(model, tmp_path):
     assert bool(jnp.isfinite(logits).all())
 
 
-@pytest.mark.parametrize("fmt", ["q2_k", "q3_k", "q4_0", "q4_1", "q5_0", "q5_1"])
+@pytest.mark.parametrize("fmt", ["q2_k", "q3_k", "q4_0", "q4_1", "q5_0", "q5_1",
+                                 "iq4_nl", "iq4_xs"])
 def test_requantize_low_bit_serves(model, tmp_path, fmt):
     """The sub-4-bit K-quants and legacy 32-block formats requantize and
     serve end to end (formats the upstream reference cannot produce at

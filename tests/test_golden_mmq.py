@@ -18,6 +18,8 @@ from gguf_tpu.quant import (
     mmq_q4_k_q8_1_golden, mmq_q5_k_q8_1_golden, mmq_q6_k_q8_1_golden,
     mmq_q4_0_q8_1_golden, mmq_q4_1_q8_1_golden, mmq_q5_0_q8_1_golden,
     mmq_q5_1_q8_1_golden,
+    quantize_iq4_nl, quantize_iq4_xs, dequantize_iq4_nl, dequantize_iq4_xs,
+    mmq_iq4_nl_q8_1_golden, mmq_iq4_xs_q8_1_golden,
 )
 from gguf_tpu.utils import snr_db, allclose_rel
 
@@ -83,8 +85,10 @@ def test_golden_q6_k_snr(rng, m, n, k):
         (quantize_q4_k, mmq_q4_k_q8_1_golden, dequantize_q4_k),
         (quantize_q5_k, mmq_q5_k_q8_1_golden, dequantize_q5_k),
         (quantize_q6_k, mmq_q6_k_q8_1_golden, dequantize_q6_k),
+        (quantize_iq4_nl, mmq_iq4_nl_q8_1_golden, dequantize_iq4_nl),
+        (quantize_iq4_xs, mmq_iq4_xs_q8_1_golden, dequantize_iq4_xs),
     ],
-    ids=["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k"],
+    ids=["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k", "iq4_nl", "iq4_xs"],
 )
 def test_golden_equals_dequant_matmul(rng, quantize, golden, dequantize):
     """The integer-dot golden must equal the dequantize-then-matmul product of
@@ -100,6 +104,18 @@ def test_golden_equals_dequant_matmul(rng, quantize, golden, dequantize):
     b_deq = np.asarray(dequantize_q8_1(qb, (n, k)), dtype=np.float64)
     expect = (a_deq @ b_deq.T).T
     assert allclose_rel(got, expect, 1e-3)
+
+
+@pytest.mark.parametrize("m,n,k", [(4, 4, 256), (16, 8, 1024)])
+def test_golden_iq4_snr(rng, m, n, k):
+    """IQ4 goldens against full-precision matmul: the nonlinear codebook
+    should land between linear 4-bit (~16 dB) and 5-bit (~21 dB)."""
+    a, b, c = _mats(rng, m, n, k)
+    for quant, golden in ((quantize_iq4_nl, mmq_iq4_nl_q8_1_golden),
+                          (quantize_iq4_xs, mmq_iq4_xs_q8_1_golden)):
+        got = golden(quant(a), quantize_q8_1(b), m, n, k)
+        assert got.shape == (n, m)
+        assert snr_db(c, c - got) > 17.0
 
 
 @pytest.mark.parametrize("fmt,floor", [

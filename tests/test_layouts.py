@@ -6,9 +6,9 @@ import pytest
 
 from gguf_tpu.quant import (
     quantize_q8_0, quantize_q2_k, quantize_q3_k, quantize_q4_k,
-    quantize_q5_k, quantize_q6_k,
+    quantize_q5_k, quantize_q6_k, quantize_iq4_nl, quantize_iq4_xs,
     dequantize_q8_0, dequantize_q2_k, dequantize_q3_k, dequantize_q4_k,
-    dequantize_q5_k, dequantize_q6_k,
+    dequantize_q5_k, dequantize_q6_k, dequantize_iq4_nl, dequantize_iq4_xs,
 )
 from gguf_tpu.quant.layouts import (
     to_soa, from_soa, quantize_to_soa, fp16_bits_to_f32,
@@ -16,13 +16,16 @@ from gguf_tpu.quant.layouts import (
 
 QUANTIZERS = {"q8_0": quantize_q8_0, "q2_k": quantize_q2_k,
               "q3_k": quantize_q3_k, "q4_k": quantize_q4_k,
-              "q5_k": quantize_q5_k, "q6_k": quantize_q6_k}
+              "q5_k": quantize_q5_k, "q6_k": quantize_q6_k,
+              "iq4_nl": quantize_iq4_nl, "iq4_xs": quantize_iq4_xs}
 DEQUANTIZERS = {"q8_0": dequantize_q8_0, "q2_k": dequantize_q2_k,
                 "q3_k": dequantize_q3_k, "q4_k": dequantize_q4_k,
-                "q5_k": dequantize_q5_k, "q6_k": dequantize_q6_k}
+                "q5_k": dequantize_q5_k, "q6_k": dequantize_q6_k,
+                "iq4_nl": dequantize_iq4_nl, "iq4_xs": dequantize_iq4_xs}
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k",
+                                 "q6_k", "iq4_nl", "iq4_xs"])
 @pytest.mark.parametrize("m,k", [(2, 256), (8, 512), (3, 1024)])
 def test_soa_roundtrip_lossless(rng, fmt, m, k):
     x = rng.standard_normal((m, k)).astype(np.float32)
@@ -32,7 +35,8 @@ def test_soa_roundtrip_lossless(rng, fmt, m, k):
     np.testing.assert_array_equal(np.asarray(back), np.asarray(qbytes).view(np.uint8))
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k",
+                                 "q6_k", "iq4_nl", "iq4_xs"])
 def test_jnp_dequant_matches_numpy(rng, fmt):
     m, k = 4, 512
     x = rng.standard_normal((m, k)).astype(np.float32)

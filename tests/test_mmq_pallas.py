@@ -12,15 +12,16 @@ import pytest
 
 from gguf_tpu.ops import (mmq_q8_0, mmq_q2_k, mmq_q3_k, mmq_q4_k,
                           mmq_q5_k, mmq_q6_k, mmq_q4_0, mmq_q4_1,
-                          mmq_q5_0, mmq_q5_1)
+                          mmq_q5_0, mmq_q5_1, mmq_iq4_nl, mmq_iq4_xs)
 from gguf_tpu.quant import (
     quantize_q8_0, quantize_q2_k, quantize_q3_k, quantize_q4_k,
     quantize_q5_k, quantize_q6_k, quantize_q8_1,
     quantize_q4_0, quantize_q4_1, quantize_q5_0, quantize_q5_1,
+    quantize_iq4_nl, quantize_iq4_xs,
     mmq_q8_0_q8_1_golden, mmq_q2_k_q8_1_golden, mmq_q3_k_q8_1_golden,
     mmq_q4_k_q8_1_golden, mmq_q5_k_q8_1_golden, mmq_q6_k_q8_1_golden,
     mmq_q4_0_q8_1_golden, mmq_q4_1_q8_1_golden, mmq_q5_0_q8_1_golden,
-    mmq_q5_1_q8_1_golden,
+    mmq_q5_1_q8_1_golden, mmq_iq4_nl_q8_1_golden, mmq_iq4_xs_q8_1_golden,
 )
 from gguf_tpu.quant.layouts import to_soa
 from gguf_tpu.utils import allclose_rel, max_rel_err
@@ -37,6 +38,11 @@ CASES = {
     "q4_1": (quantize_q4_1, mmq_q4_1_q8_1_golden, mmq_q4_1, "q4_1", 256),
     "q5_0": (quantize_q5_0, mmq_q5_0_q8_1_golden, mmq_q5_0, "q5_0", 256),
     "q5_1": (quantize_q5_1, mmq_q5_1_q8_1_golden, mmq_q5_1, "q5_1", 256),
+    # IQ4 codebook formats
+    "iq4_nl": (quantize_iq4_nl, mmq_iq4_nl_q8_1_golden, mmq_iq4_nl,
+               "iq4_nl", 256),
+    "iq4_xs": (quantize_iq4_xs, mmq_iq4_xs_q8_1_golden, mmq_iq4_xs,
+               "iq4_xs", 256),
 }
 
 
@@ -99,6 +105,16 @@ def test_mmq_q6_k_parity(rng, m, n, k):
     assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
 
 
+@pytest.mark.parametrize("fmt", ["iq4_nl", "iq4_xs"])
+@pytest.mark.parametrize("m,n", [(1, 1), (4, 4), (16, 16), (1, 16)])
+@pytest.mark.parametrize("k", [256, 1024])
+def test_mmq_iq4_parity(rng, fmt, m, n, k):
+    """IQ4 codebook formats: the reference M,N sweep against the byte-level
+    integer-dot goldens (exercises the in-kernel codebook lookup)."""
+    got, want = _run(rng, fmt, m, n, k)
+    assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
+
+
 @pytest.mark.parametrize("fmt", ["q4_0", "q4_1", "q5_0", "q5_1"])
 @pytest.mark.parametrize("m,n", [(1, 1), (4, 4), (16, 16), (1, 16)])
 @pytest.mark.parametrize("k", [256, 1024])
@@ -110,7 +126,8 @@ def test_mmq_legacy_parity(rng, fmt, m, n, k):
 
 
 @pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k",
-                                 "q4_0", "q4_1", "q5_0", "q5_1"])
+                                 "q4_0", "q4_1", "q5_0", "q5_1",
+                                 "iq4_nl", "iq4_xs"])
 def test_mmq_multi_tile_grid(rng, fmt):
     """Shapes that force multiple M and K grid steps (accumulator reuse)."""
     got, want = _run(rng, fmt, 200, 4, 1024, block_m=128, block_k=256)
@@ -118,7 +135,8 @@ def test_mmq_multi_tile_grid(rng, fmt):
 
 
 @pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k",
-                                 "q4_0", "q4_1", "q5_0", "q5_1"])
+                                 "q4_0", "q4_1", "q5_0", "q5_1",
+                                 "iq4_nl", "iq4_xs"])
 def test_mmq_no_act_quant_matches_dequant_matmul(rng, fmt):
     """act_quant=False: kernel must equal dequantized-weights x float B."""
     quantize, _, kernel, _, _ = CASES[fmt]

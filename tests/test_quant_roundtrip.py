@@ -295,6 +295,53 @@ def test_legacy_roundtrip(rng, fmt, bpb, floor, n):
     assert codes.min() >= 0
 
 
+@pytest.mark.parametrize("fmt,bpb,nel,floor", [
+    ("iq4_nl", 18, 32, 21.0), ("iq4_xs", 136, 256, 21.0),
+])
+@pytest.mark.parametrize("n", [256, 2048])
+def test_iq4_roundtrip(rng, fmt, bpb, nel, floor, n):
+    """IQ4 codebook formats: byte sizes, SNR floors (the nonlinear table
+    beats linear 4-bit by ~3 dB on gaussian data), index ranges, and
+    quantize->parse->dequantize coherence."""
+    from gguf_tpu.quant import iq4
+    from gguf_tpu.utils.testing import snr_db
+
+    quant = getattr(iq4, f"quantize_{fmt}")
+    deq = getattr(iq4, f"dequantize_{fmt}")
+    parse = getattr(iq4, f"parse_{fmt}")
+
+    x = rng.standard_normal(n).astype(np.float32)
+    q = quant(x)
+    assert q.size == n // nel * bpb
+    y = deq(q, (n,))
+    assert snr_db(x, x - y) > floor
+    codes = parse(q)[-1]
+    assert codes.max() < 16 and codes.min() >= 0
+    assert np.isfinite(y).all()
+
+
+def test_iq4_best_index_ties_and_extremes():
+    """best_index must clamp to the table ends and break midpoint ties
+    upward (the ggml best_index_int8 contract)."""
+    from gguf_tpu.quant.iq4 import KVALUES, best_index
+
+    assert best_index(np.float32(-1000.0)) == 0
+    assert best_index(np.float32(1000.0)) == 15
+    for i, v in enumerate(KVALUES):
+        assert best_index(np.float32(v)) == i
+    mid = (KVALUES[3] + KVALUES[4]) / 2.0   # exact tie -> upper index
+    assert best_index(np.float32(mid)) == 4
+
+
+def test_iq4_all_zero_block():
+    from gguf_tpu.quant import iq4
+
+    for fmt, n in (("iq4_nl", 64), ("iq4_xs", 256)):
+        q = getattr(iq4, f"quantize_{fmt}")(np.zeros(n, np.float32))
+        y = getattr(iq4, f"dequantize_{fmt}")(q, (n,))
+        np.testing.assert_array_equal(y, 0.0)
+
+
 def test_legacy_qh_pack_unpack_inverse(rng):
     from gguf_tpu.quant.legacy import _pack_qh, _unpack_qh
 

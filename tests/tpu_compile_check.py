@@ -29,14 +29,16 @@ def main():
     from gguf_tpu.quant import (quantize_q2_k, quantize_q3_k, quantize_q4_k,
                                 quantize_q5_k, quantize_q6_k, quantize_q8_0,
                                 quantize_q4_0, quantize_q4_1, quantize_q5_0,
-                                quantize_q5_1)
+                                quantize_q5_1, quantize_iq4_nl,
+                                quantize_iq4_xs)
     from gguf_tpu.quant.layouts import to_soa
 
     quants = {"q8_0": quantize_q8_0, "q2_k": quantize_q2_k,
               "q3_k": quantize_q3_k, "q4_k": quantize_q4_k,
               "q5_k": quantize_q5_k, "q6_k": quantize_q6_k,
               "q4_0": quantize_q4_0, "q4_1": quantize_q4_1,
-              "q5_0": quantize_q5_0, "q5_1": quantize_q5_1}
+              "q5_0": quantize_q5_0, "q5_1": quantize_q5_1,
+              "iq4_nl": quantize_iq4_nl, "iq4_xs": quantize_iq4_xs}
     a = rng.standard_normal((300, 512)).astype(np.float16)
     for fmt, q in quants.items():
         w = jax.device_put(to_soa(fmt, q(a), 300, 512))
