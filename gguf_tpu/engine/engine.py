@@ -228,6 +228,7 @@ class LLM:
         sp: int = 1,
         ep: int = 1,
         prefill_chunk: int = 512,
+        draft: str | None = None,
     ):
         """tp > 1 serves the model tensor-sharded (Megatron column/row
         sharding, psum over ICI — parallel/tp.py); dp > 1 additionally
@@ -240,7 +241,14 @@ class LLM:
         shards an MoE model's expert stacks (mixtral-family — each device
         evaluates its local experts, models/llama.moe_mlp). Uses the first
         tp*dp*sp*ep devices; the continuous-batching scheduler below is
-        unchanged."""
+        unchanged.
+
+        `draft`: path to a smaller same-vocabulary GGUF used for
+        draft-MODEL speculative decoding — generate(speculative=k) then
+        drafts k tokens with the draft model's own greedy decode loop and
+        verifies them with one t=k+1 target forward (greedy-exact, like
+        the prompt-lookup path but effective on non-repetitive text).
+        Single-chip serving only for now."""
         self.cfg, self.params = load_llama(path)
         sharded = tp > 1 or dp > 1 or sp > 1 or ep > 1
         # single-chip fuses here; the sharded path fuses inside shard_llama
@@ -279,22 +287,27 @@ class LLM:
                 return forward(params, _cfg, tokens, pos, cache, _o,
                                span=span)
 
-        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(6,))
-        def _prefill(params, cache, tokens, slot, start, last_idx, span):
-            """Prefill one prompt chunk into cache slot `slot` at positions
-            start..start+t-1; returns the logits of the chunk's token
-            `last_idx` (only meaningful on the final chunk). `span` is the
-            scheduler's static bound on start + t."""
-            cache_1 = jax.tree_util.tree_map(
-                lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0), cache)
-            logits, cache_1 = fwd(params, tokens,
-                                  jnp.reshape(start, (1,)).astype(jnp.int32),
-                                  cache_1, span=span, batch_axis=None)
-            cache = jax.tree_util.tree_map(
-                lambda c, c1: jax.lax.dynamic_update_slice_in_dim(c, c1, slot, axis=0),
-                cache, cache_1)
-            last = jax.lax.dynamic_slice_in_dim(logits, last_idx, 1, axis=1)
-            return last[0, 0], cache
+        def _make_prefill(fwd_fn):
+            @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(6,))
+            def _prefill(params, cache, tokens, slot, start, last_idx, span):
+                """Prefill one prompt chunk into cache slot `slot` at positions
+                start..start+t-1; returns the logits of the chunk's token
+                `last_idx` (only meaningful on the final chunk). `span` is the
+                scheduler's static bound on start + t."""
+                cache_1 = jax.tree_util.tree_map(
+                    lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0), cache)
+                logits, cache_1 = fwd_fn(params, tokens,
+                                         jnp.reshape(start, (1,)).astype(jnp.int32),
+                                         cache_1, span=span, batch_axis=None)
+                cache = jax.tree_util.tree_map(
+                    lambda c, c1: jax.lax.dynamic_update_slice_in_dim(c, c1, slot, axis=0),
+                    cache, cache_1)
+                last = jax.lax.dynamic_slice_in_dim(logits, last_idx, 1, axis=1)
+                return last[0, 0], cache
+
+            return _prefill
+
+        _prefill = _make_prefill(fwd)
 
         @functools.partial(jax.jit, donate_argnums=(1, 4),
                            static_argnums=(6, 7, 8, 9))
@@ -402,6 +415,79 @@ class LLM:
         self._prefill = _prefill
         self._decode = _decode
 
+        # ------------------------------------------ draft-model drafting ---
+        self.draft = draft
+        self._draft_spec_decode = None
+        if draft is not None:
+            assert not sharded, (
+                "draft-model speculation is single-chip for now (the draft "
+                "cache would need its own sharding rules)")
+            dcfg, dparams = load_llama(draft)
+            assert dcfg.vocab_size == self.cfg.vocab_size, (
+                "draft and target must share a vocabulary: "
+                f"{dcfg.vocab_size} vs {self.cfg.vocab_size}")
+            self.draft_cfg = dcfg
+            self.draft_params = fuse_llama_params(dparams)
+            self.draft_cache = init_kv_cache(dcfg, max_batch, self.max_seq)
+
+            def dfwd(params, tokens, pos, cache, span=None, batch_axis=None,
+                     _cfg=dcfg, _o=self.opts):
+                return forward(params, _cfg, tokens, pos, cache, _o,
+                               span=span)
+
+            self._draft_prefill = _make_prefill(dfwd)
+
+            @functools.partial(jax.jit, donate_argnums=(2, 3),
+                               static_argnums=(6, 7, 8))
+            def _draft_spec_decode(params, dparams, cache, dcache, pos, last,
+                                   iters, k, span):
+                """Greedy speculative decoding with a draft MODEL: per
+                iteration each sequence
+
+                  1. drafts k tokens by running the draft model's own
+                     greedy t=1 decode k+1 times (the extra step inserts
+                     the last draft token's KV so the draft cache always
+                     covers the verified positions),
+                  2. verifies with ONE t=k+1 target forward, greedy argmax
+                     at every position,
+                  3. accepts the matching prefix + the bonus token.
+
+                Output is exactly the target's greedy stream. Both caches
+                share the stale-row invariant of the prompt-lookup path:
+                rows past an accepted prefix sit at positions > the next
+                query position (causally masked) until the next inserts
+                overwrite them. Returns (B, iters, k+1) emitted tokens and
+                (B, iters) accept counts."""
+
+                def step(carry, _):
+                    cache, dcache, pos, last = carry
+
+                    def dstep(c, _):
+                        dcache, x, p = c
+                        logits, dcache = dfwd(dparams, x[:, None], p, dcache,
+                                              span=span)
+                        nxt = jnp.argmax(
+                            logits[:, -1], -1).astype(jnp.int32)
+                        return (dcache, nxt, p + 1), nxt
+
+                    (dcache, _, _), drafts_all = jax.lax.scan(
+                        dstep, (dcache, last, pos), None, length=k + 1)
+                    drafts = drafts_all[:k].T                      # (B, k)
+
+                    toks = jnp.concatenate([last[:, None], drafts], 1)
+                    logits, cache = fwd(params, toks, pos, cache, span=span)
+                    g = jnp.argmax(logits, -1).astype(jnp.int32)   # (B, k+1)
+                    match = (drafts == g[:, :k]).astype(jnp.int32)
+                    acc = jnp.sum(jnp.cumprod(match, 1), 1)        # (B,)
+                    nlast = jnp.take_along_axis(g, acc[:, None], 1)[:, 0]
+                    return (cache, dcache, pos + acc + 1, nlast), (g, acc)
+
+                (cache, dcache, _, _), (em, accs) = jax.lax.scan(
+                    step, (cache, dcache, pos, last), None, length=iters)
+                return (em.transpose(1, 0, 2), accs.T), cache, dcache
+
+            self._draft_spec_decode = _draft_spec_decode
+
     # ------------------------------------------------------------- utils ---
     def start_session(self) -> ChatSession:
         """Pin a cache slot for multi-turn generation (see ChatSession).
@@ -465,17 +551,21 @@ class LLM:
             b *= 2
         return b
 
-    def _prefill_chunks(self, ids, slot: int, start: int = 0):
+    def _prefill_chunks(self, ids, slot: int, start: int = 0,
+                        draft: bool = False):
         """Prefill `ids` into cache slot `slot` at positions
         start..start+len(ids)-1, in prefill_chunk-size pieces (bounded
         activation memory) with power-of-two tail buckets HALVED until the
         padded call fits the remaining cache rows — a bucket that overruns
         max_seq would clamp the t>16 dynamic_update_slice insert start and
         silently overwrite earlier history. Returns the logits of the last
-        real token."""
+        real token. `draft=True` targets the draft model's params/cache
+        (same chunking, so both models see identical positions)."""
         n = len(ids)
         assert start + n < self.max_seq, (start, n, self.max_seq)
         ids = np.asarray(ids, np.int32)
+        prefill = self._draft_prefill if draft else self._prefill
+        params = self.draft_params if draft else self.params
         off = 0
         while True:
             tail = n - off
@@ -486,13 +576,61 @@ class LLM:
             toks = np.zeros((1, tp), np.int32)
             toks[0, :take] = ids[off:off + take]
             span = self._span_bucket(start + off + tp)
-            logits, self.cache = self._prefill(
-                self.params, self.cache, jnp.asarray(toks),
-                jnp.int32(slot), jnp.int32(start + off),
+            logits, cache = prefill(
+                params, self.draft_cache if draft else self.cache,
+                jnp.asarray(toks), jnp.int32(slot), jnp.int32(start + off),
                 jnp.int32(take - 1), span)
+            if draft:
+                self.draft_cache = cache
+            else:
+                self.cache = cache
             off += take
             if off >= n:
                 return logits
+
+    def embed(self, prompts, pooling: str = "mean",
+              normalize: bool = True) -> np.ndarray:
+        """Sentence embeddings: one batched forward with the LM head
+        skipped; the final-norm hidden states are pooled over each
+        prompt's tokens ("mean" or "last") and L2-normalized by default
+        (the OpenAI embeddings contract; llama.cpp --embedding). Accepts
+        strings (tokenized here) or token-id lists. Returns (N, dim) f32.
+
+        Pad tokens cannot leak into the result: they sit after the real
+        tokens, so causal attention never lets a real position see them,
+        and pooling masks them out."""
+        assert pooling in ("mean", "last"), pooling
+        assert self.mesh is None, "embed() is single-chip for now"
+        if not hasattr(self, "_embed_fwd"):
+            def _efwd(params, toks, cache, _cfg=self.cfg, _o=self.opts):
+                hidden, _ = forward(
+                    params, _cfg, toks, jnp.zeros(toks.shape[0], jnp.int32),
+                    cache, _o, return_hidden=True)
+                return hidden
+            self._embed_fwd = jax.jit(_efwd)
+        ids = [self.tokenizer.encode(p) if isinstance(p, str) else list(p)
+               for p in prompts]
+        assert all(ids), "empty prompt"
+        n = len(ids)
+        lens = np.array([len(x) for x in ids])
+        t = self._bucket(int(lens.max()))
+        assert t <= self.max_seq, (t, self.max_seq)
+        nb = self._bucket(n)
+        toks = np.zeros((nb, t), np.int32)
+        for i, x in enumerate(ids):
+            toks[i, :len(x)] = x
+        cache = init_kv_cache(self.cfg, nb, t)
+        hidden = np.asarray(self._embed_fwd(
+            self.params, jnp.asarray(toks), cache))[:n]       # (n, t, dim)
+        if pooling == "last":
+            out = hidden[np.arange(n), lens - 1]
+        else:
+            mask = (np.arange(t)[None, :] < lens[:, None]).astype(np.float32)
+            out = (hidden * mask[:, :, None]).sum(1) / lens[:, None]
+        if normalize:
+            out = out / np.maximum(np.linalg.norm(out, axis=1, keepdims=True),
+                                   1e-12)
+        return out.astype(np.float32)
 
     def _span_bucket(self, need: int) -> int | None:
         """Smallest 128*2^j cache span covering `need` rows (None = whole
@@ -593,6 +731,10 @@ class LLM:
                 n = len(ids)
                 assert n < self.max_seq, f"prompt ({n}) exceeds max_seq {self.max_seq}"
                 logits = self._prefill_chunks(ids, s)
+                if speculative > 0 and self._draft_spec_decode is not None:
+                    # the draft model drafts from its own cache: give it the
+                    # same prompt at the same positions
+                    self._prefill_chunks(ids, s, draft=True)
                 key, sub = jax.random.split(key)
                 cnt1 = (_ids_counts({0: ids})[:1]
                         if sampler.uses_penalties else None)
@@ -673,15 +815,22 @@ class LLM:
                 iters = max(1, min(decode_chunk, room // (k + 1)))
                 span = self._span_bucket(
                     max(int(pos[s]) for s in live) + iters * (k + 1))
-                tokbuf = np.zeros((self.max_batch, self.max_seq), np.int32)
-                for s in live:
-                    ctx = results[slots[s]].prompt_ids + \
-                        results[slots[s]].token_ids
-                    tokbuf[s, :len(ctx)] = ctx
-                (em, accs), self.cache = self._spec_decode(
-                    self.params, self.cache, jnp.asarray(tokbuf),
-                    jnp.asarray(pos_dev, jnp.int32),
-                    jnp.asarray(last_tok, jnp.int32), iters, k, span)
+                if self._draft_spec_decode is not None:
+                    (em, accs), self.cache, self.draft_cache = \
+                        self._draft_spec_decode(
+                            self.params, self.draft_params, self.cache,
+                            self.draft_cache, jnp.asarray(pos_dev, jnp.int32),
+                            jnp.asarray(last_tok, jnp.int32), iters, k, span)
+                else:
+                    tokbuf = np.zeros((self.max_batch, self.max_seq), np.int32)
+                    for s in live:
+                        ctx = results[slots[s]].prompt_ids + \
+                            results[slots[s]].token_ids
+                        tokbuf[s, :len(ctx)] = ctx
+                    (em, accs), self.cache = self._spec_decode(
+                        self.params, self.cache, jnp.asarray(tokbuf),
+                        jnp.asarray(pos_dev, jnp.int32),
+                        jnp.asarray(last_tok, jnp.int32), iters, k, span)
                 em, accs = np.asarray(em), np.asarray(accs)
                 for it in range(iters):
                     for s in range(self.max_batch):

@@ -28,7 +28,7 @@ from .sampler import SamplerConfig
 
 class _Request:
     def __init__(self, prompt, max_tokens, sampler, seed, stop=None,
-                 stream=False, logprobs=0, session=None):
+                 stream=False, logprobs=0, session=None, embed=False):
         self.prompt = prompt
         self.max_tokens = max_tokens
         self.sampler = sampler
@@ -37,6 +37,7 @@ class _Request:
         self.stream = stream
         self.logprobs = logprobs
         self.session = session          # conversation id (chat sessions)
+        self.embed = embed              # /v1/embeddings (prompt = inputs)
         # streaming: (new_token_ids, finished) tuples, then a None sentinel
         self.events: queue.Queue = queue.Queue()
         self.done = threading.Event()
@@ -140,6 +141,19 @@ class EngineWorker:
         r.events.put(None)
         r.done.set()
 
+    def _run_embed(self, r: _Request) -> None:
+        t0 = time.monotonic()
+        try:
+            r.result = self.llm.embed(r.prompt)
+            self.metrics["prompt_tokens_total"] += sum(
+                len(p) if not isinstance(p, str) else 0 for p in r.prompt)
+        except Exception as e:
+            r.error = str(e)
+            self.metrics["requests_failed"] += 1
+        self.metrics["requests_total"] += 1
+        self.metrics["engine_busy_s_total"] += time.monotonic() - t0
+        r.done.set()
+
     def _run(self) -> None:
         while True:
             batch = self._drain_batch()
@@ -147,7 +161,9 @@ class EngineWorker:
             # a time (their KV prefix lives in a specific slot)
             for r in [x for x in batch if x.session is not None]:
                 self._run_session(r)
-            batch = [x for x in batch if x.session is None]
+            for r in [x for x in batch if x.embed]:
+                self._run_embed(r)
+            batch = [x for x in batch if x.session is None and not x.embed]
             if not batch:
                 continue
             # group by sampler/max_tokens (static jit args); serve each group
@@ -201,6 +217,40 @@ def make_handler(worker: EngineWorker):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _do_embeddings(self) -> None:
+            """OpenAI-style /v1/embeddings: {"input": str | [str] |
+            [[ids]]} -> {"data": [{"embedding": [...], "index": i}]}."""
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("request body must be a JSON object")
+                inp = payload.get("input")
+                if inp is None:
+                    raise ValueError("missing 'input'")
+                single = isinstance(inp, str) or (
+                    isinstance(inp, list) and inp
+                    and isinstance(inp[0], int))
+                inputs = [inp] if single else list(inp)
+                if not inputs:
+                    raise ValueError("'input' is empty")
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+                return
+            req = _Request(inputs, 0, None, 0, embed=True)
+            worker.submit(req)
+            req.done.wait()
+            if req.error:
+                self._reply(500, {"error": req.error})
+                return
+            self._reply(200, {
+                "object": "list",
+                "data": [{"object": "embedding", "index": i,
+                          "embedding": row.tolist()}
+                         for i, row in enumerate(req.result)],
+                "model": "gguf_tpu",
+            })
 
         def _stream_reply(self, req: _Request, chat: bool = False) -> None:
             """Server-sent events: one `data: {...}` line per token delta,
@@ -284,6 +334,9 @@ def make_handler(worker: EngineWorker):
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path in ("/v1/embeddings", "/embeddings"):
+                self._do_embeddings()
+                return
             chat = self.path in ("/v1/chat/completions", "/chat/completions")
             if not chat and self.path not in ("/v1/completions",
                                               "/completions"):

@@ -581,6 +581,7 @@ def forward(
     cache: dict,
     opts: MMOpts = MMOpts(),
     span: int | None = None,
+    return_hidden: bool = False,
 ):
     """Run T tokens through the decoder; returns (logits (B, T, vocab), cache).
 
@@ -588,6 +589,8 @@ def forward(
     support continuous batching (sequences at different depths in one batch).
     `span` (static) promises every pos + T <= span so attention reads only
     the first span cache rows; None reads the whole cache.
+    `return_hidden` skips the LM head and returns the final-norm hidden
+    states (B, T, dim) f32 instead of logits — the embedding surface.
     """
     x = embed(params["token_embd"], tokens)
     if cfg.embed_scale != 1.0:   # gemma: sqrt(dim), rounded through bf16
@@ -613,6 +616,8 @@ def forward(
     cache = new_layers
 
     x = _norm(x, params, "output_norm", cfg)
+    if return_hidden:
+        return x.astype(jnp.float32), cache
     b, t, _ = x.shape
     logits = linear(params["output"], x.reshape(b * t, -1), opts)
     if opts.axis_name:  # column-parallel LM head: gather the vocab shards

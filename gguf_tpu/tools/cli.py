@@ -64,7 +64,8 @@ def cmd_generate(args):
     from ..engine import LLM
     from ..engine.sampler import SamplerConfig
 
-    llm = LLM(args.model, max_batch=args.batch)
+    llm = LLM(args.model, max_batch=args.batch,
+              draft=getattr(args, "draft", None))
     sampler = SamplerConfig(temperature=args.temperature, top_p=args.top_p)
     prompt = ([int(x) for x in args.ids.split()] if args.ids
               else args.prompt)
@@ -213,6 +214,9 @@ def main(argv=None):
     s.add_argument("--temperature", type=float, default=0.8)
     s.add_argument("--top-p", type=float, default=0.95)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--draft", default=None, metavar="GGUF",
+                   help="smaller same-vocab GGUF for draft-model "
+                        "speculative decoding (with --speculative K)")
     s.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="prompt-lookup speculative decoding draft length "
                         "(greedy only; exact same output, faster on "

@@ -474,3 +474,77 @@ def test_speculative_session_greedy_exact(tmp_path):
     spec = s2.send([1, 5, 9], max_new_tokens=16, sampler=g,
                    stop_at_eos=False, speculative=3)
     assert base.token_ids == spec.token_ids
+
+
+def test_draft_model_speculative_greedy_exact(tmp_path):
+    """Draft-MODEL speculative decoding must reproduce the target's plain
+    greedy stream regardless of draft quality: a different-weights draft
+    (most proposals rejected) and the target itself as draft (every
+    proposal accepted) both yield identical tokens."""
+    tgt = str(tmp_path / "tgt.gguf")
+    dft = str(tmp_path / "dft.gguf")
+    write_random_llama_gguf(tgt, CFG, fmt=GGMLType.Q4_K, seed=3)
+    # same vocab, different weights and a smaller net: a realistic draft
+    dcfg = LlamaConfig(vocab_size=CFG.vocab_size, dim=256, n_layers=1,
+                       n_heads=4, n_kv_heads=2, ffn_dim=256, max_seq_len=64)
+    write_random_llama_gguf(dft, dcfg, fmt=GGMLType.Q4_K, seed=9)
+
+    g = SamplerConfig(temperature=0.0)
+    prompts = [[1, 5, 9], [2, 7]]
+    base = LLM(tgt, max_batch=2, max_seq=64).generate(
+        prompts, max_new_tokens=20, sampler=g, stop_at_eos=False)
+    spec = LLM(tgt, max_batch=2, max_seq=64, draft=dft).generate(
+        prompts, max_new_tokens=20, sampler=g, stop_at_eos=False,
+        speculative=3)
+    for b, sp in zip(base, spec):
+        assert b.token_ids == sp.token_ids, (b.token_ids, sp.token_ids)
+
+
+def test_draft_model_self_draft_accepts_all(tmp_path):
+    """With the target as its own draft every proposal must be accepted
+    (acc == k each iteration) — the acceptance plumbing, not luck."""
+    tgt = str(tmp_path / "tgt.gguf")
+    write_random_llama_gguf(tgt, CFG, fmt=GGMLType.Q4_K, seed=3)
+    llm = LLM(tgt, max_batch=2, max_seq=64, draft=tgt)
+    prompt = [1, 5, 9]
+    logits = llm._prefill_chunks(prompt, 0)
+    llm._prefill_chunks(prompt, 0, draft=True)
+    first = int(np.argmax(np.asarray(logits)))  # target greedy continuation
+    pos = np.full(llm.max_batch, llm.max_seq, np.int32)
+    pos[0] = len(prompt)
+    last = np.zeros(llm.max_batch, np.int32)
+    last[0] = first
+    k, iters = 3, 2
+    (em, accs), llm.cache, llm.draft_cache = llm._draft_spec_decode(
+        llm.params, llm.draft_params, llm.cache, llm.draft_cache,
+        jnp.asarray(pos), jnp.asarray(last), iters, k, llm.max_seq)
+    accs = np.asarray(accs)
+    assert (accs[0] == k).all(), f"self-draft must fully accept: {accs[0]}"
+
+
+def test_draft_model_vocab_mismatch_rejected(tmp_path):
+    tgt = str(tmp_path / "tgt.gguf")
+    dft = str(tmp_path / "dv.gguf")
+    write_random_llama_gguf(tgt, CFG, fmt=GGMLType.Q4_K, seed=3)
+    write_random_llama_gguf(
+        dft, LlamaConfig(vocab_size=128, dim=256, n_layers=1, n_heads=4,
+                         n_kv_heads=2, ffn_dim=256, max_seq_len=64), seed=4)
+    with pytest.raises(AssertionError, match="vocabulary"):
+        LLM(tgt, max_batch=2, max_seq=64, draft=dft)
+
+
+def test_embed_pooling_and_batch_independence(llm):
+    """embed(): unit-norm rows, and a prompt's embedding must not change
+    when batched with longer prompts (padding cannot leak through causal
+    attention or the pooling mask)."""
+    e_solo = llm.embed([[1, 5, 9]])
+    assert e_solo.shape == (1, llm.cfg.dim)
+    np.testing.assert_allclose(np.linalg.norm(e_solo, axis=1), 1.0, atol=1e-5)
+    e_batch = llm.embed([[1, 5, 9], [2, 7, 11, 13, 17, 19, 23]])
+    np.testing.assert_allclose(e_batch[0], e_solo[0], atol=1e-4)
+    # last-token pooling differs from mean pooling (both valid surfaces)
+    e_last = llm.embed([[1, 5, 9]], pooling="last")
+    assert np.abs(e_last - e_solo).max() > 1e-3
+    # unnormalized: raw hidden scale preserved
+    e_raw = llm.embed([[1, 5, 9]], normalize=False)
+    assert abs(np.linalg.norm(e_raw[0]) - 1.0) > 1e-3

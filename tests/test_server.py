@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 from http.server import ThreadingHTTPServer
 
@@ -259,3 +260,37 @@ def test_stream_reply_splits_multibyte_utf8():
     assert "�" not in "".join(deltas)
     # the held-back byte belongs to the SECOND delta, not the first
     assert deltas[0] == "n"
+
+
+def test_embeddings_endpoint(server):
+    req = urllib.request.Request(
+        server + "/v1/embeddings",
+        data=json.dumps({"input": [[1, 5, 9], [2, 7]]}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        res = json.loads(r.read())
+    assert res["object"] == "list" and len(res["data"]) == 2
+    for i, d in enumerate(res["data"]):
+        assert d["index"] == i
+        v = np.asarray(d["embedding"], np.float32)
+        assert v.shape == (CFG.dim,)
+        np.testing.assert_allclose(np.linalg.norm(v), 1.0, atol=1e-4)
+    # single token-id input is auto-wrapped
+    req = urllib.request.Request(
+        server + "/v1/embeddings",
+        data=json.dumps({"input": [1, 5]}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        res = json.loads(r.read())
+    assert len(res["data"]) == 1
+
+
+def test_embeddings_missing_input(server):
+    req = urllib.request.Request(
+        server + "/v1/embeddings", data=b"{}",
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
