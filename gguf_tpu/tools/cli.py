@@ -60,6 +60,14 @@ def cmd_requantize(args):
     print(f"wrote {args.out} ({args.fmt})")
 
 
+def cmd_merge_lora(args):
+    from ..models.lora import merge_lora
+
+    patched = merge_lora(args.model, args.lora, args.out, scale=args.scale)
+    print(f"wrote {args.out} ({len(patched)} tensors patched: "
+          f"{', '.join(patched[:6])}{'...' if len(patched) > 6 else ''})")
+
+
 def cmd_generate(args):
     from ..engine import LLM
     from ..engine.sampler import SamplerConfig
@@ -204,6 +212,16 @@ def main(argv=None):
                             "q4_0", "q4_1", "q5_0", "q5_1",
                             "iq4_nl", "iq4_xs"])
     s.set_defaults(fn=cmd_requantize)
+
+    s = sub.add_parser("merge-lora",
+                       help="bake a GGUF LoRA adapter into a checkpoint")
+    s.add_argument("model")
+    s.add_argument("lora", help="adapter GGUF (llama.cpp convert_lora "
+                                "format: .lora_a/.lora_b pairs)")
+    s.add_argument("out")
+    s.add_argument("--scale", type=float, default=1.0,
+                   help="extra multiplier on top of alpha/rank")
+    s.set_defaults(fn=cmd_merge_lora)
 
     s = sub.add_parser("generate", help="generate completions")
     s.add_argument("model")

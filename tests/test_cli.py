@@ -71,3 +71,75 @@ def test_ppl_cli(model, tmp_path, capsys):
     main(["ppl", model, str(toks), "--window", "32"])
     res = json.loads(capsys.readouterr().out)
     assert np.isfinite(res["perplexity"]) and res["tokens"] == 100
+
+
+def test_merge_lora_applies_delta(model, tmp_path):
+    """merge-lora bakes B@A*(alpha/r) into the named tensors: the merged
+    weight must equal base + delta within one quantization step, untouched
+    tensors must be byte-identical, and the merged model must serve."""
+    from gguf_tpu.gguf import GGUFReader
+    from gguf_tpu.models.lora import merge_lora, write_lora_adapter
+
+    rng = np.random.default_rng(7)
+    with GGUFReader(model) as r:
+        w0 = r.dequantize("blk.0.attn_q.weight")
+        other0 = np.asarray(r.tensor_bytes("blk.0.attn_k.weight")).copy()
+    m, k = w0.shape
+    rank, alpha = 4, 8.0
+    a = (rng.standard_normal((rank, k)) * 0.05).astype(np.float32)
+    b = (rng.standard_normal((m, rank)) * 0.05).astype(np.float32)
+    lora_path = str(tmp_path / "adapter.gguf")
+    write_lora_adapter(lora_path, alpha, {"blk.0.attn_q.weight": (a, b)})
+
+    out_path = str(tmp_path / "merged.gguf")
+    main(["merge-lora", model, lora_path, out_path])
+    with GGUFReader(out_path) as r:
+        w1 = r.dequantize("blk.0.attn_q.weight")
+        other1 = np.asarray(r.tensor_bytes("blk.0.attn_k.weight"))
+    delta = (alpha / rank) * (b @ a)
+    # requantization noise bounds the comparison: the patched weight is one
+    # quantize() away from the exact float sum
+    err = np.abs(w1 - (w0 + delta))
+    qstep = np.abs(w0 + delta).max() / 7.0   # ~q4 worst-case step
+    assert err.max() < qstep, (err.max(), qstep)
+    # the delta itself is much larger than the noise (it really landed)
+    assert np.abs(delta).max() > 4 * err.max()
+    np.testing.assert_array_equal(other0, other1)
+
+    cfg2, params2 = load_llama(out_path)
+    assert params2["layers"][0]["wq"].fmt == "q4_k"
+
+
+def test_merge_lora_transposed_factors(model, tmp_path):
+    """Factor orientation is reconciled: (K, r) / (r, M) storage merges to
+    the same weights as the canonical (r, K) / (M, r)."""
+    from gguf_tpu.gguf import GGUFReader
+    from gguf_tpu.models.lora import merge_lora, write_lora_adapter
+
+    rng = np.random.default_rng(8)
+    with GGUFReader(model) as r:
+        m, k = r.dequantize("blk.0.ffn_gate.weight").shape
+    rank = 2
+    a = (rng.standard_normal((rank, k)) * 0.05).astype(np.float32)
+    b = (rng.standard_normal((m, rank)) * 0.05).astype(np.float32)
+    p1, p2 = str(tmp_path / "l1.gguf"), str(tmp_path / "l2.gguf")
+    write_lora_adapter(p1, 4.0, {"blk.0.ffn_gate.weight": (a, b)})
+    write_lora_adapter(p2, 4.0, {"blk.0.ffn_gate.weight": (a.T, b.T)})
+    o1, o2 = str(tmp_path / "m1.gguf"), str(tmp_path / "m2.gguf")
+    merge_lora(model, p1, o1)
+    merge_lora(model, p2, o2)
+    with GGUFReader(o1) as r1, GGUFReader(o2) as r2:
+        np.testing.assert_array_equal(
+            np.asarray(r1.tensor_bytes("blk.0.ffn_gate.weight")),
+            np.asarray(r2.tensor_bytes("blk.0.ffn_gate.weight")))
+
+
+def test_merge_lora_rejects_bad_adapter(model, tmp_path):
+    from gguf_tpu.models.lora import merge_lora, write_lora_adapter
+
+    bad = str(tmp_path / "bad.gguf")
+    write_lora_adapter(bad, 4.0, {"blk.9.no_such.weight":
+                                  (np.zeros((2, 8), np.float32),
+                                   np.zeros((8, 2), np.float32))})
+    with pytest.raises(ValueError, match="no base counterpart"):
+        merge_lora(model, bad, str(tmp_path / "x.gguf"))
