@@ -117,7 +117,9 @@ def _load_golden(path: str):
                 "down": w(p + "ffn_down.weight"),
             }
             for b, nm in (("bq", "attn_q.bias"), ("bk", "attn_k.bias"),
-                          ("bv", "attn_v.bias")):
+                          ("bv", "attn_v.bias"),
+                          ("q_norm", "attn_q_norm.weight"),
+                          ("k_norm", "attn_k_norm.weight")):
                 if p + nm in r.tensors:
                     layer[b] = f32(p + nm)
             params["layers"].append(layer)
@@ -211,6 +213,9 @@ def golden_window_logits(cfg, params, tokens: np.ndarray) -> np.ndarray:
         q = q.reshape(t, h, hd)
         k = k.reshape(t, kvh, hd)
         v = v.reshape(t, kvh, hd)
+        if "q_norm" in layer:   # qwen3-family per-head q/k RMSNorm, pre-RoPE
+            q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
+            k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
         q = _rope(q, pos, cfg.rope_theta, cfg.rope_scale, cfg)
         k = _rope(k, pos, cfg.rope_theta, cfg.rope_scale, cfg)
 

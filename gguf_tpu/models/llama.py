@@ -266,6 +266,10 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
         k = k.reshape(b, t, kvh, hd)
         v = v.reshape(b, t, kvh, hd)
 
+    if "q_norm" in layer:   # qwen3-family: per-head RMSNorm on q/k, pre-RoPE
+        q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
+
     tok_pos = pos[:, None] + jnp.arange(t)[None, :]            # (B, T)
     rd = cfg.rope_dim or hd
     cos, sin = rope if rope is not None else rope_for_cfg(tok_pos, cfg)

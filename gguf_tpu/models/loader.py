@@ -245,6 +245,12 @@ def load_llama(path: str):
             ] if v is not None},
             "wo": _load_weight(reader, p + "attn_output.weight"),
         }
+        # qwen3-family per-head q/k RMSNorm vectors (head_dim,)
+        for nk, tk in (("q_norm", "attn_q_norm.weight"),
+                       ("k_norm", "attn_k_norm.weight")):
+            if p + tk in reader.tensors:
+                layer[nk] = jnp.asarray(reader.load_array(p + tk),
+                                        jnp.float32)
         if cfg.n_experts and p + "ffn_gate_inp.weight" in reader.tensors:
             # mixtral-family MoE layer: router + stacked expert FFNs
             layer["gate_inp"] = jnp.asarray(
@@ -414,6 +420,14 @@ def write_random_llama_gguf(
             ("attn_v.weight", (kv_d, d)), ("attn_output.weight", (d, q_d)),
         ]:
             tensors[p + name] = (fmt, shape, quantize_tensor(w(shape), fmt))
+        if arch == "qwen3":   # per-head q/k RMSNorm (random: exercised, not 1)
+            hd = cfg.head_dim
+            tensors[p + "attn_q_norm.weight"] = (
+                GGMLType.F32, (hd,),
+                (1.0 + 0.1 * rng.standard_normal(hd)).astype(np.float32))
+            tensors[p + "attn_k_norm.weight"] = (
+                GGMLType.F32, (hd,),
+                (1.0 + 0.1 * rng.standard_normal(hd)).astype(np.float32))
         if cfg.n_experts:
             # mixtral-family MoE: random router (breaks routing ties so
             # tests exercise real top-k selection) + 3-D expert stacks

@@ -708,3 +708,45 @@ def test_phi2_engine_generate(tmp_path):
                         opts=MMOpts(precision="fast"))
     want = np.asarray(logits[0, 2:]).argmax(-1)
     assert list(want[:3]) == res[0].token_ids[:3], (list(want), res[0].token_ids)
+
+
+def test_qwen3_qk_norm(tmp_path):
+    """qwen3-family: per-head q/k RMSNorm tensors load, apply pre-RoPE,
+    and actually change the logits (vs the same weights without them)."""
+    path = str(tmp_path / "q3.gguf")
+    write_random_llama_gguf(path, CFG, seed=21, arch="qwen3")
+    cfg, params = load_llama(path)
+    assert "q_norm" in params["layers"][0]
+    assert params["layers"][0]["q_norm"].shape == (cfg.head_dim,)
+
+    toks = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
+    zero = jnp.zeros(1, jnp.int32)
+    out, _ = forward(params, cfg, toks, zero, init_kv_cache(cfg, 1, 16),
+                     MMOpts(precision="high"))
+    assert bool(jnp.isfinite(out).all())
+    # dropping the norms must change the result (they are not identity)
+    stripped = {**params, "layers": [
+        {k: v for k, v in l.items() if k not in ("q_norm", "k_norm")}
+        for l in params["layers"]]}
+    out2, _ = forward(stripped, cfg, toks, zero, init_kv_cache(cfg, 1, 16),
+                      MMOpts(precision="high"))
+    assert float(jnp.max(jnp.abs(out - out2))) > 1e-3
+
+
+def test_qwen3_accuracy_gate_golden_vs_served(tmp_path):
+    """The numpy golden decoder reproduces the served qwen3 numerics
+    (QK-norm included) within the standard accuracy gate."""
+    from gguf_tpu.eval.golden_decoder import golden_perplexity
+    from gguf_tpu.eval.perplexity import perplexity_of_gguf
+
+    path = str(tmp_path / "q3g.gguf")
+    cfg = LlamaConfig(vocab_size=128, dim=256, n_layers=1, n_heads=4,
+                      n_kv_heads=2, ffn_dim=512, max_seq_len=64)
+    write_random_llama_gguf(path, cfg, seed=22, arch="qwen3")
+    rng = np.random.default_rng(6)
+    ids = rng.integers(0, cfg.vocab_size, 48)
+    ppl_golden = golden_perplexity(path, ids, window=16)
+    ppl = perplexity_of_gguf(path, ids, window=16,
+                             opts=MMOpts(act_quant=True, precision="high"))
+    assert np.isfinite(ppl_golden)
+    assert abs(ppl - ppl_golden) < 1e-2 * ppl_golden, (ppl, ppl_golden)

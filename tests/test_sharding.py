@@ -115,3 +115,27 @@ def test_init_distributed_single_and_mesh_health():
     assert info["global_devices"] == len(jax.devices())
     if info["global_devices"] > 1:
         assert info["psum_ok"]
+
+
+def test_qwen3_tp_forward_matches_single_device(tmp_path):
+    """qwen3-family (per-head QK-norm) through tensor-parallel sharding:
+    the replicated q/k norm vectors apply identically on every shard."""
+    cfg0 = LlamaConfig(vocab_size=64, dim=512, n_layers=1, n_heads=4,
+                       n_kv_heads=4, ffn_dim=512, max_seq_len=32)
+    path = str(tmp_path / "q3tp.gguf")
+    write_random_llama_gguf(path, cfg0, fmt=GGMLType.Q4_K, seed=13,
+                            arch="qwen3")
+    cfg, params = load_llama(path)
+    assert "q_norm" in params["layers"][0]
+    mesh = make_mesh(tp=2, dp=1)
+    sharded, cfg_pad = shard_llama(params, cfg, mesh)
+    fwd = make_tp_forward(cfg_pad, mesh, MMOpts(precision="high"))
+
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 4)).astype(np.int32))
+    pos = jnp.zeros(2, jnp.int32)
+    cache = init_sharded_cache(cfg_pad, mesh, batch=2, max_seq=16)
+    logits, _ = fwd(sharded, tokens, pos, cache)
+    ref = _single_device_logits(cfg, params, tokens, pos)
+    np.testing.assert_allclose(np.asarray(logits), ref,
+                               atol=2e-2 * np.abs(ref).max())
