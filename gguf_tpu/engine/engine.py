@@ -149,6 +149,7 @@ class ChatSession:
             last[self.slot] = tok
             use_spec = (speculative > 0 and sampler.temperature <= 0.0
                         and not sampler.uses_penalties
+                        and not sampler.logit_bias
                         and room >= speculative + 1)
             if use_spec:
                 k = speculative
@@ -809,6 +810,7 @@ class LLM:
                                pos, self.max_seq)
             use_spec = (speculative > 0 and sampler.temperature <= 0.0
                         and not sampler.uses_penalties and logprobs == 0
+                        and not sampler.logit_bias
                         and room >= speculative + 1)
             if use_spec:
                 k = speculative

@@ -22,6 +22,10 @@ class SamplerConfig:
                                    # logits (divide if >0, multiply if <0)
     presence_penalty: float = 0.0  # OpenAI: flat subtraction once seen
     frequency_penalty: float = 0.0  # OpenAI: subtraction per occurrence
+    # OpenAI logit_bias: ((token_id, bias), ...) added to logits before
+    # everything else; -100 effectively bans a token, +100 forces it.
+    # A tuple (not dict) keeps the config hashable for jit-static use.
+    logit_bias: tuple = ()
 
     @property
     def uses_penalties(self) -> bool:
@@ -53,6 +57,10 @@ def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig,
     (B, V): per-sequence context token counts, required when
     cfg.uses_penalties (penalties apply before temperature, so greedy
     decoding honors them too — same order as llama.cpp)."""
+    if cfg.logit_bias:
+        ids = jnp.asarray([i for i, _ in cfg.logit_bias], jnp.int32)
+        vals = jnp.asarray([v for _, v in cfg.logit_bias], jnp.float32)
+        logits = logits.astype(jnp.float32).at[:, ids].add(vals)
     if cfg.uses_penalties:
         assert counts is not None, "penalties need context token counts"
         logits = apply_penalties(logits.astype(jnp.float32), counts, cfg)

@@ -368,6 +368,9 @@ def make_handler(worker: EngineWorker):
                     prompt = payload.get("prompt")
                 if prompt is None:
                     raise ValueError("missing 'prompt' (string or token id list)")
+                lb = payload.get("logit_bias") or {}
+                if not isinstance(lb, dict):
+                    raise ValueError("'logit_bias' must be a {token_id: bias} object")
                 sampler = SamplerConfig(
                     temperature=float(payload.get("temperature", 0.8)),
                     top_k=int(payload.get("top_k", 0)),
@@ -376,6 +379,8 @@ def make_handler(worker: EngineWorker):
                     repeat_penalty=float(payload.get("repeat_penalty", 1.0)),
                     presence_penalty=float(payload.get("presence_penalty", 0.0)),
                     frequency_penalty=float(payload.get("frequency_penalty", 0.0)),
+                    logit_bias=tuple(sorted(
+                        (int(k), float(v)) for k, v in lb.items())),
                 )
                 stop = payload.get("stop")
                 if isinstance(stop, str):

@@ -61,6 +61,20 @@ class LlamaConfig:
     # 0 = dense FFN; > 0 switches every layer's FFN to top-k routed experts.
     n_experts: int = 0
     n_experts_used: int = 0
+    # gemma2-family switches:
+    # sliding-window attention — layer i attends only the last
+    # sliding_window positions when swa_pattern > 1 and
+    # i % swa_pattern != swa_pattern - 1 (llama.cpp set_swa_pattern:
+    # every swa_pattern-th layer stays global; gemma2 alternates 1:1)
+    sliding_window: int = 0
+    swa_pattern: int = 1
+    # logit soft-capping: x -> cap * tanh(x / cap) on attention scores /
+    # final logits (0 = disabled)
+    attn_softcap: float = 0.0
+    final_softcap: float = 0.0
+    # gemma3: sliding-window layers rotate with their own (short-context)
+    # frequency base; 0 = same base as global layers
+    rope_theta_swa: float = 0.0
 
     @property
     def head_dim(self) -> int:
@@ -75,7 +89,9 @@ class LlamaConfig:
         if vocab is None:
             vocab = len(md["tokenizer.ggml.tokens"])
         dim = int(g("embedding_length"))
-        gemma = arch == "gemma"
+        gemma = arch in ("gemma", "gemma2", "gemma3")
+        gemma2 = arch == "gemma2"
+        gemma3 = arch == "gemma3"
         # gemma's head_dim (attention.key_length) is decoupled from
         # dim / n_heads (e.g. 2B: dim 2048, 8 heads, head_dim 256)
         key_len = g("attention.key_length")
@@ -112,6 +128,16 @@ class LlamaConfig:
                       else None),
             n_experts=int(g("expert_count", 0) or 0),
             n_experts_used=int(g("expert_used_count", 0) or 0),
+            sliding_window=int(g("attention.sliding_window", 0) or 0),
+            # llama.cpp set_swa_pattern: every nth layer stays global —
+            # gemma2 alternates 1:1, gemma3 runs 5 local : 1 global
+            swa_pattern=2 if gemma2 else (6 if gemma3 else 1),
+            attn_softcap=float(g("attn_logit_softcapping", 0.0) or 0.0),
+            final_softcap=float(g("final_logit_softcapping", 0.0) or 0.0),
+            # gemma3 local layers keep the short-context base (10k) while
+            # global layers use rope.freq_base (1M)
+            rope_theta_swa=(float(g("rope.freq_base_swa", 10000.0) or 10000.0)
+                            if gemma3 else 0.0),
         )
 
     def to_gguf_metadata(self, arch: str = "llama") -> dict:
@@ -143,5 +169,13 @@ class LlamaConfig:
             **({f"{arch}.expert_count": self.n_experts,
                 f"{arch}.expert_used_count": self.n_experts_used}
                if self.n_experts else {}),
+            **({f"{arch}.attention.sliding_window": self.sliding_window}
+               if self.sliding_window else {}),
+            **({f"{arch}.rope.freq_base_swa": self.rope_theta_swa}
+               if self.rope_theta_swa else {}),
+            **({f"{arch}.attn_logit_softcapping": self.attn_softcap}
+               if self.attn_softcap else {}),
+            **({f"{arch}.final_logit_softcapping": self.final_softcap}
+               if self.final_softcap else {}),
             f"{arch}.context_length": self.max_seq_len,
         }

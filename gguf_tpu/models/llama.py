@@ -156,12 +156,13 @@ def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
     return jnp.cos(angles) * mscale, jnp.sin(angles) * mscale
 
 
-def rope_for_cfg(positions: jax.Array, cfg):
+def rope_for_cfg(positions: jax.Array, cfg, theta: float | None = None):
     """cos/sin for a model config — dispatches linear vs yarn scaling and
-    threads the optional per-dim frequency factors."""
+    threads the optional per-dim frequency factors. `theta` overrides the
+    frequency base (gemma3's sliding layers rotate at rope_theta_swa)."""
     rd = cfg.rope_dim or cfg.head_dim
     return rope_cos_sin(
-        positions, rd, cfg.rope_theta, cfg.rope_scale,
+        positions, rd, theta or cfg.rope_theta, cfg.rope_scale,
         kind=cfg.rope_scaling_kind, orig_ctx=cfg.rope_orig_ctx or cfg.max_seq_len,
         attn_factor=cfg.rope_attn_factor, freq_factors=cfg.rope_freq_factors)
 
@@ -235,14 +236,15 @@ def _cache_update(cache_l, new_k, new_v, pos):
 
 
 def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
-              rope=None, span: int | None = None):
+              rope=None, span: int | None = None, window: int = 0):
     """GQA attention over the INT8 cache. x: (B, T, dim); pos: (B,) start
     positions of the T new tokens per sequence; rope: optional precomputed
     (cos, sin) shared across layers (forward() hoists it out of the layer
     loop — the trig is position-only); span: static bound on how many cache
     rows are live (every pos + T <= span) — attention reads only that
     prefix, so HBM traffic scales with actual sequence depth instead of
-    cache capacity."""
+    cache capacity; window > 0 (static) restricts each query to the last
+    `window` key positions (gemma2-family sliding-window layers)."""
     b, t, _ = x.shape
     hd, h, kvh = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     xf = x.reshape(b * t, -1)
@@ -272,7 +274,9 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
 
     tok_pos = pos[:, None] + jnp.arange(t)[None, :]            # (B, T)
     rd = cfg.rope_dim or hd
-    cos, sin = rope if rope is not None else rope_for_cfg(tok_pos, cfg)
+    cos, sin = rope if rope is not None else rope_for_cfg(
+        tok_pos, cfg,
+        theta=cfg.rope_theta_swa if (window and cfg.rope_theta_swa) else None)
     # (B, T, rd/2)
     if rd < hd:   # partial rotary (phi2): rotate the leading rd dims only
         q = jnp.concatenate([apply_rope(q[..., :rd], cos[:, :, None, :],
@@ -284,6 +288,10 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
         k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
 
     if opts.seq_axis:
+        if window or cfg.attn_softcap:
+            raise NotImplementedError(
+                "sliding-window / softcap attention is not supported with "
+                "context parallelism yet")
         return _cp_attention(layer, x, cfg, cache_l, q, k, v, tok_pos, pos,
                              opts)
 
@@ -292,8 +300,11 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
     # the fused Pallas kernel holds one batch element's span-prefix K/V
     # (int8 + bf16 copies) in VMEM; past ~2M cache elements per program it
     # no longer fits (e.g. MHA-32/hd-128 beyond span 512) and attention
-    # falls back to the XLA einsum over the span slice
-    pallas_fits = kvh * span_eff * hd <= PALLAS_ATTN_MAX_ELEMS
+    # falls back to the XLA einsum over the span slice.
+    # Sliding-window / softcapped layers (gemma2-family) always take the
+    # XLA path: their masks/tanh are not in the fused kernels (yet).
+    pallas_fits = (kvh * span_eff * hd <= PALLAS_ATTN_MAX_ELEMS
+                   and not window and not cfg.attn_softcap)
     if t <= 8 and pallas_fits:
         # decode / short chunks: Pallas block-windowed cache insert
         # (aliased buffers, no HBM copies) + span-bounded attention over
@@ -309,7 +320,7 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
             span=span)
         cache_l = {"k": ck, "k_scale": cks, "v": cv, "v_scale": cvs}
         out = out.transpose(0, 2, 1, 3).reshape(b * t, h * hd)
-    elif t == 1 and span_eff % 256 == 0:
+    elif t == 1 and span_eff % 256 == 0 and not window and not cfg.attn_softcap:
         # long-span decode (engine steady state past the single-tile VMEM
         # budget): windowed insert + flash-decoding over 256-row S-tiles,
         # whose VMEM use is independent of span
@@ -353,8 +364,13 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
         qg = q.transpose(0, 2, 1, 3).reshape(b, kvh, h // kvh * t, hd)
         scores = jnp.einsum("bgqd,bgsd->bgqs", qg.astype(jnp.float32), k_all)
         scores = scores.reshape(b, kvh, h // kvh, t, s) / jnp.sqrt(hd).astype(jnp.float32)
+        if cfg.attn_softcap:   # gemma2: cap * tanh(score / cap), pre-mask
+            cap = jnp.float32(cfg.attn_softcap)
+            scores = cap * jnp.tanh(scores / cap)
 
         causal = jnp.arange(s)[None, None, :] <= tok_pos[:, :, None]  # (B, T, S)
+        if window:   # sliding-window layers: keys older than window drop out
+            causal &= jnp.arange(s)[None, None, :] > tok_pos[:, :, None] - window
         scores = jnp.where(causal[:, None, None, :, :], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1)
 
@@ -602,20 +618,36 @@ def forward(
     x = x.astype(jnp.bfloat16)
     tok_pos = pos[:, None] + jnp.arange(tokens.shape[1])[None, :]
     rope = rope_for_cfg(tok_pos, cfg)
+    # gemma3: sliding layers rotate at their own (short-context) base —
+    # computed once here, like the global pair
+    rope_swa = (rope_for_cfg(tok_pos, cfg, theta=cfg.rope_theta_swa)
+                if cfg.rope_theta_swa and cfg.swa_pattern > 1 else rope)
 
     new_layers = []
     for i, layer in enumerate(params["layers"]):
+        # gemma2/3-family: all but every swa_pattern-th layer slide
+        window = (cfg.sliding_window
+                  if cfg.swa_pattern > 1
+                  and i % cfg.swa_pattern != cfg.swa_pattern - 1 else 0)
         h = _norm(x, layer, "attn_norm", cfg)
         attn_out, cache_l = attention(layer, h, cfg, cache[i], pos, opts,
-                                      rope=rope, span=span)
+                                      rope=rope_swa if window else rope,
+                                      span=span, window=window)
+        if "post_attn_norm" in layer:   # gemma2: norm the branch output
+            attn_out = rms_norm(attn_out, layer["post_attn_norm"],
+                                cfg.norm_eps)
         if cfg.parallel_residual:
             # phi2: one shared pre-norm feeds both branches
             x = x + attn_out + mlp(layer, h, opts, cfg.act_fn)
         else:
             x = x + attn_out
             h = _norm(x, layer, "ffn_norm", cfg)
-            x = x + (moe_mlp(layer, h, cfg, opts) if "gate_inp" in layer
-                     else mlp(layer, h, opts, cfg.act_fn))
+            mlp_out = (moe_mlp(layer, h, cfg, opts) if "gate_inp" in layer
+                       else mlp(layer, h, opts, cfg.act_fn))
+            if "post_ffn_norm" in layer:
+                mlp_out = rms_norm(mlp_out, layer["post_ffn_norm"],
+                                   cfg.norm_eps)
+            x = x + mlp_out
         new_layers.append(cache_l)
     cache = new_layers
 
@@ -630,4 +662,8 @@ def forward(
     logits = logits[:, :cfg.vocab_size]
     if "output_bias" in params:   # phi2-family LM-head bias (unpadded)
         logits = logits + params["output_bias"].astype(logits.dtype)
-    return logits.reshape(b, t, -1).astype(jnp.float32), cache
+    logits = logits.reshape(b, t, -1).astype(jnp.float32)
+    if cfg.final_softcap:   # gemma2: cap * tanh(logits / cap)
+        cap = jnp.float32(cfg.final_softcap)
+        logits = cap * jnp.tanh(logits / cap)
+    return logits, cache

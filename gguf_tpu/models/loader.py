@@ -245,9 +245,12 @@ def load_llama(path: str):
             ] if v is not None},
             "wo": _load_weight(reader, p + "attn_output.weight"),
         }
-        # qwen3-family per-head q/k RMSNorm vectors (head_dim,)
+        # qwen3-family per-head q/k RMSNorm vectors (head_dim,);
+        # gemma2-family post-branch norms (dim,)
         for nk, tk in (("q_norm", "attn_q_norm.weight"),
-                       ("k_norm", "attn_k_norm.weight")):
+                       ("k_norm", "attn_k_norm.weight"),
+                       ("post_attn_norm", "post_attention_norm.weight"),
+                       ("post_ffn_norm", "post_ffw_norm.weight")):
             if p + tk in reader.tensors:
                 layer[nk] = jnp.asarray(reader.load_array(p + tk),
                                         jnp.float32)
@@ -428,6 +431,13 @@ def write_random_llama_gguf(
             tensors[p + "attn_k_norm.weight"] = (
                 GGMLType.F32, (hd,),
                 (1.0 + 0.1 * rng.standard_normal(hd)).astype(np.float32))
+        if arch == "gemma2":  # post-branch norms (random: exercised, not 1)
+            tensors[p + "post_attention_norm.weight"] = (
+                GGMLType.F32, (d,),
+                (1.0 + 0.1 * rng.standard_normal(d)).astype(np.float32))
+            tensors[p + "post_ffw_norm.weight"] = (
+                GGMLType.F32, (d,),
+                (1.0 + 0.1 * rng.standard_normal(d)).astype(np.float32))
         if cfg.n_experts:
             # mixtral-family MoE: random router (breaks routing ties so
             # tests exercise real top-k selection) + 3-D expert stacks

@@ -71,6 +71,8 @@ LAYER_KINDS = {
     "attn_norm": REP, "ffn_norm": REP,
     # qwen3-family per-head q/k norms: (head_dim,), same for every head
     "q_norm": REP, "k_norm": REP,
+    # gemma2-family post-branch norms: (dim,), replicated like attn_norm
+    "post_attn_norm": REP, "post_ffn_norm": REP,
     "wq": COL, "wk": COL, "wv": COL, "wo": ROW,
     "gate": COL, "up": COL, "down": ROW,
     # fused projections (fuse_llama_params(tp=...) interleaves per-shard,

@@ -548,3 +548,29 @@ def test_embed_pooling_and_batch_independence(llm):
     # unnormalized: raw hidden scale preserved
     e_raw = llm.embed([[1, 5, 9]], normalize=False)
     assert abs(np.linalg.norm(e_raw[0]) - 1.0) > 1e-3
+
+
+def test_sampler_logit_bias():
+    """OpenAI logit_bias: -100 bans the natural argmax, +100 forces a
+    token, and it applies on the greedy path too."""
+    from gguf_tpu.engine.sampler import SamplerConfig, sample
+
+    logits = jnp.asarray([[0.0, 5.0, 1.0, 2.0]])
+    key = jax.random.PRNGKey(0)
+    ban = SamplerConfig(logit_bias=((1, -100.0),))
+    assert int(sample(logits, key, ban)[0]) == 3
+    force = SamplerConfig(temperature=1.0, logit_bias=((0, 100.0),))
+    assert int(sample(logits, key, force)[0]) == 0
+
+
+def test_generate_logit_bias_bans_token(llm):
+    """A -100 bias on the greedy pick changes the emitted stream, and the
+    banned token never appears."""
+    g = SamplerConfig(temperature=0.0)
+    [base] = llm.generate([[1, 5, 9]], max_new_tokens=6, sampler=g,
+                          stop_at_eos=False)
+    banned = base.token_ids[0]
+    gb = SamplerConfig(temperature=0.0, logit_bias=((banned, -100.0),))
+    [out] = llm.generate([[1, 5, 9]], max_new_tokens=6, sampler=gb,
+                         stop_at_eos=False)
+    assert banned not in out.token_ids

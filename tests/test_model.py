@@ -750,3 +750,165 @@ def test_qwen3_accuracy_gate_golden_vs_served(tmp_path):
                              opts=MMOpts(act_quant=True, precision="high"))
     assert np.isfinite(ppl_golden)
     assert abs(ppl - ppl_golden) < 1e-2 * ppl_golden, (ppl, ppl_golden)
+
+
+def test_gemma2_arch_forward_matches_numpy(tmp_path):
+    """Gemma2 family: alternating sliding-window layers (even layers slide,
+    every 2nd stays global), attention + final logit soft-capping, and
+    post-branch RMSNorms — all against a from-scratch numpy reference."""
+    cfg0 = LlamaConfig(vocab_size=64, dim=512, n_layers=2, n_heads=4,
+                       n_kv_heads=2, ffn_dim=256, max_seq_len=32,
+                       head_dim_override=64, sliding_window=3,
+                       swa_pattern=2, attn_softcap=20.0, final_softcap=15.0)
+    path = str(tmp_path / "gemma2.gguf")
+    write_random_llama_gguf(path, cfg0, fmt=GGMLType.Q4_K, seed=17,
+                            arch="gemma2")
+    cfg, params = load_llama(path)
+    assert cfg.act_fn == "gelu_tanh" and cfg.swa_pattern == 2
+    assert cfg.sliding_window == 3 and cfg.attn_softcap == 20.0
+    assert "post_attn_norm" in params["layers"][0]
+
+    rng = np.random.default_rng(4)
+    tokens = rng.integers(0, cfg.vocab_size, (1, 6)).astype(np.int32)
+    cache = init_kv_cache(cfg, batch=1, max_seq=16)
+    logits, _ = forward(params, cfg, jnp.asarray(tokens),
+                        jnp.zeros(1, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    got = np.asarray(logits)
+
+    r = GGUFReader(path)
+    deq = lambda n: r.dequantize(n)
+    b, t = tokens.shape
+    hd, h, kvh = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    x = deq("token_embd.weight")[tokens.reshape(-1)].reshape(b, t, cfg.dim)
+    x = x * np.float32(jnp.bfloat16(cfg.embed_scale))
+
+    def rmsn(x, w):
+        return x / np.sqrt(np.mean(x * x, -1, keepdims=True) + cfg.norm_eps) * w
+
+    posn = np.arange(t)
+    freqs = cfg.rope_theta ** (-np.arange(0, hd, 2) / hd)
+    ang = posn[:, None] * freqs[None, :]
+    cos, sin = np.cos(ang), np.sin(ang)
+
+    def rope(xh):
+        x2 = xh.reshape(*xh.shape[:-1], -1, 2)
+        e, o = x2[..., 0], x2[..., 1]
+        c, s = cos[None, :, None, :], sin[None, :, None, :]
+        return np.stack([e * c - o * s, e * s + o * c], -1).reshape(xh.shape)
+
+    def gelu_tanh(v):
+        return 0.5 * v * (1 + np.tanh(np.sqrt(2 / np.pi) * (v + 0.044715 * v**3)))
+
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        hx = rmsn(x, r.load_array(p + "attn_norm.weight"))
+        q = (hx @ deq(p + "attn_q.weight").T).reshape(b, t, h, hd)
+        k = (hx @ deq(p + "attn_k.weight").T).reshape(b, t, kvh, hd)
+        v = (hx @ deq(p + "attn_v.weight").T).reshape(b, t, kvh, hd)
+        q, k = rope(q), rope(k)
+        rep = h // kvh
+        k = np.repeat(k, rep, axis=2)
+        v = np.repeat(v, rep, axis=2)
+        scores = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        scores = cfg.attn_softcap * np.tanh(scores / cfg.attn_softcap)
+        mask = np.tril(np.ones((t, t), bool))
+        if i % cfg.swa_pattern != cfg.swa_pattern - 1:   # sliding layer
+            qpos = np.arange(t)[:, None]
+            kpos = np.arange(t)[None, :]
+            mask = mask & (kpos > qpos - cfg.sliding_window)
+        scores = np.where(mask[None, None], scores, -np.inf)
+        probs = np.exp(scores - scores.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        att = np.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, h * hd)
+        att = att @ deq(p + "attn_output.weight").T
+        att = rmsn(att, r.load_array(p + "post_attention_norm.weight"))
+        x = x + att
+        hx = rmsn(x, r.load_array(p + "ffn_norm.weight"))
+        g = hx @ deq(p + "ffn_gate.weight").T
+        u = hx @ deq(p + "ffn_up.weight").T
+        m = (gelu_tanh(g) * u) @ deq(p + "ffn_down.weight").T
+        m = rmsn(m, r.load_array(p + "post_ffw_norm.weight"))
+        x = x + m
+
+    x = rmsn(x, r.load_array("output_norm.weight"))
+    ref = x @ deq("output.weight").T
+    ref = cfg.final_softcap * np.tanh(ref / cfg.final_softcap)
+    r.close()
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 0.04, \
+        np.max(np.abs(got - ref)) / denom
+
+    # the window actually bites: a config without SWA diverges on the
+    # same weights once the prompt exceeds the window
+    import dataclasses
+    cfg_full = dataclasses.replace(cfg, sliding_window=0, swa_pattern=1)
+    logits_full, _ = forward(params, cfg_full, jnp.asarray(tokens),
+                             jnp.zeros(1, jnp.int32),
+                             init_kv_cache(cfg, 1, 16),
+                             opts=MMOpts(precision="high"))
+    assert float(jnp.max(jnp.abs(logits - logits_full))) > 1e-3
+
+
+def test_gemma2_decode_matches_prefill(tmp_path):
+    """Sliding-window decode through the INT8 cache: stepwise T=1 decode
+    must reproduce the one-shot prefill logits at every position."""
+    cfg0 = LlamaConfig(vocab_size=64, dim=256, n_layers=2, n_heads=4,
+                       n_kv_heads=2, ffn_dim=256, max_seq_len=32,
+                       sliding_window=3, swa_pattern=2,
+                       attn_softcap=20.0, final_softcap=15.0)
+    path = str(tmp_path / "g2d.gguf")
+    write_random_llama_gguf(path, cfg0, fmt=GGMLType.Q4_K, seed=18,
+                            arch="gemma2")
+    cfg, params = load_llama(path)
+    rng = np.random.default_rng(5)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 6)), jnp.int32)
+    opts = MMOpts(precision="high")
+
+    pre, _ = forward(params, cfg, toks, jnp.zeros(1, jnp.int32),
+                     init_kv_cache(cfg, 1, 16), opts)
+    cache = init_kv_cache(cfg, 1, 16)
+    for t in range(6):
+        lg, cache = forward(params, cfg, toks[:, t:t + 1],
+                            jnp.full(1, t, jnp.int32), cache, opts)
+        np.testing.assert_allclose(np.asarray(lg[0, 0]),
+                                   np.asarray(pre[0, t]), atol=3e-2)
+
+
+def test_gemma3_arch_serves(tmp_path):
+    """Gemma3 family: 5:1 sliding pattern, QK-norm + post-branch norms,
+    dual rope bases (local layers at rope_theta_swa). Config parses, the
+    forward runs, and the local-theta rope actually differs from a config
+    forced onto the global base."""
+    import dataclasses
+
+    cfg0 = LlamaConfig(vocab_size=64, dim=256, n_layers=2, n_heads=4,
+                       n_kv_heads=2, ffn_dim=256, max_seq_len=32,
+                       sliding_window=3, rope_theta=1_000_000.0)
+    path = str(tmp_path / "g3.gguf")
+    write_random_llama_gguf(path, cfg0, fmt=GGMLType.Q4_K, seed=19,
+                            arch="gemma3")
+    cfg, params = load_llama(path)
+    assert cfg.swa_pattern == 6 and cfg.rope_theta_swa == 10000.0
+    assert cfg.rope_theta == 1_000_000.0
+    assert cfg.act_fn == "gelu_tanh"
+
+    rng = np.random.default_rng(6)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 6)), jnp.int32)
+    opts = MMOpts(precision="high")
+    out, _ = forward(params, cfg, toks, jnp.zeros(1, jnp.int32),
+                     init_kv_cache(cfg, 1, 16), opts)
+    assert bool(jnp.isfinite(out).all())
+    # layer 0 and 1 both slide (pattern 6, 2 layers) -> forcing the global
+    # base onto sliding layers changes the logits
+    cfg_one = dataclasses.replace(cfg, rope_theta_swa=cfg.rope_theta)
+    out2, _ = forward(params, cfg_one, toks, jnp.zeros(1, jnp.int32),
+                      init_kv_cache(cfg, 1, 16), opts)
+    assert float(jnp.max(jnp.abs(out - out2))) > 1e-4
+    # and stepwise decode matches prefill through the cache
+    cache = init_kv_cache(cfg, 1, 16)
+    for t in range(6):
+        lg, cache = forward(params, cfg, toks[:, t:t + 1],
+                            jnp.full(1, t, jnp.int32), cache, opts)
+    np.testing.assert_allclose(np.asarray(lg[0, 0]), np.asarray(out[0, -1]),
+                               atol=3e-2)
