@@ -230,6 +230,7 @@ class LLM:
         ep: int = 1,
         prefill_chunk: int = 512,
         draft: str | None = None,
+        prefix_cache: bool = True,
     ):
         """tp > 1 serves the model tensor-sharded (Megatron column/row
         sharding, psum over ICI — parallel/tp.py); dp > 1 additionally
@@ -249,7 +250,14 @@ class LLM:
         drafts k tokens with the draft model's own greedy decode loop and
         verifies them with one t=k+1 target forward (greedy-exact, like
         the prompt-lookup path but effective on non-repetitive text).
-        Single-chip serving only for now."""
+        Single-chip serving only for now.
+
+        `prefix_cache`: reuse each slot's resident KV rows across
+        generate() calls — a new prompt sharing a prefix with whatever
+        that slot last served prefills only the suffix (vLLM-style
+        automatic prefix caching, exact: the reused rows are the ones the
+        identical recomputation would produce). `llm.prefix_cache_hits`
+        counts reused tokens."""
         self.cfg, self.params = load_llama(path)
         sharded = tp > 1 or dp > 1 or sp > 1 or ep > 1
         # single-chip fuses here; the sharded path fuses inside shard_llama
@@ -267,6 +275,11 @@ class LLM:
         # KV cache + span)
         self.prefill_chunk = max(8, prefill_chunk)
         self.opts = opts
+        self.prefix_cache = prefix_cache
+        self.prefix_cache_hits = 0
+        # slot -> (token history whose KV is resident, written row count);
+        # recorded when a slot is released, consumed at the next admit
+        self._slot_history: dict[int, tuple[list, int]] = {}
 
         if sharded:
             from ..parallel import (
@@ -497,6 +510,9 @@ class LLM:
         if not free:
             raise RuntimeError("all slots reserved by sessions")
         self._reserved.add(free[0])
+        # the session will overwrite this slot's rows; its recorded prefix
+        # history (if any) is no longer the cache contents
+        self._slot_history.pop(free[0], None)
         return ChatSession(self, free[0])
 
     def encode_chat(self, messages,
@@ -731,10 +747,23 @@ class LLM:
                 rid, ids = queue.pop()
                 n = len(ids)
                 assert n < self.max_seq, f"prompt ({n}) exceeds max_seq {self.max_seq}"
-                logits = self._prefill_chunks(ids, s)
+                # prefix cache: reuse this slot's resident KV rows for the
+                # longest shared prompt prefix (capped at n-1 so the last
+                # token always runs — its logits seed sampling)
+                hist, rows = self._slot_history.pop(s, (None, 0))
+                common = 0
+                if self.prefix_cache and hist:
+                    lim = min(len(hist), rows, n - 1)
+                    while common < lim and hist[common] == ids[common]:
+                        common += 1
+                    if common < 8:   # below a prefill bucket: not worth a
+                        common = 0   # distinct start-offset specialization
+                    self.prefix_cache_hits += common
+                logits = self._prefill_chunks(ids[common:], s, start=common)
                 if speculative > 0 and self._draft_spec_decode is not None:
                     # the draft model drafts from its own cache: give it the
-                    # same prompt at the same positions
+                    # same prompt at the same positions (no history is
+                    # tracked for the draft cache — full prefill)
                     self._prefill_chunks(ids, s, draft=True)
                 key, sub = jax.random.split(key)
                 cnt1 = (_ids_counts({0: ids})[:1]
@@ -782,6 +811,13 @@ class LLM:
                     res.token_ids.pop()
                     if res.logprobs:
                         res.logprobs.pop()
+                if self.prefix_cache:
+                    # rows 0..pos-1 hold prompt + emitted tokens in order
+                    # (the newest token's KV is never inserted before the
+                    # slot is released, hence the pos[s] cap)
+                    self._slot_history[s] = (
+                        list(res.prompt_ids) + list(res.token_ids),
+                        int(pos[s]))
                 slots[s] = None
 
         admit()

@@ -16,6 +16,9 @@ class SamplerConfig:
     top_p: float = 1.0         # 1 => disabled
     min_p: float = 0.0         # 0 => disabled (keep tokens with
                                # prob >= min_p * max_prob)
+    typical_p: float = 1.0     # 1 => disabled (locally typical sampling:
+                               # keep the smallest set of tokens whose
+                               # |-log p - H| is lowest with cum prob >= tp)
     # context-repetition penalties; counts cover the WHOLE context
     # (prompt + generated), the OpenAI semantics
     repeat_penalty: float = 1.0    # llama.cpp: >1 shrinks seen tokens'
@@ -71,6 +74,22 @@ def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig,
     if cfg.top_k > 0:
         kth = jnp.sort(logits, axis=-1)[:, -cfg.top_k][:, None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if cfg.typical_p < 1.0:
+        # locally typical sampling (Meister et al., llama.cpp --typical):
+        # rank tokens by |surprisal - entropy|, keep the most typical set
+        # whose cumulative probability reaches typical_p
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        p = jnp.exp(lp)
+        ent = -jnp.sum(jnp.where(p > 0, p * lp, 0.0), axis=-1, keepdims=True)
+        score = jnp.abs(-lp - ent)
+        order = jnp.argsort(score, axis=-1)                  # ascending
+        p_sorted = jnp.take_along_axis(p, order, axis=-1)
+        cum = jnp.cumsum(p_sorted, axis=-1)
+        n_keep = jnp.sum(cum < cfg.typical_p, axis=-1, keepdims=True) + 1
+        keep_sorted = jnp.arange(p.shape[-1])[None, :] < n_keep
+        rows = jnp.arange(p.shape[0])[:, None]
+        keep = jnp.zeros_like(keep_sorted).at[rows, order].set(keep_sorted)
+        logits = jnp.where(keep, logits, -jnp.inf)
     if cfg.min_p > 0.0:
         probs = jax.nn.softmax(logits, axis=-1)
         cutoff = cfg.min_p * jnp.max(probs, axis=-1, keepdims=True)

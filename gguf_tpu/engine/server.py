@@ -376,6 +376,7 @@ def make_handler(worker: EngineWorker):
                     top_k=int(payload.get("top_k", 0)),
                     top_p=float(payload.get("top_p", 1.0)),
                     min_p=float(payload.get("min_p", 0.0)),
+                    typical_p=float(payload.get("typical_p", 1.0)),
                     repeat_penalty=float(payload.get("repeat_penalty", 1.0)),
                     presence_penalty=float(payload.get("presence_penalty", 0.0)),
                     frequency_penalty=float(payload.get("frequency_penalty", 0.0)),

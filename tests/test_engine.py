@@ -574,3 +574,75 @@ def test_generate_logit_bias_bans_token(llm):
     [out] = llm.generate([[1, 5, 9]], max_new_tokens=6, sampler=gb,
                          stop_at_eos=False)
     assert banned not in out.token_ids
+
+
+def test_prefix_cache_reuse_exact(tmp_path):
+    """Automatic prefix caching: a repeated prompt prefills only its last
+    token, a diverging prompt reuses the shared prefix, and every reuse
+    produces exactly the cold-start greedy stream."""
+    path = str(tmp_path / "pc.gguf")
+    write_random_llama_gguf(path, CFG, fmt=GGMLType.Q4_K, seed=3)
+    g = SamplerConfig(temperature=0.0)
+    p1 = [1, 5, 9, 2, 7, 11, 3, 8, 6, 4, 10, 12]
+    p2 = p1[:10] + [13, 14]
+
+    cold = LLM(path, max_batch=1, max_seq=64, prefix_cache=False)
+    base1 = cold.generate([p1], max_new_tokens=6, sampler=g,
+                          stop_at_eos=False)[0]
+    base2 = cold.generate([p2], max_new_tokens=6, sampler=g,
+                          stop_at_eos=False)[0]
+    assert cold.prefix_cache_hits == 0
+
+    llm = LLM(path, max_batch=1, max_seq=64)
+    warm1 = llm.generate([p1], max_new_tokens=6, sampler=g,
+                         stop_at_eos=False)[0]
+    assert llm.prefix_cache_hits == 0          # first visit: cold
+    warm2 = llm.generate([p1], max_new_tokens=6, sampler=g,
+                         stop_at_eos=False)[0]
+    assert llm.prefix_cache_hits == len(p1) - 1  # full prompt minus seed
+    warm3 = llm.generate([p2], max_new_tokens=6, sampler=g,
+                         stop_at_eos=False)[0]
+    assert llm.prefix_cache_hits == len(p1) - 1 + 10  # shared prefix
+
+    assert warm1.token_ids == base1.token_ids
+    assert warm2.token_ids == base1.token_ids
+    assert warm3.token_ids == base2.token_ids
+
+
+def test_prefix_cache_session_invalidation(tmp_path):
+    """A ChatSession overwrites its pinned slot; the recorded history must
+    not be reused afterwards (correct tokens still come out)."""
+    path = str(tmp_path / "pci.gguf")
+    write_random_llama_gguf(path, CFG, fmt=GGMLType.Q4_K, seed=3)
+    g = SamplerConfig(temperature=0.0)
+    p = [1, 5, 9, 2, 7, 11, 3, 8, 6, 4]
+    llm = LLM(path, max_batch=1, max_seq=64)
+    base = llm.generate([p], max_new_tokens=4, sampler=g,
+                        stop_at_eos=False)[0]
+    sess = llm.start_session()
+    sess.send([2, 4, 6], max_new_tokens=3, sampler=g, stop_at_eos=False)
+    sess.close()
+    hits_before = llm.prefix_cache_hits
+    again = llm.generate([p], max_new_tokens=4, sampler=g,
+                         stop_at_eos=False)[0]
+    assert llm.prefix_cache_hits == hits_before  # no reuse after session
+    assert again.token_ids == base.token_ids
+
+
+def test_sampler_typical_p():
+    """Locally typical sampling keeps the tokens whose surprisal is
+    closest to the entropy: for a peaked distribution a small typical_p
+    keeps only the peak; typical_p=1 is a no-op."""
+    from gguf_tpu.engine.sampler import SamplerConfig, sample
+
+    logits = jnp.asarray([[6.0, 1.0, 0.5, 0.0]])
+    cfg = SamplerConfig(temperature=1.0, typical_p=0.5)
+    picks = {int(sample(logits, jax.random.PRNGKey(i), cfg)[0])
+             for i in range(25)}
+    assert picks == {0}, picks
+    # near-uniform: a mid typical_p keeps a strict subset, sampling works
+    logits2 = jnp.asarray([[1.0, 1.01, 0.99, 1.0]])
+    cfg2 = SamplerConfig(temperature=1.0, typical_p=0.6)
+    picks2 = {int(sample(logits2, jax.random.PRNGKey(i), cfg2)[0])
+              for i in range(40)}
+    assert 1 <= len(picks2) <= 3
