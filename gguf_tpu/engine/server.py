@@ -329,6 +329,7 @@ def make_handler(worker: EngineWorker):
             elif self.path == "/metrics":
                 m = dict(worker.metrics)
                 m["queue_depth"] = worker.queue.qsize()
+                m["prefix_cache_hit_tokens_total"] = worker.llm.prefix_cache_hits
                 self._reply(200, m)
             else:
                 self._reply(404, {"error": "not found"})
