@@ -527,15 +527,21 @@ class LLM:
             raise ValueError("model file has no embedded tokenizer")
         return encode_with_specials(self.tokenizer, text)
 
+    # llama.cpp's fallback for template-less checkpoints: plain ChatML
+    CHATML_TEMPLATE = (
+        "{% for message in messages %}"
+        "<|im_start|>{{ message.role }}\n{{ message.content }}<|im_end|>\n"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}<|im_start|>assistant\n{% endif %}")
+
     def apply_chat_template(self, messages,
                             add_generation_prompt: bool = True) -> str:
         """Render the GGUF's embedded jinja chat template
         (tokenizer.chat_template) over OpenAI-style messages
-        [{"role": ..., "content": ...}, ...]. Raises ValueError when the
-        checkpoint ships no template."""
+        [{"role": ..., "content": ...}, ...]. Checkpoints without a
+        template fall back to ChatML (llama.cpp's default)."""
         if not self.chat_template:
-            raise ValueError(
-                "model has no tokenizer.chat_template; use plain prompts")
+            self.chat_template = self.CHATML_TEMPLATE
         try:
             import jinja2
         except ImportError as e:  # optional extra: gguf_tpu[chat]

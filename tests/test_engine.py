@@ -646,3 +646,13 @@ def test_sampler_typical_p():
     picks2 = {int(sample(logits2, jax.random.PRNGKey(i), cfg2)[0])
               for i in range(40)}
     assert 1 <= len(picks2) <= 3
+
+
+def test_chat_template_chatml_fallback(llm):
+    """A checkpoint without tokenizer.chat_template renders via the ChatML
+    fallback (llama.cpp's default for template-less models)."""
+    assert llm.chat_template is None or "im_start" not in str(llm.chat_template)
+    text = llm.apply_chat_template(
+        [{"role": "user", "content": "hello"}])
+    assert "<|im_start|>user\nhello<|im_end|>" in text
+    assert text.endswith("<|im_start|>assistant\n")
