@@ -300,11 +300,10 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
     # the fused Pallas kernel holds one batch element's span-prefix K/V
     # (int8 + bf16 copies) in VMEM; past ~2M cache elements per program it
     # no longer fits (e.g. MHA-32/hd-128 beyond span 512) and attention
-    # falls back to the XLA einsum over the span slice.
-    # Sliding-window / softcapped layers (gemma2-family) always take the
-    # XLA path: their masks/tanh are not in the fused kernels (yet).
-    pallas_fits = (kvh * span_eff * hd <= PALLAS_ATTN_MAX_ELEMS
-                   and not window and not cfg.attn_softcap)
+    # falls back to the XLA einsum over the span slice. Sliding-window /
+    # softcapped layers (gemma2-family) ride the same kernels — the window
+    # is one extra iota compare, the cap one tanh, both pre-softmax.
+    pallas_fits = kvh * span_eff * hd <= PALLAS_ATTN_MAX_ELEMS
     if t <= 8 and pallas_fits:
         # decode / short chunks: Pallas block-windowed cache insert
         # (aliased buffers, no HBM copies) + span-bounded attention over
@@ -317,10 +316,10 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
             v.transpose(0, 2, 1, 3).astype(jnp.float32),
             cache_l["k"], cache_l["k_scale"], cache_l["v"],
             cache_l["v_scale"], pos, t=t, precision=opts.precision,
-            span=span)
+            span=span, window=window, softcap=cfg.attn_softcap)
         cache_l = {"k": ck, "k_scale": cks, "v": cv, "v_scale": cvs}
         out = out.transpose(0, 2, 1, 3).reshape(b * t, h * hd)
-    elif t == 1 and span_eff % 256 == 0 and not window and not cfg.attn_softcap:
+    elif t == 1 and span_eff % 256 == 0:
         # long-span decode (engine steady state past the single-tile VMEM
         # budget): windowed insert + flash-decoding over 256-row S-tiles,
         # whose VMEM use is independent of span
@@ -334,7 +333,8 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
         cache_l = {"k": ck, "k_scale": cks, "v": cv, "v_scale": cvs}
         out = decode_attention_tiled(
             q.transpose(0, 2, 1, 3), ck, cks, cv, cvs, pos,
-            precision=opts.precision, span=span_eff)
+            precision=opts.precision, span=span_eff,
+            window=window, softcap=cfg.attn_softcap)
         out = out.transpose(0, 2, 1, 3).reshape(b * t, h * hd)
     else:
         if t <= 16:

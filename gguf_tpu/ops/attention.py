@@ -196,8 +196,8 @@ def kv_cache_insert(
 # -------------------------------------------------------- decode attention ---
 
 
-def _attn_kernel(t, kvh, g, scale, fast, cross, q_ref, k_ref, ks_ref, v_ref,
-                 vs_ref, pos_ref, out_ref):
+def _attn_kernel(t, kvh, g, scale, fast, cross, window, softcap,
+                 q_ref, k_ref, ks_ref, v_ref, vs_ref, pos_ref, out_ref):
     """One batch element over the first `span` cache rows (the BlockSpecs
     hand this kernel only that prefix). Two bodies:
 
@@ -225,10 +225,14 @@ def _attn_kernel(t, kvh, g, scale, fast, cross, q_ref, k_ref, ks_ref, v_ref,
             preferred_element_type=jnp.float32, precision=prec)  # (R, KVH*S)
         scores = scores * (ks_ref[0].reshape(1, kvh * s).astype(jnp.float32)
                            * scale)
+        if softcap:   # gemma2: cap * tanh(score / cap), pre-mask
+            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
         rr = jax.lax.broadcasted_iota(jnp.int32, (r, kvh * s), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (r, kvh * s), 1)
         own = (cc // s) == (rr // g)
         causal = (cc % s) <= pos
+        if window:    # sliding-window layers: old keys drop out
+            causal &= (cc % s) > pos - window
         scores = jnp.where(own & causal, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
@@ -252,9 +256,14 @@ def _attn_kernel(t, kvh, g, scale, fast, cross, q_ref, k_ref, ks_ref, v_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         scores = scores * (ks * scale)                   # (Q, span)
+        if softcap:
+            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
         row_tok = jax.lax.broadcasted_iota(jnp.int32, (qn, sv), 0) % t
         col = jax.lax.broadcasted_iota(jnp.int32, (qn, sv), 1)
-        scores = jnp.where(col <= pos + row_tok, scores, NEG_INF)
+        live = col <= pos + row_tok
+        if window:
+            live &= col > pos + row_tok - window
+        scores = jnp.where(live, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -264,7 +273,8 @@ def _attn_kernel(t, kvh, g, scale, fast, cross, q_ref, k_ref, ks_ref, v_ref,
             preferred_element_type=jnp.float32, precision=prec)
 
 
-@functools.partial(jax.jit, static_argnames=("t", "precision", "span"))
+@functools.partial(jax.jit, static_argnames=("t", "precision", "span",
+                                             "window", "softcap"))
 def decode_attention(
     q: jax.Array,        # (B, H, t, hd) — rope already applied
     k: jax.Array,        # (B, KVH, S, hd) int8 cache
@@ -276,11 +286,15 @@ def decode_attention(
     t: int,
     precision: str = "fast",
     span: int | None = None,
+    window: int = 0,
+    softcap: float = 0.0,
 ) -> jax.Array:
     """Fused GQA decode attention; returns (B, H, t, hd) f32. The t new
     tokens' K/V must already be written to the cache at pos..pos+t-1, and
     every pos must satisfy pos + t <= span: only the first `span` cache
-    rows are read (HBM traffic scales with span, not cache capacity)."""
+    rows are read (HBM traffic scales with span, not cache capacity).
+    `window` > 0 restricts each query to its last `window` key positions;
+    `softcap` > 0 applies cap*tanh(score/cap) pre-mask (gemma2-family)."""
     b, h, tt, hd = q.shape
     assert tt == t
     _, kvh, s, _ = k.shape
@@ -303,7 +317,7 @@ def decode_attention(
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, t, kvh, g, scale,
-                          precision == "fast", cross),
+                          precision == "fast", cross, window, softcap),
         grid=(b,),
         in_specs=[
             blk(kvh, g * t, hd),
@@ -328,8 +342,9 @@ def decode_attention(
 # ------------------------------------------------- tiled (long-span) form ---
 
 
-def _attn_tiled_kernel(kvh, g, ts, scale, fast, q_ref, k_ref, ks_ref, v_ref,
-                       vs_ref, pos_ref, out_ref, acc_ref, m_ref, l_ref):
+def _attn_tiled_kernel(kvh, g, ts, scale, fast, window, softcap,
+                       q_ref, k_ref, ks_ref, v_ref, vs_ref, pos_ref,
+                       out_ref, acc_ref, m_ref, l_ref):
     """Flash-decoding over S-tiles: grid (B, span/ts), online softmax in
     VMEM scratch, so the working set is one (kvh, ts, hd) K/V tile instead
     of the whole span — any span fits. t == 1 only (the engine's decode
@@ -358,10 +373,14 @@ def _attn_tiled_kernel(kvh, g, ts, scale, fast, q_ref, k_ref, ks_ref, v_ref,
         preferred_element_type=jnp.float32, precision=prec)   # (R, KVH*ts)
     scores = scores * (ks_ref[0].reshape(1, kvh * ts).astype(jnp.float32)
                        * scale)
+    if softcap:
+        scores = softcap * jnp.tanh(scores * (1.0 / softcap))
     rr = jax.lax.broadcasted_iota(jnp.int32, (r, kvh * ts), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (r, kvh * ts), 1)
     own = (cc // ts) == (rr // g)
     causal = (j * ts + cc % ts) <= pos
+    if window:
+        causal &= (j * ts + cc % ts) > pos - window
     scores = jnp.where(own & causal, scores, NEG_INF)
 
     m_old = m_ref[:, :1]                                      # (R, 1)
@@ -380,7 +399,8 @@ def _attn_tiled_kernel(kvh, g, ts, scale, fast, q_ref, k_ref, ks_ref, v_ref,
         out_ref[0] = (acc_ref[:] / l_ref[:, :1]).reshape(kvh, g, hd)
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "span"))
+@functools.partial(jax.jit, static_argnames=("precision", "span",
+                                             "window", "softcap"))
 def decode_attention_tiled(
     q: jax.Array,        # (B, H, 1, hd) — rope already applied
     k: jax.Array,        # (B, KVH, S, hd) int8 cache
@@ -391,11 +411,14 @@ def decode_attention_tiled(
     *,
     precision: str = "fast",
     span: int | None = None,
+    window: int = 0,
+    softcap: float = 0.0,
 ) -> jax.Array:
     """Single-token GQA decode attention for spans too large for the
     single-tile kernel: S is processed in 256-row tiles with online
     softmax, so VMEM use is independent of span. Same contract as
-    decode_attention with t=1."""
+    decode_attention with t=1 (incl. window/softcap; fully-masked tiles
+    contribute zero probability mass and fall out of the online sums)."""
     b, h, tt, hd = q.shape
     assert tt == 1, "tiled decode attention is single-token only"
     _, kvh, s, _ = k.shape
@@ -410,7 +433,7 @@ def decode_attention_tiled(
 
     out = pl.pallas_call(
         functools.partial(_attn_tiled_kernel, kvh, g, ts, scale,
-                          precision == "fast"),
+                          precision == "fast", window, softcap),
         grid=(b, span // ts),
         in_specs=[
             pl.BlockSpec((1, kvh, g, hd), lambda i, j: (i, 0, 0, 0),
@@ -443,7 +466,8 @@ def decode_attention_tiled(
     return out.reshape(b, h, 1, hd)
 
 
-@functools.partial(jax.jit, static_argnames=("t", "precision", "span"))
+@functools.partial(jax.jit, static_argnames=("t", "precision", "span",
+                                             "window", "softcap"))
 def decode_attention_update(
     q: jax.Array,        # (B, H, t, hd) — rope applied
     k_new: jax.Array,    # (B, KVH, t, hd) f32 — rope applied
@@ -457,6 +481,8 @@ def decode_attention_update(
     t: int,
     precision: str = "fast",
     span: int | None = None,
+    window: int = 0,
+    softcap: float = 0.0,
 ):
     """Cache-insert + GQA decode attention: quantizes the t new K/V rows to
     int8, writes them at pos..pos+t-1 (block-windowed, aliased — no full
@@ -466,5 +492,6 @@ def decode_attention_update(
     k, k_scale, v, v_scale = kv_cache_insert(
         k_new, v_new, k, k_scale, v, v_scale, pos, t=t)
     out = decode_attention(q, k, k_scale, v, v_scale, pos, t=t,
-                           precision=precision, span=span)
+                           precision=precision, span=span,
+                           window=window, softcap=softcap)
     return out, k, k_scale, v, v_scale

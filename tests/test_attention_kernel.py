@@ -198,3 +198,72 @@ def test_tiled_decode_attention_matches_single_tile(b, h, kvh, s, hd):
         # spans shorter than pos+1 only cover prefixes; compare where valid
         valid = np.asarray(pos) < span
         np.testing.assert_allclose(out[valid], ref[valid], rtol=0, atol=2e-5)
+
+
+def _reference_swa(q, k_i, ks, v_i, vs, pos, t, window=0, softcap=0.0):
+    """_reference plus sliding window and score soft-capping."""
+    b, h, _, hd = q.shape
+    kvh, s = k_i.shape[1], k_i.shape[2]
+    g = h // kvh
+    k_all = np.asarray(k_i).astype(np.float64) * np.asarray(ks)[..., None]
+    v_all = np.asarray(v_i).astype(np.float64) * np.asarray(vs)[..., None]
+    qg = np.asarray(q).astype(np.float64).reshape(b, kvh, g * t, hd)
+    scores = np.einsum("bgqd,bgsd->bgqs", qg, k_all) / np.sqrt(hd)
+    if softcap:
+        scores = softcap * np.tanh(scores / softcap)
+    tok = np.asarray(pos)[:, None] + (np.arange(g * t) % t)[None, :]
+    mask = np.arange(s)[None, None, :] <= tok[:, :, None]
+    if window:
+        mask &= np.arange(s)[None, None, :] > tok[:, :, None] - window
+    scores = np.where(mask[:, None], scores, -1e30)
+    probs = np.exp(scores - scores.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    return np.einsum("bgqs,bgsd->bgqd", probs, v_all).reshape(b, h, t, hd)
+
+
+@pytest.mark.parametrize("t", [1, 4])
+@pytest.mark.parametrize("window,softcap", [(16, 0.0), (0, 10.0), (16, 10.0)])
+def test_decode_attention_window_softcap(t, window, softcap):
+    """Sliding-window mask and score soft-capping in the fused kernel
+    (gemma2-family) against the f64 einsum reference — both the cross
+    (t=1) and per-head-loop (t>1) bodies."""
+    b, h, kvh, s, hd = 3, 8, 2, 64, 64
+    rng = np.random.default_rng(hash((t, window)) % 2**31)
+    q = jnp.asarray(rng.standard_normal((b, h, t, hd)), jnp.float32)
+    k_i, ks = _quant(rng.standard_normal((b, kvh, s, hd)).astype(np.float32))
+    v_i, vs = _quant(rng.standard_normal((b, kvh, s, hd)).astype(np.float32))
+    pos = jnp.asarray([30, 40, 50 - t], jnp.int32)   # all beyond the window
+
+    ref = _reference_swa(q, k_i, ks, v_i, vs, pos, t,
+                         window=window, softcap=softcap)
+    got = np.asarray(decode_attention(
+        q, k_i, ks, v_i, vs, pos, t=t, precision="high",
+        window=window, softcap=softcap))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+    if window:
+        # dropping the window changes the result (positions exceed it)
+        base = np.asarray(decode_attention(
+            q, k_i, ks, v_i, vs, pos, t=t, precision="high",
+            softcap=softcap))
+        assert np.abs(base - got).max() > 1e-3
+
+
+def test_tiled_decode_attention_window_softcap():
+    """The flash-decoding S-tiled kernel agrees with the single-tile form
+    under window + softcap (fully-masked tiles drop out of the sums)."""
+    from gguf_tpu.ops.attention import decode_attention_tiled
+
+    b, h, kvh, s, hd = 2, 8, 2, 512, 64
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.standard_normal((b, h, 1, hd)), jnp.float32)
+    k_i, ks = _quant(rng.standard_normal((b, kvh, s, hd)).astype(np.float32))
+    v_i, vs = _quant(rng.standard_normal((b, kvh, s, hd)).astype(np.float32))
+    pos = jnp.asarray([300, 440], jnp.int32)
+
+    a = np.asarray(decode_attention(
+        q, k_i, ks, v_i, vs, pos, t=1, precision="high",
+        window=64, softcap=8.0))
+    bt = np.asarray(decode_attention_tiled(
+        q, k_i, ks, v_i, vs, pos, precision="high", span=512,
+        window=64, softcap=8.0))
+    np.testing.assert_allclose(bt, a, atol=2e-3)

@@ -72,6 +72,20 @@ def main():
             assert np.isfinite(np.asarray(out[0])).all()
         print(f"attention b={b} kvh={kvh} s={s} hd={hd} t={t}: ok")
 
+    # 2a'. gemma2-family sliding window + softcap in the fused kernels
+    for (b, h, kvh, s, hd, t) in [(1, 8, 2, 128, 64, 8),
+                                  (4, 8, 2, 128, 64, 1)]:
+        q = jnp.asarray(rng.standard_normal((b, h, t, hd)), jnp.float32)
+        kn = jnp.asarray(rng.standard_normal((b, kvh, t, hd)), jnp.float32)
+        vn = jnp.asarray(rng.standard_normal((b, kvh, t, hd)), jnp.float32)
+        z8 = jnp.zeros((b, kvh, s, hd), jnp.int8)
+        zf = jnp.zeros((b, kvh, s), jnp.float32)
+        out = decode_attention_update(q, kn, vn, z8, zf, z8, zf,
+                                      jnp.zeros(b, jnp.int32), t=t,
+                                      window=32, softcap=20.0)
+        assert np.isfinite(np.asarray(out[0])).all()
+        print(f"attention window/softcap b={b} t={t}: ok")
+
     # 2b. flash-decoding tiled kernel (long spans past the VMEM budget)
     from gguf_tpu.ops.attention import decode_attention_tiled
 
@@ -83,6 +97,11 @@ def main():
                                  jnp.zeros(b, jnp.int32), span=1024)
     assert np.isfinite(np.asarray(out)).all()
     print("tiled attention span=1024 MHA: ok")
+    out = decode_attention_tiled(q, z8, zf, z8, zf,
+                                 jnp.zeros(b, jnp.int32), span=1024,
+                                 window=256, softcap=20.0)
+    assert np.isfinite(np.asarray(out)).all()
+    print("tiled attention window/softcap: ok")
 
     # 3. the engine end to end (prefill + chunked decode + sampler)
     import os
