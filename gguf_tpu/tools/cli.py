@@ -68,6 +68,22 @@ def cmd_merge_lora(args):
           f"{', '.join(patched[:6])}{'...' if len(patched) > 6 else ''})")
 
 
+def cmd_tokenize(args):
+    """llama.cpp-style tokenize tool: text -> ids (and pieces)."""
+    from ..engine import encode_with_specials, tokenizer_from_metadata
+    from ..gguf import GGUFReader
+
+    with GGUFReader(args.model) as r:
+        tok = tokenizer_from_metadata(r.metadata)
+    if tok is None:
+        raise SystemExit("model has no embedded tokenizer")
+    ids = encode_with_specials(tok, args.text)
+    print(" ".join(str(i) for i in ids))
+    if args.decode:
+        for i in ids:
+            print(f"{i:>8} -> {tok.decode([i])!r}")
+
+
 def cmd_generate(args):
     from ..engine import LLM
     from ..engine.sampler import SamplerConfig
@@ -222,6 +238,14 @@ def main(argv=None):
     s.add_argument("--scale", type=float, default=1.0,
                    help="extra multiplier on top of alpha/rank")
     s.set_defaults(fn=cmd_merge_lora)
+
+    s = sub.add_parser("tokenize",
+                       help="encode text with the GGUF's tokenizer")
+    s.add_argument("model")
+    s.add_argument("text")
+    s.add_argument("--decode", action="store_true",
+                   help="also print each id's decoded piece")
+    s.set_defaults(fn=cmd_tokenize)
 
     s = sub.add_parser("generate", help="generate completions")
     s.add_argument("model")

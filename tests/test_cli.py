@@ -143,3 +143,33 @@ def test_merge_lora_rejects_bad_adapter(model, tmp_path):
                                    np.zeros((8, 2), np.float32))})
     with pytest.raises(ValueError, match="no base counterpart"):
         merge_lora(model, bad, str(tmp_path / "x.gguf"))
+
+
+def test_tokenize_cli(tmp_path, capsys):
+    """cli tokenize round-trips text through the embedded tokenizer."""
+    from gguf_tpu.models import LlamaConfig
+
+    path = str(tmp_path / "tok.gguf")
+    big = LlamaConfig(vocab_size=512, dim=256, n_layers=1, n_heads=4,
+                      n_kv_heads=2, ffn_dim=512, max_seq_len=64)
+    toks = (["<unk>", "<s>", "</s>"] + [f"<0x{b:02X}>" for b in range(256)]
+            + ["▁", "▁hi", "h", "i"])
+    toks = (toks + [f"<p{i}>" for i in range(512)])[:512]
+    scores = np.zeros(512, np.float32)
+    scores[259:263] = [1.0, 3.0, 1.0, 1.0]
+    write_random_llama_gguf(path, big, seed=5, extra_metadata={
+        "tokenizer.ggml.tokens": toks,
+        "tokenizer.ggml.scores": scores,
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+    })
+    main(["tokenize", path, "hi", "--decode"])
+    out = capsys.readouterr().out
+    ids = [int(x) for x in out.splitlines()[0].split()]
+    assert ids, out
+    from gguf_tpu.engine import tokenizer_from_metadata
+    from gguf_tpu.gguf import GGUFReader
+    with GGUFReader(path) as r:
+        tok = tokenizer_from_metadata(r.metadata)
+    assert tok.decode(ids) == "hi"
+    assert "->" in out
