@@ -21,9 +21,17 @@ def _rope_scaling(g) -> tuple:
         return ("yarn", factor,
                 int(g("rope.scaling.original_context_length", 0) or 0),
                 float(g("rope.scaling.attn_factor", 1.0) or 1.0))
+    if kind in ("longrope", "su"):
+        # phi3-family LongRoPE: per-dim factors live in the
+        # rope_factors_long/short tensors (loader picks by context); the
+        # attention-magnitude factor is precomputed by the converter
+        return ("longrope", factor,
+                int(g("rope.scaling.original_context_length", 0) or 0),
+                float(g("rope.scaling.attn_factor", 1.0) or 1.0))
     raise ValueError(
         f"unsupported rope scaling type {kind!r} (factor {factor}); "
-        "supported: none, linear, yarn (+ rope_freqs.weight factors)")
+        "supported: none, linear, yarn, longrope (+ rope_freqs.weight "
+        "factors)")
 
 
 @dataclass(frozen=True)
@@ -158,7 +166,8 @@ class LlamaConfig:
             **({f"{arch}.rope.scaling.type": self.rope_scaling_kind
                     if self.rope_scaling_kind != "none" else "linear",
                 f"{arch}.rope.scaling.factor": self.rope_scale}
-               if self.rope_scale != 1.0 else {}),
+               if self.rope_scale != 1.0
+               or self.rope_scaling_kind not in ("none", "linear") else {}),
             **({f"{arch}.rope.scaling.original_context_length":
                     self.rope_orig_ctx} if self.rope_orig_ctx else {}),
             **({f"{arch}.rope.scaling.attn_factor": self.rope_attn_factor}

@@ -142,6 +142,13 @@ def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
     if freq_factors is not None:
         freqs = freqs / jnp.asarray(freq_factors, jnp.float32)
     pos = positions.astype(jnp.float32)
+    if kind == "longrope":
+        # phi3 LongRoPE: the per-dim factors carry ALL the position
+        # scaling; the converter's precomputed attention-magnitude factor
+        # (sqrt(1 + ln(s)/ln(orig))) rides on cos/sin like yarn's mscale
+        angles = pos[..., None] * freqs
+        m = jnp.float32(attn_factor)
+        return jnp.cos(angles) * m, jnp.sin(angles) * m
     if kind != "yarn":
         angles = (pos / scale)[..., None] * freqs
         return jnp.cos(angles), jnp.sin(angles)

@@ -217,6 +217,8 @@ def load_llama(path: str):
             float(x) for x in reader.load_array("rope_freqs.weight")))
     if reader.metadata.get("general.architecture") == "phi2":
         return _load_phi2(reader, cfg)
+    if reader.metadata.get("general.architecture") == "phi3":
+        return _load_phi3(reader, cfg)
 
     params = {
         "token_embd": _load_weight(reader, "token_embd.weight"),
@@ -272,6 +274,64 @@ def load_llama(path: str):
             layer["up"] = _load_weight(reader, p + "ffn_up.weight")
             layer["down"] = _load_weight(reader, p + "ffn_down.weight")
         params["layers"].append(layer)
+    reader.close()
+    params, cfg = pad_ffn_for_tp(params, cfg, 1)
+    params = _pad_vocab_weights(params)
+    return cfg, params
+
+
+def _load_phi3(reader: GGUFReader, cfg: LlamaConfig):
+    """phi3 tensor schema: fused blk.i.attn_qkv (no biases, RMSNorm),
+    fused ffn_up holding [gate; up] (2*ff rows, the HF gate_up_proj
+    order), and model-level LongRoPE factor tensors
+    rope_factors_long/short.weight — the long set applies when the
+    serving context exceeds the original training context. Splits are
+    M-dim lane slices (free in the K-major SoA layout); the rest of the
+    stack sees the uniform llama layer dict."""
+    import dataclasses
+
+    hd, h, kvh = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    q_d, kv_d = h * hd, kvh * hd
+    ff = cfg.ffn_dim
+
+    long_ctx = (cfg.rope_orig_ctx and cfg.max_seq_len > cfg.rope_orig_ctx)
+    fname = ("rope_factors_long.weight" if long_ctx
+             else "rope_factors_short.weight")
+    if fname in reader.tensors:
+        cfg = dataclasses.replace(cfg, rope_freq_factors=tuple(
+            float(x) for x in reader.load_array(fname)))
+
+    def slice_m(t, lo, hi):
+        if isinstance(t, jnp.ndarray):
+            return t[lo:hi]
+        return jax.tree_util.tree_map(lambda a: a[..., lo:hi], t)
+
+    params = {
+        "token_embd": _load_weight(reader, "token_embd.weight"),
+        "output_norm": jnp.asarray(
+            reader.load_array("output_norm.weight"), jnp.float32),
+        "layers": [],
+    }
+    params["output"] = (_load_weight(reader, "output.weight")
+                        if "output.weight" in reader.tensors
+                        else params["token_embd"])
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        wqkv = _load_weight(reader, p + "attn_qkv.weight")
+        up_fused = _load_weight(reader, p + "ffn_up.weight")
+        params["layers"].append({
+            "attn_norm": jnp.asarray(
+                reader.load_array(p + "attn_norm.weight"), jnp.float32),
+            "ffn_norm": jnp.asarray(
+                reader.load_array(p + "ffn_norm.weight"), jnp.float32),
+            "wq": slice_m(wqkv, 0, q_d),
+            "wk": slice_m(wqkv, q_d, q_d + kv_d),
+            "wv": slice_m(wqkv, q_d + kv_d, q_d + 2 * kv_d),
+            "wo": _load_weight(reader, p + "attn_output.weight"),
+            "gate": slice_m(up_fused, 0, ff),
+            "up": slice_m(up_fused, ff, 2 * ff),
+            "down": _load_weight(reader, p + "ffn_down.weight"),
+        })
     reader.close()
     params, cfg = pad_ffn_for_tp(params, cfg, 1)
     params = _pad_vocab_weights(params)
@@ -417,6 +477,17 @@ def write_random_llama_gguf(
             tensors[p + "ffn_up.bias"] = f32v((f,), "r")
             tensors[p + "ffn_down.bias"] = f32v((d,), "r")
             continue
+        if arch == "phi3":   # fused qkv + fused [gate; up], RMSNorms
+            tensors[p + "ffn_norm.weight"] = (
+                GGMLType.F32, (d,), np.ones(d, np.float32))
+            for name, shape in [
+                ("attn_qkv.weight", (q_d + 2 * kv_d, d)),
+                ("attn_output.weight", (d, q_d)),
+                ("ffn_up.weight", (2 * f, d)),
+                ("ffn_down.weight", (d, f)),
+            ]:
+                tensors[p + name] = (fmt, shape, quantize_tensor(w(shape), fmt))
+            continue
         tensors[p + "ffn_norm.weight"] = (GGMLType.F32, (d,), np.ones(d, np.float32))
         for name, shape in [
             ("attn_q.weight", (q_d, d)), ("attn_k.weight", (kv_d, d)),
@@ -464,7 +535,17 @@ def write_random_llama_gguf(
                 tensors[p + name] = (fmt, shape,
                                      quantize_tensor(w(shape), fmt))
 
-    if cfg.rope_freq_factors is not None:
+    if arch == "phi3":
+        # LongRoPE factor tensors: cfg.rope_freq_factors as the long set,
+        # a unit short set (the loader picks by max_seq vs orig ctx)
+        rd = cfg.rope_dim or cfg.head_dim
+        ff = (np.asarray(cfg.rope_freq_factors, np.float32)
+              if cfg.rope_freq_factors is not None
+              else np.ones(rd // 2, np.float32))
+        tensors["rope_factors_long.weight"] = (GGMLType.F32, (rd // 2,), ff)
+        tensors["rope_factors_short.weight"] = (
+            GGMLType.F32, (rd // 2,), np.ones(rd // 2, np.float32))
+    elif cfg.rope_freq_factors is not None:
         rd = cfg.rope_dim or cfg.head_dim
         ff = np.asarray(cfg.rope_freq_factors, np.float32)
         assert ff.shape == (rd // 2,), (ff.shape, rd)

@@ -912,3 +912,115 @@ def test_gemma3_arch_serves(tmp_path):
                             jnp.full(1, t, jnp.int32), cache, opts)
     np.testing.assert_allclose(np.asarray(lg[0, 0]), np.asarray(out[0, -1]),
                                atol=3e-2)
+
+
+def test_phi3_arch_forward_matches_numpy(tmp_path):
+    """Phi-3 family: fused attn_qkv (RMSNorm, no biases), fused ffn_up
+    holding [gate; up] (HF gate_up_proj order), and LongRoPE — per-dim
+    factor tensors with the converter's attention-magnitude factor —
+    against a from-scratch numpy reference on the raw GGUF tensors."""
+    import dataclasses
+
+    rd = 64
+    cfg0 = LlamaConfig(vocab_size=64, dim=256, n_layers=2, n_heads=4,
+                       n_kv_heads=2, ffn_dim=256, max_seq_len=64,
+                       rope_scaling_kind="longrope", rope_orig_ctx=32,
+                       rope_attn_factor=1.2,
+                       rope_freq_factors=tuple(1.0 + 0.25 * i
+                                               for i in range(rd // 2)))
+    path = str(tmp_path / "phi3.gguf")
+    write_random_llama_gguf(path, cfg0, fmt=GGMLType.Q4_K, seed=23,
+                            arch="phi3")
+    cfg, params = load_llama(path)
+    assert cfg.rope_scaling_kind == "longrope"
+    # max_seq 64 > orig 32 -> the long factor set applies
+    np.testing.assert_allclose(cfg.rope_freq_factors,
+                               cfg0.rope_freq_factors, rtol=1e-6)
+    assert "gate" in params["layers"][0] and "wq" in params["layers"][0]
+
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(0, cfg.vocab_size, (1, 5)).astype(np.int32)
+    logits, _ = forward(params, cfg, jnp.asarray(tokens),
+                        jnp.zeros(1, jnp.int32), init_kv_cache(cfg, 1, 16),
+                        opts=MMOpts(precision="high"))
+    got = np.asarray(logits)
+
+    r = GGUFReader(path)
+    deq = lambda n: r.dequantize(n)
+    b, t = tokens.shape
+    hd, h, kvh = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    q_d, kv_d = h * hd, kvh * hd
+    ff = cfg0.ffn_dim
+    x = deq("token_embd.weight")[tokens.reshape(-1)].reshape(b, t, cfg.dim)
+
+    def rmsn(x, w):
+        return x / np.sqrt(np.mean(x * x, -1, keepdims=True) + cfg.norm_eps) * w
+
+    posn = np.arange(t)
+    freqs = (cfg.rope_theta ** (-np.arange(0, hd, 2) / hd)
+             / np.asarray(cfg.rope_freq_factors))
+    ang = posn[:, None] * freqs[None, :]
+    m = cfg.rope_attn_factor
+    cos, sin = np.cos(ang) * m, np.sin(ang) * m
+
+    def rope(xh):
+        x2 = xh.reshape(*xh.shape[:-1], -1, 2)
+        e, o = x2[..., 0], x2[..., 1]
+        c, s = cos[None, :, None, :], sin[None, :, None, :]
+        return np.stack([e * c - o * s, e * s + o * c], -1).reshape(xh.shape)
+
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        hx = rmsn(x, r.load_array(p + "attn_norm.weight"))
+        qkv = hx @ deq(p + "attn_qkv.weight").T
+        q = qkv[..., :q_d].reshape(b, t, h, hd)
+        k = qkv[..., q_d:q_d + kv_d].reshape(b, t, kvh, hd)
+        v = qkv[..., q_d + kv_d:].reshape(b, t, kvh, hd)
+        q, k = rope(q), rope(k)
+        rep = h // kvh
+        k = np.repeat(k, rep, axis=2)
+        v = np.repeat(v, rep, axis=2)
+        scores = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        mask = np.tril(np.ones((t, t), bool))
+        scores = np.where(mask[None, None], scores, -np.inf)
+        probs = np.exp(scores - scores.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        att = np.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, h * hd)
+        x = x + att @ deq(p + "attn_output.weight").T
+        hx = rmsn(x, r.load_array(p + "ffn_norm.weight"))
+        gu = hx @ deq(p + "ffn_up.weight").T
+        g, u = gu[..., :ff], gu[..., ff:]
+        x = x + (g / (1 + np.exp(-g)) * u) @ deq(p + "ffn_down.weight").T
+
+    x = rmsn(x, r.load_array("output_norm.weight"))
+    ref = x @ deq("output.weight").T
+    r.close()
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 0.04, \
+        np.max(np.abs(got - ref)) / denom
+
+    # short-context configs pick the unit short factors instead
+    short_path = str(tmp_path / "phi3s.gguf")
+    write_random_llama_gguf(
+        short_path, dataclasses.replace(cfg0, max_seq_len=16,
+                                        rope_orig_ctx=32), seed=23,
+        arch="phi3")
+    cfg_s, _ = load_llama(short_path)
+    np.testing.assert_allclose(cfg_s.rope_freq_factors,
+                               np.ones(rd // 2), rtol=1e-6)
+
+
+def test_phi3_serves_and_decodes(tmp_path):
+    cfg0 = LlamaConfig(vocab_size=64, dim=256, n_layers=1, n_heads=4,
+                       n_kv_heads=2, ffn_dim=256, max_seq_len=32,
+                       rope_scaling_kind="longrope", rope_orig_ctx=16,
+                       rope_attn_factor=1.1)
+    path = str(tmp_path / "phi3d.gguf")
+    write_random_llama_gguf(path, cfg0, fmt=GGMLType.Q4_K, seed=24,
+                            arch="phi3")
+    from gguf_tpu.engine import LLM, SamplerConfig
+    llm = LLM(path, max_batch=2, max_seq=32)
+    out = llm.generate([[1, 5, 9]], max_new_tokens=6,
+                       sampler=SamplerConfig(temperature=0.0),
+                       stop_at_eos=False)
+    assert len(out[0].token_ids) == 6
