@@ -150,8 +150,13 @@ def write_gguf(
         f.truncate(data_start + offset)
 
 
-def quantize_tensor(x: np.ndarray, ggml_type: GGMLType):
-    """Quantize a float array to GGUF block bytes for the given type."""
+def quantize_tensor(x: np.ndarray, ggml_type: GGMLType,
+                    qw: np.ndarray | None = None):
+    """Quantize a float array to GGUF block bytes for the given type.
+    `qw` (per-column importance weights, imatrix values/ncall) switches to
+    the activation-weighted quantizers where implemented
+    (quant/weighted.py); formats without a weighted variant fall back to
+    plain quantization, like llama.cpp for missing imatrix entries."""
     from ..quant import (quantize_q8_0, quantize_q2_k, quantize_q3_k,
                          quantize_q4_k, quantize_q5_k, quantize_q6_k,
                          quantize_q4_0, quantize_q4_1, quantize_q5_0,
@@ -161,6 +166,13 @@ def quantize_tensor(x: np.ndarray, ggml_type: GGMLType):
         return np.ascontiguousarray(x, dtype=np.float32)
     if ggml_type == GGMLType.F16:
         return np.ascontiguousarray(x, dtype=np.float16)
+    if qw is not None:
+        from ..quant.weighted import WEIGHTED_QUANTIZERS
+
+        name = ggml_type.name.lower()
+        wfn = WEIGHTED_QUANTIZERS.get(name)
+        if wfn is not None:
+            return np.asarray(wfn(np.asarray(x, np.float32), qw))
     fn = {GGMLType.Q8_0: quantize_q8_0, GGMLType.Q2_K: quantize_q2_k,
           GGMLType.Q3_K: quantize_q3_k, GGMLType.Q4_K: quantize_q4_k,
           GGMLType.Q5_K: quantize_q5_k,

@@ -243,7 +243,8 @@ def _cache_update(cache_l, new_k, new_v, pos):
 
 
 def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
-              rope=None, span: int | None = None, window: int = 0):
+              rope=None, span: int | None = None, window: int = 0,
+              return_pre_proj: bool = False):
     """GQA attention over the INT8 cache. x: (B, T, dim); pos: (B,) start
     positions of the T new tokens per sequence; rope: optional precomputed
     (cos, sin) shared across layers (forward() hoists it out of the layer
@@ -299,6 +300,7 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
             raise NotImplementedError(
                 "sliding-window / softcap attention is not supported with "
                 "context parallelism yet")
+        assert not return_pre_proj, "imatrix collection is single-chip"
         return _cp_attention(layer, x, cfg, cache_l, q, k, v, tok_pos, pos,
                              opts)
 
@@ -389,6 +391,8 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
         proj = jax.lax.psum(proj, opts.axis_name)
     if "bo" in layer:   # phi2-family output-projection bias
         proj = proj + layer["bo"].astype(proj.dtype)
+    if return_pre_proj:  # imatrix collection: attn_output's input
+        return proj.reshape(b, t, -1), cache_l, out.reshape(b, t, -1)
     return proj.reshape(b, t, -1), cache_l
 
 
@@ -456,7 +460,8 @@ def _cp_attention(layer, x, cfg: LlamaConfig, cache_l, q, k, v, tok_pos,
     return proj.reshape(b, t, -1), cache_l
 
 
-def mlp(layer, x, opts: MMOpts, act_fn: str = "silu"):
+def mlp(layer, x, opts: MMOpts, act_fn: str = "silu",
+        return_mid: bool = False):
     b, t, _ = x.shape
     xf = x.reshape(b * t, -1)
     if "gate_up" in layer:  # fused projection (see fuse_llama_params)
@@ -483,6 +488,8 @@ def mlp(layer, x, opts: MMOpts, act_fn: str = "silu"):
         down = jax.lax.psum(down, opts.axis_name)
     if "bdown" in layer:
         down = down + layer["bdown"].astype(down.dtype)
+    if return_mid:   # imatrix collection: ffn_down's input activations
+        return down.reshape(b, t, -1), act.reshape(b, t, -1)
     return down.reshape(b, t, -1)
 
 
@@ -609,6 +616,7 @@ def forward(
     opts: MMOpts = MMOpts(),
     span: int | None = None,
     return_hidden: bool = False,
+    collect_sq: bool = False,
 ):
     """Run T tokens through the decoder; returns (logits (B, T, vocab), cache).
 
@@ -618,6 +626,10 @@ def forward(
     the first span cache rows; None reads the whole cache.
     `return_hidden` skips the LM head and returns the final-norm hidden
     states (B, T, dim) f32 instead of logits — the embedding surface.
+    `collect_sq` (imatrix calibration) additionally returns per-layer
+    sums of squared input activations for every quantized projection:
+    (logits, cache, stats) with stats = [{name: (in_dim,) f32}, ...] per
+    layer plus a trailing {"output": ...} entry for the LM head.
     """
     x = embed(params["token_embd"], tokens)
     if cfg.embed_scale != 1.0:   # gemma: sqrt(dim), rounded through bf16
@@ -630,6 +642,10 @@ def forward(
     rope_swa = (rope_for_cfg(tok_pos, cfg, theta=cfg.rope_theta_swa)
                 if cfg.rope_theta_swa and cfg.swa_pattern > 1 else rope)
 
+    def sumsq(v):
+        return jnp.sum(v.astype(jnp.float32) ** 2, axis=(0, 1))
+
+    stats = [] if collect_sq else None
     new_layers = []
     for i, layer in enumerate(params["layers"]):
         # gemma2/3-family: all but every swa_pattern-th layer slide
@@ -637,28 +653,57 @@ def forward(
                   if cfg.swa_pattern > 1
                   and i % cfg.swa_pattern != cfg.swa_pattern - 1 else 0)
         h = _norm(x, layer, "attn_norm", cfg)
-        attn_out, cache_l = attention(layer, h, cfg, cache[i], pos, opts,
-                                      rope=rope_swa if window else rope,
-                                      span=span, window=window)
+        ls = {}
+        if collect_sq:
+            ls["attn_qkv"] = sumsq(h)
+            attn_out, cache_l, pre = attention(
+                layer, h, cfg, cache[i], pos, opts,
+                rope=rope_swa if window else rope, span=span, window=window,
+                return_pre_proj=True)
+            ls["attn_output"] = sumsq(pre)
+        else:
+            attn_out, cache_l = attention(layer, h, cfg, cache[i], pos, opts,
+                                          rope=rope_swa if window else rope,
+                                          span=span, window=window)
         if "post_attn_norm" in layer:   # gemma2: norm the branch output
             attn_out = rms_norm(attn_out, layer["post_attn_norm"],
                                 cfg.norm_eps)
         if cfg.parallel_residual:
             # phi2: one shared pre-norm feeds both branches
-            x = x + attn_out + mlp(layer, h, opts, cfg.act_fn)
+            if collect_sq:
+                ls["ffn_gate_up"] = ls["attn_qkv"]   # shared pre-norm input
+                mlp_out, mid = mlp(layer, h, opts, cfg.act_fn,
+                                   return_mid=True)
+                ls["ffn_down"] = sumsq(mid)
+                x = x + attn_out + mlp_out
+            else:
+                x = x + attn_out + mlp(layer, h, opts, cfg.act_fn)
         else:
             x = x + attn_out
             h = _norm(x, layer, "ffn_norm", cfg)
-            mlp_out = (moe_mlp(layer, h, cfg, opts) if "gate_inp" in layer
-                       else mlp(layer, h, opts, cfg.act_fn))
+            if "gate_inp" in layer:   # MoE: per-expert stats not collected
+                mlp_out = moe_mlp(layer, h, cfg, opts)
+                if collect_sq:
+                    ls["ffn_gate_up"] = sumsq(h)
+            elif collect_sq:
+                ls["ffn_gate_up"] = sumsq(h)
+                mlp_out, mid = mlp(layer, h, opts, cfg.act_fn,
+                                   return_mid=True)
+                ls["ffn_down"] = sumsq(mid)
+            else:
+                mlp_out = mlp(layer, h, opts, cfg.act_fn)
             if "post_ffn_norm" in layer:
                 mlp_out = rms_norm(mlp_out, layer["post_ffn_norm"],
                                    cfg.norm_eps)
             x = x + mlp_out
+        if collect_sq:
+            stats.append(ls)
         new_layers.append(cache_l)
     cache = new_layers
 
     x = _norm(x, params, "output_norm", cfg)
+    if collect_sq:
+        stats.append({"output": sumsq(x)})
     if return_hidden:
         return x.astype(jnp.float32), cache
     b, t, _ = x.shape
@@ -673,4 +718,6 @@ def forward(
     if cfg.final_softcap:   # gemma2: cap * tanh(logits / cap)
         cap = jnp.float32(cfg.final_softcap)
         logits = cap * jnp.tanh(logits / cap)
+    if collect_sq:
+        return logits, cache, stats
     return logits, cache

@@ -39,13 +39,20 @@ def cmd_inspect(args):
 
 def cmd_requantize(args):
     """f16/f32/quantized GGUF -> target quantization (dequantize + requantize
-    through the bit-exact GGML-compatible codecs)."""
+    through the bit-exact GGML-compatible codecs; --imatrix switches to the
+    activation-weighted quantizers for calibrated tensors)."""
     from ..gguf import GGMLType, GGUFReader
     from ..gguf.writer import quantize_tensor, write_gguf
 
+    imx = None
+    if getattr(args, "imatrix", None):
+        from ..eval.imatrix import read_imatrix
+
+        imx = read_imatrix(args.imatrix)
     target = GGMLType[args.fmt.upper()]
     granule = 256 if "_k" in args.fmt else 32
     tensors = {}
+    weighted = 0
     with GGUFReader(args.model) as r:
         md = dict(r.metadata)
         md_types = dict(r.metadata_types)
@@ -55,9 +62,41 @@ def cmd_requantize(args):
             if x.ndim < 2 or x.shape[-1] % granule:
                 tensors[name] = (GGMLType.F32, x.shape, x.astype(np.float32))
             else:
-                tensors[name] = (target, x.shape, quantize_tensor(x, target))
+                qw = None
+                if imx is not None:
+                    from ..eval.imatrix import imatrix_weights
+
+                    qw = imatrix_weights(imx, name, x.shape[-1])
+                    weighted += qw is not None
+                tensors[name] = (target, x.shape,
+                                 quantize_tensor(x, target, qw=qw))
     write_gguf(args.out, md, tensors, metadata_types=md_types)
-    print(f"wrote {args.out} ({args.fmt})")
+    extra = f", {weighted} imatrix-weighted" if imx is not None else ""
+    print(f"wrote {args.out} ({args.fmt}{extra})")
+
+
+def cmd_imatrix(args):
+    """Collect an importance matrix over a calibration token stream."""
+    from ..eval.imatrix import collect_imatrix, write_imatrix
+
+    if args.tokens.endswith(".txt"):
+        from ..engine import tokenizer_from_metadata
+        from ..gguf import GGUFReader
+
+        with open(args.tokens) as f:
+            text = f.read()
+        with GGUFReader(args.model) as r:
+            tok = tokenizer_from_metadata(r.metadata)
+        if tok is None:
+            raise SystemExit("text calibration needs an embedded tokenizer")
+        ids = tok.encode(text)
+    else:
+        with open(args.tokens) as f:
+            ids = [int(x) for x in f.read().split()]
+    entries = collect_imatrix(args.model, ids, window=args.window)
+    write_imatrix(args.out, entries, input_name=args.tokens)
+    print(f"wrote {args.out} ({len(entries)} tensors, "
+          f"{len(ids)} calibration tokens)")
 
 
 def cmd_merge_lora(args):
@@ -227,7 +266,19 @@ def main(argv=None):
                    choices=["q2_k", "q3_k", "q4_k", "q5_k", "q6_k", "q8_0",
                             "q4_0", "q4_1", "q5_0", "q5_1",
                             "iq4_nl", "iq4_xs"])
+    s.add_argument("--imatrix", default=None, metavar="FILE",
+                   help="importance matrix (cli imatrix or llama.cpp "
+                        "format): activation-weighted quantization")
     s.set_defaults(fn=cmd_requantize)
+
+    s = sub.add_parser("imatrix",
+                       help="collect an importance matrix for --imatrix")
+    s.add_argument("model")
+    s.add_argument("tokens", help=".txt (tokenized here) or "
+                                  "whitespace-separated token ids")
+    s.add_argument("-o", "--out", default="imatrix.dat")
+    s.add_argument("--window", type=int, default=512)
+    s.set_defaults(fn=cmd_imatrix)
 
     s = sub.add_parser("merge-lora",
                        help="bake a GGUF LoRA adapter into a checkpoint")
