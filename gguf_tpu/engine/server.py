@@ -331,6 +331,15 @@ def make_handler(worker: EngineWorker):
                 m["queue_depth"] = worker.queue.qsize()
                 m["prefix_cache_hit_tokens_total"] = worker.llm.prefix_cache_hits
                 self._reply(200, m)
+            elif self.path in ("/v1/models", "/models"):
+                # OpenAI client handshake: one model, named for the config
+                self._reply(200, {"object": "list", "data": [{
+                    "id": "gguf_tpu", "object": "model",
+                    "owned_by": "gguf_tpu",
+                    "meta": {"n_layers": worker.llm.cfg.n_layers,
+                             "dim": worker.llm.cfg.dim,
+                             "vocab_size": worker.llm.cfg.vocab_size,
+                             "max_seq": worker.llm.max_seq}}]})
             else:
                 self._reply(404, {"error": "not found"})
 

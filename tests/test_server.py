@@ -294,3 +294,10 @@ def test_embeddings_missing_input(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_models_endpoint(server):
+    with urllib.request.urlopen(server + "/v1/models", timeout=60) as r:
+        res = json.loads(r.read())
+    assert res["object"] == "list"
+    assert res["data"][0]["meta"]["dim"] == CFG.dim
