@@ -64,7 +64,7 @@ def make_qx_quants_w(g: np.ndarray, w: np.ndarray, nmax: int):
 
 def make_qkx3_quants_w(g: np.ndarray, w: np.ndarray, nmax: int,
                        rmin: float = -0.9, rdelta: float = 0.05,
-                       nstep: int = 36):
+                       nstep: int = 36, use_mad: bool = False):
     """Weighted affine fit per row: x ≈ d·L - m, L ∈ [0, nmax]. Returns
     (d (nb,), m (nb,) >= 0, L (nb, n) uint8). Mirrors GGML
     make_qkx3_quants: grid of candidate inverse scales around
@@ -103,7 +103,8 @@ def make_qkx3_quants_w(g: np.ndarray, w: np.ndarray, nmax: int,
                      np.where(sum_l2 > 0, sum_xl / np.where(sum_l2 == 0, 1,
                                                             sum_l2), 0.0), d)
         m = np.where(pos_m, 0.0, m)
-        err = (w * (d[:, None] * l + m[:, None] - g) ** 2).sum(axis=1)
+        resid = d[:, None] * l + m[:, None] - g
+        err = (w * (np.abs(resid) if use_mad else resid ** 2)).sum(axis=1)
         upd = ok & (err < best_err)
         best_err = np.where(upd, err, best_err)
         best_d = np.where(upd, d, best_d)
@@ -298,6 +299,53 @@ def quantize_q6_k_w(x: np.ndarray, qw: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+def quantize_q2_k_w(x: np.ndarray, qw: np.ndarray) -> np.ndarray:
+    """Weighted Q2_K: per-16 weighted affine fits (GGML's q2 search:
+    rmin -0.5, step 0.005, 15 steps, mean-abs-deviation objective),
+    4-bit scale/min packing, 2-bit code requantization."""
+    g = np.asarray(x, np.float64).reshape(-1, QK_K)
+    ns = g.shape[0]
+    sub = g.reshape(ns * 16, 16)
+    qw_t = _tile_qw(qw, ns, QK_K)
+    sigma2 = 2.0 * (g * g).sum(axis=1, keepdims=True) / QK_K
+    w = (qw_t * np.sqrt(sigma2 + g * g)).reshape(ns * 16, 16)
+    scales, mins, _ = make_qkx3_quants_w(sub, w, 3, rmin=-0.5,
+                                         rdelta=0.005, nstep=15,
+                                         use_mad=True)
+    scales = scales.reshape(ns, 16)
+    mins = mins.reshape(ns, 16)
+
+    max_scale = scales.max(axis=1)
+    max_min = mins.max(axis=1)
+    inv_s = np.where(max_scale > 0, 15.0 / np.where(max_scale == 0, 1,
+                                                    max_scale), 0.0)
+    inv_m = np.where(max_min > 0, 15.0 / np.where(max_min == 0, 1,
+                                                  max_min), 0.0)
+    ls = np.clip(_nearest(inv_s[:, None] * scales), 0, 15).astype(np.uint8)
+    lm = np.clip(_nearest(inv_m[:, None] * mins), 0, 15).astype(np.uint8)
+    d16 = (max_scale / 15.0).astype(np.float16)
+    m16 = (max_min / 15.0).astype(np.float16)
+
+    dl = d16.astype(np.float32)[:, None] * ls.astype(np.float32)  # (ns, 16)
+    dm = m16.astype(np.float32)[:, None] * lm.astype(np.float32)
+    safe_dl = np.where(dl == 0, 1.0, dl)
+    codes = _nearest((g.reshape(ns, 16, 16) + dm[:, :, None])
+                     / safe_dl[:, :, None])
+    codes = np.where((dl != 0)[:, :, None],
+                     np.clip(codes, 0, 3), 0).astype(np.uint8)
+    C = codes.reshape(ns, 2, 4, 32)   # (half, quarter s, lane)
+    qs = np.zeros((ns, 2, 32), np.uint8)
+    for s in range(4):
+        qs |= (C[:, :, s, :] << (2 * s)).astype(np.uint8)
+
+    out = np.empty((ns, 84), np.uint8)
+    out[:, :16] = ls | (lm << 4)
+    out[:, 16:80] = qs.reshape(ns, 64)
+    out[:, 80:82] = d16[:, None].view(np.uint8)
+    out[:, 82:84] = m16[:, None].view(np.uint8)
+    return out.reshape(-1)
+
+
 def quantize_q3_k_w(x: np.ndarray, qw: np.ndarray) -> np.ndarray:
     """Weighted Q3_K: per-16 weighted symmetric fits (nmax 4), 6-bit
     scale quantization vs max |scale| at -32, low2+hmask packing."""
@@ -378,7 +426,7 @@ def _fit_scales_w(g: np.ndarray, w: np.ndarray) -> np.ndarray:
 WEIGHTED_QUANTIZERS = {
     "q4_0": quantize_q4_0_w, "q5_0": quantize_q5_0_w,
     "q4_1": quantize_q4_1_w, "q5_1": quantize_q5_1_w,
-    "q3_k": quantize_q3_k_w, "q4_k": quantize_q4_k_w,
-    "q5_k": quantize_q5_k_w, "q6_k": quantize_q6_k_w,
-    "iq4_nl": quantize_iq4_nl_w,
+    "q2_k": quantize_q2_k_w, "q3_k": quantize_q3_k_w,
+    "q4_k": quantize_q4_k_w, "q5_k": quantize_q5_k_w,
+    "q6_k": quantize_q6_k_w, "iq4_nl": quantize_iq4_nl_w,
 }

@@ -13,12 +13,14 @@ CFG = LlamaConfig(vocab_size=64, dim=256, n_layers=2, n_heads=4,
 
 DEQ = {"q4_0": Q.dequantize_q4_0, "q5_0": Q.dequantize_q5_0,
        "q4_1": Q.dequantize_q4_1, "q5_1": Q.dequantize_q5_1,
-       "q3_k": Q.dequantize_q3_k, "q4_k": Q.dequantize_q4_k,
+       "q2_k": Q.dequantize_q2_k, "q3_k": Q.dequantize_q3_k,
+       "q4_k": Q.dequantize_q4_k,
        "q5_k": Q.dequantize_q5_k, "q6_k": Q.dequantize_q6_k,
        "iq4_nl": Q.dequantize_iq4_nl}
 QZ = {"q4_0": Q.quantize_q4_0, "q5_0": Q.quantize_q5_0,
       "q4_1": Q.quantize_q4_1, "q5_1": Q.quantize_q5_1,
-      "q3_k": Q.quantize_q3_k, "q4_k": Q.quantize_q4_k,
+      "q2_k": Q.quantize_q2_k, "q3_k": Q.quantize_q3_k,
+      "q4_k": Q.quantize_q4_k,
       "q5_k": Q.quantize_q5_k, "q6_k": Q.quantize_q6_k,
       "iq4_nl": Q.quantize_iq4_nl}
 
@@ -30,26 +32,21 @@ def rng():
 
 @pytest.mark.parametrize("fmt", sorted(W.WEIGHTED_QUANTIZERS))
 def test_weighted_quantize_improves_weighted_error(rng, fmt):
-    """With skewed per-column importance, the weighted quantizer must not
-    lose to the plain one under the weighted error measure — and must win
-    clearly for the formats whose plain fit is crude (truncation-based
-    legacy)."""
+    """Under realistic per-column importance (log-normal, varying WITHIN
+    quantization blocks — the shape real imatrix data has), the weighted
+    quantizer must beat the plain one decisively under the weighted error
+    measure. (Block-uniform weights are the degenerate case where the
+    weighted fit reduces to the plain one and gains vanish.)"""
     K = 1024
     x = rng.standard_normal((16, K)).astype(np.float32)
-    qw = np.ones(K, np.float32)
-    qw[:K // 4] = 100.0
+    qw = np.exp(rng.standard_normal(K) * 2).astype(np.float32)
     bw = W.WEIGHTED_QUANTIZERS[fmt](x, qw)
     bu = QZ[fmt](x)
     yw = DEQ[fmt](bw, x.shape)
     yu = DEQ[fmt](bu, x.shape)
     werr_w = float((qw * (x - yw) ** 2).sum())
     werr_u = float((qw * (x - yu) ** 2).sum())
-    # K-quants' plain fit is already least-squares-tuned: small tolerance;
-    # legacy truncation-based formats must improve outright
-    if fmt in ("q4_0", "q5_0", "q4_1", "q5_1"):
-        assert werr_w < werr_u, (werr_w, werr_u)
-    else:
-        assert werr_w < 1.05 * werr_u, (werr_w, werr_u)
+    assert werr_w < 0.9 * werr_u, (fmt, werr_w, werr_u)
 
 
 @pytest.mark.parametrize("fmt", sorted(W.WEIGHTED_QUANTIZERS))
@@ -62,7 +59,8 @@ def test_weighted_quantize_valid_bytes(rng, fmt):
     b = W.WEIGHTED_QUANTIZERS[fmt](x, np.ones(512, np.float32))
     y = DEQ[fmt](b, x.shape)
     assert np.isfinite(y).all()
-    assert snr_db(x, x - y) > (8.0 if fmt == "q3_k" else 10.0)
+    assert snr_db(x, x - y) > (4.0 if fmt == "q2_k" else
+                                8.0 if fmt == "q3_k" else 10.0)
 
 
 def test_weighted_flat_and_zero_blocks():
