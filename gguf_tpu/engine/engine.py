@@ -425,9 +425,20 @@ class LLM:
             # scan stacks iters first; put batch first
             return (em.transpose(1, 0, 2), accs.T), cache
 
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(4,))
+        def _decode_step_logits(params, cache, tokens, pos, span):
+            """One t=1 decode forward returning the FULL logits row per
+            slot — the host-stepping path for grammar-constrained
+            sampling (the mask depends on per-sequence parser state the
+            device cannot evaluate)."""
+            logits, cache = fwd(params, tokens[:, None], pos, cache,
+                                span=span)
+            return logits[:, -1], cache
+
         self._spec_decode = _spec_decode
         self._prefill = _prefill
         self._decode = _decode
+        self._decode_step_logits = _decode_step_logits
 
         # ------------------------------------------ draft-model drafting ---
         self.draft = draft
@@ -679,6 +690,7 @@ class LLM:
         on_tokens=None,
         logprobs: int = 0,
         speculative: int = 0,
+        grammar: str | None = None,
     ) -> list[GenerationResult]:
         """Generate completions with continuous batching over the slot pool.
 
@@ -702,8 +714,24 @@ class LLM:
         penalties, no logprobs). Output is token-for-token identical to
         plain greedy decoding; repetitive text decodes up to (k+1)x
         faster because each verify step can accept k drafts + 1 bonus
-        token in one forward."""
+        token in one forward.
+        `grammar`: GBNF text (llama.cpp dialect; engine/grammar.JSON_GBNF
+        for JSON mode) — every emitted token is constrained to keep the
+        output inside the grammar, via host-stepped decoding with exact
+        masked sampling (a Gumbel-ordered candidate walk touches only a
+        handful of tokens per step). Requires an embedded tokenizer;
+        incompatible with speculative/logprobs."""
         t_start = time.perf_counter()
+        g_samplers: dict = {}
+        g_rng = None
+        if grammar is not None:
+            from .grammar import GrammarSampler
+
+            assert self.tokenizer is not None, "grammar needs a tokenizer"
+            assert speculative == 0 and logprobs == 0, (
+                "grammar-constrained decoding is host-stepped: no "
+                "speculative drafts or logprobs")
+            g_rng = np.random.default_rng(seed)
         queue = [(i, self._encode(p)) for i, p in enumerate(prompts)]
         queue.reverse()  # pop() takes the earliest request
         results = {i: GenerationResult(prompt_ids=ids,
@@ -772,9 +800,19 @@ class LLM:
                     # tracked for the draft cache — full prefill)
                     self._prefill_chunks(ids, s, draft=True)
                 key, sub = jax.random.split(key)
-                cnt1 = (_ids_counts({0: ids})[:1]
-                        if sampler.uses_penalties else None)
-                first = int(sample(logits[None, :], sub, sampler, cnt1)[0])
+                if grammar is not None:
+                    from .grammar import GrammarSampler
+
+                    gs = GrammarSampler(grammar, self.tokenizer, eos)
+                    first = gs.pick(np.asarray(logits), sampler.temperature,
+                                    g_rng)
+                    gs.advance(first)
+                    g_samplers[rid] = gs
+                else:
+                    cnt1 = (_ids_counts({0: ids})[:1]
+                            if sampler.uses_penalties else None)
+                    first = int(sample(logits[None, :], sub, sampler,
+                                       cnt1)[0])
                 if logprobs:
                     lp = np.asarray(jax.nn.log_softmax(
                         logits.astype(jnp.float32)))
@@ -850,6 +888,29 @@ class LLM:
             pos_dev = np.where([slots[s] is not None
                                 for s in range(self.max_batch)],
                                pos, self.max_seq)
+            if grammar is not None:
+                # host-stepped constrained decoding: one t=1 forward, the
+                # per-sequence grammar parsers pick from the full logits
+                span = self._span_bucket(max(int(pos[s]) for s in live) + 1)
+                logits_all, self.cache = self._decode_step_logits(
+                    self.params, self.cache,
+                    jnp.asarray(last_tok, jnp.int32),
+                    jnp.asarray(pos_dev, jnp.int32), span)
+                la = np.asarray(logits_all)
+                for s in range(self.max_batch):
+                    if slots[s] is None:
+                        continue
+                    gs = g_samplers[slots[s]]
+                    tok = gs.pick(la[s], sampler.temperature, g_rng)
+                    gs.advance(tok)
+                    results[slots[s]].token_ids.append(tok)
+                    pos[s] += 1
+                    last_tok[s] = tok
+                    budget[s] -= 1
+                    _maybe_finish(s, tok)
+                admit()
+                _flush()
+                continue
             use_spec = (speculative > 0 and sampler.temperature <= 0.0
                         and not sampler.uses_penalties and logprobs == 0
                         and not sampler.logit_bias

@@ -1,0 +1,357 @@
+"""GBNF grammar-constrained decoding — llama.cpp grammar parity.
+
+Implements llama.cpp's GBNF dialect (grammars/*.gbnf ship with llama.cpp
+and work here unchanged): `rule ::= alternates`, literal strings,
+character classes ([a-z0-9], negation [^...]), grouping, the ? * +
+repetition operators, and rule references. The matcher is the same
+incremental pushdown design as llama_grammar: a SET of stacks of
+grammar positions advances byte by byte; a byte is accepted if any
+stack accepts it, and generation may stop when any stack is empty.
+
+Sampling composes with the engine's host-stepping constrained path
+(engine.generate(grammar=...)): instead of materializing a vocab-sized
+mask per step (expensive in Python), the sampler walks candidates in
+Gumbel-perturbed probability order and takes the first token whose
+bytes the grammar accepts — by the Gumbel-max argument this draws
+EXACTLY from the renormalized masked distribution, while touching only
+a handful of candidates per step. Greedy walks plain logit order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# element kinds (mirrors llama.cpp llama_gretype)
+END = 0          # end of a sequence
+ALT = 1          # start of an alternate sequence
+RULE_REF = 2     # (kind, rule_id)
+CHAR = 3         # (kind, ((lo, hi), ...)) inclusive byte ranges
+CHAR_NOT = 4     # negated ranges
+
+
+class GrammarParseError(ValueError):
+    pass
+
+
+def _parse_char(src: str, i: int):
+    """One (possibly escaped) character -> (codepoint, next_i)."""
+    c = src[i]
+    if c == "\\":
+        e = src[i + 1]
+        table = {"n": "\n", "r": "\r", "t": "\t", "\\": "\\", '"': '"',
+                 "[": "[", "]": "]", "'": "'"}
+        if e in table:
+            return ord(table[e]), i + 2
+        if e in ("x", "u", "U"):
+            n = {"x": 2, "u": 4, "U": 8}[e]
+            return int(src[i + 2:i + 2 + n], 16), i + 2 + n
+        raise GrammarParseError(f"bad escape \\{e}")
+    return ord(c), i + 1
+
+
+class Grammar:
+    """Parsed GBNF: rules[id] = list of alternate sequences, each a list
+    of elements ((CHAR, ranges) | (CHAR_NOT, ranges) | (RULE_REF, id))."""
+
+    def __init__(self, text: str, root: str = "root"):
+        self.rule_ids: dict[str, int] = {}
+        self.rules: list = []
+        self._parse(text)
+        if root not in self.rule_ids:
+            raise GrammarParseError(f"no '{root}' rule")
+        self.root = self.rule_ids[root]
+
+    # ------------------------------------------------------------ parsing ---
+    def _rid(self, name: str) -> int:
+        if name not in self.rule_ids:
+            self.rule_ids[name] = len(self.rules)
+            self.rules.append(None)
+        return self.rule_ids[name]
+
+    def _new_rule(self, alts) -> int:
+        rid = len(self.rules)
+        self.rules.append(alts)
+        self.rule_ids[f"<anon{rid}>"] = rid
+        return rid
+
+    def _parse(self, text: str):
+        # strip comments
+        lines = []
+        for ln in text.split("\n"):
+            if "#" in ln:
+                ln = ln[:ln.index("#")]
+            lines.append(ln)
+        src = "\n".join(lines)
+        i, n = 0, len(src)
+
+        def skip_ws(i):
+            while i < n and src[i] in " \t\r\n":
+                i += 1
+            return i
+
+        while True:
+            i = skip_ws(i)
+            if i >= n:
+                break
+            j = i
+            while j < n and (src[j].isalnum() or src[j] in "-_"):
+                j += 1
+            name = src[i:j]
+            if not name:
+                raise GrammarParseError(f"expected rule name at {i}")
+            j = skip_ws(j)
+            if src[j:j + 3] != "::=":
+                raise GrammarParseError(f"expected ::= after {name!r}")
+            alts, i = self._parse_alts(src, j + 3)
+            self.rules[self._rid(name)] = alts
+        missing = [nm for nm, rid in self.rule_ids.items()
+                   if self.rules[rid] is None]
+        if missing:
+            raise GrammarParseError(f"undefined rules: {missing}")
+
+    def _parse_alts(self, src: str, i: int):
+        """Alternates up to an unbalanced ')' or the rule's end."""
+        n = len(src)
+        alts = [[]]
+
+        def skip_sp(i):
+            while i < n and src[i] in " \t":
+                i += 1
+            return i
+
+        while True:
+            i = skip_sp(i)
+            if i >= n:
+                break
+            c = src[i]
+            if c == "\n":
+                # a newline ends the rule unless the next non-ws token
+                # continues an alternate ('|')
+                j = i
+                while j < n and src[j] in " \t\r\n":
+                    j += 1
+                if j < n and src[j] == "|":
+                    i = j
+                    continue
+                break
+            if c == ")":
+                break
+            if c == "|":
+                alts.append([])
+                i += 1
+                continue
+            if c == '"':
+                j = i + 1
+                while src[j] != '"':
+                    cp, j = _parse_char(src, j)
+                    alts[-1].append((CHAR, ((cp, cp),)))
+                i = j + 1
+            elif c == "[":
+                neg = src[i + 1] == "^"
+                j = i + 2 if neg else i + 1
+                ranges = []
+                while src[j] != "]":
+                    lo, j = _parse_char(src, j)
+                    if src[j] == "-" and src[j + 1] != "]":
+                        hi, j = _parse_char(src, j + 1)
+                        ranges.append((lo, hi))
+                    else:
+                        ranges.append((lo, lo))
+                # ranges are unicode codepoints (llama_grammar matches
+                # decoded code points, not raw bytes)
+                alts[-1].append((CHAR_NOT if neg else CHAR, tuple(ranges)))
+                i = j + 1
+            elif c == "(":
+                inner, i = self._parse_alts(src, i + 1)
+                if src[i] != ")":
+                    raise GrammarParseError(f"unbalanced ( at {i}")
+                i += 1
+                rid = self._new_rule(inner)
+                alts[-1].append((RULE_REF, rid))
+            elif c.isalnum() or c in "-_":
+                j = i
+                while j < n and (src[j].isalnum() or src[j] in "-_"):
+                    j += 1
+                alts[-1].append((RULE_REF, self._rid(src[i:j])))
+                i = j
+            else:
+                raise GrammarParseError(f"unexpected {c!r} at {i}")
+            # repetition operators bind to the last element
+            i = skip_sp(i)
+            if i < n and src[i] in "?*+":
+                op = src[i]
+                last = alts[-1].pop()
+                if op == "?":
+                    rid = self._new_rule([[last], []])
+                elif op == "*":
+                    rid = self._new_rule([])
+                    self.rules[rid] = [[last, (RULE_REF, rid)], []]
+                else:  # +
+                    rid = self._new_rule([])
+                    self.rules[rid] = [[last, (RULE_REF, rid)], [last]]
+                alts[-1].append((RULE_REF, rid))
+                i += 1
+        return alts, i
+
+
+class GrammarState:
+    """Incremental matcher: a set of stacks of (rule_id, alt_idx, pos)
+    positions, advanced codepoint by codepoint (llama_grammar_accept)."""
+
+    def __init__(self, grammar: Grammar):
+        self.g = grammar
+        self.stacks = self._expand(((grammar.root, None, None),))
+
+    def _tops(self, stack):
+        """Expand a stack until its top is a terminal (CHAR/CHAR_NOT) or
+        it is empty -> list of concrete stacks."""
+        g = self.g
+        out = []
+        seen = set()
+
+        def rec(st):
+            if st in seen:
+                return
+            seen.add(st)
+            if not st:
+                out.append(st)
+                return
+            rid, alt, pos = st[-1]
+            if alt is None:      # fresh rule ref: fork over its alternates
+                for ai in range(len(g.rules[rid])):
+                    rec(st[:-1] + ((rid, ai, 0),))
+                if not g.rules[rid]:   # empty rule (pure epsilon)
+                    rec(st[:-1])
+                return
+            seq = g.rules[rid][alt]
+            if pos >= len(seq):  # sequence done: pop
+                rec(st[:-1])
+                return
+            kind = seq[pos][0]
+            if kind == RULE_REF:
+                rec(st[:-1] + ((rid, alt, pos + 1), (seq[pos][1], None, None)))
+                return
+            out.append(st)       # terminal on top
+        rec(stack)
+        return out
+
+    def _expand(self, stack):
+        return self._tops(stack)
+
+    @staticmethod
+    def _match(elem, cp: int) -> bool:
+        kind, ranges = elem
+        hit = any(lo <= cp <= hi for lo, hi in ranges)
+        return hit if kind == CHAR else not hit
+
+    def accepts_text(self, text: str) -> bool:
+        """Would the grammar accept this continuation? (non-destructive)"""
+        stacks = self.stacks
+        for ch in text:
+            stacks = self._step(stacks, ord(ch))
+            if not stacks:
+                return False
+        return True
+
+    def _step(self, stacks, cp: int):
+        g = self.g
+        nxt = []
+        seen = set()
+        for st in stacks:
+            if not st:
+                continue
+            rid, alt, pos = st[-1]
+            elem = g.rules[rid][alt][pos]
+            if self._match(elem, cp):
+                for ex in self._tops(st[:-1] + ((rid, alt, pos + 1),)):
+                    if ex not in seen:
+                        seen.add(ex)
+                        nxt.append(ex)
+        return nxt
+
+    def advance_text(self, text: str) -> bool:
+        """Consume `text`; False (state unchanged) if it cannot match."""
+        stacks = self.stacks
+        for ch in text:
+            stacks = self._step(stacks, ord(ch))
+            if not stacks:
+                return False
+        self.stacks = stacks
+        return True
+
+    @property
+    def can_stop(self) -> bool:
+        """True when the root rule can be complete here (an empty stack)."""
+        return any(not st for st in self.stacks)
+
+    @property
+    def dead(self) -> bool:
+        return not self.stacks
+
+
+# JSON-mode grammar (llama.cpp grammars/json.gbnf, with the {n,m}
+# repetition extension expanded to the core dialect)
+JSON_GBNF = r'''
+root   ::= object
+value  ::= object | array | string | number | ("true" | "false" | "null") ws
+object ::= "{" ws ( string ":" ws value ("," ws string ":" ws value)* )? "}" ws
+array  ::= "[" ws ( value ("," ws value)* )? "]" ws
+string ::= "\"" ( [^"\\] | "\\" (["\\/bfnrt] | "u" hex hex hex hex) )* "\"" ws
+hex    ::= [0-9a-fA-F]
+number ::= ("-"? ([0-9] | [1-9] [0-9]*)) ("." [0-9]+)? ([eE] [-+]? [0-9]+)? ws
+ws     ::= [ \t\n]*
+'''
+
+
+class GrammarSampler:
+    """Per-sequence constrained sampling over a tokenizer vocabulary.
+
+    pick(logits) walks candidates in Gumbel-perturbed log-prob order
+    (plain logit order for greedy) and returns the first token whose
+    decoded text the grammar accepts — an exact draw from the masked,
+    renormalized distribution. advance(token) consumes the choice."""
+
+    def __init__(self, grammar_text: str, tokenizer, eos_id: int,
+                 root: str = "root"):
+        self.grammar = Grammar(grammar_text, root)
+        self.state = GrammarState(self.grammar)
+        self.tok = tokenizer
+        self.eos_id = eos_id
+        self._piece_cache: dict[int, str] = {}
+
+    def _piece(self, tid: int) -> str:
+        p = self._piece_cache.get(tid)
+        if p is None:
+            p = self.tok.decode([int(tid)])
+            self._piece_cache[tid] = p
+        return p
+
+    def pick(self, logits: np.ndarray, temperature: float = 0.0,
+             rng: np.random.Generator | None = None,
+             max_probe: int = 512) -> int:
+        """logits (V,) -> chosen token id honoring the grammar."""
+        lg = np.asarray(logits, np.float64)
+        if temperature > 0.0:
+            rng = rng or np.random.default_rng()
+            keys = lg / temperature + rng.gumbel(size=lg.shape)
+        else:
+            keys = lg
+        order = np.argsort(-keys)
+        for tid in order[:max_probe]:
+            tid = int(tid)
+            if tid == self.eos_id:
+                if self.state.can_stop:
+                    return tid
+                continue
+            text = self._piece(tid)
+            if text and self.state.accepts_text(text):
+                return tid
+        # no token fits (should only happen when the grammar is complete
+        # and EOS is masked by a tokenizer quirk): stop
+        return self.eos_id
+
+    def advance(self, tid: int) -> None:
+        if tid == self.eos_id:
+            return
+        ok = self.state.advance_text(self._piece(tid))
+        assert ok, f"advance() on a token pick() did not approve: {tid}"

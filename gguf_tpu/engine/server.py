@@ -28,7 +28,8 @@ from .sampler import SamplerConfig
 
 class _Request:
     def __init__(self, prompt, max_tokens, sampler, seed, stop=None,
-                 stream=False, logprobs=0, session=None, embed=False):
+                 stream=False, logprobs=0, session=None, embed=False,
+                 grammar=None):
         self.prompt = prompt
         self.max_tokens = max_tokens
         self.sampler = sampler
@@ -38,6 +39,7 @@ class _Request:
         self.logprobs = logprobs
         self.session = session          # conversation id (chat sessions)
         self.embed = embed              # /v1/embeddings (prompt = inputs)
+        self.grammar = grammar          # GBNF text (constrained decoding)
         # streaming: (new_token_ids, finished) tuples, then a None sentinel
         self.events: queue.Queue = queue.Queue()
         self.done = threading.Event()
@@ -170,9 +172,11 @@ class EngineWorker:
             groups: dict = {}
             for r in batch:
                 key = (r.sampler, r.max_tokens, r.seed,
-                       tuple(r.stop) if r.stop else None, r.logprobs)
+                       tuple(r.stop) if r.stop else None, r.logprobs,
+                       r.grammar)
                 groups.setdefault(key, []).append(r)
-            for (sampler, max_tokens, seed, stop, lpk), reqs in groups.items():
+            for (sampler, max_tokens, seed, stop, lpk,
+                 grammar), reqs in groups.items():
                 streaming = any(r.stream for r in reqs)
 
                 def on_tokens(idx, ids, finished, _reqs=reqs):
@@ -187,7 +191,7 @@ class EngineWorker:
                         sampler=sampler, seed=seed,
                         stop=list(stop) if stop else None,
                         on_tokens=on_tokens if streaming else None,
-                        logprobs=lpk)
+                        logprobs=lpk, grammar=grammar)
                     for r, res in zip(reqs, results):
                         r.result = res
                         self.metrics["prompt_tokens_total"] += len(res.prompt_ids)
@@ -399,11 +403,24 @@ def make_handler(worker: EngineWorker):
                 session = payload.get("session")
                 if session is not None and not chat:
                     raise ValueError("'session' requires /v1/chat/completions")
+                grammar = payload.get("grammar")
+                rf = payload.get("response_format")
+                if rf is not None and not grammar:
+                    if not (isinstance(rf, dict)
+                            and rf.get("type") in ("json_object", "json")):
+                        raise ValueError(
+                            "response_format supports {'type': 'json_object'}")
+                    from .grammar import JSON_GBNF
+
+                    grammar = JSON_GBNF
+                if grammar is not None and session is not None:
+                    raise ValueError("'grammar' is stateless-request only")
                 req = _Request(prompt, int(payload.get("max_tokens", 64)),
                                sampler, int(payload.get("seed", 0)), stop,
                                stream=bool(payload.get("stream", False)),
                                logprobs=int(payload.get("logprobs", 0) or 0),
-                               session=str(session) if session else None)
+                               session=str(session) if session else None,
+                               grammar=grammar)
             except (ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
                 return

@@ -132,10 +132,18 @@ def cmd_generate(args):
     sampler = SamplerConfig(temperature=args.temperature, top_p=args.top_p)
     prompt = ([int(x) for x in args.ids.split()] if args.ids
               else args.prompt)
+    grammar = None
+    if getattr(args, "json", False):
+        from ..engine.grammar import JSON_GBNF
+
+        grammar = JSON_GBNF
+    elif getattr(args, "grammar", None):
+        with open(args.grammar) as f:
+            grammar = f.read()
     prompts = [prompt] * max(args.batch, 1)
     res = llm.generate(prompts, max_new_tokens=args.n, sampler=sampler,
                        speculative=args.speculative,
-                       seed=args.seed)
+                       seed=args.seed, grammar=grammar)
     for r in res:
         print(r.text if r.text else r.token_ids)
 
@@ -307,6 +315,11 @@ def main(argv=None):
     s.add_argument("--temperature", type=float, default=0.8)
     s.add_argument("--top-p", type=float, default=0.95)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--grammar", default=None, metavar="GBNF_FILE",
+                   help="constrain output to a GBNF grammar (llama.cpp "
+                        "dialect)")
+    s.add_argument("--json", action="store_true",
+                   help="constrain output to valid JSON")
     s.add_argument("--draft", default=None, metavar="GGUF",
                    help="smaller same-vocab GGUF for draft-model "
                         "speculative decoding (with --speculative K)")

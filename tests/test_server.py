@@ -301,3 +301,44 @@ def test_models_endpoint(server):
         res = json.loads(r.read())
     assert res["object"] == "list"
     assert res["data"][0]["meta"]["dim"] == CFG.dim
+
+
+def test_response_format_json(tmp_path):
+    """response_format {'type': 'json_object'} constrains the completion
+    to (a prefix of) valid JSON via the built-in grammar."""
+    from gguf_tpu.engine.grammar import Grammar, GrammarState, JSON_GBNF
+
+    path = str(tmp_path / "rf.gguf")
+    # CFG's 64-token vocab can't even spell '{': use a byte-complete one
+    big = LlamaConfig(vocab_size=512, dim=256, n_layers=1, n_heads=4,
+                      n_kv_heads=2, ffn_dim=512, max_seq_len=64)
+    tokens = (["<unk>", "<s>", "</s>"]
+              + [f"<0x{b:02X}>" for b in range(256)])
+    tokens = (tokens + [f"<p{i}>" for i in range(512)])[:512]
+    md = {"tokenizer.ggml.tokens": tokens,
+          "tokenizer.ggml.scores": np.zeros(512, np.float32),
+          "tokenizer.ggml.bos_token_id": 1,
+          "tokenizer.ggml.eos_token_id": 2}
+    write_random_llama_gguf(path, big, fmt=GGMLType.Q4_K, seed=3,
+                            extra_metadata=md)
+    llm = LLM(path, max_batch=2, max_seq=48)
+    worker = EngineWorker(llm)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps({"prompt": "give me json", "max_tokens": 24,
+                             "temperature": 0.0,
+                             "response_format": {"type": "json_object"}}
+                            ).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = json.loads(r.read())
+        text = body["choices"][0]["text"]
+        assert text.startswith("{"), text
+        st = GrammarState(Grammar(JSON_GBNF))
+        assert st.advance_text(text), text
+    finally:
+        httpd.shutdown()
