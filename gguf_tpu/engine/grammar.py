@@ -125,15 +125,24 @@ class Grammar:
                 break
             c = src[i]
             if c == "\n":
-                # a newline ends the rule unless the next non-ws token
-                # continues an alternate ('|')
+                # a newline ends the rule only when the next line begins a
+                # new `name ::=` definition (official llama.cpp grammars
+                # span rules over multiple indented lines)
                 j = i
                 while j < n and src[j] in " \t\r\n":
                     j += 1
-                if j < n and src[j] == "|":
-                    i = j
-                    continue
-                break
+                if j >= n:
+                    break
+                k = j
+                while k < n and (src[k].isalnum() or src[k] in "-_"):
+                    k += 1
+                k2 = k
+                while k2 < n and src[k2] in " \t":
+                    k2 += 1
+                if k > j and src[k2:k2 + 3] == "::=":
+                    break                     # next rule starts
+                i = j
+                continue
             if c == ")":
                 break
             if c == "|":

@@ -138,3 +138,30 @@ def test_grammar_batched_requests(llm):
                         grammar='root ::= "yes" | "no"')
     for o in outs:
         assert o.text in ("yes", "no"), o.text
+
+
+def test_grammar_multiline_official_layout():
+    """Official llama.cpp grammar files spread rules over indented lines
+    (json.gbnf's layout) and use epsilon-recursive ws — both must parse
+    and match."""
+    g = Grammar('''
+root   ::= object
+value  ::= object | array | string | number | boolean | null
+object ::=
+  "{" ws (
+            string ":" ws value
+    ("," ws string ":" ws value)*
+  )? "}" ws
+array  ::=
+  "[" ws ( value ("," ws value)* )? "]" ws
+string ::=
+  "\\"" ( [^"\\\\] | "\\\\" (["\\\\/bfnrt]) )* "\\"" ws
+number ::= ("-"? ([0-9] | [1-9] [0-9]*)) ("." [0-9]+)? ws
+boolean ::= ("true" | "false") ws
+null ::= "null" ws
+ws ::= ([ \\t\\n] ws)?
+''')
+    st = GrammarState(g)
+    assert st.advance_text('{"k": [1, true, null, "s"]}') and st.can_stop
+    st2 = GrammarState(g)
+    assert not st2.advance_text('[1]')
