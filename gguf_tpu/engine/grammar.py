@@ -346,17 +346,21 @@ class GrammarSampler:
         else:
             keys = lg
         order = np.argsort(-keys)
-        for tid in order[:max_probe]:
-            tid = int(tid)
+
+        def ok(tid: int) -> bool:
             if tid == self.eos_id:
-                if self.state.can_stop:
-                    return tid
-                continue
+                return self.state.can_stop
             text = self._piece(tid)
-            if text and self.state.accepts_text(text):
-                return tid
-        # no token fits (should only happen when the grammar is complete
-        # and EOS is masked by a tokenizer quirk): stop
+            return bool(text) and self.state.accepts_text(text)
+
+        for tid in order[:max_probe]:
+            if ok(int(tid)):
+                return int(tid)
+        # rare: every high-probability token violates the grammar (e.g. a
+        # mandatory low-probability delimiter) — full scan before giving up
+        for tid in order[max_probe:]:
+            if ok(int(tid)):
+                return int(tid)
         return self.eos_id
 
     def advance(self, tid: int) -> None:
