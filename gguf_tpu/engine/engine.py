@@ -642,8 +642,7 @@ class LLM:
                     cache, _o, return_hidden=True)
                 return hidden
             self._embed_fwd = jax.jit(_efwd)
-        ids = [self.tokenizer.encode(p) if isinstance(p, str) else list(p)
-               for p in prompts]
+        ids = [self._encode(p) for p in prompts]
         assert all(ids), "empty prompt"
         n = len(ids)
         lens = np.array([len(x) for x in ids])
@@ -731,7 +730,20 @@ class LLM:
             assert speculative == 0 and logprobs == 0, (
                 "grammar-constrained decoding is host-stepped: no "
                 "speculative drafts or logprobs")
+            if sampler.uses_penalties or sampler.logit_bias:
+                raise ValueError(
+                    "grammar-constrained decoding does not compose with "
+                    "repetition penalties or logit_bias (top_k/top_p/"
+                    "min_p/typical_p/temperature are honored)")
             g_rng = np.random.default_rng(seed)
+        # draft-model speculation only engages under the spec gate; don't
+        # pay the draft prefill for calls that can never use it
+        draft_active = (speculative > 0
+                        and self._draft_spec_decode is not None
+                        and grammar is None
+                        and sampler.temperature <= 0.0
+                        and not sampler.uses_penalties
+                        and not sampler.logit_bias and logprobs == 0)
         queue = [(i, self._encode(p)) for i, p in enumerate(prompts)]
         queue.reverse()  # pop() takes the earliest request
         results = {i: GenerationResult(prompt_ids=ids,
@@ -794,7 +806,7 @@ class LLM:
                         common = 0   # distinct start-offset specialization
                     self.prefix_cache_hits += common
                 logits = self._prefill_chunks(ids[common:], s, start=common)
-                if speculative > 0 and self._draft_spec_decode is not None:
+                if draft_active:
                     # the draft model drafts from its own cache: give it the
                     # same prompt at the same positions (no history is
                     # tracked for the draft cache — full prefill)
@@ -805,7 +817,7 @@ class LLM:
 
                     gs = GrammarSampler(grammar, self.tokenizer, eos)
                     first = gs.pick(np.asarray(logits), sampler.temperature,
-                                    g_rng)
+                                    g_rng, sampler=sampler)
                     gs.advance(first)
                     g_samplers[rid] = gs
                 else:
@@ -901,7 +913,8 @@ class LLM:
                     if slots[s] is None:
                         continue
                     gs = g_samplers[slots[s]]
-                    tok = gs.pick(la[s], sampler.temperature, g_rng)
+                    tok = gs.pick(la[s], sampler.temperature, g_rng,
+                                  sampler=sampler)
                     gs.advance(tok)
                     results[slots[s]].token_ids.append(tok)
                     pos[s] += 1

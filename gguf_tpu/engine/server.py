@@ -415,6 +415,11 @@ def make_handler(worker: EngineWorker):
                     grammar = JSON_GBNF
                 if grammar is not None and session is not None:
                     raise ValueError("'grammar' is stateless-request only")
+                if grammar is not None and (
+                        sampler.uses_penalties or sampler.logit_bias):
+                    raise ValueError(
+                        "'grammar' does not compose with repetition "
+                        "penalties or logit_bias")
                 req = _Request(prompt, int(payload.get("max_tokens", 64)),
                                sampler, int(payload.get("seed", 0)), stop,
                                stream=bool(payload.get("stream", False)),

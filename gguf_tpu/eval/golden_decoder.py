@@ -151,7 +151,13 @@ def _rope(x_bf16, positions, theta, scale, cfg=None):
     freqs = theta ** (-np.arange(0, hd, 2, dtype=np.float32) / hd)
     if cfg is not None and cfg.rope_freq_factors is not None:
         freqs = freqs / np.asarray(cfg.rope_freq_factors, np.float32)
-    if cfg is not None and cfg.rope_scaling_kind == "yarn":
+    if cfg is not None and cfg.rope_scaling_kind == "longrope":
+        # phi3: the per-dim factors carry all position scaling; the
+        # converter's attention-magnitude factor rides on cos/sin
+        ang = positions.astype(np.float32)[:, None] * freqs
+        m = np.float32(cfg.rope_attn_factor)
+        cos, sin = np.cos(ang) * m, np.sin(ang) * m
+    elif cfg is not None and cfg.rope_scaling_kind == "yarn":
         import math
 
         from ..models.llama import yarn_corr_dims

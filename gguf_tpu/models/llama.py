@@ -164,12 +164,18 @@ def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
 
 
 def rope_for_cfg(positions: jax.Array, cfg, theta: float | None = None):
-    """cos/sin for a model config — dispatches linear vs yarn scaling and
-    threads the optional per-dim frequency factors. `theta` overrides the
-    frequency base (gemma3's sliding layers rotate at rope_theta_swa)."""
+    """cos/sin for a model config — dispatches linear/yarn/longrope
+    scaling and threads the optional per-dim frequency factors.
+
+    `theta` (gemma3's sliding layers at rope_theta_swa) switches to a
+    PLAIN rotation at that base: llama.cpp gives SWA layers
+    freq_scale_train_swa = 1 and no factors, so the global layers' rope
+    scaling (gemma3 ships linear factor 8) must not leak onto them."""
     rd = cfg.rope_dim or cfg.head_dim
+    if theta is not None:
+        return rope_cos_sin(positions, rd, theta)
     return rope_cos_sin(
-        positions, rd, theta or cfg.rope_theta, cfg.rope_scale,
+        positions, rd, cfg.rope_theta, cfg.rope_scale,
         kind=cfg.rope_scaling_kind, orig_ctx=cfg.rope_orig_ctx or cfg.max_seq_len,
         attn_factor=cfg.rope_attn_factor, freq_factors=cfg.rope_freq_factors)
 

@@ -53,15 +53,17 @@ def _signed_absmax(g: np.ndarray) -> np.ndarray:
     return g[np.arange(g.shape[0]), idx]
 
 
-def _fit_scales(g: np.ndarray) -> np.ndarray:
+def _fit_scales(g: np.ndarray, w: np.ndarray | None = None) -> np.ndarray:
     """GGML's per-32 candidate-scale search (quantize_row_iq4_nl_impl,
     ntry=7): candidates are the sign-preserving absmax fit id=127/max plus
     id=(t-127)/max for t in [-7, 7]; each candidate's codes are refit by
-    weighted least squares d = sum(w q x)/sum(w q^2) with w = x^2, and the
-    best sum(w q x)^2/sum(w q^2) wins (first candidate on ties). Returns
-    (nb,) f32 scales; zero rows (amax < eps) get scale 0."""
+    weighted least squares d = sum(w q x)/sum(w q^2), and the best
+    sum(w q x)^2/sum(w q^2) wins (first candidate on ties). `w` defaults
+    to x^2 (the no-imatrix path); quant/weighted.py passes
+    qw*sqrt(sigma2+x^2). Returns (nb,) f32 scales; zero rows get 0."""
     nb = g.shape[0]
-    w = g * g
+    if w is None:
+        w = g * g
     mx = _signed_absmax(g)
     amax = np.abs(mx)
     safe_mx = np.where(amax < _EPS, 1.0, mx)
@@ -83,6 +85,15 @@ def _fit_scales(g: np.ndarray) -> np.ndarray:
     return np.where(amax < _EPS, 0.0, d).astype(np.float32)
 
 
+def pack_nl_blocks(d: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """(nb,) scales + (nb, 32) table indices -> IQ4_NL 18-byte rows."""
+    out = np.empty((d.shape[0], BLOCK_BYTES_NL), np.uint8)
+    out[:, :2] = np.asarray(d, np.float32).astype(
+        np.float16)[:, None].view(np.uint8)
+    out[:, 2:] = codes[:, :16] | (codes[:, 16:] << 4)
+    return out
+
+
 def _chunked(fn, x: np.ndarray, rows_per_chunk: int = 65536) -> np.ndarray:
     if x.shape[0] <= rows_per_chunk:
         return fn(x)
@@ -101,14 +112,10 @@ def quantize_iq4_nl(x: np.ndarray) -> np.ndarray:
     g = g.reshape(-1, BLOCK_NL)
 
     def one(gc):
-        d = _fit_scales(gc)
-        df = np.asarray(d, np.float32)
+        df = np.asarray(_fit_scales(gc), np.float32)
         inv = np.where(df != 0, 1.0 / np.where(df == 0, 1, df), 0.0)
         codes = best_index(inv[:, None] * gc)
-        out = np.empty((gc.shape[0], BLOCK_BYTES_NL), np.uint8)
-        out[:, :2] = df.astype(np.float16)[:, None].view(np.uint8)
-        out[:, 2:] = codes[:, :16] | (codes[:, 16:] << 4)
-        return out
+        return pack_nl_blocks(df, codes)
 
     return _chunked(one, g).reshape(-1)
 

@@ -383,44 +383,17 @@ def quantize_q3_k_w(x: np.ndarray, qw: np.ndarray) -> np.ndarray:
 
 
 def quantize_iq4_nl_w(x: np.ndarray, qw: np.ndarray) -> np.ndarray:
+    """Weighted IQ4_NL: the shared iq4 candidate-scale search with
+    imatrix weights in place of the default x² (one implementation —
+    iq4._fit_scales — serves both paths)."""
     from . import iq4 as _iq
 
-    g = np.asarray(x, np.float32).reshape(-1, 32)
-    w = _block_weights(g.astype(np.float64),
-                       _tile_qw(qw, g.shape[0], 32), 32)
-    d = _fit_scales_w(g.astype(np.float64), w)
+    g = np.asarray(x, np.float64).reshape(-1, 32)
+    w = _block_weights(g, _tile_qw(qw, g.shape[0], 32), 32)
+    d = np.asarray(_iq._fit_scales(g, w), np.float32)
     inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
     codes = _iq.best_index(inv[:, None] * g)
-    out = np.empty((g.shape[0], 18), np.uint8)
-    out[:, :2] = d.astype(np.float16)[:, None].view(np.uint8)
-    out[:, 2:] = codes[:, :16] | (codes[:, 16:] << 4)
-    return out.reshape(-1)
-
-
-def _fit_scales_w(g: np.ndarray, w: np.ndarray) -> np.ndarray:
-    """iq4 candidate-scale search with explicit weights (the qw-aware
-    variant of iq4._fit_scales)."""
-    from .iq4 import KVALUES, best_index
-
-    nb = g.shape[0]
-    idx = np.argmax(np.abs(g), axis=1)
-    mx = g[np.arange(nb), idx]
-    amax = np.abs(mx)
-    safe = np.where(amax < _EPS, 1.0, mx)
-    ids = np.empty((16, nb))
-    ids[0] = 127.0 / safe
-    for i, t in enumerate(range(-7, 8)):
-        ids[i + 1] = (t - 127.0) / safe
-    q = KVALUES[best_index(ids[:, :, None] * g[None, :, :])].astype(np.float64)
-    sumqx = np.einsum("nk,cnk->cn", w * g, q)
-    sumq2 = np.einsum("nk,cnk->cn", w, q * q)
-    score = np.where(sumq2 > 0, sumqx * sumqx / np.where(sumq2 == 0, 1, sumq2),
-                     -np.inf)
-    best = np.argmax(score, axis=0)
-    rows = np.arange(nb)
-    d = sumqx[best, rows] / np.where(sumq2[best, rows] == 0, 1,
-                                     sumq2[best, rows])
-    return np.where(amax < _EPS, 0.0, d)
+    return _iq.pack_nl_blocks(d, codes).reshape(-1)
 
 
 WEIGHTED_QUANTIZERS = {

@@ -165,3 +165,38 @@ ws ::= ([ \\t\\n] ws)?
     assert st.advance_text('{"k": [1, true, null, "s"]}') and st.can_stop
     st2 = GrammarState(g)
     assert not st2.advance_text('[1]')
+
+
+def test_grammar_byte_fallback_multibyte():
+    """Non-ASCII literals assemble from byte-fallback tokens: the sampler
+    must accept a valid UTF-8 lead byte (pending tail), reject stray
+    continuation bytes, and complete the codepoint next step."""
+
+    class ByteTok:
+        add_space_prefix = False
+        def decode_token(self, tid):
+            return bytes([tid])
+
+    gs = GrammarSampler.__new__(GrammarSampler)
+    gs.grammar = Grammar('root ::= "é!"')
+    gs.state = GrammarState(gs.grammar)
+    gs.tok = ByteTok()
+    gs.eos_id = 999
+    gs._piece_cache = {}
+    gs._pending = b""
+    gs._first = True
+
+    logits = np.zeros(256, np.float32)
+    logits[0xA9] = 9.0    # stray continuation byte: must be rejected
+    logits[0x21] = 8.0    # '!': grammar wants 'é' first
+    logits[0xC3] = 7.0    # the lead byte of é — the only legal pick
+    tid = gs.pick(logits)
+    assert tid == 0xC3, hex(tid)
+    gs.advance(tid)
+    assert gs._pending == b"\xc3"
+    logits2 = np.zeros(256, np.float32)
+    logits2[0xA9] = 1.0
+    tid2 = gs.pick(logits2)
+    assert tid2 == 0xA9
+    gs.advance(tid2)
+    assert gs._pending == b"" and gs.state.advance_text("!")

@@ -1024,3 +1024,32 @@ def test_phi3_serves_and_decodes(tmp_path):
                        sampler=SamplerConfig(temperature=0.0),
                        stop_at_eos=False)
     assert len(out[0].token_ids) == 6
+
+
+def test_gemma3_sliding_layers_ignore_global_rope_scaling(tmp_path):
+    """Real gemma3 GGUFs ship rope.scaling.type=linear factor 8 for the
+    GLOBAL layers; sliding layers rotate UNSCALED at rope_theta_swa
+    (llama.cpp freq_scale_train_swa = 1). With every layer sliding
+    (2 layers, pattern 6), changing the global factor must not change a
+    single logit."""
+    import dataclasses
+
+    cfg0 = LlamaConfig(vocab_size=64, dim=256, n_layers=2, n_heads=4,
+                       n_kv_heads=2, ffn_dim=256, max_seq_len=32,
+                       sliding_window=3, rope_theta=1_000_000.0,
+                       rope_scale=8.0, rope_scaling_kind="linear")
+    path = str(tmp_path / "g3s.gguf")
+    write_random_llama_gguf(path, cfg0, fmt=GGMLType.Q4_K, seed=25,
+                            arch="gemma3")
+    cfg, params = load_llama(path)
+    assert cfg.rope_scale == 8.0 and cfg.swa_pattern == 6
+    rng = np.random.default_rng(8)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 6)), jnp.int32)
+    opts = MMOpts(precision="high")
+    a, _ = forward(params, cfg, toks, jnp.zeros(1, jnp.int32),
+                   init_kv_cache(cfg, 1, 16), opts)
+    b, _ = forward(params, dataclasses.replace(cfg, rope_scale=1.0,
+                                               rope_scaling_kind="none"),
+                   toks, jnp.zeros(1, jnp.int32),
+                   init_kv_cache(cfg, 1, 16), opts)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
