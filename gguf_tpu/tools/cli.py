@@ -75,6 +75,14 @@ def cmd_requantize(args):
     print(f"wrote {args.out} ({args.fmt}{extra})")
 
 
+def cmd_convert_hf(args):
+    from .convert_hf import convert_hf
+
+    md = convert_hf(args.model_dir, args.out, fmt=args.fmt)
+    print(f"wrote {args.out} ({md['general.architecture']}, {args.fmt}, "
+          f"{md[md['general.architecture'] + '.block_count']} layers)")
+
+
 def cmd_imatrix(args):
     """Collect an importance matrix over a calibration token stream."""
     from ..eval.imatrix import collect_imatrix, write_imatrix
@@ -278,6 +286,16 @@ def main(argv=None):
                    help="importance matrix (cli imatrix or llama.cpp "
                         "format): activation-weighted quantization")
     s.set_defaults(fn=cmd_requantize)
+
+    s = sub.add_parser("convert-hf",
+                       help="HuggingFace checkpoint dir -> GGUF")
+    s.add_argument("model_dir")
+    s.add_argument("out")
+    s.add_argument("--fmt", default="q4_k",
+                   choices=["f16", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k",
+                            "q8_0", "q4_0", "q4_1", "q5_0", "q5_1",
+                            "iq4_nl", "iq4_xs"])
+    s.set_defaults(fn=cmd_convert_hf)
 
     s = sub.add_parser("imatrix",
                        help="collect an importance matrix for --imatrix")

@@ -1,0 +1,256 @@
+"""HuggingFace checkpoint -> GGUF converter (llama.cpp convert_hf parity
+for the llama/mistral/qwen2/qwen3 families).
+
+Reads a HF model directory directly — config.json, *.safetensors (parsed
+natively: the format is an 8-byte little-endian header length, a JSON
+tensor table, then raw data; no safetensors dependency), tokenizer.json
+(both Unigram/SPM and byte-level-BPE fast-tokenizer layouts) — and
+writes a llama.cpp-schema GGUF v3 with the weights quantized to the
+requested format.
+
+The critical transform is the rope permutation: HF checkpoints store
+q_proj/k_proj for rotate-half rope (x1 = first half, x2 = second half of
+each head), while GGUF/llama.cpp use interleaved pairs. Rows of wq/wk
+are permuted head-by-head — reshape (heads, 2, hd/2, in), swap the
+middle axes — exactly llama.cpp's convert permute().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import numpy as np
+
+from ..gguf import GGMLType
+from ..gguf.writer import quantize_tensor, write_gguf
+
+
+def read_safetensors(path: str) -> dict:
+    """*.safetensors -> {name: np.ndarray} (F32/F16/BF16/I32 supported)."""
+    out = {}
+    with open(path, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen))
+        base = 8 + hlen
+        data = np.memmap(path, dtype=np.uint8, mode="r")
+        for name, info in header.items():
+            if name == "__metadata__":
+                continue
+            dt = info["dtype"]
+            lo, hi = info["data_offsets"]
+            raw = np.asarray(data[base + lo:base + hi])
+            if dt == "F32":
+                arr = raw.view(np.float32)
+            elif dt == "F16":
+                arr = raw.view(np.float16).astype(np.float32)
+            elif dt == "BF16":
+                # bf16 = top 16 bits of f32
+                u = raw.view(np.uint16).astype(np.uint32) << 16
+                arr = u.view(np.float32)
+            elif dt in ("I32", "I64"):
+                arr = raw.view(np.int32 if dt == "I32" else np.int64)
+            else:
+                raise ValueError(f"unsupported safetensors dtype {dt}")
+            out[name] = arr.reshape(info["shape"]).copy()
+    return out
+
+
+def load_hf_weights(model_dir: str) -> dict:
+    """All *.safetensors shards in a HF directory, merged."""
+    files = sorted(f for f in os.listdir(model_dir)
+                   if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors in {model_dir}")
+    weights = {}
+    for f in files:
+        weights.update(read_safetensors(os.path.join(model_dir, f)))
+    return weights
+
+
+def permute_rope(w: np.ndarray, n_heads: int) -> np.ndarray:
+    """HF rotate-half -> GGUF interleaved rope ordering (llama.cpp
+    convert permute): rows regrouped per head from [first-half dims,
+    second-half dims] to interleaved pairs."""
+    m, k = w.shape
+    hd = m // n_heads
+    return (w.reshape(n_heads, 2, hd // 2, k)
+            .transpose(0, 2, 1, 3).reshape(m, k))
+
+
+def tokenizer_metadata(model_dir: str) -> dict:
+    """tokenizer.json (HF fast tokenizer) -> tokenizer.ggml.* metadata.
+    Unigram models map to the SPM schema (pieces + scores), byte-level
+    BPE to the gpt2 schema (tokens + merges)."""
+    path = os.path.join(model_dir, "tokenizer.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        tj = json.load(f)
+    model = tj.get("model", {})
+    md: dict = {}
+    cfg_path = os.path.join(model_dir, "tokenizer_config.json")
+    tok_cfg = {}
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            tok_cfg = json.load(f)
+
+    if model.get("type") == "Unigram":
+        vocab = model["vocab"]                    # [[piece, score], ...]
+        md["tokenizer.ggml.model"] = "llama"
+        md["tokenizer.ggml.tokens"] = [p for p, _ in vocab]
+        md["tokenizer.ggml.scores"] = np.asarray(
+            [s for _, s in vocab], np.float32)
+    elif model.get("type") == "BPE":
+        vocab = model["vocab"]                    # {token: id}
+        tokens = [None] * len(vocab)
+        for t, i in vocab.items():
+            tokens[i] = t
+        merges = model.get("merges", [])
+        md["tokenizer.ggml.model"] = "gpt2"
+        md["tokenizer.ggml.tokens"] = tokens
+        md["tokenizer.ggml.merges"] = [
+            m if isinstance(m, str) else " ".join(m) for m in merges]
+    else:
+        return {}
+
+    tokens = md["tokenizer.ggml.tokens"]
+    index = {t: i for i, t in enumerate(tokens)}
+
+    def tok_id(name, *cands):
+        v = tok_cfg.get(name)
+        if isinstance(v, dict):
+            v = v.get("content")
+        for c in (v, *cands):
+            if c in index:
+                return index[c]
+        return None
+
+    for key, name, cands in (
+            ("bos_token_id", "bos_token", ("<s>", "<|begin_of_text|>")),
+            ("eos_token_id", "eos_token", ("</s>", "<|end_of_text|>",
+                                          "<|im_end|>")),
+            ("unknown_token_id", "unk_token", ("<unk>",))):
+        tid = tok_id(name, *cands)
+        if tid is not None:
+            md[f"tokenizer.ggml.{key}"] = tid
+    if isinstance(tok_cfg.get("chat_template"), str):
+        md["tokenizer.chat_template"] = tok_cfg["chat_template"]
+    return md
+
+
+# HF model_type -> GGUF architecture
+_ARCHS = {"llama": "llama", "mistral": "llama", "qwen2": "qwen2",
+          "qwen3": "qwen3"}
+
+
+def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
+    """Convert a HF llama-family checkpoint directory to GGUF. Returns the
+    metadata written (for inspection/tests)."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    mt = hf.get("model_type", "llama")
+    if mt not in _ARCHS:
+        raise ValueError(f"unsupported model_type {mt!r} "
+                         f"(supported: {sorted(_ARCHS)})")
+    arch = _ARCHS[mt]
+
+    n_heads = hf["num_attention_heads"]
+    n_kv = hf.get("num_key_value_heads", n_heads)
+    dim = hf["hidden_size"]
+    head_dim = hf.get("head_dim") or dim // n_heads
+
+    md = {
+        "general.architecture": arch,
+        "general.name": os.path.basename(os.path.abspath(model_dir)),
+        f"{arch}.vocab_size": hf["vocab_size"],
+        f"{arch}.embedding_length": dim,
+        f"{arch}.block_count": hf["num_hidden_layers"],
+        f"{arch}.attention.head_count": n_heads,
+        f"{arch}.attention.head_count_kv": n_kv,
+        f"{arch}.feed_forward_length": hf["intermediate_size"],
+        f"{arch}.attention.layer_norm_rms_epsilon": hf.get("rms_norm_eps",
+                                                           1e-5),
+        f"{arch}.rope.freq_base": hf.get("rope_theta", 10000.0),
+        f"{arch}.context_length": hf.get("max_position_embeddings", 2048),
+    }
+    if head_dim != dim // n_heads:
+        md[f"{arch}.attention.key_length"] = head_dim
+        md[f"{arch}.attention.value_length"] = head_dim
+    rs = hf.get("rope_scaling") or {}
+    if rs.get("rope_type", rs.get("type")) == "linear":
+        md[f"{arch}.rope.scaling.type"] = "linear"
+        md[f"{arch}.rope.scaling.factor"] = float(rs.get("factor", 1.0))
+    elif rs.get("rope_type", rs.get("type")) == "yarn":
+        md[f"{arch}.rope.scaling.type"] = "yarn"
+        md[f"{arch}.rope.scaling.factor"] = float(rs.get("factor", 1.0))
+        md[f"{arch}.rope.scaling.original_context_length"] = int(
+            rs.get("original_max_position_embeddings", 0))
+    md.update(tokenizer_metadata(model_dir))
+
+    weights = load_hf_weights(model_dir)
+    target = GGMLType[fmt.upper()]
+    granule = 256 if "_k" in fmt or fmt.startswith("iq") else 32
+    head_fmt = (GGMLType.Q6_K if target in (GGMLType.Q4_K, GGMLType.Q5_K)
+                else target)
+
+    def put(tensors, name, w, t):
+        w = np.ascontiguousarray(w, np.float32)
+        if w.ndim < 2 or w.shape[-1] % granule:
+            tensors[name] = (GGMLType.F32, w.shape, w)
+        else:
+            tensors[name] = (t, w.shape, quantize_tensor(w, t))
+
+    def get(name):
+        if name not in weights:
+            raise KeyError(f"missing HF tensor {name}")
+        return weights[name]
+
+    tensors: dict = {}
+    put(tensors, "token_embd.weight", get("model.embed_tokens.weight"),
+        target)
+    put(tensors, "output_norm.weight", get("model.norm.weight"),
+        GGMLType.F32)
+    if "lm_head.weight" in weights:
+        put(tensors, "output.weight", weights["lm_head.weight"], head_fmt)
+    # tied embeddings: omit output.weight, the loader shares token_embd
+
+    for i in range(hf["num_hidden_layers"]):
+        hp = f"model.layers.{i}."
+        p = f"blk.{i}."
+        put(tensors, p + "attn_norm.weight",
+            get(hp + "input_layernorm.weight"), GGMLType.F32)
+        put(tensors, p + "ffn_norm.weight",
+            get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+        wq = permute_rope(get(hp + "self_attn.q_proj.weight"), n_heads)
+        wk = permute_rope(get(hp + "self_attn.k_proj.weight"), n_kv)
+        put(tensors, p + "attn_q.weight", wq, target)
+        put(tensors, p + "attn_k.weight", wk, target)
+        put(tensors, p + "attn_v.weight",
+            get(hp + "self_attn.v_proj.weight"), target)
+        put(tensors, p + "attn_output.weight",
+            get(hp + "self_attn.o_proj.weight"), target)
+        for hname, gname in (("self_attn.q_proj.bias", "attn_q.bias"),
+                             ("self_attn.k_proj.bias", "attn_k.bias"),
+                             ("self_attn.v_proj.bias", "attn_v.bias")):
+            if hp + hname in weights:        # qwen2 QKV biases
+                b = weights[hp + hname]
+                if gname in ("attn_q.bias",):
+                    b = permute_rope(b[:, None], n_heads)[:, 0]
+                elif gname in ("attn_k.bias",):
+                    b = permute_rope(b[:, None], n_kv)[:, 0]
+                put(tensors, p + gname, b, GGMLType.F32)
+        for hname, gname in (("self_attn.q_norm.weight", "attn_q_norm.weight"),
+                             ("self_attn.k_norm.weight", "attn_k_norm.weight")):
+            if hp + hname in weights:        # qwen3 QK-norm
+                put(tensors, p + gname, weights[hp + hname], GGMLType.F32)
+        put(tensors, p + "ffn_gate.weight",
+            get(hp + "mlp.gate_proj.weight"), target)
+        put(tensors, p + "ffn_up.weight",
+            get(hp + "mlp.up_proj.weight"), target)
+        put(tensors, p + "ffn_down.weight",
+            get(hp + "mlp.down_proj.weight"), target)
+
+    write_gguf(out_path, md, tensors)
+    return md

@@ -1,0 +1,207 @@
+"""HF -> GGUF converter: safetensors parsing, rope permutation parity
+against a rotate-half HF reference forward, tokenizer mapping."""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gguf_tpu.models import MMOpts, forward, init_kv_cache, load_llama
+from gguf_tpu.tools.convert_hf import (convert_hf, permute_rope,
+                                       read_safetensors)
+
+DIM, HEADS, KV, FFN, LAYERS, VOCAB = 256, 4, 2, 512, 2, 64
+HD = DIM // HEADS
+
+
+def _write_safetensors(path, tensors):
+    header = {}
+    off = 0
+    blobs = []
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr, np.float32)
+        b = arr.tobytes()
+        header[name] = {"dtype": "F32", "shape": list(arr.shape),
+                        "data_offsets": [off, off + len(b)]}
+        off += len(b)
+        blobs.append(b)
+    hb = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hb)))
+        f.write(hb)
+        for b in blobs:
+            f.write(b)
+
+
+def _toy_unigram_tokenizer():
+    vocab = [["<unk>", 0.0], ["<s>", 0.0], ["</s>", 0.0]]
+    vocab += [[f"<0x{b:02X}>", 0.0] for b in range(61)]
+    return {"model": {"type": "Unigram", "vocab": vocab}}
+
+
+def _make_hf_dir(tmp_path, *, qkv_bias=False, tied=False, model_type="llama",
+                 seed=0):
+    rng = np.random.default_rng(seed)
+    d = tmp_path / "hf"
+    d.mkdir(exist_ok=True)
+    cfg = {"model_type": model_type, "vocab_size": VOCAB,
+           "hidden_size": DIM, "num_hidden_layers": LAYERS,
+           "num_attention_heads": HEADS, "num_key_value_heads": KV,
+           "intermediate_size": FFN, "rms_norm_eps": 1e-5,
+           "rope_theta": 10000.0, "max_position_embeddings": 64}
+    (d / "config.json").write_text(json.dumps(cfg))
+    (d / "tokenizer.json").write_text(json.dumps(_toy_unigram_tokenizer()))
+    s = 0.5 / np.sqrt(DIM)
+    w = lambda *shape: (rng.standard_normal(shape) * s).astype(np.float32)
+    t = {"model.embed_tokens.weight": w(VOCAB, DIM),
+         "model.norm.weight": 1 + 0.1 * w(DIM) * 10}
+    if not tied:
+        t["lm_head.weight"] = w(VOCAB, DIM)
+    for i in range(LAYERS):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1 + 0.1 * w(DIM) * 10
+        t[p + "post_attention_layernorm.weight"] = 1 + 0.1 * w(DIM) * 10
+        t[p + "self_attn.q_proj.weight"] = w(HEADS * HD, DIM)
+        t[p + "self_attn.k_proj.weight"] = w(KV * HD, DIM)
+        t[p + "self_attn.v_proj.weight"] = w(KV * HD, DIM)
+        t[p + "self_attn.o_proj.weight"] = w(DIM, HEADS * HD)
+        if qkv_bias:
+            t[p + "self_attn.q_proj.bias"] = w(HEADS * HD) * 5
+            t[p + "self_attn.k_proj.bias"] = w(KV * HD) * 5
+            t[p + "self_attn.v_proj.bias"] = w(KV * HD) * 5
+        t[p + "mlp.gate_proj.weight"] = w(FFN, DIM)
+        t[p + "mlp.up_proj.weight"] = w(FFN, DIM)
+        t[p + "mlp.down_proj.weight"] = w(DIM, FFN)
+    _write_safetensors(str(d / "model.safetensors"), t)
+    return str(d), t
+
+
+def _hf_reference(t, tokens, qkv_bias=False, tied=False):
+    """Rotate-half-rope HF forward in numpy (the semantics the original
+    checkpoint was trained with)."""
+    b, T = tokens.shape
+    x = t["model.embed_tokens.weight"][tokens.reshape(-1)].reshape(b, T, DIM)
+
+    def rmsn(v, wt):
+        return v / np.sqrt(np.mean(v * v, -1, keepdims=True) + 1e-5) * wt
+
+    inv = 10000.0 ** (-np.arange(0, HD, 2) / HD)
+    ang = np.arange(T)[:, None] * inv[None, :]
+    cos = np.concatenate([np.cos(ang), np.cos(ang)], -1)   # (T, HD)
+    sin = np.concatenate([np.sin(ang), np.sin(ang)], -1)
+
+    def rope(v):                                           # (b, T, H, HD)
+        half = HD // 2
+        rot = np.concatenate([-v[..., half:], v[..., :half]], -1)
+        return v * cos[None, :, None, :] + rot * sin[None, :, None, :]
+
+    for i in range(LAYERS):
+        p = f"model.layers.{i}."
+        h = rmsn(x, t[p + "input_layernorm.weight"])
+        q = h @ t[p + "self_attn.q_proj.weight"].T
+        k = h @ t[p + "self_attn.k_proj.weight"].T
+        v = h @ t[p + "self_attn.v_proj.weight"].T
+        if qkv_bias:
+            q = q + t[p + "self_attn.q_proj.bias"]
+            k = k + t[p + "self_attn.k_proj.bias"]
+            v = v + t[p + "self_attn.v_proj.bias"]
+        q = rope(q.reshape(b, T, HEADS, HD))
+        k = rope(k.reshape(b, T, KV, HD))
+        v = v.reshape(b, T, KV, HD)
+        rep = HEADS // KV
+        k = np.repeat(k, rep, 2)
+        v = np.repeat(v, rep, 2)
+        sc = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(HD)
+        mask = np.tril(np.ones((T, T), bool))
+        sc = np.where(mask[None, None], sc, -np.inf)
+        pr = np.exp(sc - sc.max(-1, keepdims=True))
+        pr /= pr.sum(-1, keepdims=True)
+        att = np.einsum("bhqk,bkhd->bqhd", pr, v).reshape(b, T, HEADS * HD)
+        x = x + att @ t[p + "self_attn.o_proj.weight"].T
+        h = rmsn(x, t[p + "post_attention_layernorm.weight"])
+        g = h @ t[p + "mlp.gate_proj.weight"].T
+        u = h @ t[p + "mlp.up_proj.weight"].T
+        x = x + (g / (1 + np.exp(-g)) * u) @ t[p + "mlp.down_proj.weight"].T
+
+    x = rmsn(x, t["model.norm.weight"])
+    head = t["model.embed_tokens.weight"] if tied else t["lm_head.weight"]
+    return x @ head.T
+
+
+def test_safetensors_roundtrip(tmp_path):
+    arrs = {"a": np.arange(12, dtype=np.float32).reshape(3, 4),
+            "b": np.ones(5, np.float32)}
+    p = str(tmp_path / "x.safetensors")
+    _write_safetensors(p, arrs)
+    back = read_safetensors(p)
+    for k in arrs:
+        np.testing.assert_array_equal(back[k], arrs[k])
+
+
+def test_permute_rope_is_rotate_half_bridge():
+    """permute(W) @ x followed by interleaved-pair rope must equal
+    W @ x followed by rotate-half rope — the exact property the converter
+    relies on."""
+    rng = np.random.default_rng(0)
+    heads, hd, dim = 2, 8, 16
+    W = rng.standard_normal((heads * hd, dim)).astype(np.float64)
+    x = rng.standard_normal(dim)
+    theta = 0.7  # one angle per pair, same for the check
+    inv = 10000.0 ** (-np.arange(0, hd, 2) / hd) * theta
+
+    q_hf = (W @ x).reshape(heads, hd)
+    half = hd // 2
+    cos = np.concatenate([np.cos(inv), np.cos(inv)])
+    sin = np.concatenate([np.sin(inv), np.sin(inv)])
+    rot = np.concatenate([-q_hf[:, half:], q_hf[:, :half]], -1)
+    out_hf = q_hf * cos + rot * sin
+
+    q_gg = (permute_rope(W, heads) @ x).reshape(heads, hd // 2, 2)
+    c, s = np.cos(inv), np.sin(inv)
+    out_gg = np.stack([q_gg[..., 0] * c - q_gg[..., 1] * s,
+                       q_gg[..., 0] * s + q_gg[..., 1] * c], -1)
+    # GGUF interleaved pair j corresponds to HF dims (j, j+half)
+    out_gg_dims = np.concatenate([out_gg[..., 0], out_gg[..., 1]], -1)
+    np.testing.assert_allclose(out_gg_dims, out_hf, atol=1e-12)
+
+
+@pytest.mark.parametrize("qkv_bias,tied,model_type", [
+    (False, False, "llama"),
+    (True, True, "qwen2"),
+])
+def test_convert_matches_hf_reference(tmp_path, qkv_bias, tied, model_type):
+    """Converted GGUF served through the TPU stack reproduces the HF
+    rotate-half-rope reference forward (f16 conversion: only fp16 +
+    serving bf16 noise)."""
+    d, t = _make_hf_dir(tmp_path, qkv_bias=qkv_bias, tied=tied,
+                        model_type=model_type, seed=3)
+    out = str(tmp_path / "c.gguf")
+    md = convert_hf(d, out, fmt="f16")
+    arch = md["general.architecture"]
+    assert arch == ("qwen2" if model_type == "qwen2" else "llama")
+
+    cfg, params = load_llama(out)
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, VOCAB, (1, 6)).astype(np.int32)
+    got, _ = forward(params, cfg, jnp.asarray(tokens),
+                     jnp.zeros(1, jnp.int32), init_kv_cache(cfg, 1, 16),
+                     MMOpts(precision="high"))
+    ref = _hf_reference(t, tokens, qkv_bias=qkv_bias, tied=tied)
+    denom = np.abs(ref).max()
+    err = np.max(np.abs(np.asarray(got) - ref)) / denom
+    assert err < 0.04, err
+
+
+def test_convert_quantized_serves(tmp_path):
+    d, _ = _make_hf_dir(tmp_path, seed=5)
+    out = str(tmp_path / "q.gguf")
+    from gguf_tpu.tools.cli import main
+    main(["convert-hf", d, out, "--fmt", "q4_k"])
+    from gguf_tpu.engine import LLM, SamplerConfig
+    res = LLM(out, max_batch=1, max_seq=32).generate(
+        [[1, 5, 9]], max_new_tokens=4,
+        sampler=SamplerConfig(temperature=0.0), stop_at_eos=False)
+    assert len(res[0].token_ids) == 4
