@@ -174,6 +174,14 @@ def _rope(x_bf16, positions, theta, scale, cfg=None):
     else:
         ang = (positions.astype(np.float32) / scale)[:, None] * freqs
         cos, sin = np.cos(ang), np.sin(ang)
+    if cfg is not None and cfg.rope_neox:
+        # rotate-half (ROPE_TYPE_NEOX): dims (j, j+hd/2) rotate by angle j
+        xf = x_bf16.astype(np.float32)
+        half = hd // 2
+        x1, x2 = xf[..., :half], xf[..., half:]
+        return np.concatenate(
+            [x1 * cos[:, None] - x2 * sin[:, None],
+             x1 * sin[:, None] + x2 * cos[:, None]], -1).astype(BF16)
     xf = x_bf16.astype(np.float32).reshape(t, h, hd // 2, 2)
     e, o = xf[..., 0], xf[..., 1]
     out = np.empty_like(xf)

@@ -83,6 +83,11 @@ class LlamaConfig:
     # gemma3: sliding-window layers rotate with their own (short-context)
     # frequency base; 0 = same base as global layers
     rope_theta_swa: float = 0.0
+    # rope style: False = interleaved pairs (llama.cpp ROPE_TYPE_NORM —
+    # llama/mistral, whose converters PERMUTE q/k to this order);
+    # True = NEOX rotate-half (qwen2/qwen3/phi2/phi3/gemma-family GGUFs,
+    # which keep the HF dimension order)
+    rope_neox: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -146,6 +151,8 @@ class LlamaConfig:
             # global layers use rope.freq_base (1M)
             rope_theta_swa=(float(g("rope.freq_base_swa", 10000.0) or 10000.0)
                             if gemma3 else 0.0),
+            rope_neox=arch in ("qwen2", "qwen3", "phi2", "phi3",
+                               "gemma", "gemma2", "gemma3"),
         )
 
     def to_gguf_metadata(self, arch: str = "llama") -> dict:

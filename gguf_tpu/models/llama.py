@@ -11,10 +11,11 @@ pos, cache)` jits, shards (parallel/), and differentiates like any JAX
 program. Weights may be QuantTensors (quantized, SoA device layout) or plain
 float arrays — `linear()` dispatches.
 
-RoPE follows llama.cpp's "NORM" convention (consecutive-pair rotation) —
-GGUF checkpoints converted from HF have their Q/K projections permuted for
-exactly this convention, so loading a GGUF file and applying paired rotation
-reproduces llama.cpp logits.
+RoPE follows llama.cpp's per-architecture convention: llama/mistral GGUFs
+carry Q/K permuted for consecutive-pair rotation (ROPE_TYPE_NORM), while
+qwen/gemma/phi-family GGUFs keep the HF dimension order and rotate
+half-vs-half (ROPE_TYPE_NEOX) — cfg.rope_neox selects, so loading any
+family's GGUF reproduces llama.cpp logits.
 """
 
 from __future__ import annotations
@@ -180,10 +181,23 @@ def rope_for_cfg(positions: jax.Array, cfg, theta: float | None = None):
         attn_factor=cfg.rope_attn_factor, freq_factors=cfg.rope_freq_factors)
 
 
-def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """Consecutive-pair rotation (llama.cpp NORM style). x: (..., H, head_dim),
-    cos/sin broadcastable to (..., 1, head_dim/2)."""
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
+               neox: bool = False) -> jax.Array:
+    """Rotary embedding. x: (..., H, head_dim), cos/sin broadcastable to
+    (..., 1, head_dim/2).
+
+    neox=False: consecutive-pair rotation (llama.cpp ROPE_TYPE_NORM) —
+    dim pair (2j, 2j+1) rotates by angle j. The llama-family contract:
+    their GGUF converters permute q/k rows into this order.
+    neox=True: rotate-half (ROPE_TYPE_NEOX) — dims (j, j+hd/2) rotate by
+    angle j, the unpermuted HF order that qwen/gemma/phi GGUFs keep."""
     xf = x.astype(jnp.float32)
+    if neox:
+        half = xf.shape[-1] // 2
+        x1, x2 = xf[..., :half], xf[..., half:]
+        return jnp.concatenate(
+            [x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+            axis=-1).astype(x.dtype)
     x2 = xf.reshape(*xf.shape[:-1], -1, 2)
     x_even, x_odd = x2[..., 0], x2[..., 1]
     out_even = x_even * cos - x_odd * sin
@@ -294,12 +308,16 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
     # (B, T, rd/2)
     if rd < hd:   # partial rotary (phi2): rotate the leading rd dims only
         q = jnp.concatenate([apply_rope(q[..., :rd], cos[:, :, None, :],
-                                        sin[:, :, None, :]), q[..., rd:]], -1)
+                                        sin[:, :, None, :], cfg.rope_neox),
+                             q[..., rd:]], -1)
         k = jnp.concatenate([apply_rope(k[..., :rd], cos[:, :, None, :],
-                                        sin[:, :, None, :]), k[..., rd:]], -1)
+                                        sin[:, :, None, :], cfg.rope_neox),
+                             k[..., rd:]], -1)
     else:
-        q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :])
-        k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :])
+        q = apply_rope(q, cos[:, :, None, :], sin[:, :, None, :],
+                       cfg.rope_neox)
+        k = apply_rope(k, cos[:, :, None, :], sin[:, :, None, :],
+                       cfg.rope_neox)
 
     if opts.seq_axis:
         if window or cfg.attn_softcap:

@@ -207,6 +207,13 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
             raise KeyError(f"missing HF tensor {name}")
         return weights[name]
 
+    # rope convention: llama/mistral GGUFs use interleaved pairs
+    # (ROPE_TYPE_NORM) and the converter must permute q/k into that
+    # order; qwen2/qwen3 GGUFs keep the HF rotate-half order and are
+    # served with NEOX rope (models/config.py rope_neox) — llama.cpp's
+    # converter does exactly the same split
+    permute = arch == "llama"
+
     tensors: dict = {}
     put(tensors, "token_embd.weight", get("model.embed_tokens.weight"),
         target)
@@ -223,23 +230,27 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
             get(hp + "input_layernorm.weight"), GGMLType.F32)
         put(tensors, p + "ffn_norm.weight",
             get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
-        wq = permute_rope(get(hp + "self_attn.q_proj.weight"), n_heads)
-        wk = permute_rope(get(hp + "self_attn.k_proj.weight"), n_kv)
+        wq = get(hp + "self_attn.q_proj.weight")
+        wk = get(hp + "self_attn.k_proj.weight")
+        if permute:
+            wq = permute_rope(wq, n_heads)
+            wk = permute_rope(wk, n_kv)
         put(tensors, p + "attn_q.weight", wq, target)
         put(tensors, p + "attn_k.weight", wk, target)
         put(tensors, p + "attn_v.weight",
             get(hp + "self_attn.v_proj.weight"), target)
         put(tensors, p + "attn_output.weight",
             get(hp + "self_attn.o_proj.weight"), target)
-        for hname, gname in (("self_attn.q_proj.bias", "attn_q.bias"),
-                             ("self_attn.k_proj.bias", "attn_k.bias"),
-                             ("self_attn.v_proj.bias", "attn_v.bias")):
+        for hname, gname, nh in (("self_attn.q_proj.bias", "attn_q.bias",
+                                  n_heads),
+                                 ("self_attn.k_proj.bias", "attn_k.bias",
+                                  n_kv),
+                                 ("self_attn.v_proj.bias", "attn_v.bias",
+                                  None)):
             if hp + hname in weights:        # qwen2 QKV biases
                 b = weights[hp + hname]
-                if gname in ("attn_q.bias",):
-                    b = permute_rope(b[:, None], n_heads)[:, 0]
-                elif gname in ("attn_k.bias",):
-                    b = permute_rope(b[:, None], n_kv)[:, 0]
+                if permute and nh is not None:
+                    b = permute_rope(b[:, None], nh)[:, 0]
                 put(tensors, p + gname, b, GGMLType.F32)
         for hname, gname in (("self_attn.q_norm.weight", "attn_q_norm.weight"),
                              ("self_attn.k_norm.weight", "attn_k_norm.weight")):

@@ -558,11 +558,11 @@ def test_gemma_arch_forward_matches_numpy(tmp_path):
     ang = posn[:, None] * freqs[None, :]
     cos, sin = np.cos(ang), np.sin(ang)
 
-    def rope(xh):
-        x2 = xh.reshape(*xh.shape[:-1], -1, 2)
-        e, o = x2[..., 0], x2[..., 1]
+    def rope(xh):  # rotate-half: gemma/phi GGUFs keep the HF dim order
+        half = xh.shape[-1] // 2
         c, s = cos[None, :, None, :], sin[None, :, None, :]
-        return np.stack([e * c - o * s, e * s + o * c], -1).reshape(xh.shape)
+        x1, x2 = xh[..., :half], xh[..., half:]
+        return np.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], -1)
 
     def gelu_tanh(v):
         return 0.5 * v * (1 + np.tanh(np.sqrt(2 / np.pi) * (v + 0.044715 * v**3)))
@@ -639,12 +639,12 @@ def test_phi2_arch_forward_matches_numpy(tmp_path):
     ang = posn[:, None] * freqs[None, :]
     cos, sin = np.cos(ang), np.sin(ang)
 
-    def rope(xh):  # rotate only the first rd dims of each head
+    def rope(xh):  # rotate-half over only the first rd dims of each head
         rot, rest = xh[..., :rd], xh[..., rd:]
-        x2 = rot.reshape(*rot.shape[:-1], -1, 2)
-        e, o = x2[..., 0], x2[..., 1]
+        half = rd // 2
         c, s = cos[None, :, None, :], sin[None, :, None, :]
-        out = np.stack([e * c - o * s, e * s + o * c], -1).reshape(rot.shape)
+        x1, x2 = rot[..., :half], rot[..., half:]
+        out = np.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], -1)
         return np.concatenate([out, rest], -1)
 
     def gelu_tanh(v):
@@ -791,11 +791,11 @@ def test_gemma2_arch_forward_matches_numpy(tmp_path):
     ang = posn[:, None] * freqs[None, :]
     cos, sin = np.cos(ang), np.sin(ang)
 
-    def rope(xh):
-        x2 = xh.reshape(*xh.shape[:-1], -1, 2)
-        e, o = x2[..., 0], x2[..., 1]
+    def rope(xh):  # rotate-half: gemma/phi GGUFs keep the HF dim order
+        half = xh.shape[-1] // 2
         c, s = cos[None, :, None, :], sin[None, :, None, :]
-        return np.stack([e * c - o * s, e * s + o * c], -1).reshape(xh.shape)
+        x1, x2 = xh[..., :half], xh[..., half:]
+        return np.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], -1)
 
     def gelu_tanh(v):
         return 0.5 * v * (1 + np.tanh(np.sqrt(2 / np.pi) * (v + 0.044715 * v**3)))
@@ -963,11 +963,11 @@ def test_phi3_arch_forward_matches_numpy(tmp_path):
     m = cfg.rope_attn_factor
     cos, sin = np.cos(ang) * m, np.sin(ang) * m
 
-    def rope(xh):
-        x2 = xh.reshape(*xh.shape[:-1], -1, 2)
-        e, o = x2[..., 0], x2[..., 1]
+    def rope(xh):  # rotate-half: gemma/phi GGUFs keep the HF dim order
+        half = xh.shape[-1] // 2
         c, s = cos[None, :, None, :], sin[None, :, None, :]
-        return np.stack([e * c - o * s, e * s + o * c], -1).reshape(xh.shape)
+        x1, x2 = xh[..., :half], xh[..., half:]
+        return np.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], -1)
 
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
