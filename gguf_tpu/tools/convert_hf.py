@@ -142,7 +142,8 @@ def tokenizer_metadata(model_dir: str) -> dict:
 
 # HF model_type -> GGUF architecture
 _ARCHS = {"llama": "llama", "mistral": "llama", "qwen2": "qwen2",
-          "qwen3": "qwen3"}
+          "qwen3": "qwen3", "gemma": "gemma", "gemma2": "gemma2",
+          "phi3": "phi3"}
 
 
 def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
@@ -178,15 +179,45 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
     if head_dim != dim // n_heads:
         md[f"{arch}.attention.key_length"] = head_dim
         md[f"{arch}.attention.value_length"] = head_dim
+    if arch == "gemma2":
+        if hf.get("attn_logit_softcapping"):
+            md[f"{arch}.attn_logit_softcapping"] = float(
+                hf["attn_logit_softcapping"])
+        if hf.get("final_logit_softcapping"):
+            md[f"{arch}.final_logit_softcapping"] = float(
+                hf["final_logit_softcapping"])
+    if hf.get("sliding_window") and arch in ("gemma2", "gemma3"):
+        md[f"{arch}.attention.sliding_window"] = int(hf["sliding_window"])
+
+    rope_factor_tensors = {}
     rs = hf.get("rope_scaling") or {}
-    if rs.get("rope_type", rs.get("type")) == "linear":
+    rs_type = rs.get("rope_type", rs.get("type"))
+    if rs_type == "linear":
         md[f"{arch}.rope.scaling.type"] = "linear"
         md[f"{arch}.rope.scaling.factor"] = float(rs.get("factor", 1.0))
-    elif rs.get("rope_type", rs.get("type")) == "yarn":
+    elif rs_type == "yarn":
         md[f"{arch}.rope.scaling.type"] = "yarn"
         md[f"{arch}.rope.scaling.factor"] = float(rs.get("factor", 1.0))
         md[f"{arch}.rope.scaling.original_context_length"] = int(
             rs.get("original_max_position_embeddings", 0))
+    elif rs_type in ("longrope", "su") or (
+            "long_factor" in rs and "short_factor" in rs):
+        # phi3 LongRoPE: factor tensors + the converter-computed
+        # attention-magnitude scale sqrt(1 + ln(s)/ln(orig))
+        import math
+
+        orig = int(rs.get("original_max_position_embeddings",
+                          hf.get("original_max_position_embeddings", 0)))
+        maxp = hf.get("max_position_embeddings", orig)
+        md[f"{arch}.rope.scaling.type"] = "longrope"
+        md[f"{arch}.rope.scaling.original_context_length"] = orig
+        if orig and maxp > orig:
+            md[f"{arch}.rope.scaling.attn_factor"] = float(
+                math.sqrt(1.0 + math.log(maxp / orig) / math.log(orig)))
+        rope_factor_tensors["rope_factors_long.weight"] = np.asarray(
+            rs["long_factor"], np.float32)
+        rope_factor_tensors["rope_factors_short.weight"] = np.asarray(
+            rs["short_factor"], np.float32)
     md.update(tokenizer_metadata(model_dir))
 
     weights = load_hf_weights(model_dir)
@@ -209,27 +240,59 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
 
     # rope convention: llama/mistral GGUFs use interleaved pairs
     # (ROPE_TYPE_NORM) and the converter must permute q/k into that
-    # order; qwen2/qwen3 GGUFs keep the HF rotate-half order and are
+    # order; qwen/gemma/phi GGUFs keep the HF rotate-half order and are
     # served with NEOX rope (models/config.py rope_neox) — llama.cpp's
     # converter does exactly the same split
     permute = arch == "llama"
+    gemma = arch.startswith("gemma")
+    # HF gemma RMSNorm computes x * (1 + w): llama.cpp's converter bakes
+    # the +1 into every stored norm weight so serving uses plain RMSNorm
+    norm_w = ((lambda w: w + 1.0) if gemma else (lambda w: w))
 
     tensors: dict = {}
     put(tensors, "token_embd.weight", get("model.embed_tokens.weight"),
         target)
-    put(tensors, "output_norm.weight", get("model.norm.weight"),
+    put(tensors, "output_norm.weight", norm_w(get("model.norm.weight")),
         GGMLType.F32)
     if "lm_head.weight" in weights:
         put(tensors, "output.weight", weights["lm_head.weight"], head_fmt)
     # tied embeddings: omit output.weight, the loader shares token_embd
+    for name, arr in rope_factor_tensors.items():
+        tensors[name] = (GGMLType.F32, arr.shape, arr)
 
     for i in range(hf["num_hidden_layers"]):
         hp = f"model.layers.{i}."
         p = f"blk.{i}."
         put(tensors, p + "attn_norm.weight",
-            get(hp + "input_layernorm.weight"), GGMLType.F32)
-        put(tensors, p + "ffn_norm.weight",
-            get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+            norm_w(get(hp + "input_layernorm.weight")), GGMLType.F32)
+        if arch == "gemma2":
+            # gemma2's four norms: post_attention is the POST-branch norm;
+            # pre_feedforward is the llama-style ffn_norm
+            put(tensors, p + "post_attention_norm.weight",
+                norm_w(get(hp + "post_attention_layernorm.weight")),
+                GGMLType.F32)
+            put(tensors, p + "ffn_norm.weight",
+                norm_w(get(hp + "pre_feedforward_layernorm.weight")),
+                GGMLType.F32)
+            put(tensors, p + "post_ffw_norm.weight",
+                norm_w(get(hp + "post_feedforward_layernorm.weight")),
+                GGMLType.F32)
+        else:
+            put(tensors, p + "ffn_norm.weight",
+                norm_w(get(hp + "post_attention_layernorm.weight")),
+                GGMLType.F32)
+
+        if arch == "phi3":   # fused qkv + fused [gate; up]
+            put(tensors, p + "attn_qkv.weight",
+                get(hp + "self_attn.qkv_proj.weight"), target)
+            put(tensors, p + "attn_output.weight",
+                get(hp + "self_attn.o_proj.weight"), target)
+            put(tensors, p + "ffn_up.weight",
+                get(hp + "mlp.gate_up_proj.weight"), target)
+            put(tensors, p + "ffn_down.weight",
+                get(hp + "mlp.down_proj.weight"), target)
+            continue
+
         wq = get(hp + "self_attn.q_proj.weight")
         wk = get(hp + "self_attn.k_proj.weight")
         if permute:

@@ -205,3 +205,165 @@ def test_convert_quantized_serves(tmp_path):
         [[1, 5, 9]], max_new_tokens=4,
         sampler=SamplerConfig(temperature=0.0), stop_at_eos=False)
     assert len(res[0].token_ids) == 4
+
+
+def test_convert_gemma2_matches_hf_reference(tmp_path):
+    """gemma2 conversion: (1+w) norms baked in, four-norm block layout,
+    softcaps + sliding window metadata, sqrt(dim) embedding scale —
+    against an HF-semantics numpy forward."""
+    rng = np.random.default_rng(9)
+    d = tmp_path / "hfg2"
+    d.mkdir()
+    cfg = {"model_type": "gemma2", "vocab_size": VOCAB,
+           "hidden_size": DIM, "num_hidden_layers": 2,
+           "num_attention_heads": HEADS, "num_key_value_heads": KV,
+           "intermediate_size": FFN, "rms_norm_eps": 1e-5,
+           "rope_theta": 10000.0, "max_position_embeddings": 64,
+           "attn_logit_softcapping": 20.0,
+           "final_logit_softcapping": 15.0, "sliding_window": 3}
+    (d / "config.json").write_text(json.dumps(cfg))
+    (d / "tokenizer.json").write_text(json.dumps(_toy_unigram_tokenizer()))
+    s = 0.5 / np.sqrt(DIM)
+    w = lambda *shape: (rng.standard_normal(shape) * s).astype(np.float32)
+    t = {"model.embed_tokens.weight": w(VOCAB, DIM),
+         "model.norm.weight": w(DIM)}
+    for i in range(2):
+        p = f"model.layers.{i}."
+        for nm in ("input_layernorm", "post_attention_layernorm",
+                   "pre_feedforward_layernorm", "post_feedforward_layernorm"):
+            t[p + nm + ".weight"] = w(DIM)
+        t[p + "self_attn.q_proj.weight"] = w(HEADS * HD, DIM)
+        t[p + "self_attn.k_proj.weight"] = w(KV * HD, DIM)
+        t[p + "self_attn.v_proj.weight"] = w(KV * HD, DIM)
+        t[p + "self_attn.o_proj.weight"] = w(DIM, HEADS * HD)
+        t[p + "mlp.gate_proj.weight"] = w(FFN, DIM)
+        t[p + "mlp.up_proj.weight"] = w(FFN, DIM)
+        t[p + "mlp.down_proj.weight"] = w(DIM, FFN)
+    _write_safetensors(str(d / "model.safetensors"), t)
+
+    out = str(tmp_path / "g2.gguf")
+    md = convert_hf(str(d), out, fmt="f16")
+    assert md["gemma2.attn_logit_softcapping"] == 20.0
+    assert md["gemma2.attention.sliding_window"] == 3
+    cfg2, params = load_llama(out)
+    assert cfg2.swa_pattern == 2 and cfg2.rope_neox
+    assert "post_attn_norm" in params["layers"][0]
+
+    tokens = np.random.default_rng(2).integers(0, VOCAB, (1, 6)).astype(np.int32)
+    got, _ = forward(params, cfg2, jnp.asarray(tokens),
+                     jnp.zeros(1, jnp.int32), init_kv_cache(cfg2, 1, 16),
+                     MMOpts(precision="high"))
+
+    # HF-semantics reference: (1+w) norms, sqrt(dim) embed scale (bf16-
+    # rounded like the served path), rotate-half rope, softcaps, SWA on
+    # even layers
+    def rmsn(v, wt):
+        return (v / np.sqrt(np.mean(v * v, -1, keepdims=True) + 1e-5)
+                * (1.0 + wt))
+
+    b, T = tokens.shape
+    x = t["model.embed_tokens.weight"][tokens.reshape(-1)].reshape(b, T, DIM)
+    x = x * np.float32(jnp.bfloat16(np.sqrt(DIM)))
+    inv = 10000.0 ** (-np.arange(0, HD, 2) / HD)
+    ang = np.arange(T)[:, None] * inv[None, :]
+    half = HD // 2
+
+    def rope(v):
+        c = np.cos(ang)[None, :, None, :]
+        sn = np.sin(ang)[None, :, None, :]
+        x1, x2 = v[..., :half], v[..., half:]
+        return np.concatenate([x1 * c - x2 * sn, x1 * sn + x2 * c], -1)
+
+    def gelu_tanh(v):
+        return 0.5 * v * (1 + np.tanh(np.sqrt(2 / np.pi)
+                                      * (v + 0.044715 * v ** 3)))
+
+    for i in range(2):
+        p = f"model.layers.{i}."
+        h = rmsn(x, t[p + "input_layernorm.weight"])
+        q = rope((h @ t[p + "self_attn.q_proj.weight"].T)
+                 .reshape(b, T, HEADS, HD))
+        k = rope((h @ t[p + "self_attn.k_proj.weight"].T)
+                 .reshape(b, T, KV, HD))
+        v = (h @ t[p + "self_attn.v_proj.weight"].T).reshape(b, T, KV, HD)
+        rep = HEADS // KV
+        k, v = np.repeat(k, rep, 2), np.repeat(v, rep, 2)
+        sc = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(HD)
+        sc = 20.0 * np.tanh(sc / 20.0)
+        mask = np.tril(np.ones((T, T), bool))
+        if i % 2 == 0:    # sliding layer
+            qp, kp = np.arange(T)[:, None], np.arange(T)[None, :]
+            mask = mask & (kp > qp - 3)
+        sc = np.where(mask[None, None], sc, -np.inf)
+        pr = np.exp(sc - sc.max(-1, keepdims=True))
+        pr /= pr.sum(-1, keepdims=True)
+        att = np.einsum("bhqk,bkhd->bqhd", pr, v).reshape(b, T, HEADS * HD)
+        att = att @ t[p + "self_attn.o_proj.weight"].T
+        att = rmsn(att, t[p + "post_attention_layernorm.weight"])
+        x = x + att
+        h = rmsn(x, t[p + "pre_feedforward_layernorm.weight"])
+        g = h @ t[p + "mlp.gate_proj.weight"].T
+        u = h @ t[p + "mlp.up_proj.weight"].T
+        m = (gelu_tanh(g) * u) @ t[p + "mlp.down_proj.weight"].T
+        m = rmsn(m, t[p + "post_feedforward_layernorm.weight"])
+        x = x + m
+    x = rmsn(x, t["model.norm.weight"])
+    ref = x @ t["model.embed_tokens.weight"].T        # tied head
+    ref = 15.0 * np.tanh(ref / 15.0)
+    denom = np.abs(ref).max()
+    err = np.max(np.abs(np.asarray(got) - ref)) / denom
+    assert err < 0.05, err
+
+
+def test_convert_phi3_longrope_serves(tmp_path):
+    """phi3 conversion: fused qkv/gate_up pass-through, LongRoPE factor
+    tensors + computed attn_factor; the converted file loads with the
+    long factors active and serves."""
+    rng = np.random.default_rng(11)
+    d = tmp_path / "hfp3"
+    d.mkdir()
+    hd = DIM // HEADS
+    cfg = {"model_type": "phi3", "vocab_size": VOCAB,
+           "hidden_size": DIM, "num_hidden_layers": 1,
+           "num_attention_heads": HEADS, "num_key_value_heads": KV,
+           "intermediate_size": FFN, "rms_norm_eps": 1e-5,
+           "rope_theta": 10000.0, "max_position_embeddings": 64,
+           "original_max_position_embeddings": 16,
+           "rope_scaling": {
+               "type": "longrope",
+               "long_factor": [1.0 + 0.5 * i for i in range(hd // 2)],
+               "short_factor": [1.0] * (hd // 2),
+               "original_max_position_embeddings": 16}}
+    (d / "config.json").write_text(json.dumps(cfg))
+    (d / "tokenizer.json").write_text(json.dumps(_toy_unigram_tokenizer()))
+    s = 0.5 / np.sqrt(DIM)
+    w = lambda *shape: (rng.standard_normal(shape) * s).astype(np.float32)
+    t = {"model.embed_tokens.weight": w(VOCAB, DIM),
+         "model.norm.weight": 1 + w(DIM),
+         "lm_head.weight": w(VOCAB, DIM)}
+    p = "model.layers.0."
+    t[p + "input_layernorm.weight"] = 1 + w(DIM)
+    t[p + "post_attention_layernorm.weight"] = 1 + w(DIM)
+    t[p + "self_attn.qkv_proj.weight"] = w((HEADS + 2 * KV) * hd, DIM)
+    t[p + "self_attn.o_proj.weight"] = w(DIM, HEADS * hd)
+    t[p + "mlp.gate_up_proj.weight"] = w(2 * FFN, DIM)
+    t[p + "mlp.down_proj.weight"] = w(DIM, FFN)
+    _write_safetensors(str(d / "model.safetensors"), t)
+
+    out = str(tmp_path / "p3.gguf")
+    md = convert_hf(str(d), out, fmt="f16")
+    assert md["phi3.rope.scaling.type"] == "longrope"
+    assert md["phi3.rope.scaling.attn_factor"] > 1.0
+    cfg2, params = load_llama(out)
+    assert cfg2.rope_scaling_kind == "longrope" and cfg2.rope_neox
+    # max_seq 64 > orig 16 -> the long factors apply
+    np.testing.assert_allclose(
+        cfg2.rope_freq_factors,
+        [1.0 + 0.5 * i for i in range(hd // 2)], rtol=1e-6)
+    assert "gate" in params["layers"][0]
+
+    from gguf_tpu.engine import LLM, SamplerConfig
+    res = LLM(out, max_batch=1, max_seq=32).generate(
+        [[1, 5, 9]], max_new_tokens=4,
+        sampler=SamplerConfig(temperature=0.0), stop_at_eos=False)
+    assert len(res[0].token_ids) == 4
