@@ -157,7 +157,9 @@ static float q4k_fit_affine(int n, int nmax, const float *x, const float *w,
             float err = 0.0f;
             for (int i = 0; i < n; ++i) {
                 float diff = cand_scale * Ltmp[i] + cand_min - x[i];
-                err += w[i] * (diff * diff);
+                /* same objective as best_err: GGML's make_qkx2_quants
+                   compares MAD against MAD when use_mad is set (Q2_K) */
+                err += w[i] * (use_mad ? fabsf(diff) : diff * diff);
             }
             if (err < best_err) {
                 memcpy(L, Ltmp, (size_t)n);

@@ -106,6 +106,9 @@ class ChatSession:
              decode_chunk: int = 8,
              speculative: int = 0) -> GenerationResult:
         assert not self.closed, "session is closed"
+        assert speculative == 0 or speculative + 1 <= 16, (
+            f"speculative draft length {speculative} > 15 would route the "
+            "verify forward off the windowed cache insert")
         llm = self.llm
         new_ids = llm._encode(prompt)
         ids = ([self._pending] if self._pending is not None else []) + new_ids
@@ -411,13 +414,16 @@ class LLM:
                 acc = jnp.sum(jnp.cumprod(match, 1), 1)            # (B,)
                 nlast = jnp.take_along_axis(g, acc[:, None], 1)[:, 0]
 
-                # record the emitted tokens in the lookup buffer; rows past
-                # acc+1 are overwritten before the draft search can reach
-                # them (search is bounded by pos)
+                # record the emitted tokens in the lookup buffer: tokbuf[pos]
+                # holds `last`, so the k+1 new tokens start at pos+1 (writing
+                # at pos would clobber `last` and shift the searched bigram
+                # off by one, collapsing drafting after the first iteration).
+                # Rows past acc+1 are overwritten before the draft search can
+                # reach them (search is bounded by pos).
                 tokbuf = jax.vmap(
                     lambda buf, em, p: jax.lax.dynamic_update_slice(
                         buf, em, (p,)))(
-                    tokbuf, g, jnp.minimum(pos, s - (k + 1)))
+                    tokbuf, g, jnp.minimum(pos + 1, s - (k + 1)))
                 return (cache, tokbuf, pos + acc + 1, nlast), (g, acc)
 
             (cache, _, _, _), (em, accs) = jax.lax.scan(
@@ -736,6 +742,13 @@ class LLM:
                     "repetition penalties or logit_bias (top_k/top_p/"
                     "min_p/typical_p/temperature are honored)")
             g_rng = np.random.default_rng(seed)
+        # the t=k+1 verify forward must stay on the windowed Pallas insert
+        # (t <= 16), whose out-of-range no-op protects reserved ChatSession
+        # slots; the _cache_update fallback's clamped DUS would overwrite
+        # their trailing KV rows at the pos=max_seq sentinel
+        assert speculative == 0 or speculative + 1 <= 16, (
+            f"speculative draft length {speculative} > 15 would route the "
+            "verify forward off the windowed cache insert")
         # draft-model speculation only engages under the spec gate; don't
         # pay the draft prefill for calls that can never use it
         draft_active = (speculative > 0

@@ -49,6 +49,12 @@ GOLDEN_MMQ = {
     "q4_k": G.mmq_q4_k_q8_1_golden,
     "q5_k": G.mmq_q5_k_q8_1_golden,
     "q6_k": G.mmq_q6_k_q8_1_golden,
+    "q4_0": G.mmq_q4_0_q8_1_golden,
+    "q4_1": G.mmq_q4_1_q8_1_golden,
+    "q5_0": G.mmq_q5_0_q8_1_golden,
+    "q5_1": G.mmq_q5_1_q8_1_golden,
+    "iq4_nl": G.mmq_iq4_nl_q8_1_golden,
+    "iq4_xs": G.mmq_iq4_xs_q8_1_golden,
 }
 
 
@@ -67,13 +73,9 @@ class _QuantWeight:
         return GOLDEN_MMQ[self.fmt](self.qbytes, bq, self.m, n, self.k)
 
     def dequantize(self) -> np.ndarray:
-        from ..quant import (dequantize_q2_k, dequantize_q3_k,
-                             dequantize_q4_k, dequantize_q5_k,
-                             dequantize_q6_k, dequantize_q8_0)
+        import gguf_tpu.quant as Q
 
-        deq = {"q8_0": dequantize_q8_0, "q2_k": dequantize_q2_k,
-               "q3_k": dequantize_q3_k, "q4_k": dequantize_q4_k,
-               "q5_k": dequantize_q5_k, "q6_k": dequantize_q6_k}[self.fmt]
+        deq = getattr(Q, f"dequantize_{self.fmt}")
         return np.asarray(deq(self.qbytes, (self.m, self.k)), np.float32)
 
 

@@ -349,16 +349,6 @@ def _load_phi2(reader: GGUFReader, cfg: LlamaConfig):
     hd, h, kvh = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     q_d, kv_d = h * hd, kvh * hd
 
-    def norm_pair(prefix):
-        out = {prefix: jnp.asarray(
-            reader.load_array(prefix.replace("_bias", "") + ".weight"),
-            jnp.float32)}
-        bias_name = prefix + ".bias"
-        if bias_name in reader.tensors:
-            out[prefix + "_bias"] = jnp.asarray(
-                reader.load_array(bias_name), jnp.float32)
-        return out
-
     params = {
         "token_embd": _load_weight(reader, "token_embd.weight"),
         "output_norm": jnp.asarray(

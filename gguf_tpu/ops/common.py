@@ -35,6 +35,19 @@ def running_interpreted() -> bool:
     return _FORCE_INTERPRET or _on_cpu()
 
 
+def unpack_bitplanes_tile(v: jax.Array, sbt: int) -> jax.Array:
+    """Mosaic-safe single-bit plane unpack, K-major: (sbt*32, TM) packed
+    u8 -> (sbt*256, TM) i32 bits in element order (byte row j of a
+    32-row superblock group holds elements {32b + j} at bit b — the
+    q5_k/q3_k high-bit and legacy fifth-bit plane layout)."""
+    vi = v.astype(jnp.int32)
+    parts = []
+    for s in range(sbt):
+        sl = vi[s * 32:(s + 1) * 32, :]
+        parts.extend((sl >> b) & 1 for b in range(8))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
 def unpack_nibbles_tile(v: jax.Array, sbt: int) -> jax.Array:
     """Mosaic-safe nibble unpack, K-major: (sbt*128, TM) packed u8 ->
     (sbt*256, TM) i32 codes in element order (packed byte j of a superblock =

@@ -27,7 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
-from .common import (
+from .common import (  # noqa: F401
+    unpack_bitplanes_tile,
     choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
     round_up, running_interpreted, unpack_nibbles_tile,
 )
@@ -55,12 +56,7 @@ def _kernel(fast, sbt, five_bit, affine, offset, *refs):
 
     q = unpack_nibbles_tile(qs_ref[:], sbt)                 # (TK, TM) i32
     if five_bit:
-        hi = qh_ref[:].astype(jnp.int32)                    # (SBt*32, TM)
-        parts = []
-        for s in range(sbt):
-            sl = hi[s * 32:(s + 1) * 32, :]
-            parts.extend((sl >> b) & 1 for b in range(8))
-        hib = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        hib = unpack_bitplanes_tile(qh_ref[:], sbt)         # (SBt*256, TM)
         q = q | (hib << 4)
 
     w = (q.astype(jnp.float32).reshape(nb, BLOCK, tm)

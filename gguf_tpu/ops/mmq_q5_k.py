@@ -24,7 +24,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
-from .common import (
+from .common import (  # noqa: F401
+    unpack_bitplanes_tile,
     choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
     regroup_rows, round_up, running_interpreted, unpack_nibbles_tile,
 )
@@ -50,14 +51,8 @@ def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qh_ref,
 
     low4 = unpack_nibbles_tile(qs_ref[:], sbt)               # (TK, TM) i32
 
-    # 5th bit: qh byte row j of a superblock (32 rows) holds elements
-    # {32b + j} at bit b — whole-slab shift/mask parts land in element order
-    hi = qh_ref[:].astype(jnp.int32)                         # (SBt*32, TM)
-    parts = []
-    for s in range(sbt):
-        sl = hi[s * 32:(s + 1) * 32, :]
-        parts.extend((sl >> b) & 1 for b in range(8))
-    hib = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    # 5th bit plane (shared slab unpack, common.unpack_bitplanes_tile)
+    hib = unpack_bitplanes_tile(qh_ref[:], sbt)              # (SBt*256, TM)
 
     q = (low4 | (hib << 4)).astype(jnp.float32)              # codes in [0, 32)
     w = (q.reshape(sbt * 8, 32, tm) * scale32[:, None, :]).reshape(sbt * 256, tm)

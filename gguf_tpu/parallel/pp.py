@@ -41,7 +41,6 @@ serving stack built beyond it.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -93,7 +92,7 @@ def pp_param_specs(params_pp: dict) -> dict:
             return P("pp", None, *_qt_spec(kind[3:]))
         return P("pp", *_qt_spec(kind))
 
-    return {
+    specs = {
         "token_embd": _leaf_specs(params_pp["token_embd"], "rep"),
         "output": _leaf_specs(params_pp["output"], "col"),
         "output_norm": P(),
@@ -104,6 +103,10 @@ def pp_param_specs(params_pp: dict) -> dict:
             for layer in params_pp["layers"]
         ],
     }
+    for extra in ("output_bias", "output_norm_bias"):   # phi2-family
+        if extra in params_pp:
+            specs[extra] = P()
+    return specs
 
 
 def shard_pp(params: dict, cfg: LlamaConfig, mesh: Mesh):

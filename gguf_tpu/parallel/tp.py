@@ -80,6 +80,11 @@ LAYER_KINDS = {
     "wqkv": COL, "gate_up": COL,
     # qwen2-family QKV bias vectors: 1-D, sharded with their projections
     "bq": "col1d", "bk": "col1d", "bv": "col1d", "bqkv": "col1d",
+    # phi2-family biases: bup rides the column-parallel up projection;
+    # bo/bdown apply AFTER the row-parallel psum -> replicated, as are the
+    # LayerNorm biases
+    "bup": "col1d", "bo": REP, "bdown": REP,
+    "attn_norm_bias": REP, "ffn_norm_bias": REP,
     # mixtral-family MoE: replicated router + ep-sharded expert stacks
     # (quantized SoA stacks only — see shard_llama's assert)
     "gate_inp": REP, "gate_exps": "ep_col", "up_exps": "ep_col",
@@ -103,6 +108,11 @@ def param_specs(params: dict) -> dict:
             for layer in params["layers"]
         ],
     }
+    # phi2-family top-level extras: biases apply after the vocab
+    # all-gather / the final norm -> replicated
+    for extra in ("output_bias", "output_norm_bias"):
+        if extra in params:
+            specs[extra] = P()
     return specs
 
 

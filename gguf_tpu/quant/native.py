@@ -47,8 +47,10 @@ def get_lib() -> ctypes.CDLL:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO_PATH):
-            _build_library()
+        if (not os.path.exists(_SO_PATH)
+                or os.path.getmtime(_SO_PATH)
+                < os.path.getmtime(os.path.join(_CSRC_DIR, "gguf_kquant.c"))):
+            _build_library()   # make's deps also rebuild a stale .so
         lib = ctypes.CDLL(_SO_PATH)
 
         f32p = ctypes.POINTER(ctypes.c_float)
@@ -257,7 +259,9 @@ def get_soa_lib() -> ctypes.CDLL:
     with _lib_lock:
         if _soa_lib is not None:
             return _soa_lib
-        if not os.path.exists(_SOA_SO_PATH):
+        if (not os.path.exists(_SOA_SO_PATH)
+                or os.path.getmtime(_SOA_SO_PATH)
+                < os.path.getmtime(os.path.join(_CSRC_DIR, "gguf_soa.c"))):
             _build_library()
         lib = ctypes.CDLL(_SOA_SO_PATH)
         u8p = ctypes.POINTER(ctypes.c_uint8)

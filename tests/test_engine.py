@@ -656,3 +656,24 @@ def test_chat_template_chatml_fallback(llm):
         [{"role": "user", "content": "hello"}])
     assert "<|im_start|>user\nhello<|im_end|>" in text
     assert text.endswith("<|im_start|>assistant\n")
+
+
+def test_speculative_accepts_across_iterations(llm):
+    """Regression: the lookup-buffer write was off by one (clobbering
+    `last`), which silently collapsed drafting after each chunk's first
+    iteration. On a looping stream, later iterations must keep accepting."""
+    g = SamplerConfig(temperature=0.0)
+    [base] = llm.generate([[1, 5, 9]], max_new_tokens=16, sampler=g,
+                          stop_at_eos=False)
+    ctx = [1, 5, 9] + base.token_ids
+    tokbuf = np.zeros((llm.max_batch, llm.max_seq), np.int32)
+    tokbuf[0, :len(ctx)] = ctx
+    pos = np.full(llm.max_batch, llm.max_seq, np.int32)
+    pos[0] = len(ctx) - 1
+    last = np.zeros(llm.max_batch, np.int32)
+    last[0] = ctx[-1]
+    (em, accs), llm.cache = llm._spec_decode(
+        llm.params, llm.cache, jnp.asarray(tokbuf), jnp.asarray(pos),
+        jnp.asarray(last), 3, 3, llm.max_seq)
+    accs = np.asarray(accs)[0]
+    assert (accs >= 1).sum() >= 2, f"drafting collapsed after iter 1: {accs}"

@@ -139,3 +139,28 @@ def test_qwen3_tp_forward_matches_single_device(tmp_path):
     ref = _single_device_logits(cfg, params, tokens, pos)
     np.testing.assert_allclose(np.asarray(logits), ref,
                                atol=2e-2 * np.abs(ref).max())
+
+
+def test_phi2_tp_forward_matches_single_device(tmp_path):
+    """phi2-family sharded serving: the bias/LayerNorm layer keys
+    (bo/bup/bdown/attn_norm_bias + top-level output/output_norm biases)
+    must shard (regression: param_specs KeyError'd on 'bo')."""
+    cfg0 = LlamaConfig(vocab_size=64, dim=512, n_layers=1, n_heads=4,
+                       n_kv_heads=4, ffn_dim=512, max_seq_len=32)
+    path = str(tmp_path / "p2tp.gguf")
+    write_random_llama_gguf(path, cfg0, fmt=GGMLType.Q4_K, seed=15,
+                            arch="phi2")
+    cfg, params = load_llama(path)
+    assert "bo" in params["layers"][0] and "output_bias" in params
+    mesh = make_mesh(tp=2, dp=1)
+    sharded, cfg_pad = shard_llama(params, cfg, mesh)
+    fwd = make_tp_forward(cfg_pad, mesh, MMOpts(precision="high"))
+
+    rng = np.random.default_rng(4)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 4)).astype(np.int32))
+    pos = jnp.zeros(2, jnp.int32)
+    cache = init_sharded_cache(cfg_pad, mesh, batch=2, max_seq=16)
+    logits, _ = fwd(sharded, tokens, pos, cache)
+    ref = _single_device_logits(cfg, params, tokens, pos)
+    np.testing.assert_allclose(np.asarray(logits), ref,
+                               atol=2e-2 * np.abs(ref).max())
