@@ -23,7 +23,7 @@ import numpy as np
 from ..gguf import GGUFReader
 from ..models import (MMOpts, forward, fuse_llama_params,
                       init_kv_cache, load_llama)
-from .sampler import SamplerConfig, sample
+from .sampler import SamplerConfig, sample, sample_mirostat
 from .bpe_tokenizer import tokenizer_from_metadata
 from .tokenizer import SPMTokenizer
 
@@ -128,8 +128,20 @@ class ChatSession:
             return jnp.asarray(c)
 
         key, sub = jax.random.split(key)
-        tok = int(sample(logits[None, :], sub, sampler,
-                         _counts_row() if sampler.uses_penalties else None)[0])
+        # mirostat v2 state: per-slot adaptive surprise threshold
+        mu_state = np.full(llm.max_batch, 2.0 * sampler.mirostat_tau,
+                           np.float32)
+        if sampler.mirostat:
+            f_tok, f_mu = sample_mirostat(
+                logits[None, :], sub, sampler,
+                jnp.asarray(mu_state[self.slot:self.slot + 1]),
+                _counts_row() if sampler.uses_penalties else None)
+            tok = int(f_tok[0])
+            mu_state[self.slot] = float(f_mu[0])
+        else:
+            tok = int(sample(logits[None, :], sub, sampler,
+                             _counts_row() if sampler.uses_penalties
+                             else None)[0])
         self._history.append(tok)
         res = GenerationResult(prompt_ids=new_ids)
         res.token_ids.append(tok)
@@ -152,7 +164,7 @@ class ChatSession:
             last[self.slot] = tok
             use_spec = (speculative > 0 and sampler.temperature <= 0.0
                         and not sampler.uses_penalties
-                        and not sampler.logit_bias
+                        and not sampler.logit_bias and not sampler.mirostat
                         and room >= speculative + 1)
             if use_spec:
                 k = speculative
@@ -190,10 +202,13 @@ class ChatSession:
                 counts = jnp.asarray(counts)
             else:
                 counts = jnp.zeros((llm.max_batch, 1), jnp.int32)
-            (ids_o, _, _, _), llm.cache = llm._decode(
+            (ids_o, _, _, _), llm.cache, mu_dev = llm._decode(
                 llm.params, llm.cache, jnp.asarray(last, jnp.int32),
-                jnp.asarray(pos_arr, jnp.int32), counts, sub, sampler,
+                jnp.asarray(pos_arr, jnp.int32), counts,
+                jnp.asarray(mu_state, jnp.float32), sub, sampler,
                 steps, span, 0)
+            if sampler.mirostat:
+                mu_state = np.asarray(mu_dev)
             ids_o = np.asarray(ids_o)
             for j in range(steps):
                 self.cached += 1       # previous pending token is now cached
@@ -327,8 +342,8 @@ class LLM:
         _prefill = _make_prefill(fwd)
 
         @functools.partial(jax.jit, donate_argnums=(1, 4),
-                           static_argnums=(6, 7, 8, 9))
-        def _decode(params, cache, tokens, pos, counts, key, sampler_cfg,
+                           static_argnums=(7, 8, 9, 10))
+        def _decode(params, cache, tokens, pos, counts, mu, key, sampler_cfg,
                     steps, span, logprobs):
             """`steps` decode iterations in one jit (lax.scan): one
             device->host sync per chunk instead of per token — the host
@@ -341,12 +356,17 @@ class LLM:
             (static int) additionally returns each chosen token's logprob
             and the top-k alternatives per step (None-filled when 0)."""
             def step(carry, _):
-                cache, toks, pos, counts, key = carry
+                cache, toks, pos, counts, mu, key = carry
                 logits, cache = fwd(params, toks[:, None], pos, cache,
                                     span=span)
                 key, sub = jax.random.split(key)
-                nxt = sample(logits[:, 0], sub, sampler_cfg,
-                             counts if sampler_cfg.uses_penalties else None)
+                if sampler_cfg.mirostat:
+                    nxt, mu = sample_mirostat(
+                        logits[:, 0], sub, sampler_cfg, mu,
+                        counts if sampler_cfg.uses_penalties else None)
+                else:
+                    nxt = sample(logits[:, 0], sub, sampler_cfg,
+                                 counts if sampler_cfg.uses_penalties else None)
                 if sampler_cfg.uses_penalties:
                     counts = counts + jax.nn.one_hot(
                         nxt, counts.shape[1], dtype=counts.dtype)
@@ -359,13 +379,14 @@ class LLM:
                     extras = (jnp.zeros(nxt.shape, jnp.float32),
                               jnp.zeros((*nxt.shape, 1), jnp.int32),
                               jnp.zeros((*nxt.shape, 1), jnp.float32))
-                return (cache, nxt, pos + 1, counts, key), (nxt, *extras)
+                return (cache, nxt, pos + 1, counts, mu, key), (nxt, *extras)
 
-            (cache, _, _, _, _), (ids, lps, tids, tlps) = jax.lax.scan(
-                step, (cache, tokens, pos, counts, key), None, length=steps)
+            (cache, _, _, _, mu, _), (ids, lps, tids, tlps) = jax.lax.scan(
+                step, (cache, tokens, pos, counts, mu, key), None,
+                length=steps)
             # scan stacks on axis 0 (steps); put batch first
             return (ids.T, lps.T, tids.transpose(1, 0, 2),
-                    tlps.transpose(1, 0, 2)), cache
+                    tlps.transpose(1, 0, 2)), cache, mu
 
         @functools.partial(jax.jit, donate_argnums=(1,),
                            static_argnums=(5, 6, 7))
@@ -736,11 +757,11 @@ class LLM:
             assert speculative == 0 and logprobs == 0, (
                 "grammar-constrained decoding is host-stepped: no "
                 "speculative drafts or logprobs")
-            if sampler.uses_penalties or sampler.logit_bias:
+            if sampler.uses_penalties or sampler.logit_bias or sampler.mirostat:
                 raise ValueError(
                     "grammar-constrained decoding does not compose with "
-                    "repetition penalties or logit_bias (top_k/top_p/"
-                    "min_p/typical_p/temperature are honored)")
+                    "repetition penalties, logit_bias or mirostat (top_k/"
+                    "top_p/min_p/typical_p/temperature are honored)")
             g_rng = np.random.default_rng(seed)
         # the t=k+1 verify forward must stay on the windowed Pallas insert
         # (t <= 16), whose out-of-range no-op protects reserved ChatSession
@@ -756,7 +777,8 @@ class LLM:
                         and grammar is None
                         and sampler.temperature <= 0.0
                         and not sampler.uses_penalties
-                        and not sampler.logit_bias and logprobs == 0)
+                        and not sampler.logit_bias and not sampler.mirostat
+                        and logprobs == 0)
         queue = [(i, self._encode(p)) for i, p in enumerate(prompts)]
         queue.reverse()  # pop() takes the earliest request
         results = {i: GenerationResult(prompt_ids=ids,
@@ -780,6 +802,10 @@ class LLM:
                         done_emitted.add(rid)
 
         slots: list[int | None] = [None] * self.max_batch  # request id per slot
+        # mirostat v2 state: per-slot adaptive surprise threshold (reset
+        # when a slot admits a new request)
+        mu_state = np.full(self.max_batch, 2.0 * sampler.mirostat_tau,
+                           np.float32)
         pos = np.zeros(self.max_batch, np.int64)
         last_tok = np.zeros(self.max_batch, np.int64)
         budget = np.zeros(self.max_batch, np.int64)
@@ -836,8 +862,16 @@ class LLM:
                 else:
                     cnt1 = (_ids_counts({0: ids})[:1]
                             if sampler.uses_penalties else None)
-                    first = int(sample(logits[None, :], sub, sampler,
-                                       cnt1)[0])
+                    if sampler.mirostat:
+                        mu_state[s] = 2.0 * sampler.mirostat_tau
+                        f_tok, f_mu = sample_mirostat(
+                            logits[None, :], sub, sampler,
+                            jnp.asarray(mu_state[s:s + 1]), cnt1)
+                        first = int(f_tok[0])
+                        mu_state[s] = float(f_mu[0])
+                    else:
+                        first = int(sample(logits[None, :], sub, sampler,
+                                           cnt1)[0])
                 if logprobs:
                     lp = np.asarray(jax.nn.log_softmax(
                         logits.astype(jnp.float32)))
@@ -939,7 +973,7 @@ class LLM:
                 continue
             use_spec = (speculative > 0 and sampler.temperature <= 0.0
                         and not sampler.uses_penalties and logprobs == 0
-                        and not sampler.logit_bias
+                        and not sampler.logit_bias and not sampler.mirostat
                         and room >= speculative + 1)
             if use_spec:
                 k = speculative
@@ -986,11 +1020,14 @@ class LLM:
                     for s in live})
             else:
                 counts = jnp.zeros((self.max_batch, 1), jnp.int32)
-            (ids, lps, tids, tlps), self.cache = self._decode(
+            (ids, lps, tids, tlps), self.cache, mu_dev = self._decode(
                 self.params, self.cache,
                 jnp.asarray(last_tok, jnp.int32),
                 jnp.asarray(pos_dev, jnp.int32),
-                counts, sub, sampler, steps, span, logprobs)
+                counts, jnp.asarray(mu_state, jnp.float32), sub, sampler,
+                steps, span, logprobs)
+            if sampler.mirostat:
+                mu_state = np.asarray(mu_dev)
             ids = np.asarray(ids)
             if logprobs:
                 lps, tids, tlps = (np.asarray(lps), np.asarray(tids),

@@ -29,6 +29,13 @@ class SamplerConfig:
     # everything else; -100 effectively bans a token, +100 forces it.
     # A tuple (not dict) keeps the config hashable for jit-static use.
     logit_bias: tuple = ()
+    # mirostat v2 (llama.cpp --mirostat 2): adaptively truncate to tokens
+    # whose surprise (-log2 p) stays near tau, updating the per-sequence
+    # threshold mu by eta * (observed - tau) each step. Overrides the
+    # top_k/top_p/min_p/typical_p truncations (llama.cpp does the same).
+    mirostat: int = 0          # 0 = off, 2 = mirostat v2
+    mirostat_tau: float = 5.0
+    mirostat_eta: float = 0.1
 
     @property
     def uses_penalties(self) -> bool:
@@ -52,6 +59,36 @@ def apply_penalties(logits: jax.Array, counts: jax.Array,
         logits = (logits - jnp.float32(cfg.frequency_penalty) * c
                   - jnp.float32(cfg.presence_penalty) * seen.astype(jnp.float32))
     return logits
+
+
+def sample_mirostat(logits: jax.Array, key: jax.Array, cfg: SamplerConfig,
+                    mu: jax.Array, counts: jax.Array | None = None):
+    """Mirostat v2 step: (logits (B, V), mu (B,)) -> (token ids (B,),
+    updated mu). Tokens with surprise -log2(p) > mu are dropped (the
+    current argmax always survives), the pick is drawn from the
+    renormalized remainder, and mu relaxes toward tau by eta times the
+    observed-surprise error — llama.cpp llama_sampler_mirostat_v2."""
+    logits = logits.astype(jnp.float32)
+    if cfg.logit_bias:
+        ids = jnp.asarray([i for i, _ in cfg.logit_bias], jnp.int32)
+        vals = jnp.asarray([v for _, v in cfg.logit_bias], jnp.float32)
+        logits = logits.at[:, ids].add(vals)
+    if cfg.uses_penalties:
+        assert counts is not None, "penalties need context token counts"
+        logits = apply_penalties(logits, counts, cfg)
+    temp = max(cfg.temperature, 1e-6)
+    lp = jax.nn.log_softmax(logits / temp, axis=-1)
+    surprise = -lp / jnp.log(2.0)                          # bits
+    keep = surprise <= mu[:, None]
+    keep |= lp == jnp.max(lp, axis=-1, keepdims=True)      # argmax survives
+    masked = jnp.where(keep, lp, -jnp.inf)
+    tok = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    lp_trunc = jax.nn.log_softmax(masked, axis=-1)
+    observed = -jnp.take_along_axis(lp_trunc, tok[:, None],
+                                    1)[:, 0] / jnp.log(2.0)
+    mu = mu - jnp.float32(cfg.mirostat_eta) * (observed
+                                               - jnp.float32(cfg.mirostat_tau))
+    return tok, mu
 
 
 def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig,

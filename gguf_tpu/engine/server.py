@@ -396,6 +396,9 @@ def make_handler(worker: EngineWorker):
                     frequency_penalty=float(payload.get("frequency_penalty", 0.0)),
                     logit_bias=tuple(sorted(
                         (int(k), float(v)) for k, v in lb.items())),
+                    mirostat=int(payload.get("mirostat", 0) or 0),
+                    mirostat_tau=float(payload.get("mirostat_tau", 5.0)),
+                    mirostat_eta=float(payload.get("mirostat_eta", 0.1)),
                 )
                 stop = payload.get("stop")
                 if isinstance(stop, str):
