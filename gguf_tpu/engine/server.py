@@ -335,6 +335,42 @@ def make_handler(worker: EngineWorker):
                 m["queue_depth"] = worker.queue.qsize()
                 m["prefix_cache_hit_tokens_total"] = worker.llm.prefix_cache_hits
                 self._reply(200, m)
+            elif self.path == "/props":
+                # llama.cpp server /props: static server properties
+                llm = worker.llm
+                tok = llm.tokenizer
+                self._reply(200, {
+                    "total_slots": llm.max_batch,
+                    "model": "gguf_tpu",
+                    "chat_template": llm.chat_template or "",
+                    "bos_token": (tok.tokens[tok.bos_id]
+                                  if tok is not None
+                                  and tok.bos_id is not None else None),
+                    "eos_token": (tok.tokens[tok.eos_id]
+                                  if tok is not None else None),
+                    "default_generation_settings": {
+                        "n_ctx": llm.max_seq,
+                        "params": SamplerConfig().__dict__,
+                    },
+                })
+            elif self.path == "/slots":
+                # llama.cpp server /slots: per-slot occupancy. Sessions own
+                # pinned slots; everything else serves stateless batches.
+                llm = worker.llm
+                by_slot = {e["sess"].slot: (sid, e)
+                           for sid, e in worker.sessions.items()}
+                slots = []
+                for i in range(llm.max_batch):
+                    if i in by_slot:
+                        sid, e = by_slot[i]
+                        slots.append({"id": i, "is_processing": False,
+                                      "session": sid,
+                                      "n_past": e["sess"].cached})
+                    else:
+                        slots.append({"id": i, "is_processing": False,
+                                      "session": None,
+                                      "reserved": i in llm._reserved})
+                self._reply(200, slots)
             elif self.path in ("/v1/models", "/models"):
                 # OpenAI client handshake: one model, named for the config
                 self._reply(200, {"object": "list", "data": [{
@@ -347,9 +383,48 @@ def make_handler(worker: EngineWorker):
             else:
                 self._reply(404, {"error": "not found"})
 
+        def _do_tokenize(self, detok: bool) -> None:
+            """llama.cpp server /tokenize + /detokenize: {"content": str,
+            "add_special": bool, "with_pieces": bool} -> {"tokens": [...]}
+            and {"tokens": [ids]} -> {"content": str}. Runs on the handler
+            thread — pure host work, never touches the engine."""
+            tok = worker.llm.tokenizer
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("request body must be a JSON object")
+                if tok is None:
+                    raise ValueError("model file has no embedded tokenizer")
+                if detok:
+                    ids = payload.get("tokens")
+                    if not isinstance(ids, list):
+                        raise ValueError("missing 'tokens' list")
+                    self._reply(200, {"content": tok.decode(
+                        [int(t) for t in ids])})
+                    return
+                content = payload.get("content")
+                if not isinstance(content, str):
+                    raise ValueError("missing 'content' string")
+                ids = tok.encode(content,
+                                 add_bos=bool(payload.get("add_special",
+                                                          False)))
+                if payload.get("with_pieces"):
+                    out = [{"id": int(t),
+                            "piece": tok.decode_token(int(t)).decode(
+                                "utf-8", "replace")} for t in ids]
+                else:
+                    out = [int(t) for t in ids]
+                self._reply(200, {"tokens": out})
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+
         def do_POST(self):
             if self.path in ("/v1/embeddings", "/embeddings"):
                 self._do_embeddings()
+                return
+            if self.path in ("/tokenize", "/detokenize"):
+                self._do_tokenize(detok=self.path == "/detokenize")
                 return
             chat = self.path in ("/v1/chat/completions", "/chat/completions")
             if not chat and self.path not in ("/v1/completions",

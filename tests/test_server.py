@@ -342,3 +342,75 @@ def test_response_format_json(tmp_path):
         assert st.advance_text(text), text
     finally:
         httpd.shutdown()
+
+
+def test_props_and_slots(server):
+    """llama.cpp server parity: /props reports slot count + defaults,
+    /slots reports per-slot occupancy."""
+    with urllib.request.urlopen(server + "/props", timeout=60) as r:
+        props = json.loads(r.read())
+    assert props["total_slots"] == 2
+    assert props["default_generation_settings"]["n_ctx"] == 32
+    assert "temperature" in props["default_generation_settings"]["params"]
+    with urllib.request.urlopen(server + "/slots", timeout=60) as r:
+        slots = json.loads(r.read())
+    assert len(slots) == 2
+    assert all(s["id"] == i for i, s in enumerate(slots))
+    assert all(s["session"] is None for s in slots)  # stateless fixture
+
+
+def test_tokenize_detokenize(tmp_path):
+    """/tokenize + /detokenize round-trip through the embedded tokenizer
+    (llama.cpp server API shapes, incl. with_pieces)."""
+    path = str(tmp_path / "tok.gguf")
+    tokens = ["<unk>", "<s>", "</s>"] + [f"<0x{b:02X}>" for b in range(256)]
+    words = ["▁hello", "▁world", "▁", "h", "e", "l", "o", "w", "r", "d"]
+    tokens += words
+    scores = np.zeros(len(tokens), np.float32)
+    for i, w in enumerate(words):
+        scores[259 + i] = float(len(w))
+    cfg = LlamaConfig(vocab_size=len(tokens), dim=256, n_layers=1,
+                      n_heads=4, n_kv_heads=2, ffn_dim=512, max_seq_len=64)
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q4_K, seed=3,
+                            extra_metadata={
+                                "tokenizer.ggml.tokens": tokens,
+                                "tokenizer.ggml.scores": scores,
+                                "tokenizer.ggml.bos_token_id": 1,
+                                "tokenizer.ggml.eos_token_id": 2,
+                            })
+    llm = LLM(path, max_batch=2, max_seq=32)
+    worker = EngineWorker(llm)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(route, payload):
+        req = urllib.request.Request(
+            base + route, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read()), r.status
+
+    try:
+        toks, _ = post("/tokenize", {"content": "hello world"})
+        assert toks["tokens"] and all(isinstance(t, int)
+                                      for t in toks["tokens"])
+        # add_special prepends BOS
+        with_bos, _ = post("/tokenize", {"content": "hello world",
+                                         "add_special": True})
+        assert with_bos["tokens"][0] == llm.tokenizer.bos_id
+        assert with_bos["tokens"][1:] == toks["tokens"]
+        pieces, _ = post("/tokenize", {"content": "hello",
+                                       "with_pieces": True})
+        assert all(set(p) == {"id", "piece"} for p in pieces["tokens"])
+        detok, _ = post("/detokenize", {"tokens": toks["tokens"]})
+        assert detok["content"] == "hello world"
+        # errors surface as 400s
+        try:
+            post("/tokenize", {})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
