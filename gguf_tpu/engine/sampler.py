@@ -36,6 +36,16 @@ class SamplerConfig:
     mirostat: int = 0          # 0 = off, 2 = mirostat v2
     mirostat_tau: float = 5.0
     mirostat_eta: float = 0.1
+    # XTC (llama.cpp --xtc-probability/--xtc-threshold): with probability
+    # xtc_probability per step, remove every token whose probability is
+    # >= xtc_threshold EXCEPT the least probable of them — cuts the
+    # predictable top choices while keeping the tail intact.
+    xtc_probability: float = 0.0   # 0 => disabled
+    xtc_threshold: float = 0.1     # > 0.5 disables (two tokens can't both
+                                   # exceed it, matching llama.cpp)
+    # top-n-sigma (llama.cpp --top-nsigma): keep only tokens whose logit is
+    # within n standard deviations of the max logit.
+    top_n_sigma: float = 0.0       # 0 => disabled
 
     @property
     def uses_penalties(self) -> bool:
@@ -108,6 +118,14 @@ def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig,
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     logits = logits / cfg.temperature
+    if cfg.top_n_sigma > 0.0:
+        # llama.cpp top-n-sigma: stats over the finite logits only
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        mean = jnp.mean(logits, axis=-1, keepdims=True)
+        std = jnp.sqrt(jnp.mean((logits - mean) ** 2, axis=-1,
+                                keepdims=True))
+        logits = jnp.where(logits < mx - cfg.top_n_sigma * std,
+                           -jnp.inf, logits)
     if cfg.top_k > 0:
         kth = jnp.sort(logits, axis=-1)[:, -cfg.top_k][:, None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
@@ -139,4 +157,17 @@ def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig,
         cutoff_idx = jnp.argmax(cum >= cfg.top_p, axis=-1)
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    if cfg.xtc_probability > 0.0 and cfg.xtc_threshold <= 0.5:
+        key, coin_key = jax.random.split(key)
+        probs = jax.nn.softmax(logits, axis=-1)
+        over = probs >= cfg.xtc_threshold
+        n_over = jnp.sum(over, axis=-1, keepdims=True)
+        # the LEAST probable qualifying token always survives (llama.cpp
+        # keeps the last one in sorted order); ties all survive
+        min_over = jnp.min(jnp.where(over, probs, jnp.inf), axis=-1,
+                           keepdims=True)
+        coin = (jax.random.uniform(coin_key, (logits.shape[0], 1))
+                < cfg.xtc_probability)
+        drop = over & (probs > min_over) & coin & (n_over >= 2)
+        logits = jnp.where(drop, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

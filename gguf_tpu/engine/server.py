@@ -474,6 +474,10 @@ def make_handler(worker: EngineWorker):
                     mirostat=int(payload.get("mirostat", 0) or 0),
                     mirostat_tau=float(payload.get("mirostat_tau", 5.0)),
                     mirostat_eta=float(payload.get("mirostat_eta", 0.1)),
+                    xtc_probability=float(
+                        payload.get("xtc_probability", 0.0)),
+                    xtc_threshold=float(payload.get("xtc_threshold", 0.1)),
+                    top_n_sigma=float(payload.get("top_n_sigma", 0.0)),
                 )
                 stop = payload.get("stop")
                 if isinstance(stop, str):

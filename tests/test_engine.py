@@ -728,3 +728,49 @@ def test_generate_mirostat(llm):
     pair = llm.generate([[1, 5, 9], [1, 5, 9]], max_new_tokens=8,
                         sampler=cfg, stop_at_eos=False, seed=7)
     assert all(len(r.token_ids) == 8 for r in pair)
+
+
+def test_sampler_xtc():
+    """XTC removes every token above the threshold except the least
+    probable qualifier; below-threshold tail is untouched."""
+    from gguf_tpu.engine.sampler import SamplerConfig, sample
+
+    # two dominant tokens (both > 0.3), tail tiny: with xtc always on,
+    # token 0 (the MOST probable qualifier) must never be picked
+    logits = jnp.asarray([[3.0, 2.8, -2.0, -2.2]])
+    cfg = SamplerConfig(temperature=1.0, xtc_probability=1.0,
+                        xtc_threshold=0.3)
+    picks = {int(sample(logits, jax.random.PRNGKey(i), cfg)[0])
+             for i in range(30)}
+    assert 0 not in picks, picks
+    assert 1 in picks                      # the survivor dominates
+    # probability 0 => no-op: token 0 wins overwhelmingly often
+    cfg_off = SamplerConfig(temperature=1.0, xtc_probability=0.0,
+                            xtc_threshold=0.3)
+    picks_off = [int(sample(logits, jax.random.PRNGKey(i), cfg_off)[0])
+                 for i in range(30)]
+    assert picks_off.count(0) > 10
+    # threshold > 0.5 disables (llama.cpp semantics)
+    cfg_dis = SamplerConfig(temperature=1.0, xtc_probability=1.0,
+                            xtc_threshold=0.6)
+    picks_dis = [int(sample(logits, jax.random.PRNGKey(i), cfg_dis)[0])
+                 for i in range(30)]
+    assert picks_dis.count(0) > 10
+    # only ONE token above threshold => nothing removed
+    logits1 = jnp.asarray([[5.0, -1.0, -1.2, -1.4]])
+    picks1 = [int(sample(logits1, jax.random.PRNGKey(i), cfg)[0])
+              for i in range(20)]
+    assert picks1.count(0) > 15
+
+
+def test_sampler_top_n_sigma():
+    """top-n-sigma keeps tokens within n stddevs of the max logit."""
+    from gguf_tpu.engine.sampler import SamplerConfig, sample
+
+    logits = jnp.asarray([[10.0, 9.9, 0.0, -1.0, -2.0, 0.5, 0.2, -0.5]])
+    cfg = SamplerConfig(temperature=5.0, top_n_sigma=1.0)  # hot temp would
+    # otherwise sample the tail often; the sigma cut leaves only 0 and 1
+    picks = {int(sample(logits, jax.random.PRNGKey(i), cfg)[0])
+             for i in range(40)}
+    assert picks <= {0, 1}, picks
+    assert len(picks) == 2
