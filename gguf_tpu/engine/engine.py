@@ -127,7 +127,14 @@ class ChatSession:
             np.add.at(c[0], np.asarray(self._history, np.int64), 1)
             return jnp.asarray(c)
 
+        def _hist_row():
+            h = np.zeros((1, llm.max_seq), np.int32)
+            h[0, :len(self._history)] = self._history
+            return (jnp.asarray(h),
+                    jnp.asarray([len(self._history)], jnp.int32))
+
         key, sub = jax.random.split(key)
+        dry1 = _hist_row() if sampler.uses_dry else (None, None)
         # mirostat v2 state: per-slot adaptive surprise threshold
         mu_state = np.full(llm.max_batch, 2.0 * sampler.mirostat_tau,
                            np.float32)
@@ -135,13 +142,13 @@ class ChatSession:
             f_tok, f_mu = sample_mirostat(
                 logits[None, :], sub, sampler,
                 jnp.asarray(mu_state[self.slot:self.slot + 1]),
-                _counts_row() if sampler.uses_penalties else None)
+                _counts_row() if sampler.uses_penalties else None, *dry1)
             tok = int(f_tok[0])
             mu_state[self.slot] = float(f_mu[0])
         else:
             tok = int(sample(logits[None, :], sub, sampler,
                              _counts_row() if sampler.uses_penalties
-                             else None)[0])
+                             else None, *dry1)[0])
         self._history.append(tok)
         res = GenerationResult(prompt_ids=new_ids)
         res.token_ids.append(tok)
@@ -165,6 +172,7 @@ class ChatSession:
             use_spec = (speculative > 0 and sampler.temperature <= 0.0
                         and not sampler.uses_penalties
                         and not sampler.logit_bias and not sampler.mirostat
+                        and not sampler.uses_dry
                         and room >= speculative + 1)
             if use_spec:
                 k = speculative
@@ -202,9 +210,18 @@ class ChatSession:
                 counts = jnp.asarray(counts)
             else:
                 counts = jnp.zeros((llm.max_batch, 1), jnp.int32)
+            if sampler.uses_dry:
+                hist_np = np.zeros((llm.max_batch, llm.max_seq), np.int32)
+                hist_np[self.slot, :len(self._history)] = self._history
+                hlen_np = np.zeros(llm.max_batch, np.int32)
+                hlen_np[self.slot] = len(self._history)
+                hist, hlen = jnp.asarray(hist_np), jnp.asarray(hlen_np)
+            else:
+                hist = jnp.zeros((llm.max_batch, 1), jnp.int32)
+                hlen = jnp.zeros(llm.max_batch, jnp.int32)
             (ids_o, _, _, _), llm.cache, mu_dev = llm._decode(
                 llm.params, llm.cache, jnp.asarray(last, jnp.int32),
-                jnp.asarray(pos_arr, jnp.int32), counts,
+                jnp.asarray(pos_arr, jnp.int32), counts, hist, hlen,
                 jnp.asarray(mu_state, jnp.float32), sub, sampler,
                 steps, span, 0)
             if sampler.mirostat:
@@ -342,9 +359,9 @@ class LLM:
         _prefill = _make_prefill(fwd)
 
         @functools.partial(jax.jit, donate_argnums=(1, 4),
-                           static_argnums=(7, 8, 9, 10))
-        def _decode(params, cache, tokens, pos, counts, mu, key, sampler_cfg,
-                    steps, span, logprobs):
+                           static_argnums=(9, 10, 11, 12))
+        def _decode(params, cache, tokens, pos, counts, hist, hist_len, mu,
+                    key, sampler_cfg, steps, span, logprobs):
             """`steps` decode iterations in one jit (lax.scan): one
             device->host sync per chunk instead of per token — the host
             round-trip otherwise dominates small-model decode. Returns the
@@ -356,20 +373,28 @@ class LLM:
             (static int) additionally returns each chosen token's logprob
             and the top-k alternatives per step (None-filled when 0)."""
             def step(carry, _):
-                cache, toks, pos, counts, mu, key = carry
+                cache, toks, pos, counts, hist, hist_len, mu, key = carry
                 logits, cache = fwd(params, toks[:, None], pos, cache,
                                     span=span)
                 key, sub = jax.random.split(key)
+                dry_args = ((hist, hist_len) if sampler_cfg.uses_dry
+                            else (None, None))
                 if sampler_cfg.mirostat:
                     nxt, mu = sample_mirostat(
                         logits[:, 0], sub, sampler_cfg, mu,
-                        counts if sampler_cfg.uses_penalties else None)
+                        counts if sampler_cfg.uses_penalties else None,
+                        *dry_args)
                 else:
                     nxt = sample(logits[:, 0], sub, sampler_cfg,
-                                 counts if sampler_cfg.uses_penalties else None)
+                                 counts if sampler_cfg.uses_penalties
+                                 else None, *dry_args)
                 if sampler_cfg.uses_penalties:
                     counts = counts + jax.nn.one_hot(
                         nxt, counts.shape[1], dtype=counts.dtype)
+                if sampler_cfg.uses_dry:   # append to the rolling history
+                    rows = jnp.arange(hist.shape[0])
+                    hist = hist.at[rows, hist_len].set(nxt, mode="drop")
+                    hist_len = hist_len + 1
                 if logprobs:
                     lp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32))
                     chosen = jnp.take_along_axis(lp, nxt[:, None], 1)[:, 0]
@@ -379,11 +404,13 @@ class LLM:
                     extras = (jnp.zeros(nxt.shape, jnp.float32),
                               jnp.zeros((*nxt.shape, 1), jnp.int32),
                               jnp.zeros((*nxt.shape, 1), jnp.float32))
-                return (cache, nxt, pos + 1, counts, mu, key), (nxt, *extras)
+                return ((cache, nxt, pos + 1, counts, hist, hist_len, mu,
+                         key), (nxt, *extras))
 
-            (cache, _, _, _, mu, _), (ids, lps, tids, tlps) = jax.lax.scan(
-                step, (cache, tokens, pos, counts, mu, key), None,
-                length=steps)
+            ((cache, _, _, _, _, _, mu, _),
+             (ids, lps, tids, tlps)) = jax.lax.scan(
+                step, (cache, tokens, pos, counts, hist, hist_len, mu, key),
+                None, length=steps)
             # scan stacks on axis 0 (steps); put batch first
             return (ids.T, lps.T, tids.transpose(1, 0, 2),
                     tlps.transpose(1, 0, 2)), cache, mu
@@ -757,11 +784,12 @@ class LLM:
             assert speculative == 0 and logprobs == 0, (
                 "grammar-constrained decoding is host-stepped: no "
                 "speculative drafts or logprobs")
-            if sampler.uses_penalties or sampler.logit_bias or sampler.mirostat:
+            if (sampler.uses_penalties or sampler.logit_bias
+                    or sampler.mirostat or sampler.uses_dry):
                 raise ValueError(
                     "grammar-constrained decoding does not compose with "
-                    "repetition penalties, logit_bias or mirostat (top_k/"
-                    "top_p/min_p/typical_p/temperature are honored)")
+                    "repetition penalties, logit_bias, mirostat or DRY "
+                    "(top_k/top_p/min_p/typical_p/temperature are honored)")
             g_rng = np.random.default_rng(seed)
         # the t=k+1 verify forward must stay on the windowed Pallas insert
         # (t <= 16), whose out-of-range no-op protects reserved ChatSession
@@ -778,6 +806,7 @@ class LLM:
                         and sampler.temperature <= 0.0
                         and not sampler.uses_penalties
                         and not sampler.logit_bias and not sampler.mirostat
+                        and not sampler.uses_dry
                         and logprobs == 0)
         queue = [(i, self._encode(p)) for i, p in enumerate(prompts)]
         queue.reverse()  # pop() takes the earliest request
@@ -862,16 +891,23 @@ class LLM:
                 else:
                     cnt1 = (_ids_counts({0: ids})[:1]
                             if sampler.uses_penalties else None)
+                    if sampler.uses_dry:
+                        h1 = np.zeros((1, self.max_seq), np.int32)
+                        h1[0, :len(ids)] = ids
+                        dry1 = (jnp.asarray(h1),
+                                jnp.asarray([len(ids)], jnp.int32))
+                    else:
+                        dry1 = (None, None)
                     if sampler.mirostat:
                         mu_state[s] = 2.0 * sampler.mirostat_tau
                         f_tok, f_mu = sample_mirostat(
                             logits[None, :], sub, sampler,
-                            jnp.asarray(mu_state[s:s + 1]), cnt1)
+                            jnp.asarray(mu_state[s:s + 1]), cnt1, *dry1)
                         first = int(f_tok[0])
                         mu_state[s] = float(f_mu[0])
                     else:
                         first = int(sample(logits[None, :], sub, sampler,
-                                           cnt1)[0])
+                                           cnt1, *dry1)[0])
                 if logprobs:
                     lp = np.asarray(jax.nn.log_softmax(
                         logits.astype(jnp.float32)))
@@ -974,6 +1010,7 @@ class LLM:
             use_spec = (speculative > 0 and sampler.temperature <= 0.0
                         and not sampler.uses_penalties and logprobs == 0
                         and not sampler.logit_bias and not sampler.mirostat
+                        and not sampler.uses_dry
                         and room >= speculative + 1)
             if use_spec:
                 k = speculative
@@ -1020,11 +1057,24 @@ class LLM:
                     for s in live})
             else:
                 counts = jnp.zeros((self.max_batch, 1), jnp.int32)
+            if sampler.uses_dry:
+                hist_np = np.zeros((self.max_batch, self.max_seq), np.int32)
+                hlen_np = np.zeros(self.max_batch, np.int32)
+                for s in live:
+                    ctx = (results[slots[s]].prompt_ids
+                           + results[slots[s]].token_ids)
+                    hist_np[s, :len(ctx)] = ctx
+                    hlen_np[s] = len(ctx)
+                hist, hlen = jnp.asarray(hist_np), jnp.asarray(hlen_np)
+            else:
+                hist = jnp.zeros((self.max_batch, 1), jnp.int32)
+                hlen = jnp.zeros(self.max_batch, jnp.int32)
             (ids, lps, tids, tlps), self.cache, mu_dev = self._decode(
                 self.params, self.cache,
                 jnp.asarray(last_tok, jnp.int32),
                 jnp.asarray(pos_dev, jnp.int32),
-                counts, jnp.asarray(mu_state, jnp.float32), sub, sampler,
+                counts, hist, hlen,
+                jnp.asarray(mu_state, jnp.float32), sub, sampler,
                 steps, span, logprobs)
             if sampler.mirostat:
                 mu_state = np.asarray(mu_dev)

@@ -46,6 +46,23 @@ class SamplerConfig:
     # top-n-sigma (llama.cpp --top-nsigma): keep only tokens whose logit is
     # within n standard deviations of the max logit.
     top_n_sigma: float = 0.0       # 0 => disabled
+    # DRY "don't repeat yourself" (llama.cpp --dry-multiplier etc.):
+    # penalize tokens that would extend a verbatim repetition of the
+    # context's current suffix. A token whose emission would continue an
+    # earlier occurrence of the last m context tokens (m >=
+    # dry_allowed_length) loses multiplier * base^(m - allowed_length)
+    # logits. Matching never crosses a sequence-breaker token and is
+    # capped at DRY_MATCH_CAP tokens of suffix depth.
+    dry_multiplier: float = 0.0    # 0 => disabled
+    dry_base: float = 1.75
+    dry_allowed_length: int = 2
+    dry_penalty_last_n: int = -1   # -1/0 => whole context window
+    dry_sequence_breakers: tuple = ()   # token IDS (hashable/static); the
+                                   # server maps breaker strings to ids
+
+    @property
+    def uses_dry(self) -> bool:
+        return self.dry_multiplier > 0.0
 
     @property
     def uses_penalties(self) -> bool:
@@ -71,8 +88,58 @@ def apply_penalties(logits: jax.Array, counts: jax.Array,
     return logits
 
 
+# deepest repetition suffix DRY models; base^(CAP - allowed) already
+# reaches ~1e7 logits of penalty at the default base, an effective ban
+DRY_MATCH_CAP = 32
+
+
+def apply_dry(logits: jax.Array, hist: jax.Array, hist_len: jax.Array,
+              cfg: SamplerConfig) -> jax.Array:
+    """DRY repetition penalty (llama.cpp llama_sampler_dry).
+
+    hist (B, S) int32: each sequence's context tokens (prompt + generated)
+    in order; hist_len (B,): live token count per row. For every earlier
+    position j < len, m(j) = length of the longest common suffix of
+    hist[:j] and hist[:len] (how deep a repetition the token hist[j]
+    would extend). Every vocab token takes the MAX m over its positions;
+    tokens with m >= allowed_length lose multiplier * base^(m - allowed).
+    Matching stops at sequence-breaker tokens and (optionally) outside
+    the last dry_penalty_last_n tokens."""
+    B, S = hist.shape
+    V = logits.shape[-1]
+    cap = min(DRY_MATCH_CAP, S)
+    i = jnp.arange(cap)                                    # suffix depth
+    j = jnp.arange(S)                                      # candidate pos
+    cur_pos = hist_len[:, None] - 1 - i[None, :]           # (B, CAP)
+    cur_tok = jnp.take_along_axis(hist, jnp.clip(cur_pos, 0, S - 1), axis=1)
+    prev_pos = j[:, None] - 1 - i[None, :]                 # (S, CAP)
+    prev_tok = hist[:, jnp.clip(prev_pos, 0, S - 1)]       # (B, S, CAP)
+    eq = (prev_tok == cur_tok[:, None, :]) \
+        & (cur_pos[:, None, :] >= 0) & (prev_pos[None, :, :] >= 0)
+    if cfg.dry_sequence_breakers:
+        brk = jnp.asarray(cfg.dry_sequence_breakers, jnp.int32)
+        is_brk = jnp.any(cur_tok[:, :, None] == brk[None, None, :], axis=-1)
+        eq &= ~is_brk[:, None, :]                          # stop at breaker
+    if cfg.dry_penalty_last_n > 0:
+        eq &= (j[None, :, None]
+               >= hist_len[:, None, None] - cfg.dry_penalty_last_n)
+    # consecutive-match run length from depth 0
+    m = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=-1), axis=-1)
+    m = jnp.where(j[None, :] < hist_len[:, None], m, 0)    # j < len only
+    rows = jnp.arange(B)[:, None]
+    pen_len = jnp.zeros((B, V), jnp.int32).at[rows, hist].max(
+        m, mode="drop")
+    fire = pen_len >= max(cfg.dry_allowed_length, 1)
+    pen = jnp.float32(cfg.dry_multiplier) * jnp.power(
+        jnp.float32(cfg.dry_base),
+        (pen_len - cfg.dry_allowed_length).astype(jnp.float32))
+    return jnp.where(fire, logits - pen, logits)
+
+
 def sample_mirostat(logits: jax.Array, key: jax.Array, cfg: SamplerConfig,
-                    mu: jax.Array, counts: jax.Array | None = None):
+                    mu: jax.Array, counts: jax.Array | None = None,
+                    hist: jax.Array | None = None,
+                    hist_len: jax.Array | None = None):
     """Mirostat v2 step: (logits (B, V), mu (B,)) -> (token ids (B,),
     updated mu). Tokens with surprise -log2(p) > mu are dropped (the
     current argmax always survives), the pick is drawn from the
@@ -86,6 +153,10 @@ def sample_mirostat(logits: jax.Array, key: jax.Array, cfg: SamplerConfig,
     if cfg.uses_penalties:
         assert counts is not None, "penalties need context token counts"
         logits = apply_penalties(logits, counts, cfg)
+    if cfg.uses_dry:
+        assert hist is not None and hist_len is not None, \
+            "DRY needs the ordered context token history"
+        logits = apply_dry(logits, hist, hist_len, cfg)
     temp = max(cfg.temperature, 1e-6)
     lp = jax.nn.log_softmax(logits / temp, axis=-1)
     surprise = -lp / jnp.log(2.0)                          # bits
@@ -102,11 +173,14 @@ def sample_mirostat(logits: jax.Array, key: jax.Array, cfg: SamplerConfig,
 
 
 def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig,
-           counts: jax.Array | None = None) -> jax.Array:
+           counts: jax.Array | None = None,
+           hist: jax.Array | None = None,
+           hist_len: jax.Array | None = None) -> jax.Array:
     """logits (B, V) -> token ids (B,). Static sampler config. `counts`
     (B, V): per-sequence context token counts, required when
     cfg.uses_penalties (penalties apply before temperature, so greedy
-    decoding honors them too — same order as llama.cpp)."""
+    decoding honors them too — same order as llama.cpp). `hist`/`hist_len`
+    (B, S)/(B,): ordered context tokens, required when cfg.uses_dry."""
     if cfg.logit_bias:
         ids = jnp.asarray([i for i, _ in cfg.logit_bias], jnp.int32)
         vals = jnp.asarray([v for _, v in cfg.logit_bias], jnp.float32)
@@ -114,6 +188,10 @@ def sample(logits: jax.Array, key: jax.Array, cfg: SamplerConfig,
     if cfg.uses_penalties:
         assert counts is not None, "penalties need context token counts"
         logits = apply_penalties(logits.astype(jnp.float32), counts, cfg)
+    if cfg.uses_dry:
+        assert hist is not None and hist_len is not None, \
+            "DRY needs the ordered context token history"
+        logits = apply_dry(logits.astype(jnp.float32), hist, hist_len, cfg)
     if cfg.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 

@@ -209,6 +209,36 @@ class EngineWorker:
                     r.done.set()
 
 
+_BREAKER_CACHE: dict = {}
+
+
+def _breaker_ids(llm, breakers) -> tuple:
+    """Map DRY sequence-breaker STRINGS (llama.cpp --dry-sequence-breaker)
+    to the token ids whose decoded piece contains any of them — those
+    tokens cut repetition matching. Cached per (tokenizer, breakers);
+    capped at 256 ids to bound the jit-static config size."""
+    if not breakers:
+        return ()
+    tok = llm.tokenizer
+    if tok is None:
+        return ()
+    key = (id(tok), tuple(breakers))
+    hit = _BREAKER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pats = [str(b) for b in breakers if b]
+    ids = []
+    for tid in range(len(tok.tokens)):
+        piece = tok.decode_token(tid).decode("utf-8", "replace")
+        if any(p in piece for p in pats):
+            ids.append(tid)
+            if len(ids) >= 256:
+                break
+    out = tuple(ids)
+    _BREAKER_CACHE[key] = out
+    return out
+
+
 def make_handler(worker: EngineWorker):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -478,6 +508,18 @@ def make_handler(worker: EngineWorker):
                         payload.get("xtc_probability", 0.0)),
                     xtc_threshold=float(payload.get("xtc_threshold", 0.1)),
                     top_n_sigma=float(payload.get("top_n_sigma", 0.0)),
+                    dry_multiplier=float(payload.get("dry_multiplier", 0.0)),
+                    dry_base=float(payload.get("dry_base", 1.75)),
+                    dry_allowed_length=int(
+                        payload.get("dry_allowed_length", 2)),
+                    dry_penalty_last_n=int(
+                        payload.get("dry_penalty_last_n", -1)),
+                    dry_sequence_breakers=_breaker_ids(
+                        worker.llm,
+                        payload.get("dry_sequence_breakers",
+                                    ("\n", ":", "\"", "*")))
+                    if float(payload.get("dry_multiplier", 0.0)) > 0.0
+                    else (),
                 )
                 stop = payload.get("stop")
                 if isinstance(stop, str):
