@@ -151,7 +151,7 @@ class LlamaConfig:
             # global layers use rope.freq_base (1M)
             rope_theta_swa=(float(g("rope.freq_base_swa", 10000.0) or 10000.0)
                             if gemma3 else 0.0),
-            rope_neox=arch in ("qwen2", "qwen3", "phi2", "phi3",
+            rope_neox=arch in ("qwen2", "qwen3", "qwen3moe", "phi2", "phi3",
                                "gemma", "gemma2", "gemma3"),
         )
 

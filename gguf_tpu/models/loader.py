@@ -484,7 +484,8 @@ def write_random_llama_gguf(
             ("attn_v.weight", (kv_d, d)), ("attn_output.weight", (d, q_d)),
         ]:
             tensors[p + name] = (fmt, shape, quantize_tensor(w(shape), fmt))
-        if arch == "qwen3":   # per-head q/k RMSNorm (random: exercised, not 1)
+        # per-head q/k RMSNorm (random: exercised, not 1)
+        if arch in ("qwen3", "qwen3moe"):
             hd = cfg.head_dim
             tensors[p + "attn_q_norm.weight"] = (
                 GGMLType.F32, (hd,),

@@ -63,9 +63,12 @@ def _numpy_moe_reference(path, cfg, tokens):
     cos, sin = np.cos(ang), np.sin(ang)
 
     def rope(x):
+        c, s = cos[None, :, None, :], sin[None, :, None, :]
+        if cfg.rope_neox:        # rotate-half pairing (qwen/gemma/phi GGUFs)
+            e, o = x[..., :hd // 2], x[..., hd // 2:]
+            return np.concatenate([e * c - o * s, e * s + o * c], -1)
         x2 = x.reshape(*x.shape[:-1], -1, 2)
         e, o = x2[..., 0], x2[..., 1]
-        c, s = cos[None, :, None, :], sin[None, :, None, :]
         return np.stack([e * c - o * s, e * s + o * c], -1).reshape(x.shape)
 
     for i in range(cfg.n_layers):
@@ -74,6 +77,9 @@ def _numpy_moe_reference(path, cfg, tokens):
         q = (h @ deq(p + "attn_q.weight").T).reshape(b, t, cfg.n_heads, hd)
         k = (h @ deq(p + "attn_k.weight").T).reshape(b, t, cfg.n_kv_heads, hd)
         v = (h @ deq(p + "attn_v.weight").T).reshape(b, t, cfg.n_kv_heads, hd)
+        if p + "attn_q_norm.weight" in r.tensors:   # qwen3-family qk-norm
+            q = rmsn(q, r.load_array(p + "attn_q_norm.weight"))
+            k = rmsn(k, r.load_array(p + "attn_k_norm.weight"))
         q, k = rope(q), rope(k)
         rep = cfg.n_heads // cfg.n_kv_heads
         k, v = np.repeat(k, rep, axis=2), np.repeat(v, rep, axis=2)
@@ -257,3 +263,31 @@ def test_moe_prefill_equals_stepwise_decode(model):
                               jnp.full(1, t, jnp.int32), cache, opts)
     np.testing.assert_allclose(np.asarray(logits_pre[0, -1]),
                                np.asarray(last[0, 0]), rtol=0, atol=2e-2)
+
+
+def test_qwen3moe_family(tmp_path):
+    """Qwen3-MoE (arch qwen3moe): per-head q/k RMSNorm + NEOX rotate-half
+    rope + routed experts together, vs the numpy reference. Covers e.g.
+    Qwen3-30B-A3B GGUFs (llama.cpp LLM_ARCH_QWEN3MOE)."""
+    cfg = LlamaConfig(
+        vocab_size=128, dim=512, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=512, max_seq_len=64, n_experts=4, n_experts_used=4,
+    )
+    path = str(tmp_path / "q3moe.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q4_K, seed=7,
+                            arch="qwen3moe")
+    lcfg, params = load_llama(path)
+    assert lcfg.rope_neox and lcfg.n_experts == 4
+    assert "q_norm" in params["layers"][0]
+    assert "gate_exps" in params["layers"][0]
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, lcfg.vocab_size, (2, 8)).astype(np.int32)
+    cache = init_kv_cache(lcfg, batch=2, max_seq=32)
+    logits, _ = forward(params, lcfg, jnp.asarray(tokens),
+                        jnp.zeros(2, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    ref = _numpy_moe_reference(path, lcfg, tokens)
+    got = np.asarray(logits)
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 0.03, \
+        np.max(np.abs(got - ref)) / denom
