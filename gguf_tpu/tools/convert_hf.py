@@ -140,10 +140,11 @@ def tokenizer_metadata(model_dir: str) -> dict:
     return md
 
 
-# HF model_type -> GGUF architecture
-_ARCHS = {"llama": "llama", "mistral": "llama", "qwen2": "qwen2",
-          "qwen3": "qwen3", "gemma": "gemma", "gemma2": "gemma2",
-          "phi3": "phi3"}
+# HF model_type -> GGUF architecture. Mixtral GGUFs are arch "llama"
+# with llama.expert_count set (llama.cpp's convention).
+_ARCHS = {"llama": "llama", "mistral": "llama", "mixtral": "llama",
+          "qwen2": "qwen2", "qwen3": "qwen3", "qwen3_moe": "qwen3moe",
+          "gemma": "gemma", "gemma2": "gemma2", "phi3": "phi3"}
 
 
 def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
@@ -179,6 +180,14 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
     if head_dim != dim // n_heads:
         md[f"{arch}.attention.key_length"] = head_dim
         md[f"{arch}.attention.value_length"] = head_dim
+    n_exp = int(hf.get("num_local_experts") or hf.get("num_experts") or 0)
+    if n_exp:
+        md[f"{arch}.expert_count"] = n_exp
+        md[f"{arch}.expert_used_count"] = int(
+            hf.get("num_experts_per_tok", 2))
+        if hf.get("moe_intermediate_size"):
+            md[f"{arch}.expert_feed_forward_length"] = int(
+                hf["moe_intermediate_size"])
     if arch == "gemma2":
         if hf.get("attn_logit_softcapping"):
             md[f"{arch}.attn_logit_softcapping"] = float(
@@ -319,12 +328,34 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
                              ("self_attn.k_norm.weight", "attn_k_norm.weight")):
             if hp + hname in weights:        # qwen3 QK-norm
                 put(tensors, p + gname, weights[hp + hname], GGMLType.F32)
-        put(tensors, p + "ffn_gate.weight",
-            get(hp + "mlp.gate_proj.weight"), target)
-        put(tensors, p + "ffn_up.weight",
-            get(hp + "mlp.up_proj.weight"), target)
-        put(tensors, p + "ffn_down.weight",
-            get(hp + "mlp.down_proj.weight"), target)
+        if n_exp:
+            # routed experts -> 3-D stacked GGUF tensors (leading E axis)
+            if mt == "mixtral":  # w1=gate, w3=up, w2=down
+                router = get(hp + "block_sparse_moe.gate.weight")
+                en = [(f"block_sparse_moe.experts.{e}.w1.weight",
+                       f"block_sparse_moe.experts.{e}.w3.weight",
+                       f"block_sparse_moe.experts.{e}.w2.weight")
+                      for e in range(n_exp)]
+            else:                # qwen3_moe
+                router = get(hp + "mlp.gate.weight")
+                en = [(f"mlp.experts.{e}.gate_proj.weight",
+                       f"mlp.experts.{e}.up_proj.weight",
+                       f"mlp.experts.{e}.down_proj.weight")
+                      for e in range(n_exp)]
+            put(tensors, p + "ffn_gate_inp.weight", router, GGMLType.F32)
+            put(tensors, p + "ffn_gate_exps.weight",
+                np.stack([get(hp + g) for g, _, _ in en]), target)
+            put(tensors, p + "ffn_up_exps.weight",
+                np.stack([get(hp + u) for _, u, _ in en]), target)
+            put(tensors, p + "ffn_down_exps.weight",
+                np.stack([get(hp + dn) for _, _, dn in en]), target)
+        else:
+            put(tensors, p + "ffn_gate.weight",
+                get(hp + "mlp.gate_proj.weight"), target)
+            put(tensors, p + "ffn_up.weight",
+                get(hp + "mlp.up_proj.weight"), target)
+            put(tensors, p + "ffn_down.weight",
+                get(hp + "mlp.down_proj.weight"), target)
 
     write_gguf(out_path, md, tensors)
     return md

@@ -367,3 +367,84 @@ def test_convert_phi3_longrope_serves(tmp_path):
         [[1, 5, 9]], max_new_tokens=4,
         sampler=SamplerConfig(temperature=0.0), stop_at_eos=False)
     assert len(res[0].token_ids) == 4
+
+
+def _add_moe_tensors(t, rng, mixtral, n_exp=4):
+    """Swap the dense FFN tensors for routed-expert stacks (HF naming)."""
+    s = 0.5 / np.sqrt(DIM)
+    w = lambda *shape: (rng.standard_normal(shape) * s).astype(np.float32)
+    for i in range(LAYERS):
+        p = f"model.layers.{i}."
+        for k in ("mlp.gate_proj.weight", "mlp.up_proj.weight",
+                  "mlp.down_proj.weight"):
+            t.pop(p + k, None)
+        if mixtral:
+            t[p + "block_sparse_moe.gate.weight"] = w(n_exp, DIM) * 3
+            for e in range(n_exp):
+                ep = p + f"block_sparse_moe.experts.{e}."
+                t[ep + "w1.weight"] = w(FFN, DIM)
+                t[ep + "w3.weight"] = w(FFN, DIM)
+                t[ep + "w2.weight"] = w(DIM, FFN)
+        else:
+            t[p + "mlp.gate.weight"] = w(n_exp, DIM) * 3
+            for e in range(n_exp):
+                ep = p + f"mlp.experts.{e}."
+                t[ep + "gate_proj.weight"] = w(FFN, DIM)
+                t[ep + "up_proj.weight"] = w(FFN, DIM)
+                t[ep + "down_proj.weight"] = w(DIM, FFN)
+
+
+@pytest.mark.parametrize("model_type", ["mixtral", "qwen3_moe"])
+def test_convert_moe(tmp_path, model_type):
+    """MoE conversion: HF per-expert tensors stack to the 3-D GGUF expert
+    tensors (mixtral w1/w3/w2 and qwen3_moe gate/up/down naming), the
+    router becomes ffn_gate_inp, and the converted checkpoint serves."""
+    from gguf_tpu.gguf import GGUFReader
+
+    mixtral = model_type == "mixtral"
+    d, t = _make_hf_dir(tmp_path, model_type=model_type, seed=11)
+    rng = np.random.default_rng(12)
+    _add_moe_tensors(t, rng, mixtral)
+    if not mixtral:   # qwen3 family: per-head qk-norm
+        for i in range(LAYERS):
+            p = f"model.layers.{i}."
+            t[p + "self_attn.q_norm.weight"] = \
+                (1 + 0.1 * rng.standard_normal(HD)).astype(np.float32)
+            t[p + "self_attn.k_norm.weight"] = \
+                (1 + 0.1 * rng.standard_normal(HD)).astype(np.float32)
+    _write_safetensors(str(tmp_path / "hf" / "model.safetensors"), t)
+    cfgp = json.loads((tmp_path / "hf" / "config.json").read_text())
+    cfgp.update({"num_local_experts": 4, "num_experts_per_tok": 2,
+                 "moe_intermediate_size": FFN})
+    (tmp_path / "hf" / "config.json").write_text(json.dumps(cfgp))
+
+    out = str(tmp_path / "moe.gguf")
+    md = convert_hf(d, out, fmt="q8_0")
+    arch = md["general.architecture"]
+    assert arch == ("llama" if mixtral else "qwen3moe")
+    assert md[f"{arch}.expert_count"] == 4
+    assert md[f"{arch}.expert_used_count"] == 2
+
+    # expert stacking fidelity: dequantized expert e == HF tensor (q8_0)
+    r = GGUFReader(out)
+    g3 = r.dequantize("blk.0.ffn_gate_exps.weight")
+    hf_g = (t["model.layers.0.block_sparse_moe.experts.2.w1.weight"]
+            if mixtral
+            else t["model.layers.0.mlp.experts.2.gate_proj.weight"])
+    assert np.max(np.abs(g3[2] - hf_g)) < 0.01 * np.abs(hf_g).max() + 2e-3
+    router = r.load_array("blk.0.ffn_gate_inp.weight")
+    hf_r = (t["model.layers.0.block_sparse_moe.gate.weight"] if mixtral
+            else t["model.layers.0.mlp.gate.weight"])
+    np.testing.assert_allclose(router, hf_r, rtol=0, atol=0)
+    r.close()
+
+    cfg, params = load_llama(out)
+    assert cfg.n_experts == 4 and cfg.n_experts_used == 2
+    assert cfg.rope_neox == (not mixtral)
+    if not mixtral:
+        assert "q_norm" in params["layers"][0]
+    cache = init_kv_cache(cfg, batch=1, max_seq=16)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 5, 9]], jnp.int32),
+                        jnp.zeros(1, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    assert np.isfinite(np.asarray(logits)).all()
