@@ -88,10 +88,46 @@ class LlamaConfig:
     # True = NEOX rotate-half (qwen2/qwen3/phi2/phi3/gemma-family GGUFs,
     # which keep the HF dimension order)
     rope_neox: bool = False
+    # DeepSeek-V2-family multi-head latent attention (arch deepseek2).
+    # kv_lora_rank > 0 switches attention to the ABSORBED MLA form: the
+    # KV cache stores one shared row per token — the compressed KV latent
+    # (kv_lora_rank) plus the MQA rope key (qk_rope_dim) — instead of
+    # per-head K/V, and the per-head up-projections are absorbed into the
+    # query/output paths (cache bytes drop ~9x vs naive MLA).
+    q_lora_rank: int = 0          # 0 = direct q projection (V2-Lite)
+    kv_lora_rank: int = 0         # > 0 enables MLA
+    qk_rope_dim: int = 0          # rotary sub-dim of each qk head (64)
+    v_head_dim: int = 0           # per-head value width (128)
+    # deepseek2 MoE shape: the first n layers keep a dense FFN, routed
+    # layers add shared experts and scale the routed sum
+    leading_dense_layers: int = 0
+    n_shared_experts: int = 0
+    routed_scale: float = 1.0     # expert_weights_scale
+    moe_renorm: bool = True       # renormalize top-k weights
+                                  # (mixtral/qwen3moe yes, deepseek2 no)
+    moe_gating: str = "softmax"   # softmax | sigmoid (deepseek-V3)
 
     @property
     def head_dim(self) -> int:
         return self.head_dim_override or self.dim // self.n_heads
+
+    @property
+    def qk_nope_dim(self) -> int:
+        """MLA: the non-rotary sub-dim of each qk head (head_dim holds
+        the full qk width nope+rope, llama.cpp attention.key_length)."""
+        return self.head_dim - self.qk_rope_dim
+
+    @property
+    def kv_cache_heads(self) -> int:
+        return 1 if self.kv_lora_rank else self.n_kv_heads
+
+    @property
+    def kv_cache_dim(self) -> int:
+        """Per-token per-head cache row width. MLA stores the latent +
+        rope key in ONE row, padded to the 128-lane TPU tile."""
+        if self.kv_lora_rank:
+            return -(-(self.kv_lora_rank + self.qk_rope_dim) // 128) * 128
+        return self.head_dim
 
     @classmethod
     def from_gguf_metadata(cls, md: dict) -> "LlamaConfig":
@@ -152,7 +188,21 @@ class LlamaConfig:
             rope_theta_swa=(float(g("rope.freq_base_swa", 10000.0) or 10000.0)
                             if gemma3 else 0.0),
             rope_neox=arch in ("qwen2", "qwen3", "qwen3moe", "phi2", "phi3",
-                               "gemma", "gemma2", "gemma3"),
+                               "gemma", "gemma2", "gemma3", "deepseek2"),
+            q_lora_rank=int(g("attention.q_lora_rank", 0) or 0),
+            kv_lora_rank=int(g("attention.kv_lora_rank", 0) or 0),
+            qk_rope_dim=(int(g("rope.dimension_count", 0) or 0)
+                         if arch == "deepseek2" else 0),
+            v_head_dim=(int(g("attention.value_length", 0) or 0)
+                        if arch == "deepseek2" else 0),
+            leading_dense_layers=int(g("leading_dense_block_count", 0) or 0),
+            n_shared_experts=int(g("expert_shared_count", 0) or 0),
+            routed_scale=float(g("expert_weights_scale", 1.0) or 1.0),
+            moe_renorm=(bool(g("expert_weights_norm", False))
+                        if arch == "deepseek2" else True),
+            moe_gating=("sigmoid"
+                        if int(g("expert_gating_func", 1) or 1) == 2
+                        else "softmax"),
         )
 
     def to_gguf_metadata(self, arch: str = "llama") -> dict:
@@ -180,8 +230,20 @@ class LlamaConfig:
             **({f"{arch}.rope.scaling.attn_factor": self.rope_attn_factor}
                if self.rope_attn_factor != 1.0 else {}),
             **({f"{arch}.attention.key_length": self.head_dim,
-                f"{arch}.attention.value_length": self.head_dim}
+                f"{arch}.attention.value_length": self.v_head_dim
+                    or self.head_dim}
                if self.head_dim_override is not None else {}),
+            **({f"{arch}.attention.q_lora_rank": self.q_lora_rank}
+               if self.q_lora_rank else {}),
+            **({f"{arch}.attention.kv_lora_rank": self.kv_lora_rank,
+                f"{arch}.leading_dense_block_count":
+                    self.leading_dense_layers,
+                f"{arch}.expert_shared_count": self.n_shared_experts,
+                f"{arch}.expert_weights_scale": self.routed_scale,
+                f"{arch}.expert_weights_norm": self.moe_renorm,
+                f"{arch}.expert_gating_func":
+                    2 if self.moe_gating == "sigmoid" else 1}
+               if self.kv_lora_rank else {}),
             **({f"{arch}.expert_count": self.n_experts,
                 f"{arch}.expert_used_count": self.n_experts_used}
                if self.n_experts else {}),

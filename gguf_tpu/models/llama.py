@@ -221,7 +221,8 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int | None = None):
     cache into every layer and a re-stack every step (~2x the cache bytes of
     pure copy traffic per decode step at 22 layers)."""
     s = max_seq or cfg.max_seq_len
-    shape = (batch, cfg.n_kv_heads, s, cfg.head_dim)
+    # MLA (deepseek2): one shared latent+rope row per token (kvh=1)
+    shape = (batch, cfg.kv_cache_heads, s, cfg.kv_cache_dim)
     return [{
         "k": jnp.zeros(shape, jnp.int8),
         "v": jnp.zeros(shape, jnp.int8),
@@ -420,6 +421,127 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
     return proj.reshape(b, t, -1), cache_l
 
 
+def mla_attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
+                  rope=None, span: int | None = None,
+                  return_pre_proj: bool = False):
+    """DeepSeek-V2 multi-head latent attention, ABSORBED form (the
+    TPU-native shape of MLA). The KV cache stores ONE row per token —
+    [compressed latent c_kv (kv_lora_rank) | shared rope key (qk_rope)],
+    zero-padded to the 128-lane tile — instead of per-head K/V: the
+    attn_kv_b up-projection's K half is folded into the query
+    (q_eff = q_nope @ W_uk, per head) and its V half applied after the
+    probability-weighted latent sum. Attention itself is then plain MQA
+    with head_dim = kv_lora_rank + qk_rope over the EXISTING int8 cache
+    kernels; scores are equivalent to naive MLA because
+    (W_uk q)·c == q·(W_uk^T c). Cache bytes drop ~9x vs naive MLA
+    (DeepSeek-V2-Lite: 576 vs 16 heads x 320).
+    Reference lineage: llama.cpp build_deepseek2 / LLM_ARCH_DEEPSEEK2."""
+    b, t, _ = x.shape
+    h = cfg.n_heads
+    nope, rdim, r = cfg.qk_nope_dim, cfg.qk_rope_dim, cfg.kv_lora_rank
+    hd_c = cfg.kv_cache_dim
+    xf = x.reshape(b * t, -1)
+
+    if "wq_a" in layer:   # low-rank query path (V2/V3)
+        qa = rms_norm(linear(layer["wq_a"], xf, opts).astype(jnp.float32),
+                      layer["q_a_norm"], cfg.norm_eps)
+        q = linear(layer["wq_b"], qa.astype(x.dtype), opts)
+    else:                 # V2-Lite: direct q projection
+        q = linear(layer["wq"], xf, opts)
+    q = q.reshape(b, t, h, nope + rdim)
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+    kv = linear(layer["wkv_a"], xf, opts).reshape(b, t, r + rdim)
+    c_kv = rms_norm(kv[..., :r].astype(jnp.float32), layer["kv_a_norm"],
+                    cfg.norm_eps)
+    k_pe = kv[..., None, r:]                     # (B, T, 1, rdim) MQA key
+
+    tok_pos = pos[:, None] + jnp.arange(t)[None, :]
+    cos, sin = rope if rope is not None else rope_for_cfg(tok_pos, cfg)
+    q_pe = apply_rope(q_pe, cos[:, :, None, :], sin[:, :, None, :],
+                      cfg.rope_neox)
+    k_pe = apply_rope(k_pe.astype(jnp.float32), cos[:, :, None, :],
+                      sin[:, :, None, :], cfg.rope_neox)
+
+    # absorb W_uk into the query; pad to the tiled cache row. The kernels
+    # scale scores by 1/sqrt(row width), so fold in sqrt(hd_c / qk_dim)
+    # to recover the true 1/sqrt(qk_nope + qk_rope).
+    q_eff = jnp.einsum("bthd,hdr->bthr", q_nope.astype(jnp.float32),
+                       layer["w_uk"].astype(jnp.float32))
+    pad = hd_c - r - rdim
+    qs = float(hd_c) ** 0.5 / float(nope + rdim) ** 0.5
+    q_full = jnp.concatenate(
+        [q_eff, q_pe.astype(jnp.float32),
+         jnp.zeros((b, t, h, pad), jnp.float32)], -1) * qs
+    k_row = jnp.concatenate(
+        [c_kv[:, :, None, :], k_pe,
+         jnp.zeros((b, t, 1, pad), jnp.float32)], -1)
+    v_row = jnp.concatenate(
+        [c_kv[:, :, None, :], jnp.zeros((b, t, 1, rdim + pad),
+                                        jnp.float32)], -1)
+
+    s_cache = cache_l["k"].shape[2]
+    span_eff = s_cache if span is None else min(span, s_cache)
+    pallas_fits = span_eff * hd_c <= PALLAS_ATTN_MAX_ELEMS
+    if t <= 8 and pallas_fits:
+        from ..ops.attention import decode_attention_update
+
+        out, ck, cks, cv, cvs = decode_attention_update(
+            q_full.transpose(0, 2, 1, 3), k_row.transpose(0, 2, 1, 3),
+            v_row.transpose(0, 2, 1, 3),
+            cache_l["k"], cache_l["k_scale"], cache_l["v"],
+            cache_l["v_scale"], pos, t=t, precision=opts.precision,
+            span=span)
+        cache_l = {"k": ck, "k_scale": cks, "v": cv, "v_scale": cvs}
+        out_lat = out.transpose(0, 2, 1, 3)          # (B, T, H, hd_c)
+    elif t == 1 and span_eff % 256 == 0:
+        from ..ops.attention import decode_attention_tiled, kv_cache_insert
+
+        ck, cks, cv, cvs = kv_cache_insert(
+            k_row.transpose(0, 2, 1, 3), v_row.transpose(0, 2, 1, 3),
+            cache_l["k"], cache_l["k_scale"], cache_l["v"],
+            cache_l["v_scale"], pos, t=t)
+        cache_l = {"k": ck, "k_scale": cks, "v": cv, "v_scale": cvs}
+        out = decode_attention_tiled(
+            q_full.transpose(0, 2, 1, 3), ck, cks, cv, cvs, pos,
+            precision=opts.precision, span=span_eff)
+        out_lat = out.transpose(0, 2, 1, 3)
+    else:
+        if t <= 16:
+            from ..ops.attention import kv_cache_insert
+
+            ck, cks, cv, cvs = kv_cache_insert(
+                k_row.transpose(0, 2, 1, 3), v_row.transpose(0, 2, 1, 3),
+                cache_l["k"], cache_l["k_scale"], cache_l["v"],
+                cache_l["v_scale"], pos, t=t)
+            cache_l = {"k": ck, "k_scale": cks, "v": cv, "v_scale": cvs}
+        else:
+            cache_l = _cache_update(
+                cache_l, k_row.transpose(0, 2, 1, 3),
+                v_row.transpose(0, 2, 1, 3), pos)
+        s = span_eff
+        k_all = (cache_l["k"][:, :, :s].astype(jnp.float32)
+                 * cache_l["k_scale"][:, :, :s, None])[:, 0]   # (B, S, hd_c)
+        v_all = (cache_l["v"][:, :, :s].astype(jnp.float32)
+                 * cache_l["v_scale"][:, :, :s, None])[:, 0]
+        scores = jnp.einsum("bthd,bsd->bhts", q_full, k_all) / hd_c ** 0.5
+        causal = jnp.arange(s)[None, None, :] <= tok_pos[:, :, None]
+        scores = jnp.where(causal[:, None, :, :], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out_lat = jnp.einsum("bhts,bsd->bthd", probs, v_all)
+
+    # output path: W_uv maps the attended latent back to per-head values
+    out = jnp.einsum("bthr,hvr->bthv", out_lat[..., :r],
+                     layer["w_uv"].astype(jnp.float32))
+    out = out.reshape(b * t, h * cfg.v_head_dim)
+    proj = linear(layer["wo"], out.astype(x.dtype), opts)
+    if opts.axis_name:
+        proj = jax.lax.psum(proj, opts.axis_name)
+    if return_pre_proj:
+        return proj.reshape(b, t, -1), cache_l, out.reshape(b, t, -1)
+    return proj.reshape(b, t, -1), cache_l
+
+
 def _cp_attention(layer, x, cfg: LlamaConfig, cache_l, q, k, v, tok_pos,
                   pos, opts: MMOpts):
     """Sequence-parallel (context-parallel) attention: the cache's sequence
@@ -546,11 +668,20 @@ def moe_mlp(layer, x, cfg: LlamaConfig, opts: MMOpts):
     xf = x.reshape(b * t, -1)
     router = layer["gate_inp"]  # (E_global, dim), replicated float
     logits = xf.astype(jnp.float32) @ router.T.astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)                # (N, E_global)
-    _, topi = jax.lax.top_k(probs, cfg.n_experts_used)     # (N, k)
+    if cfg.moe_gating == "sigmoid":      # deepseek-V3 scoring
+        probs = jax.nn.sigmoid(logits)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)            # (N, E_global)
+    # deepseek-V3: selection uses bias-adjusted scores, weights stay raw
+    sel_scores = (probs + layer["gate_inp_b"][None, :]
+                  if "gate_inp_b" in layer else probs)
+    _, topi = jax.lax.top_k(sel_scores, cfg.n_experts_used)  # (N, k)
     sel = (topi[..., None] == jnp.arange(cfg.n_experts)[None, None, :]).any(1)
     w = jnp.where(sel, probs, 0.0)
-    w = w / jnp.sum(w, axis=-1, keepdims=True)             # norm_topk_prob
+    if cfg.moe_renorm:                                     # norm_topk_prob
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+    if cfg.routed_scale != 1.0:          # deepseek2 expert_weights_scale
+        w = w * jnp.float32(cfg.routed_scale)
 
     gate, up, down = layer["gate_exps"], layer["up_exps"], layer["down_exps"]
     # shard-local expert count = leading dim of any stacked field
@@ -570,6 +701,10 @@ def moe_mlp(layer, x, cfg: LlamaConfig, opts: MMOpts):
     axes = tuple(a for a in (opts.axis_name, opts.ep_axis) if a)
     if axes:  # one psum finishes row-parallel down AND the expert partials
         acc = jax.lax.psum(acc, axes)
+    if "gate_shexp" in layer:   # deepseek2 shared experts: a dense FFN
+        shared = mlp({"gate": layer["gate_shexp"], "up": layer["up_shexp"],
+                      "down": layer["down_shexp"]}, x, opts, cfg.act_fn)
+        acc = acc + shared.reshape(b * t, -1).astype(jnp.float32)
     return acc.astype(x.dtype).reshape(b, t, -1)
 
 
@@ -618,7 +753,7 @@ def fuse_llama_params(params: dict, tp: int = 1) -> dict:
     layers = []
     for layer in params["layers"]:
         layer = dict(layer)
-        if ("wq" in layer
+        if ("wq" in layer and "wk" in layer
                 and fusable([layer["wq"], layer["wk"], layer["wv"]])):
             layer["wqkv"] = fuse([layer.pop("wq"), layer.pop("wk"),
                                   layer.pop("wv")])
@@ -678,7 +813,18 @@ def forward(
                   and i % cfg.swa_pattern != cfg.swa_pattern - 1 else 0)
         h = _norm(x, layer, "attn_norm", cfg)
         ls = {}
-        if collect_sq:
+        if "wkv_a" in layer:   # deepseek2 multi-head latent attention
+            if collect_sq:
+                ls["attn_qkv"] = sumsq(h)
+                attn_out, cache_l, pre = mla_attention(
+                    layer, h, cfg, cache[i], pos, opts, rope=rope,
+                    span=span, return_pre_proj=True)
+                ls["attn_output"] = sumsq(pre)
+            else:
+                attn_out, cache_l = mla_attention(
+                    layer, h, cfg, cache[i], pos, opts, rope=rope,
+                    span=span)
+        elif collect_sq:
             ls["attn_qkv"] = sumsq(h)
             attn_out, cache_l, pre = attention(
                 layer, h, cfg, cache[i], pos, opts,

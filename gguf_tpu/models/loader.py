@@ -237,16 +237,45 @@ def load_llama(path: str):
         layer = {
             "attn_norm": jnp.asarray(reader.load_array(p + "attn_norm.weight"), jnp.float32),
             "ffn_norm": jnp.asarray(reader.load_array(p + "ffn_norm.weight"), jnp.float32),
-            "wq": _load_weight(reader, p + "attn_q.weight"),
-            "wk": _load_weight(reader, p + "attn_k.weight"),
-            "wv": _load_weight(reader, p + "attn_v.weight"),
-            **{k: v for k, v in [
-                ("bq", _maybe_bias(reader, p + "attn_q.bias")),
-                ("bk", _maybe_bias(reader, p + "attn_k.bias")),
-                ("bv", _maybe_bias(reader, p + "attn_v.bias")),
-            ] if v is not None},
-            "wo": _load_weight(reader, p + "attn_output.weight"),
         }
+        if p + "attn_kv_a_mqa.weight" in reader.tensors:
+            # deepseek2 multi-head latent attention. The per-head KV
+            # up-projection (attn_kv_b) is ABSORBED: its K half folds into
+            # the query path and its V half into the output path, so
+            # attention runs directly over the compressed latent and the
+            # cache stores one (kv_lora + rope) row per token. Absorption
+            # matrices are small per-head bf16 einsum operands, not MMQ
+            # weights — dequantized once at load.
+            if p + "attn_q_a.weight" in reader.tensors:
+                layer["wq_a"] = _load_weight(reader, p + "attn_q_a.weight")
+                layer["q_a_norm"] = jnp.asarray(
+                    reader.load_array(p + "attn_q_a_norm.weight"),
+                    jnp.float32)
+                layer["wq_b"] = _load_weight(reader, p + "attn_q_b.weight")
+            else:   # V2-Lite: q_lora_rank unset, direct q projection
+                layer["wq"] = _load_weight(reader, p + "attn_q.weight")
+            layer["wkv_a"] = _load_weight(reader,
+                                          p + "attn_kv_a_mqa.weight")
+            layer["kv_a_norm"] = jnp.asarray(
+                reader.load_array(p + "attn_kv_a_norm.weight"), jnp.float32)
+            kvb = reader.dequantize(p + "attn_kv_b.weight")
+            nope, vdim = cfg.qk_nope_dim, cfg.v_head_dim
+            kvb = kvb.reshape(cfg.n_heads, nope + vdim, cfg.kv_lora_rank)
+            layer["w_uk"] = jnp.asarray(kvb[:, :nope], jnp.bfloat16)
+            layer["w_uv"] = jnp.asarray(kvb[:, nope:], jnp.bfloat16)
+            layer["wo"] = _load_weight(reader, p + "attn_output.weight")
+        else:
+            layer.update({
+                "wq": _load_weight(reader, p + "attn_q.weight"),
+                "wk": _load_weight(reader, p + "attn_k.weight"),
+                "wv": _load_weight(reader, p + "attn_v.weight"),
+                **{k: v for k, v in [
+                    ("bq", _maybe_bias(reader, p + "attn_q.bias")),
+                    ("bk", _maybe_bias(reader, p + "attn_k.bias")),
+                    ("bv", _maybe_bias(reader, p + "attn_v.bias")),
+                ] if v is not None},
+                "wo": _load_weight(reader, p + "attn_output.weight"),
+            })
         # qwen3-family per-head q/k RMSNorm vectors (head_dim,);
         # gemma2-family post-branch norms (dim,)
         for nk, tk in (("q_norm", "attn_q_norm.weight"),
@@ -269,6 +298,16 @@ def load_llama(path: str):
             layer["down_exps"] = _load_experts(
                 reader, p + "ffn_down_exps.weight",
                 p + "ffn_down.{}.weight", cfg.n_experts)
+            # deepseek2: shared experts run as a dense FFN beside the
+            # routed sum; V3 routes on bias-adjusted sigmoid scores
+            for nk, tk in (("gate_shexp", "ffn_gate_shexp.weight"),
+                           ("up_shexp", "ffn_up_shexp.weight"),
+                           ("down_shexp", "ffn_down_shexp.weight")):
+                if p + tk in reader.tensors:
+                    layer[nk] = _load_weight(reader, p + tk)
+            if p + "exp_probs_b.bias" in reader.tensors:
+                layer["gate_inp_b"] = jnp.asarray(
+                    reader.load_array(p + "exp_probs_b.bias"), jnp.float32)
         else:
             layer["gate"] = _load_weight(reader, p + "ffn_gate.weight")
             layer["up"] = _load_weight(reader, p + "ffn_up.weight")
@@ -479,6 +518,64 @@ def write_random_llama_gguf(
                 tensors[p + name] = (fmt, shape, quantize_tensor(w(shape), fmt))
             continue
         tensors[p + "ffn_norm.weight"] = (GGMLType.F32, (d,), np.ones(d, np.float32))
+        if arch == "deepseek2":   # MLA attention + (shared-)expert FFN
+            h, r, rd = cfg.n_heads, cfg.kv_lora_rank, cfg.qk_rope_dim
+            nope, vd = cfg.qk_nope_dim, cfg.v_head_dim
+            if cfg.q_lora_rank:
+                ql = cfg.q_lora_rank
+                tensors[p + "attn_q_a.weight"] = (
+                    fmt, (ql, d), quantize_tensor(w((ql, d)), fmt))
+                tensors[p + "attn_q_a_norm.weight"] = f32v((ql,), "r")
+                tensors[p + "attn_q_b.weight"] = (
+                    fmt, (h * (nope + rd), ql),
+                    quantize_tensor(w((h * (nope + rd), ql)), fmt))
+            else:
+                tensors[p + "attn_q.weight"] = (
+                    fmt, (h * (nope + rd), d),
+                    quantize_tensor(w((h * (nope + rd), d)), fmt))
+            tensors[p + "attn_kv_a_mqa.weight"] = (
+                fmt, (r + rd, d), quantize_tensor(w((r + rd, d)), fmt))
+            tensors[p + "attn_kv_a_norm.weight"] = (
+                GGMLType.F32, (r,),
+                (1.0 + 0.1 * rng.standard_normal(r)).astype(np.float32))
+            tensors[p + "attn_kv_b.weight"] = (
+                fmt, (h * (nope + vd), r),
+                quantize_tensor(w((h * (nope + vd), r)), fmt))
+            tensors[p + "attn_output.weight"] = (
+                fmt, (d, h * vd), quantize_tensor(w((d, h * vd)), fmt))
+            if cfg.n_experts and i >= cfg.leading_dense_layers:
+                e = cfg.n_experts
+                tensors[p + "ffn_gate_inp.weight"] = (
+                    GGMLType.F32, (e, d),
+                    (rng.standard_normal((e, d)) * 0.15).astype(np.float32))
+                for name, shape in [
+                    ("ffn_gate_exps.weight", (e, f, d)),
+                    ("ffn_up_exps.weight", (e, f, d)),
+                    ("ffn_down_exps.weight", (e, d, f)),
+                ]:
+                    tensors[p + name] = (fmt, shape,
+                                         quantize_tensor(w(shape), fmt))
+                if cfg.n_shared_experts:
+                    sf = f * cfg.n_shared_experts
+                    for name, shape in [
+                        ("ffn_gate_shexp.weight", (sf, d)),
+                        ("ffn_up_shexp.weight", (sf, d)),
+                        ("ffn_down_shexp.weight", (d, sf)),
+                    ]:
+                        tensors[p + name] = (fmt, shape,
+                                             quantize_tensor(w(shape), fmt))
+                if cfg.moe_gating == "sigmoid":   # V3 selection bias
+                    tensors[p + "exp_probs_b.bias"] = (
+                        GGMLType.F32, (e,),
+                        (rng.standard_normal(e) * 0.1).astype(np.float32))
+            else:
+                for name, shape in [
+                    ("ffn_gate.weight", (f, d)), ("ffn_up.weight", (f, d)),
+                    ("ffn_down.weight", (d, f)),
+                ]:
+                    tensors[p + name] = (fmt, shape,
+                                         quantize_tensor(w(shape), fmt))
+            continue
         for name, shape in [
             ("attn_q.weight", (q_d, d)), ("attn_k.weight", (kv_d, d)),
             ("attn_v.weight", (kv_d, d)), ("attn_output.weight", (d, q_d)),

@@ -59,7 +59,9 @@ def _qt_spec(kind: str) -> P:
             "col1d": P("tp"),
             # stacked MoE expert tensors: leading E dim over ep, then the
             # usual K-major SoA col/row sharding per expert
-            "ep_col": P("ep", None, "tp"), "ep_row": P("ep", "tp", None)}[kind]
+            "ep_col": P("ep", None, "tp"), "ep_row": P("ep", "tp", None),
+            # deepseek2 MLA absorption matrices (H, d, r): heads over tp
+            "heads0": P("tp", None, None)}[kind]
 
 
 def _leaf_specs(tree, kind: str):
@@ -89,6 +91,20 @@ LAYER_KINDS = {
     # (quantized SoA stacks only — see shard_llama's assert)
     "gate_inp": REP, "gate_exps": "ep_col", "up_exps": "ep_col",
     "down_exps": "ep_row",
+    # deepseek2 MLA: the low-rank down-projections and the shared latent
+    # path are tiny and replicated; per-head tensors shard over heads
+    # (wq_b/wq columns, absorption matrices on their leading H axis).
+    # The latent KV cache itself is REPLICATED over tp (see cache_specs
+    # head_axis=None) — one (kv_lora + rope) row per token is ~9x smaller
+    # than the per-head K/V it replaces, so replication costs less HBM
+    # than a sharded naive-MLA cache.
+    "wq_a": REP, "q_a_norm": REP, "wq_b": COL,
+    "wkv_a": REP, "kv_a_norm": REP,
+    "w_uk": "heads0", "w_uv": "heads0",
+    # deepseek2 MoE extras: shared experts are a dense FFN (col/row),
+    # the V3 selection bias rides the replicated router
+    "gate_shexp": COL, "up_shexp": COL, "down_shexp": ROW,
+    "gate_inp_b": REP,
 }
 
 
@@ -117,17 +133,20 @@ def param_specs(params: dict) -> dict:
 
 
 def cache_specs(n_layers: int, batch_axis: str | None = "dp",
-                seq_axis: str | None = None) -> list:
-    """KV cache sharding: kv heads over tp, batch over `batch_axis`, and —
-    for context parallelism — the sequence dim contiguously over `seq_axis`
-    (a list of per-layer spec dicts, matching models.llama.init_kv_cache).
-    batch_axis=None replicates the batch dim — used for single-request
-    prefill, whose batch of 1 cannot shard over dp."""
+                seq_axis: str | None = None,
+                head_axis: str | None = "tp") -> list:
+    """KV cache sharding: kv heads over `head_axis` (None for MLA's
+    single shared latent row, which replicates over tp), batch over
+    `batch_axis`, and — for context parallelism — the sequence dim
+    contiguously over `seq_axis` (a list of per-layer spec dicts,
+    matching models.llama.init_kv_cache). batch_axis=None replicates the
+    batch dim — used for single-request prefill, whose batch of 1 cannot
+    shard over dp."""
     layer = {
-        "k": P(batch_axis, "tp", seq_axis, None),
-        "v": P(batch_axis, "tp", seq_axis, None),
-        "k_scale": P(batch_axis, "tp", seq_axis),
-        "v_scale": P(batch_axis, "tp", seq_axis),
+        "k": P(batch_axis, head_axis, seq_axis, None),
+        "v": P(batch_axis, head_axis, seq_axis, None),
+        "k_scale": P(batch_axis, head_axis, seq_axis),
+        "v_scale": P(batch_axis, head_axis, seq_axis),
     }
     return [dict(layer) for _ in range(n_layers)]
 
@@ -197,7 +216,8 @@ def tp_forward_fn(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
             return forward(params, cfg_local, tokens, pos, cache, opts_tp,
                            span=None if seq_axis else span)
 
-        cspecs = cache_specs(cfg.n_layers, batch_axis, seq_axis)
+        cspecs = cache_specs(cfg.n_layers, batch_axis, seq_axis,
+                             head_axis=None if cfg.kv_lora_rank else "tp")
         return jax.shard_map(
             fn,
             mesh=mesh,
@@ -227,5 +247,6 @@ def init_sharded_cache(cfg: LlamaConfig, mesh: Mesh, batch: int, max_seq: int):
     cache = init_kv_cache(cfg, batch, max_seq)
     return jax.tree_util.tree_map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
-        cache, cache_specs(cfg.n_layers, seq_axis="sp" if sp > 1 else None),
+        cache, cache_specs(cfg.n_layers, seq_axis="sp" if sp > 1 else None,
+                           head_axis=None if cfg.kv_lora_rank else "tp"),
         is_leaf=lambda x: isinstance(x, P))

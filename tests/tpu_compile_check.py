@@ -135,6 +135,24 @@ def main():
                          stop_at_eos=False)
     assert len(gres[0].token_ids) == 4
     print("gemma generate: ok", gres[0].token_ids)
+
+    # 3c. deepseek2 MLA forward: drives the fused attention kernels at the
+    # absorbed-MLA shape class (kv heads = 1, cache row = latent+rope = 256)
+    dpath = os.path.join(tempfile.gettempdir(), "tpu_compile_check_ds2.gguf")
+    if not os.path.exists(dpath):
+        write_random_llama_gguf(dpath, LlamaConfig(
+            vocab_size=256, dim=512, n_layers=2, n_heads=8, n_kv_heads=8,
+            ffn_dim=512, max_seq_len=64, head_dim_override=96,
+            q_lora_rank=64, kv_lora_rank=128, qk_rope_dim=32, v_head_dim=64,
+            rope_dim=32, rope_neox=True, n_experts=4, n_experts_used=2,
+            leading_dense_layers=1, n_shared_experts=1, routed_scale=2.0,
+            moe_renorm=False), seed=7, arch="deepseek2")
+    dllm = LLM(dpath, max_batch=2, max_seq=64)
+    dres = dllm.generate([[1, 2, 3], [4, 5]], max_new_tokens=6,
+                         sampler=SamplerConfig(temperature=0.0),
+                         stop_at_eos=False)
+    assert all(len(r.token_ids) == 6 for r in dres)
+    print("deepseek2 MLA generate: ok", [r.token_ids[:3] for r in dres])
     print("ALL TPU COMPILE CHECKS PASSED")
 
 
