@@ -106,6 +106,13 @@ class LlamaConfig:
     moe_renorm: bool = True       # renormalize top-k weights
                                   # (mixtral/qwen3moe yes, deepseek2 no)
     moe_gating: str = "softmax"   # softmax | sigmoid (deepseek-V3)
+    # deepseek2 YaRN: rope.scaling.yarn_log_multiplier (0.1 * HF
+    # mscale_all_dim). Nonzero switches to DeepSeek's mscale convention:
+    # cos/sin carry NO magnitude factor (llama.cpp cancels ggml's
+    # internal yarn mscale via attn_factor_scaled) and the attention
+    # score scale becomes mscale^2 / sqrt(qk_dim) with
+    # mscale = 1 + yarn_log_mul * ln(rope_scale).
+    rope_yarn_log_mul: float = 0.0
 
     @property
     def head_dim(self) -> int:
@@ -187,8 +194,14 @@ class LlamaConfig:
             # global layers use rope.freq_base (1M)
             rope_theta_swa=(float(g("rope.freq_base_swa", 10000.0) or 10000.0)
                             if gemma3 else 0.0),
+            # deepseek2 is NOT here: llama.cpp serves it with
+            # ROPE_TYPE_NORM (HF deepseek checkpoints store q_pe/k_pe in
+            # interleaved order — modeling_deepseek un-interleaves before
+            # its rotate-half, so the stored layout is llama-style)
             rope_neox=arch in ("qwen2", "qwen3", "qwen3moe", "phi2", "phi3",
-                               "gemma", "gemma2", "gemma3", "deepseek2"),
+                               "gemma", "gemma2", "gemma3"),
+            rope_yarn_log_mul=float(
+                g("rope.scaling.yarn_log_multiplier", 0.0) or 0.0),
             q_lora_rank=int(g("attention.q_lora_rank", 0) or 0),
             kv_lora_rank=int(g("attention.kv_lora_rank", 0) or 0),
             qk_rope_dim=(int(g("rope.dimension_count", 0) or 0)
@@ -229,6 +242,9 @@ class LlamaConfig:
                     self.rope_orig_ctx} if self.rope_orig_ctx else {}),
             **({f"{arch}.rope.scaling.attn_factor": self.rope_attn_factor}
                if self.rope_attn_factor != 1.0 else {}),
+            **({f"{arch}.rope.scaling.yarn_log_multiplier":
+                    self.rope_yarn_log_mul}
+               if self.rope_yarn_log_mul else {}),
             **({f"{arch}.attention.key_length": self.head_dim,
                 f"{arch}.attention.value_length": self.v_head_dim
                     or self.head_dim}

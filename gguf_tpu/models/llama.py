@@ -175,10 +175,18 @@ def rope_for_cfg(positions: jax.Array, cfg, theta: float | None = None):
     rd = cfg.rope_dim or cfg.head_dim
     if theta is not None:
         return rope_cos_sin(positions, rd, theta)
+    attn_factor = cfg.rope_attn_factor
+    if cfg.rope_yarn_log_mul and cfg.rope_scaling_kind == "yarn":
+        # DeepSeek yarn convention: cos/sin carry NO magnitude factor —
+        # the whole mscale^2 rides on the attention score scale instead
+        # (mla_attention). Cancel rope_cos_sin's internal
+        # mscale = attn_factor * (1 + 0.1 ln s), llama.cpp's
+        # attn_factor_scaled trick in build_deepseek2.
+        attn_factor = 1.0 / (1.0 + 0.1 * math.log(cfg.rope_scale))
     return rope_cos_sin(
         positions, rd, cfg.rope_theta, cfg.rope_scale,
         kind=cfg.rope_scaling_kind, orig_ctx=cfg.rope_orig_ctx or cfg.max_seq_len,
-        attn_factor=cfg.rope_attn_factor, freq_factors=cfg.rope_freq_factors)
+        attn_factor=attn_factor, freq_factors=cfg.rope_freq_factors)
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
@@ -470,6 +478,11 @@ def mla_attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
                        layer["w_uk"].astype(jnp.float32))
     pad = hd_c - r - rdim
     qs = float(hd_c) ** 0.5 / float(nope + rdim) ** 0.5
+    if cfg.rope_yarn_log_mul and cfg.rope_scaling_kind == "yarn":
+        # DeepSeek yarn: score scale gains mscale^2 with
+        # mscale = 1 + yarn_log_mul * ln(factor) (llama.cpp kq_scale)
+        mscale = 1.0 + cfg.rope_yarn_log_mul * math.log(cfg.rope_scale)
+        qs *= mscale * mscale
     q_full = jnp.concatenate(
         [q_eff, q_pe.astype(jnp.float32),
          jnp.zeros((b, t, h, pad), jnp.float32)], -1) * qs

@@ -144,7 +144,8 @@ def tokenizer_metadata(model_dir: str) -> dict:
 # with llama.expert_count set (llama.cpp's convention).
 _ARCHS = {"llama": "llama", "mistral": "llama", "mixtral": "llama",
           "qwen2": "qwen2", "qwen3": "qwen3", "qwen3_moe": "qwen3moe",
-          "gemma": "gemma", "gemma2": "gemma2", "phi3": "phi3"}
+          "gemma": "gemma", "gemma2": "gemma2", "phi3": "phi3",
+          "deepseek_v2": "deepseek2", "deepseek_v3": "deepseek2"}
 
 
 def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
@@ -180,7 +181,8 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
     if head_dim != dim // n_heads:
         md[f"{arch}.attention.key_length"] = head_dim
         md[f"{arch}.attention.value_length"] = head_dim
-    n_exp = int(hf.get("num_local_experts") or hf.get("num_experts") or 0)
+    n_exp = int(hf.get("num_local_experts") or hf.get("num_experts")
+                or hf.get("n_routed_experts") or 0)
     if n_exp:
         md[f"{arch}.expert_count"] = n_exp
         md[f"{arch}.expert_used_count"] = int(
@@ -188,6 +190,28 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
         if hf.get("moe_intermediate_size"):
             md[f"{arch}.expert_feed_forward_length"] = int(
                 hf["moe_intermediate_size"])
+    first_dense = int(hf.get("first_k_dense_replace", 0) or 0)
+    if arch == "deepseek2":
+        # MLA geometry: key_length carries the full nope+rope qk width,
+        # rope.dimension_count the rotary sub-dim (llama.cpp
+        # DeepseekV2Model conversion schema)
+        qk_nope = int(hf["qk_nope_head_dim"])
+        qk_rope = int(hf["qk_rope_head_dim"])
+        md[f"{arch}.attention.key_length"] = qk_nope + qk_rope
+        md[f"{arch}.attention.value_length"] = int(hf["v_head_dim"])
+        md[f"{arch}.rope.dimension_count"] = qk_rope
+        md[f"{arch}.attention.kv_lora_rank"] = int(hf["kv_lora_rank"])
+        if hf.get("q_lora_rank"):
+            md[f"{arch}.attention.q_lora_rank"] = int(hf["q_lora_rank"])
+        md[f"{arch}.leading_dense_block_count"] = first_dense
+        md[f"{arch}.expert_shared_count"] = int(
+            hf.get("n_shared_experts", 0) or 0)
+        md[f"{arch}.expert_weights_scale"] = float(
+            hf.get("routed_scaling_factor", 1.0) or 1.0)
+        md[f"{arch}.expert_weights_norm"] = bool(
+            hf.get("norm_topk_prob", False))
+        md[f"{arch}.expert_gating_func"] = (
+            2 if hf.get("scoring_func") == "sigmoid" else 1)
     if arch == "gemma2":
         if hf.get("attn_logit_softcapping"):
             md[f"{arch}.attn_logit_softcapping"] = float(
@@ -209,6 +233,12 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
         md[f"{arch}.rope.scaling.factor"] = float(rs.get("factor", 1.0))
         md[f"{arch}.rope.scaling.original_context_length"] = int(
             rs.get("original_max_position_embeddings", 0))
+        if rs.get("mscale_all_dim"):
+            # DeepSeek yarn: llama.cpp's converter stores
+            # 0.1 * mscale_all_dim as the log multiplier and the runtime
+            # folds mscale^2 into the attention score scale
+            md[f"{arch}.rope.scaling.yarn_log_multiplier"] = float(
+                0.1 * float(rs["mscale_all_dim"]))
     elif rs_type in ("longrope", "su") or (
             "long_factor" in rs and "short_factor" in rs):
         # phi3 LongRoPE: factor tensors + the converter-computed
@@ -290,6 +320,56 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
             put(tensors, p + "ffn_norm.weight",
                 norm_w(get(hp + "post_attention_layernorm.weight")),
                 GGMLType.F32)
+
+        if arch == "deepseek2":   # MLA projections, no rope permutation
+            # (HF deepseek stores q_pe/k_pe interleaved — served with
+            # ROPE_TYPE_NORM directly, llama.cpp DeepseekV2Model does not
+            # permute either)
+            if hp + "self_attn.q_a_proj.weight" in weights:
+                put(tensors, p + "attn_q_a.weight",
+                    get(hp + "self_attn.q_a_proj.weight"), target)
+                put(tensors, p + "attn_q_a_norm.weight",
+                    get(hp + "self_attn.q_a_layernorm.weight"),
+                    GGMLType.F32)
+                put(tensors, p + "attn_q_b.weight",
+                    get(hp + "self_attn.q_b_proj.weight"), target)
+            else:             # V2-Lite: direct q projection
+                put(tensors, p + "attn_q.weight",
+                    get(hp + "self_attn.q_proj.weight"), target)
+            put(tensors, p + "attn_kv_a_mqa.weight",
+                get(hp + "self_attn.kv_a_proj_with_mqa.weight"), target)
+            put(tensors, p + "attn_kv_a_norm.weight",
+                get(hp + "self_attn.kv_a_layernorm.weight"), GGMLType.F32)
+            put(tensors, p + "attn_kv_b.weight",
+                get(hp + "self_attn.kv_b_proj.weight"), target)
+            put(tensors, p + "attn_output.weight",
+                get(hp + "self_attn.o_proj.weight"), target)
+            if n_exp and i >= first_dense:
+                put(tensors, p + "ffn_gate_inp.weight",
+                    get(hp + "mlp.gate.weight"), GGMLType.F32)
+                if hp + "mlp.gate.e_score_correction_bias" in weights:
+                    put(tensors, p + "exp_probs_b.bias",
+                        weights[hp + "mlp.gate.e_score_correction_bias"],
+                        GGMLType.F32)
+                for g, s in (("gate", "gate"), ("up", "up"),
+                             ("down", "down")):
+                    put(tensors, p + f"ffn_{g}_exps.weight",
+                        np.stack([get(hp + f"mlp.experts.{e}.{s}_proj"
+                                      ".weight") for e in range(n_exp)]),
+                        target)
+                if hp + "mlp.shared_experts.gate_proj.weight" in weights:
+                    for g in ("gate", "up", "down"):
+                        put(tensors, p + f"ffn_{g}_shexp.weight",
+                            get(hp + f"mlp.shared_experts.{g}_proj"
+                                ".weight"), target)
+            else:             # leading dense layer
+                put(tensors, p + "ffn_gate.weight",
+                    get(hp + "mlp.gate_proj.weight"), target)
+                put(tensors, p + "ffn_up.weight",
+                    get(hp + "mlp.up_proj.weight"), target)
+                put(tensors, p + "ffn_down.weight",
+                    get(hp + "mlp.down_proj.weight"), target)
+            continue
 
         if arch == "phi3":   # fused qkv + fused [gate; up]
             put(tensors, p + "attn_qkv.weight",

@@ -448,3 +448,196 @@ def test_convert_moe(tmp_path, model_type):
                         jnp.zeros(1, jnp.int32), cache,
                         opts=MMOpts(precision="high"))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def _make_ds2_hf_dir(tmp_path, *, lite=False, seed=21):
+    """Tiny deepseek_v2/v3-shaped HF dir: MLA attention, first_k_dense=1,
+    routed + shared experts (V3 adds sigmoid scoring + selection bias)."""
+    rng = np.random.default_rng(seed)
+    d = tmp_path / "hf"
+    d.mkdir(exist_ok=True)
+    nope, rd, vd, rank, qrank, n_exp = 16, 16, 32, 64, 96, 4
+    cfg = {"model_type": "deepseek_v2" if lite else "deepseek_v3",
+           "vocab_size": VOCAB, "hidden_size": DIM,
+           "num_hidden_layers": LAYERS, "num_attention_heads": HEADS,
+           "num_key_value_heads": HEADS, "intermediate_size": FFN,
+           "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+           "max_position_embeddings": 64,
+           "qk_nope_head_dim": nope, "qk_rope_head_dim": rd,
+           "v_head_dim": vd, "kv_lora_rank": rank,
+           "q_lora_rank": None if lite else qrank,
+           "n_routed_experts": n_exp, "num_experts_per_tok": 2,
+           "moe_intermediate_size": FFN, "first_k_dense_replace": 1,
+           "n_shared_experts": 1, "routed_scaling_factor": 2.0,
+           "norm_topk_prob": not lite,
+           "scoring_func": "softmax" if lite else "sigmoid"}
+    (d / "config.json").write_text(json.dumps(cfg))
+    (d / "tokenizer.json").write_text(json.dumps(_toy_unigram_tokenizer()))
+    s = 0.5 / np.sqrt(DIM)
+    w = lambda *shape: (rng.standard_normal(shape) * s).astype(np.float32)
+    nrm = lambda n: (1 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    t = {"model.embed_tokens.weight": w(VOCAB, DIM),
+         "model.norm.weight": nrm(DIM), "lm_head.weight": w(VOCAB, DIM)}
+    for i in range(LAYERS):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = nrm(DIM)
+        t[p + "post_attention_layernorm.weight"] = nrm(DIM)
+        if lite:
+            t[p + "self_attn.q_proj.weight"] = w(HEADS * (nope + rd), DIM)
+        else:
+            t[p + "self_attn.q_a_proj.weight"] = w(qrank, DIM)
+            t[p + "self_attn.q_a_layernorm.weight"] = nrm(qrank)
+            t[p + "self_attn.q_b_proj.weight"] = w(HEADS * (nope + rd),
+                                                   qrank)
+        t[p + "self_attn.kv_a_proj_with_mqa.weight"] = w(rank + rd, DIM)
+        t[p + "self_attn.kv_a_layernorm.weight"] = nrm(rank)
+        t[p + "self_attn.kv_b_proj.weight"] = w(HEADS * (nope + vd), rank)
+        t[p + "self_attn.o_proj.weight"] = w(DIM, HEADS * vd)
+        if i == 0:   # leading dense layer
+            t[p + "mlp.gate_proj.weight"] = w(FFN, DIM)
+            t[p + "mlp.up_proj.weight"] = w(FFN, DIM)
+            t[p + "mlp.down_proj.weight"] = w(DIM, FFN)
+        else:
+            t[p + "mlp.gate.weight"] = w(n_exp, DIM) * 3
+            if not lite:
+                t[p + "mlp.gate.e_score_correction_bias"] = \
+                    (0.1 * rng.standard_normal(n_exp)).astype(np.float32)
+            for e in range(n_exp):
+                ep = p + f"mlp.experts.{e}."
+                t[ep + "gate_proj.weight"] = w(FFN, DIM)
+                t[ep + "up_proj.weight"] = w(FFN, DIM)
+                t[ep + "down_proj.weight"] = w(DIM, FFN)
+            sp = p + "mlp.shared_experts."
+            t[sp + "gate_proj.weight"] = w(FFN, DIM)
+            t[sp + "up_proj.weight"] = w(FFN, DIM)
+            t[sp + "down_proj.weight"] = w(DIM, FFN)
+    _write_safetensors(str(d / "model.safetensors"), t)
+    return str(d), t, cfg
+
+
+def _hf_ds2_reference(t, hf, tokens):
+    """HF modeling_deepseek forward in numpy: naive MLA (per-head K/V
+    from kv_b), HF rope = un-interleave THEN rotate-half — i.e. the
+    stored layout is interleaved, which is what the converted GGUF must
+    preserve for ROPE_TYPE_NORM serving."""
+    b, T = tokens.shape
+    nope, rd = hf["qk_nope_head_dim"], hf["qk_rope_head_dim"]
+    vd, rank = hf["v_head_dim"], hf["kv_lora_rank"]
+    n_exp, k_used = hf["n_routed_experts"], hf["num_experts_per_tok"]
+    x = t["model.embed_tokens.weight"][tokens.reshape(-1)].reshape(
+        b, T, DIM)
+
+    def rmsn(v, wt):
+        return v / np.sqrt(np.mean(v * v, -1, keepdims=True) + 1e-5) * wt
+
+    inv = 10000.0 ** (-np.arange(0, rd, 2) / rd)
+    ang = np.arange(T)[:, None] * inv[None, :]
+    cos = np.concatenate([np.cos(ang), np.cos(ang)], -1)   # (T, rd)
+    sin = np.concatenate([np.sin(ang), np.sin(ang)], -1)
+
+    def rope(v):           # (b, T, H, rd), HF interleave trick
+        d = v.shape[-1]
+        v = np.concatenate([v[..., 0::2], v[..., 1::2]], -1)
+        half = d // 2
+        rot = np.concatenate([-v[..., half:], v[..., :half]], -1)
+        return v * cos[None, :, None, :] + rot * sin[None, :, None, :]
+
+    def silu_mlp(h, pfx):
+        g = h @ t[pfx + "gate_proj.weight"].T
+        u = h @ t[pfx + "up_proj.weight"].T
+        return (g / (1 + np.exp(-g)) * u) @ t[pfx + "down_proj.weight"].T
+
+    for i in range(LAYERS):
+        p = f"model.layers.{i}."
+        h = rmsn(x, t[p + "input_layernorm.weight"])
+        if p + "self_attn.q_a_proj.weight" in t:
+            qa = rmsn(h @ t[p + "self_attn.q_a_proj.weight"].T,
+                      t[p + "self_attn.q_a_layernorm.weight"])
+            q = qa @ t[p + "self_attn.q_b_proj.weight"].T
+        else:
+            q = h @ t[p + "self_attn.q_proj.weight"].T
+        q = q.reshape(b, T, HEADS, nope + rd)
+        q_nope, q_pe = q[..., :nope], rope(q[..., nope:])
+
+        kv = h @ t[p + "self_attn.kv_a_proj_with_mqa.weight"].T
+        c_kv = rmsn(kv[..., :rank],
+                    t[p + "self_attn.kv_a_layernorm.weight"])
+        k_pe = rope(kv[..., None, rank:])
+
+        kvb = t[p + "self_attn.kv_b_proj.weight"].reshape(
+            HEADS, nope + vd, rank)
+        k_nope = np.einsum("btr,hdr->bthd", c_kv, kvb[:, :nope])
+        v = np.einsum("btr,hdr->bthd", c_kv, kvb[:, nope:])
+        kf = np.concatenate(
+            [k_nope, np.broadcast_to(k_pe, (b, T, HEADS, rd))], -1)
+        qf = np.concatenate([q_nope, q_pe], -1)
+        sc = np.einsum("bqhd,bkhd->bhqk", qf, kf) / np.sqrt(nope + rd)
+        mask = np.tril(np.ones((T, T), bool))
+        sc = np.where(mask[None, None], sc, -np.inf)
+        pr = np.exp(sc - sc.max(-1, keepdims=True))
+        pr /= pr.sum(-1, keepdims=True)
+        att = np.einsum("bhqk,bkhd->bqhd", pr, v).reshape(b, T, HEADS * vd)
+        x = x + att @ t[p + "self_attn.o_proj.weight"].T
+
+        h = rmsn(x, t[p + "post_attention_layernorm.weight"])
+        if p + "mlp.gate.weight" in t:
+            hf2 = h.reshape(b * T, DIM)
+            logits = hf2 @ t[p + "mlp.gate.weight"].T
+            if hf["scoring_func"] == "sigmoid":
+                probs = 1 / (1 + np.exp(-logits))
+            else:
+                pe = np.exp(logits - logits.max(-1, keepdims=True))
+                probs = pe / pe.sum(-1, keepdims=True)
+            selsc = probs
+            if p + "mlp.gate.e_score_correction_bias" in t:
+                selsc = probs + t[p + "mlp.gate.e_score_correction_bias"]
+            order = np.argsort(-selsc, -1)[:, :k_used]
+            wts = np.zeros_like(probs)
+            np.put_along_axis(wts, order,
+                              np.take_along_axis(probs, order, -1), -1)
+            if hf["norm_topk_prob"]:
+                wts /= wts.sum(-1, keepdims=True)
+            wts *= hf["routed_scaling_factor"]
+            out = np.zeros_like(hf2)
+            for e in range(n_exp):
+                out += wts[:, e:e + 1] * silu_mlp(
+                    hf2, p + f"mlp.experts.{e}.")
+            out += silu_mlp(hf2, p + "mlp.shared_experts.")
+            x = x + out.reshape(b, T, DIM)
+        else:
+            x = x + silu_mlp(h, p + "mlp.")
+
+    x = rmsn(x, t["model.norm.weight"])
+    return x @ t["lm_head.weight"].T
+
+
+@pytest.mark.parametrize("lite", [True, False])
+def test_convert_deepseek2_matches_hf_reference(tmp_path, lite):
+    """deepseek_v2 (Lite: direct q, softmax router) and deepseek_v3
+    (q_lora, sigmoid + bias routing) convert and serve to match the HF
+    numpy forward — pins the MLA tensor mapping AND the interleaved
+    (ROPE_TYPE_NORM) rope convention across conversion."""
+    d, t, hf = _make_ds2_hf_dir(tmp_path, lite=lite)
+    out = str(tmp_path / "ds2.gguf")
+    md = convert_hf(d, out, fmt="q8_0")
+    assert md["general.architecture"] == "deepseek2"
+    assert md["deepseek2.attention.kv_lora_rank"] == 64
+    assert md["deepseek2.rope.dimension_count"] == 16
+    assert md["deepseek2.attention.key_length"] == 32
+    assert md["deepseek2.expert_gating_func"] == (1 if lite else 2)
+
+    cfg, params = load_llama(out)
+    assert cfg.kv_lora_rank == 64 and cfg.qk_rope_dim == 16
+    assert not cfg.rope_neox
+    assert cfg.q_lora_rank == (0 if lite else 96)
+    rng = np.random.default_rng(31)
+    tokens = rng.integers(0, VOCAB, (1, 6)).astype(np.int32)
+    cache = init_kv_cache(cfg, batch=1, max_seq=16)
+    logits, _ = forward(params, cfg, jnp.asarray(tokens),
+                        jnp.zeros(1, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    ref = _hf_ds2_reference(t, hf, tokens)
+    got = np.asarray(logits)
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 0.03, \
+        np.max(np.abs(got - ref)) / denom

@@ -29,7 +29,7 @@ CFG = LlamaConfig(
     vocab_size=128, dim=256, n_layers=3, n_heads=4, n_kv_heads=4,
     ffn_dim=256, max_seq_len=64, head_dim_override=96,
     q_lora_rank=64, kv_lora_rank=128, qk_rope_dim=32, v_head_dim=64,
-    rope_dim=32, rope_neox=True,
+    rope_dim=32,
     n_experts=4, n_experts_used=2, leading_dense_layers=1,
     n_shared_experts=1, routed_scale=2.0, moe_renorm=False,
 )
@@ -48,7 +48,8 @@ def _rmsn(x, w, eps):
     return x / np.sqrt(np.mean(x * x, axis=-1, keepdims=True) + eps) * w
 
 
-def _numpy_mla_reference(path, cfg, tokens):
+def _numpy_mla_reference(path, cfg, tokens, cos=None, sin=None,
+                         score_scale=None):
     """Naive MLA forward: per-head K/V materialized from attn_kv_b."""
     r = GGUFReader(path)
     deq = lambda n: r.dequantize(n)
@@ -58,15 +59,21 @@ def _numpy_mla_reference(path, cfg, tokens):
     eps = cfg.norm_eps
     x = deq("token_embd.weight")[tokens.reshape(-1)].reshape(b, t, cfg.dim)
 
-    pos = np.arange(t)
-    freqs = cfg.rope_theta ** (-np.arange(0, rd, 2) / rd)
-    ang = pos[:, None] * freqs[None, :]
-    cos, sin = np.cos(ang), np.sin(ang)
+    if cos is None:
+        pos = np.arange(t)
+        freqs = cfg.rope_theta ** (-np.arange(0, rd, 2) / rd)
+        ang = pos[:, None] * freqs[None, :]
+        cos, sin = np.cos(ang), np.sin(ang)
+    if score_scale is None:
+        score_scale = 1.0 / np.sqrt(nope + rd)
 
-    def rope(x):   # NEOX rotate-half over the rd-wide rope slice
+    def rope(x):   # NORM interleaved pairs over the rd-wide rope slice
+        # (llama.cpp ROPE_TYPE_NORM: deepseek2 GGUFs store q_pe/k_pe in
+        # the interleaved order HF's modeling_deepseek effectively uses)
         c, s = cos[None, :, None, :], sin[None, :, None, :]
-        e, o = x[..., :rd // 2], x[..., rd // 2:]
-        return np.concatenate([e * c - o * s, e * s + o * c], -1)
+        e, o = x[..., 0::2], x[..., 1::2]
+        return np.stack([e * c - o * s, e * s + o * c],
+                        -1).reshape(x.shape)
 
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
@@ -94,7 +101,7 @@ def _numpy_mla_reference(path, cfg, tokens):
                                      (b, t, h, rd))], -1)
         q_full = np.concatenate([q_nope, q_pe], -1)
 
-        sc = np.einsum("bqhd,bkhd->bhqk", q_full, k) / np.sqrt(nope + rd)
+        sc = np.einsum("bqhd,bkhd->bhqk", q_full, k) * score_scale
         mask = np.tril(np.ones((t, t), bool))
         sc = np.where(mask[None, None], sc, -np.inf)
         pr = np.exp(sc - sc.max(-1, keepdims=True))
@@ -232,6 +239,60 @@ def test_mla_lite_direct_q_and_sigmoid_gating(tmp_path):
                         jnp.zeros(1, jnp.int32), cache,
                         opts=MMOpts(precision="high"))
     ref = _numpy_mla_reference(path, lcfg, tokens)
+    got = np.asarray(logits)
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 0.03, \
+        np.max(np.abs(got - ref)) / denom
+
+
+def test_mla_deepseek_yarn_mscale(tmp_path):
+    """DeepSeek's yarn convention (rope.scaling.yarn_log_multiplier set):
+    cos/sin carry NO magnitude factor and the score scale gains mscale^2,
+    mscale = 1 + yarn_log_mul * ln(factor) — llama.cpp build_deepseek2's
+    attn_factor_scaled / kq_scale pair. Pinned against a numpy forward
+    with yarn angles implemented from the NTK-by-parts formula."""
+    import dataclasses
+    import math
+
+    factor, log_mul = 4.0, 0.0707
+    cfg = dataclasses.replace(
+        CFG, n_layers=1, n_experts=0, n_experts_used=0,
+        leading_dense_layers=0, n_shared_experts=0, routed_scale=1.0,
+        rope_scaling_kind="yarn", rope_scale=factor, rope_orig_ctx=16,
+        rope_yarn_log_mul=log_mul)
+    path = str(tmp_path / "yarn.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q8_0, seed=11,
+                            arch="deepseek2")
+    lcfg, params = load_llama(path)
+    assert lcfg.rope_yarn_log_mul == pytest.approx(log_mul)
+    assert lcfg.rope_scaling_kind == "yarn"
+
+    rng = np.random.default_rng(4)
+    tokens = rng.integers(0, lcfg.vocab_size, (1, 8)).astype(np.int32)
+    cache = init_kv_cache(lcfg, batch=1, max_seq=32)
+    logits, _ = forward(params, lcfg, jnp.asarray(tokens),
+                        jnp.zeros(1, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+
+    # numpy reference: yarn angles (NTK-by-parts ramp), no cos/sin
+    # magnitude, mscale^2 on the scores
+    rd, theta, orig = lcfg.qk_rope_dim, lcfg.rope_theta, lcfg.rope_orig_ctx
+    freqs = theta ** (-np.arange(0, rd, 2) / rd)
+    posn = np.arange(tokens.shape[1])
+    extrap = posn[:, None] * freqs[None, :]
+    interp = extrap / factor
+    corr = lambda n_rot: (rd * math.log(orig / (n_rot * 2 * math.pi))
+                          / (2 * math.log(theta)))
+    low = max(0.0, math.floor(corr(32.0)))
+    high = min(rd - 1.0, math.ceil(corr(1.0)))
+    i_half = np.arange(rd // 2)
+    ramp = 1.0 - np.clip((i_half - low) / max(1e-3, high - low), 0.0, 1.0)
+    ang = interp * (1.0 - ramp) + extrap * ramp
+    mscale = 1.0 + log_mul * math.log(factor)
+
+    ref = _numpy_mla_reference(
+        path, lcfg, tokens, cos=np.cos(ang), sin=np.sin(ang),
+        score_scale=mscale * mscale / math.sqrt(lcfg.head_dim))
     got = np.asarray(logits)
     denom = np.abs(ref).max()
     assert np.max(np.abs(got - ref)) / denom < 0.03, \

@@ -144,7 +144,7 @@ def main():
             vocab_size=256, dim=512, n_layers=2, n_heads=8, n_kv_heads=8,
             ffn_dim=512, max_seq_len=64, head_dim_override=96,
             q_lora_rank=64, kv_lora_rank=128, qk_rope_dim=32, v_head_dim=64,
-            rope_dim=32, rope_neox=True, n_experts=4, n_experts_used=2,
+            rope_dim=32, n_experts=4, n_experts_used=2,
             leading_dense_layers=1, n_shared_experts=1, routed_scale=2.0,
             moe_renorm=False), seed=7, arch="deepseek2")
     dllm = LLM(dpath, max_batch=2, max_seq=64)
