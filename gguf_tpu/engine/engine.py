@@ -25,7 +25,7 @@ from ..models import (MMOpts, forward, fuse_llama_params,
                       init_kv_cache, load_llama)
 from .sampler import SamplerConfig, sample, sample_mirostat
 from .bpe_tokenizer import tokenizer_from_metadata
-from .tokenizer import SPMTokenizer
+from .tokenizer import SPMTokenizer, fim_tokens_from_metadata
 
 
 def encode_with_specials(tokenizer, text: str) -> list[int]:
@@ -302,6 +302,9 @@ class LLM:
             md = r.metadata
         self.tokenizer = tokenizer_from_metadata(md)
         self.chat_template = md.get("tokenizer.chat_template")
+        # fill-in-middle control tokens (infill()/POST /infill); empty
+        # dict when the vocabulary has none
+        self.fim = fim_tokens_from_metadata(md)
         self.max_batch = max_batch
         self.max_seq = max_seq or self.cfg.max_seq_len
         self._reserved: set[int] = set()   # slots pinned by ChatSessions
@@ -632,6 +635,57 @@ class LLM:
             return self.tokenizer.encode(prompt)
         return list(prompt)
 
+    # ----------------------------------------------------------- infill ---
+    def build_infill_tokens(self, prefix: str, suffix: str,
+                            extra: list | None = None,
+                            spm: bool = False) -> list[int]:
+        """Fill-in-middle prompt tokens (llama.cpp /infill's
+        format_infill): [BOS] FIM_PRE enc(prefix) FIM_SUF enc(suffix)
+        FIM_MID — PSM order; `spm=True` swaps to suffix-prefix-middle,
+        which codellama-style vocabularies were trained with.
+
+        `extra`: repo-level context chunks [{"text": ..., "filename": ...}]
+        — joined with FIM_REP/FIM_SEP when the vocabulary has them
+        (qwen2.5-coder-style), otherwise prepended to the prefix as plain
+        text."""
+        fim = self.fim
+        if not {"pre", "suf", "mid"} <= fim.keys():
+            raise ValueError(
+                "model vocabulary has no fill-in-middle tokens "
+                "(tokenizer.ggml.fim_*_token_id / known FIM spellings)")
+        tok = self.tokenizer
+        enc = lambda s: tok.encode(s, add_bos=False)
+        ids: list[int] = []
+        if getattr(tok, "bos_id", None) is not None and tok.bos_id >= 0:
+            ids.append(tok.bos_id)
+        if extra:
+            if "rep" in fim and "sep" in fim:
+                for chunk in extra:
+                    ids.append(fim["rep"] if not ids[1:] else fim["sep"])
+                    name = chunk.get("filename")
+                    ids += enc((name + "\n" if name else "")
+                               + chunk.get("text", ""))
+                ids.append(fim["sep"])
+            else:
+                prefix = "".join(c.get("text", "") for c in extra) + prefix
+        a, b = ((fim["suf"], suffix), (fim["pre"], prefix)) if spm else \
+            ((fim["pre"], prefix), (fim["suf"], suffix))
+        ids += [a[0]] + enc(a[1]) + [b[0]] + enc(b[1]) + [fim["mid"]]
+        return ids
+
+    def infill(self, prefix: str, suffix: str, max_new_tokens: int = 64,
+               sampler: SamplerConfig = SamplerConfig(), seed: int = 0,
+               extra: list | None = None, spm: bool = False,
+               **kw) -> GenerationResult:
+        """Complete the span between `prefix` and `suffix` (FIM). Stops at
+        EOS, EOT, or FIM_PAD; extra generate() kwargs pass through."""
+        ids = self.build_infill_tokens(prefix, suffix, extra=extra, spm=spm)
+        stop_ids = [self.fim[k] for k in ("eot", "pad") if k in self.fim]
+        [res] = self.generate([ids], max_new_tokens=max_new_tokens,
+                              sampler=sampler, seed=seed,
+                              stop_ids=stop_ids, **kw)
+        return res
+
     @staticmethod
     def _bucket(n: int) -> int:
         b = 8
@@ -744,12 +798,16 @@ class LLM:
         logprobs: int = 0,
         speculative: int = 0,
         grammar: str | None = None,
+        stop_ids=None,
     ) -> list[GenerationResult]:
         """Generate completions with continuous batching over the slot pool.
 
         `stop`: optional stop strings — a sequence finishes as soon as its
         decoded tail contains one (the stop string itself is trimmed from
         .text). Requires an embedded tokenizer.
+        `stop_ids`: extra terminator token ids beyond EOS (infill's EOT /
+        FIM_PAD, end-of-generation control tokens); the terminator is
+        trimmed from .token_ids like EOS.
         `decode_chunk`: decode steps per device round-trip. Larger chunks
         amortize host sync/scheduler overhead; a finished sequence wastes at
         most chunk-1 speculative steps and new requests wait at most one
@@ -840,6 +898,7 @@ class LLM:
         budget = np.zeros(self.max_batch, np.int64)
         key = jax.random.PRNGKey(seed)
         eos = self.tokenizer.eos_id if self.tokenizer else -1
+        stop_id_set = frozenset(int(t) for t in (stop_ids or ()))
 
         if queue and len(self._reserved) >= self.max_batch:
             raise RuntimeError(
@@ -941,12 +1000,15 @@ class LLM:
             if rid is None:
                 return
             hit = _hit_stop(results[rid])
-            done = (stop_at_eos and tok == eos) or budget[s] <= 0 or \
+            done = (stop_at_eos and tok == eos) or tok in stop_id_set or \
+                budget[s] <= 0 or \
                 pos[s] + 1 >= self.max_seq or hit is not None
             if done:
                 res = results[rid]
                 res.finished = True
-                if stop_at_eos and res.token_ids and res.token_ids[-1] == eos:
+                if res.token_ids and (
+                        (stop_at_eos and res.token_ids[-1] == eos)
+                        or res.token_ids[-1] in stop_id_set):
                     res.token_ids.pop()
                     if res.logprobs:
                         res.logprobs.pop()

@@ -29,12 +29,13 @@ from .sampler import SamplerConfig
 class _Request:
     def __init__(self, prompt, max_tokens, sampler, seed, stop=None,
                  stream=False, logprobs=0, session=None, embed=False,
-                 grammar=None):
+                 grammar=None, stop_ids=None):
         self.prompt = prompt
         self.max_tokens = max_tokens
         self.sampler = sampler
         self.seed = seed
         self.stop = stop
+        self.stop_ids = stop_ids        # extra terminator ids (/infill EOT)
         self.stream = stream
         self.logprobs = logprobs
         self.session = session          # conversation id (chat sessions)
@@ -173,10 +174,10 @@ class EngineWorker:
             for r in batch:
                 key = (r.sampler, r.max_tokens, r.seed,
                        tuple(r.stop) if r.stop else None, r.logprobs,
-                       r.grammar)
+                       r.grammar, tuple(r.stop_ids) if r.stop_ids else None)
                 groups.setdefault(key, []).append(r)
             for (sampler, max_tokens, seed, stop, lpk,
-                 grammar), reqs in groups.items():
+                 grammar, stop_ids), reqs in groups.items():
                 streaming = any(r.stream for r in reqs)
 
                 def on_tokens(idx, ids, finished, _reqs=reqs):
@@ -191,7 +192,8 @@ class EngineWorker:
                         sampler=sampler, seed=seed,
                         stop=list(stop) if stop else None,
                         on_tokens=on_tokens if streaming else None,
-                        logprobs=lpk, grammar=grammar)
+                        logprobs=lpk, grammar=grammar,
+                        stop_ids=list(stop_ids) if stop_ids else None)
                     for r, res in zip(reqs, results):
                         r.result = res
                         self.metrics["prompt_tokens_total"] += len(res.prompt_ids)
@@ -457,8 +459,9 @@ def make_handler(worker: EngineWorker):
                 self._do_tokenize(detok=self.path == "/detokenize")
                 return
             chat = self.path in ("/v1/chat/completions", "/chat/completions")
-            if not chat and self.path not in ("/v1/completions",
-                                              "/completions"):
+            infill = self.path == "/infill"
+            if not chat and not infill and self.path not in (
+                    "/v1/completions", "/completions"):
                 self._reply(404, {"error": "not found"})
                 return
             try:
@@ -466,7 +469,15 @@ def make_handler(worker: EngineWorker):
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 if not isinstance(payload, dict):
                     raise ValueError("request body must be a JSON object")
-                if chat:
+                if infill:
+                    # llama.cpp /infill: FIM prompt from the vocabulary's
+                    # control tokens; input_extra = repo-level chunks
+                    prompt = worker.llm.build_infill_tokens(
+                        str(payload.get("input_prefix", "")),
+                        str(payload.get("input_suffix", "")),
+                        extra=payload.get("input_extra"),
+                        spm=bool(payload.get("spm_infill", False)))
+                elif chat:
                     messages = payload.get("messages")
                     if not isinstance(messages, list) or not messages:
                         raise ValueError("missing 'messages' list")
@@ -544,12 +555,17 @@ def make_handler(worker: EngineWorker):
                     raise ValueError(
                         "'grammar' does not compose with repetition "
                         "penalties or logit_bias")
-                req = _Request(prompt, int(payload.get("max_tokens", 64)),
+                fim = worker.llm.fim if infill else {}
+                req = _Request(prompt,
+                               int(payload.get("max_tokens",
+                                               payload.get("n_predict", 64))),
                                sampler, int(payload.get("seed", 0)), stop,
                                stream=bool(payload.get("stream", False)),
                                logprobs=int(payload.get("logprobs", 0) or 0),
                                session=str(session) if session else None,
-                               grammar=grammar)
+                               grammar=grammar,
+                               stop_ids=[fim[k] for k in ("eot", "pad")
+                                         if k in fim] or None)
             except (ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
                 return
@@ -562,6 +578,15 @@ def make_handler(worker: EngineWorker):
                 self._reply(500, {"error": req.error})
                 return
             res = req.result
+            if infill:   # llama.cpp /infill response shape
+                self._reply(200, {
+                    "content": res.text,
+                    "tokens_predicted": len(res.token_ids),
+                    "tokens_evaluated": len(res.prompt_ids),
+                    "stop": res.finished,
+                    "stats": res.stats,
+                })
+                return
             choice = ({"message": {"role": "assistant", "content": res.text},
                        "token_ids": res.token_ids,
                        "finish_reason": "stop" if res.finished else "length"}

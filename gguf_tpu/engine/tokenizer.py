@@ -28,6 +28,59 @@ def specials_from_metadata(md: dict) -> dict:
             if int(ty) in (3, 4)}
 
 
+# common FIM control-token spellings, per role, for vocabularies whose
+# GGUFs predate the tokenizer.ggml.fim_*_token_id keys (llama.cpp
+# llama_vocab special_fim_* inference by token text)
+_FIM_NAMES = {
+    "pre": ("<|fim_prefix|>", "<fim-prefix>", "<fim_prefix>", "<PRE>",
+            "▁<PRE>", "<|fim▁begin|>"),
+    "suf": ("<|fim_suffix|>", "<fim-suffix>", "<fim_suffix>", "<SUF>",
+            "▁<SUF>", "<|fim▁hole|>"),
+    "mid": ("<|fim_middle|>", "<fim-middle>", "<fim_middle>", "<MID>",
+            "▁<MID>", "<|fim▁end|>"),
+    "pad": ("<|fim_pad|>", "<fim-pad>", "<fim_pad>", "<PAD>"),
+    "rep": ("<|repo_name|>", "<fim-repo>", "<repo_name>"),
+    "sep": ("<|file_sep|>", "<fim-sep>", "<file_sep>", "<|file_separator|>"),
+    "eot": ("<|endoftext|>", "<EOT>", "▁<EOT>", "<|eot_id|>",
+            "<|end_of_text|>"),
+}
+
+# modern llama.cpp GGUF keys, with the legacy codellama-era aliases
+_FIM_KEYS = {
+    "pre": ("tokenizer.ggml.fim_pre_token_id",
+            "tokenizer.ggml.prefix_token_id"),
+    "suf": ("tokenizer.ggml.fim_suf_token_id",
+            "tokenizer.ggml.suffix_token_id"),
+    "mid": ("tokenizer.ggml.fim_mid_token_id",
+            "tokenizer.ggml.middle_token_id"),
+    "pad": ("tokenizer.ggml.fim_pad_token_id",),
+    "rep": ("tokenizer.ggml.fim_rep_token_id",),
+    "sep": ("tokenizer.ggml.fim_sep_token_id",),
+    "eot": ("tokenizer.ggml.eot_token_id",),
+}
+
+
+def fim_tokens_from_metadata(md: dict) -> dict:
+    """{pre|suf|mid|pad|rep|sep|eot: token id} for fill-in-middle serving
+    (/infill). Explicit tokenizer.ggml.fim_* / legacy *_token_id keys win;
+    otherwise ids are inferred from well-known control-token spellings —
+    the same two-tier scheme llama.cpp's vocab loader uses."""
+    tokens = md.get("tokenizer.ggml.tokens") or []
+    index = {str(t): i for i, t in enumerate(tokens)}
+    out = {}
+    for role, keys in _FIM_KEYS.items():
+        for k in keys:
+            if md.get(k) is not None and int(md[k]) >= 0:
+                out[role] = int(md[k])
+                break
+        else:
+            for name in _FIM_NAMES[role]:
+                if name in index:
+                    out[role] = index[name]
+                    break
+    return out
+
+
 class SPMTokenizer:
     def __init__(self, tokens: list[str], scores, bos_id: int = 1,
                  eos_id: int = 2, unk_id: int = 0, add_space_prefix: bool = True):
