@@ -246,6 +246,23 @@ class ChatSession:
             res.text = llm.tokenizer.decode(res.token_ids)
         return res
 
+    def save(self, path: str) -> int:
+        """Persist this conversation's KV prefix + history (llama.cpp
+        --prompt-cache). The still-pending last token rides along as the
+        history entry beyond the cached rows."""
+        return self.llm.save_state(path, slot=self.slot,
+                                   tokens=self._history, rows=self.cached)
+
+    def restore(self, path: str) -> int:
+        """Resume a save()d conversation in this session's slot: the next
+        send() prefills only the new turn. Returns the restored row count."""
+        tokens, rows = self.llm.load_state(path, slot=self.slot)
+        self._history = list(tokens)
+        self.cached = rows
+        # a token generated but not yet cache-inserted at save time
+        self._pending = tokens[-1] if len(tokens) == rows + 1 else None
+        return rows
+
     def close(self) -> None:
         self.llm._reserved.discard(self.slot)
         self.closed = True
@@ -634,6 +651,77 @@ class LLM:
                 raise ValueError("model file has no embedded tokenizer; pass token ids")
             return self.tokenizer.encode(prompt)
         return list(prompt)
+
+    # ------------------------------------------------------- slot state ---
+    def _state_meta(self) -> dict:
+        """Geometry fingerprint a saved slot state must match to load."""
+        c = self.cfg
+        return {"dim": c.dim, "n_layers": c.n_layers,
+                "kv_heads": c.kv_cache_heads, "cache_dim": c.kv_cache_dim,
+                "vocab": c.vocab_size}
+
+    def save_state(self, path: str, slot: int = 0, tokens=None,
+                   rows: int | None = None) -> int:
+        """Persist one cache slot — its resident INT8 KV rows plus the
+        token history they encode — to an .npz file (llama.cpp slot-save /
+        --prompt-cache lineage). Default source is the slot's release-time
+        history (`_slot_history`, what the prefix cache would reuse);
+        ChatSession.save passes its live history explicitly. Returns the
+        number of rows saved."""
+        if tokens is None:
+            tokens, rows = self._slot_history.get(slot, (None, None))
+            if tokens is None:
+                raise ValueError(
+                    f"slot {slot} has no resident history to save")
+        rows = int(rows)
+        assert rows <= self.max_seq and rows <= len(tokens), (rows, len(tokens))
+        import json as _json
+
+        data = {"tokens": np.asarray(tokens, np.int32),
+                "rows": np.int64(rows),
+                "meta": np.frombuffer(
+                    _json.dumps(self._state_meta()).encode(), np.uint8)}
+        for i, cl in enumerate(self.cache):
+            data[f"k{i}"] = np.asarray(cl["k"][slot, :, :rows])
+            data[f"ks{i}"] = np.asarray(cl["k_scale"][slot, :, :rows])
+            data[f"v{i}"] = np.asarray(cl["v"][slot, :, :rows])
+            data[f"vs{i}"] = np.asarray(cl["v_scale"][slot, :, :rows])
+        np.savez_compressed(path, **data)
+        return rows
+
+    def load_state(self, path: str, slot: int = 0):
+        """Load a save_state() file into cache slot `slot` and register
+        the history with the prefix cache, so the next prompt sharing the
+        saved prefix prefills only its suffix. Returns (tokens, rows)."""
+        import json as _json
+
+        z = np.load(path)
+        meta = _json.loads(bytes(z["meta"]).decode())
+        if meta != self._state_meta():
+            raise ValueError(
+                f"saved state geometry {meta} does not match this model "
+                f"{self._state_meta()}")
+        rows = int(z["rows"])
+        if rows > self.max_seq:
+            raise ValueError(
+                f"saved state ({rows} rows) exceeds max_seq {self.max_seq}")
+        tokens = [int(t) for t in z["tokens"]]
+        for i in range(len(self.cache)):
+            cl = self.cache[i]
+            self.cache[i] = {
+                "k": cl["k"].at[slot, :, :rows].set(z[f"k{i}"]),
+                "k_scale": cl["k_scale"].at[slot, :, :rows].set(z[f"ks{i}"]),
+                "v": cl["v"].at[slot, :, :rows].set(z[f"v{i}"]),
+                "v_scale": cl["v_scale"].at[slot, :, :rows].set(z[f"vs{i}"]),
+            }
+        self._slot_history[slot] = (tokens, rows)
+        return tokens, rows
+
+    def erase_slot(self, slot: int) -> int:
+        """Drop a slot's resident history (prefix cache will not reuse
+        it). Returns the number of rows forgotten."""
+        _, rows = self._slot_history.pop(slot, (None, 0))
+        return int(rows)
 
     # ----------------------------------------------------------- infill ---
     def build_infill_tokens(self, prefix: str, suffix: str,

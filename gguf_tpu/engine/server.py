@@ -36,6 +36,7 @@ class _Request:
         self.seed = seed
         self.stop = stop
         self.stop_ids = stop_ids        # extra terminator ids (/infill EOT)
+        self.slot_op = None             # ("save"|"restore"|"erase", slot, path)
         self.stream = stream
         self.logprobs = logprobs
         self.session = session          # conversation id (chat sessions)
@@ -157,16 +158,52 @@ class EngineWorker:
         self.metrics["engine_busy_s_total"] += time.monotonic() - t0
         r.done.set()
 
+    def _run_slot_op(self, r: _Request) -> None:
+        """Slot save/restore/erase — on the engine thread, so cache
+        mutation never races a decode (llama.cpp /slots/{id}?action=...)."""
+        try:
+            action, slot, path = r.slot_op
+            llm = self.llm
+            if not 0 <= slot < llm.max_batch:
+                raise ValueError(f"slot {slot} out of range "
+                                 f"(max_batch={llm.max_batch})")
+            # a ChatSession pinned to this slot carries the live history;
+            # otherwise the slot's release-time history is the source
+            sess = next((e["sess"] for e in self.sessions.values()
+                         if e["sess"].slot == slot), None)
+            if action == "save":
+                n = sess.save(path) if sess else llm.save_state(path,
+                                                                slot=slot)
+                r.result = {"id_slot": slot, "filename": path, "n_saved": n}
+            elif action == "restore":
+                n = (sess.restore(path) if sess
+                     else llm.load_state(path, slot=slot)[1])
+                r.result = {"id_slot": slot, "filename": path,
+                            "n_restored": n}
+            elif action == "erase":
+                r.result = {"id_slot": slot,
+                            "n_erased": llm.erase_slot(slot)}
+            else:
+                raise ValueError(f"unknown slot action {action!r}")
+        except Exception as e:
+            r.error = str(e)
+            self.metrics["requests_failed"] += 1
+        self.metrics["requests_total"] += 1
+        r.done.set()
+
     def _run(self) -> None:
         while True:
             batch = self._drain_batch()
+            for r in [x for x in batch if x.slot_op is not None]:
+                self._run_slot_op(r)
             # session-bound requests run through their pinned slots, one at
             # a time (their KV prefix lives in a specific slot)
             for r in [x for x in batch if x.session is not None]:
                 self._run_session(r)
             for r in [x for x in batch if x.embed]:
                 self._run_embed(r)
-            batch = [x for x in batch if x.session is None and not x.embed]
+            batch = [x for x in batch if x.session is None and not x.embed
+                     and x.slot_op is None]
             if not batch:
                 continue
             # group by sampler/max_tokens (static jit args); serve each group
@@ -241,10 +278,46 @@ def _breaker_ids(llm, breakers) -> tuple:
     return out
 
 
-def make_handler(worker: EngineWorker):
+def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
+
+        def _do_slot_op(self) -> None:
+            """POST /slots/{id}?action=save|restore|erase (llama.cpp slot
+            persistence). save/restore need the server started with a
+            slot-save directory; filenames are basename-sanitized into it."""
+            import os
+            from urllib.parse import parse_qs, urlparse
+
+            try:
+                u = urlparse(self.path)
+                slot = int(u.path.split("/")[2])
+                action = (parse_qs(u.query).get("action") or [""])[0]
+                if action not in ("save", "restore", "erase"):
+                    raise ValueError(
+                        "action must be save, restore, or erase")
+                path = None
+                if action != "erase":
+                    if slot_save_dir is None:
+                        raise ValueError(
+                            "server started without --slot-save-path")
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    fn = os.path.basename(
+                        str(payload.get("filename", f"slot{slot}.npz")))
+                    path = os.path.join(slot_save_dir, fn)
+            except (ValueError, IndexError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+                return
+            req = _Request(None, 0, None, 0)
+            req.slot_op = (action, slot, path)
+            worker.submit(req)
+            req.done.wait()
+            if req.error:
+                self._reply(400, {"error": req.error})
+                return
+            self._reply(200, req.result)
 
         def _reply(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
@@ -452,6 +525,9 @@ def make_handler(worker: EngineWorker):
                 self._reply(400, {"error": str(e)})
 
         def do_POST(self):
+            if self.path.startswith("/slots/"):
+                self._do_slot_op()
+                return
             if self.path in ("/v1/embeddings", "/embeddings"):
                 self._do_embeddings()
                 return
@@ -610,11 +686,13 @@ def make_handler(worker: EngineWorker):
 
 
 def serve(model: str, host: str = "0.0.0.0", port: int = 8000,
-          max_batch: int = 8, tp: int = 1, dp: int = 1, sp: int = 1):
+          max_batch: int = 8, tp: int = 1, dp: int = 1, sp: int = 1,
+          slot_save_path: str | None = None):
     llm = LLM(model, max_batch=max_batch, tp=tp, dp=dp, sp=sp)  # generate() chunks decode
 
     worker = EngineWorker(llm)
-    httpd = ThreadingHTTPServer((host, port), make_handler(worker))
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(worker, slot_save_path))
     print(f"serving {model} on {host}:{port} (max_batch={max_batch}, tp={tp}, dp={dp}, sp={sp})")
     httpd.serve_forever()
 

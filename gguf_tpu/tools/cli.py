@@ -183,11 +183,17 @@ def cmd_chat(args):
     """Interactive chat REPL over a pinned-slot session (delta prefill)."""
     from ..engine import LLM, SamplerConfig
 
+    import os
+
     llm = LLM(args.model, max_batch=2)
     sampler = SamplerConfig(temperature=args.temperature)
     use_template = bool(llm.chat_template)
     sess = llm.start_session()
     messages = []
+    # llama.cpp --prompt-cache: resume the saved KV prefix, save on exit
+    if args.prompt_cache and os.path.exists(args.prompt_cache):
+        n = sess.restore(args.prompt_cache)
+        print(f"(restored {n} cached rows from {args.prompt_cache})")
     print("(/exit to quit; conversation stays in the KV cache)")
     while True:
         try:
@@ -216,6 +222,9 @@ def cmd_chat(args):
         print(res.text)
         if use_template:
             messages.append({"role": "assistant", "content": res.text})
+    if args.prompt_cache and sess.cached:
+        print(f"(saving {sess.save(args.prompt_cache)} rows to "
+              f"{args.prompt_cache})")
     sess.close()
 
 
@@ -223,7 +232,8 @@ def cmd_serve(args):
     from ..engine.server import serve
 
     serve(args.model, host=args.host, port=args.port,
-          max_batch=args.max_batch, tp=args.tp, dp=args.dp, sp=args.sp)
+          max_batch=args.max_batch, tp=args.tp, dp=args.dp, sp=args.sp,
+          slot_save_path=args.slot_save_path)
 
 
 def cmd_bench(args):
@@ -368,6 +378,9 @@ def main(argv=None):
     s.add_argument("model")
     s.add_argument("-n", type=int, default=256)
     s.add_argument("--temperature", type=float, default=0.7)
+    s.add_argument("--prompt-cache", default=None,
+                   help="session file: restore at start, save on exit "
+                        "(llama.cpp --prompt-cache)")
     s.set_defaults(fn=cmd_chat)
 
     s = sub.add_parser("serve", help="OpenAI-style HTTP completions server")
@@ -381,6 +394,8 @@ def main(argv=None):
                    help="data-parallel replicas (shards the slot pool's batch)")
     s.add_argument("--sp", type=int, default=1,
                    help="context-parallel ways (shards each KV cache's sequence dim)")
+    s.add_argument("--slot-save-path", default=None,
+                   help="directory for /slots/{id}?action=save|restore files")
     s.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
