@@ -113,6 +113,15 @@ class LlamaConfig:
     # score scale becomes mscale^2 / sqrt(qk_dim) with
     # mscale = 1 + yarn_log_mul * ln(rope_scale).
     rope_yarn_log_mul: float = 0.0
+    # command-r / granite scalar multipliers. logit_scale multiplies the
+    # final logits (command-r stores the multiplier; granite stores a
+    # divisor, inverted at parse time); 0 = off. residual_scale
+    # multiplies each branch output before its residual add (granite);
+    # attn_scale replaces the default 1/sqrt(head_dim) score scale
+    # (granite attention.scale); 0 = default.
+    logit_scale: float = 0.0
+    residual_scale: float = 1.0
+    attn_scale: float = 0.0
 
     @property
     def head_dim(self) -> int:
@@ -154,12 +163,18 @@ class LlamaConfig:
         head_dim = (int(key_len) if key_len is not None
                     and int(key_len) != dim // n_heads else None)
         phi2 = arch == "phi2"
+        # command-r: parallel-residual LayerNorm blocks + logit multiplier;
+        # starcoder2: biased LayerNorms + gateless GELU FFN
+        layernorm_arch = arch in ("command-r", "starcoder2")
         rs_kind, rs_factor, rs_orig, rs_attn = _rope_scaling(g)
         rope_dim = g("rope.dimension_count")
         eps = g("attention.layer_norm_rms_epsilon")
-        if eps is None:   # phi2 stores a plain layer_norm_epsilon
+        if eps is None:   # phi2/command-r/starcoder2 store layer_norm_epsilon
             eps = g("attention.layer_norm_epsilon",
                     1e-6 if gemma else 1e-5)
+        logit_scale = float(g("logit_scale", 0.0) or 0.0)
+        if arch == "granite" and logit_scale:
+            logit_scale = 1.0 / logit_scale   # granite stores a divisor
         return cls(
             vocab_size=int(vocab),
             dim=dim,
@@ -175,10 +190,15 @@ class LlamaConfig:
             rope_attn_factor=rs_attn,
             max_seq_len=int(g("context_length", 2048)),
             head_dim_override=head_dim,
-            act_fn="gelu_tanh" if (gemma or phi2) else "silu",
-            embed_scale=float(dim) ** 0.5 if gemma else 1.0,
-            norm_type="layer" if phi2 else "rms",
-            parallel_residual=phi2,
+            act_fn=("gelu_tanh" if (gemma or phi2 or arch == "starcoder2")
+                    else "silu"),
+            embed_scale=(float(dim) ** 0.5 if gemma
+                         else float(g("embedding_scale", 1.0) or 1.0)),
+            norm_type="layer" if (phi2 or layernorm_arch) else "rms",
+            parallel_residual=phi2 or arch == "command-r",
+            logit_scale=logit_scale,
+            residual_scale=float(g("residual_scale", 1.0) or 1.0),
+            attn_scale=float(g("attention.scale", 0.0) or 0.0),
             rope_dim=(int(rope_dim) if rope_dim is not None
                       and int(rope_dim) != (head_dim or dim // n_heads)
                       else None),
@@ -199,7 +219,8 @@ class LlamaConfig:
             # interleaved order — modeling_deepseek un-interleaves before
             # its rotate-half, so the stored layout is llama-style)
             rope_neox=arch in ("qwen2", "qwen3", "qwen3moe", "phi2", "phi3",
-                               "gemma", "gemma2", "gemma3"),
+                               "gemma", "gemma2", "gemma3", "olmo2",
+                               "starcoder2"),
             rope_yarn_log_mul=float(
                 g("rope.scaling.yarn_log_multiplier", 0.0) or 0.0),
             q_lora_rank=int(g("attention.q_lora_rank", 0) or 0),
@@ -271,5 +292,15 @@ class LlamaConfig:
                if self.attn_softcap else {}),
             **({f"{arch}.final_logit_softcapping": self.final_softcap}
                if self.final_softcap else {}),
+            **({f"{arch}.logit_scale":
+                    (1.0 / self.logit_scale if arch == "granite"
+                     else self.logit_scale)}
+               if self.logit_scale else {}),
+            **({f"{arch}.embedding_scale": self.embed_scale}
+               if self.embed_scale != 1.0 and arch == "granite" else {}),
+            **({f"{arch}.residual_scale": self.residual_scale}
+               if self.residual_scale != 1.0 else {}),
+            **({f"{arch}.attention.scale": self.attn_scale}
+               if self.attn_scale else {}),
             f"{arch}.context_length": self.max_seq_len,
         }

@@ -88,10 +88,28 @@ def layer_norm(x: jax.Array, weight: jax.Array, bias, eps: float) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def _rms_norm_global(x: jax.Array, weight: jax.Array, eps: float,
+                     axis_name) -> jax.Array:
+    """RMSNorm whose mean square spans the tp shards of the last axis
+    (olmo2's whole-q/k-vector norms, where heads and the norm weight are
+    column-sharded). axis_name None = plain rms_norm."""
+    xf = x.astype(jnp.float32)
+    ss = jnp.sum(xf * xf, axis=-1, keepdims=True)
+    n = x.shape[-1]
+    if axis_name:
+        ss = jax.lax.psum(ss, axis_name)
+        n = n * jax.lax.psum(1, axis_name)
+    return (xf * jax.lax.rsqrt(ss / n + eps) * weight).astype(x.dtype)
+
+
 def _norm(x, layer_or_params, name: str, cfg: LlamaConfig) -> jax.Array:
     """Dispatch rms/layer norm for the weight at `name` (+ optional
-    `name`_bias) in a layer or params dict."""
-    w = layer_or_params[name]
+    `name`_bias) in a layer or params dict. A missing weight passes x
+    through — olmo2 is post-norm-only (no attn_norm/ffn_norm tensors;
+    its post_attention_norm/post_ffw_norm are applied by the caller)."""
+    w = layer_or_params.get(name)
+    if w is None:
+        return x
     if cfg.norm_type == "layer":
         return layer_norm(x, w, layer_or_params.get(name + "_bias"),
                           cfg.norm_eps)
@@ -308,6 +326,21 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
     if "q_norm" in layer:   # qwen3-family: per-head RMSNorm on q/k, pre-RoPE
         q = rms_norm(q, layer["q_norm"], cfg.norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.norm_eps)
+    elif "q_norm_full" in layer:
+        # olmo2: RMSNorm over the WHOLE q/k projection vector (h*hd,) —
+        # the denominator spans all heads, so under tp (heads + norm
+        # weight column-sharded) the mean square needs a psum
+        q = _rms_norm_global(q.reshape(b, t, -1), layer["q_norm_full"],
+                             cfg.norm_eps, opts.axis_name
+                             ).reshape(b, t, h, hd)
+        k = _rms_norm_global(k.reshape(b, t, -1), layer["k_norm_full"],
+                             cfg.norm_eps, opts.axis_name
+                             ).reshape(b, t, kvh, hd)
+
+    if cfg.attn_scale:
+        # granite attention.scale replaces the kernels' baked-in
+        # 1/sqrt(head_dim) score scale: pre-multiply q by the ratio
+        q = q * jnp.float32(cfg.attn_scale * float(hd) ** 0.5).astype(q.dtype)
 
     tok_pos = pos[:, None] + jnp.arange(t)[None, :]            # (B, T)
     rd = cfg.rope_dim or hd
@@ -851,6 +884,9 @@ def forward(
         if "post_attn_norm" in layer:   # gemma2: norm the branch output
             attn_out = rms_norm(attn_out, layer["post_attn_norm"],
                                 cfg.norm_eps)
+        if cfg.residual_scale != 1.0:   # granite: scaled branch outputs
+            attn_out = attn_out * jnp.float32(
+                cfg.residual_scale).astype(attn_out.dtype)
         if cfg.parallel_residual:
             # phi2: one shared pre-norm feeds both branches
             if collect_sq:
@@ -878,6 +914,9 @@ def forward(
             if "post_ffn_norm" in layer:
                 mlp_out = rms_norm(mlp_out, layer["post_ffn_norm"],
                                    cfg.norm_eps)
+            if cfg.residual_scale != 1.0:
+                mlp_out = mlp_out * jnp.float32(
+                    cfg.residual_scale).astype(mlp_out.dtype)
             x = x + mlp_out
         if collect_sq:
             stats.append(ls)
@@ -898,6 +937,8 @@ def forward(
     if "output_bias" in params:   # phi2-family LM-head bias (unpadded)
         logits = logits + params["output_bias"].astype(logits.dtype)
     logits = logits.reshape(b, t, -1).astype(jnp.float32)
+    if cfg.logit_scale:   # command-r multiplier / granite 1-over-divisor
+        logits = logits * jnp.float32(cfg.logit_scale)
     if cfg.final_softcap:   # gemma2: cap * tanh(logits / cap)
         cap = jnp.float32(cfg.final_softcap)
         logits = cap * jnp.tanh(logits / cap)

@@ -232,12 +232,23 @@ def load_llama(path: str):
                         if "output.weight" in reader.tensors
                         else params["token_embd"])
 
+    if "output_norm.bias" in reader.tensors:   # starcoder2 LayerNorm bias
+        params["output_norm_bias"] = jnp.asarray(
+            reader.load_array("output_norm.bias"), jnp.float32)
+
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
-        layer = {
-            "attn_norm": jnp.asarray(reader.load_array(p + "attn_norm.weight"), jnp.float32),
-            "ffn_norm": jnp.asarray(reader.load_array(p + "ffn_norm.weight"), jnp.float32),
-        }
+        # pre-norms are optional: olmo2 is post-norm-only (the forward's
+        # _norm passes x through when the key is absent); starcoder2's
+        # LayerNorms carry biases
+        layer = {}
+        for nk, tk in (("attn_norm", "attn_norm.weight"),
+                       ("ffn_norm", "ffn_norm.weight"),
+                       ("attn_norm_bias", "attn_norm.bias"),
+                       ("ffn_norm_bias", "ffn_norm.bias")):
+            if p + tk in reader.tensors:
+                layer[nk] = jnp.asarray(reader.load_array(p + tk),
+                                        jnp.float32)
         if p + "attn_kv_a_mqa.weight" in reader.tensors:
             # deepseek2 multi-head latent attention. The per-head KV
             # up-projection (attn_kv_b) is ABSORBED: its K half folds into
@@ -273,18 +284,24 @@ def load_llama(path: str):
                     ("bq", _maybe_bias(reader, p + "attn_q.bias")),
                     ("bk", _maybe_bias(reader, p + "attn_k.bias")),
                     ("bv", _maybe_bias(reader, p + "attn_v.bias")),
+                    ("bo", _maybe_bias(reader, p + "attn_output.bias")),
                 ] if v is not None},
                 "wo": _load_weight(reader, p + "attn_output.weight"),
             })
-        # qwen3-family per-head q/k RMSNorm vectors (head_dim,);
-        # gemma2-family post-branch norms (dim,)
+        # qwen3-family per-head q/k RMSNorm vectors (head_dim,) — olmo2
+        # stores WHOLE-projection-vector norms under the same tensor
+        # names, kept as distinct param keys (different math under tp);
+        # gemma2/olmo2 post-branch norms (dim,)
         for nk, tk in (("q_norm", "attn_q_norm.weight"),
                        ("k_norm", "attn_k_norm.weight"),
                        ("post_attn_norm", "post_attention_norm.weight"),
                        ("post_ffn_norm", "post_ffw_norm.weight")):
             if p + tk in reader.tensors:
-                layer[nk] = jnp.asarray(reader.load_array(p + tk),
-                                        jnp.float32)
+                arr = jnp.asarray(reader.load_array(p + tk), jnp.float32)
+                if nk in ("q_norm", "k_norm") and \
+                        arr.shape[0] != cfg.head_dim:
+                    nk += "_full"
+                layer[nk] = arr
         if cfg.n_experts and p + "ffn_gate_inp.weight" in reader.tensors:
             # mixtral-family MoE layer: router + stacked expert FFNs
             layer["gate_inp"] = jnp.asarray(
@@ -309,9 +326,15 @@ def load_llama(path: str):
                 layer["gate_inp_b"] = jnp.asarray(
                     reader.load_array(p + "exp_probs_b.bias"), jnp.float32)
         else:
-            layer["gate"] = _load_weight(reader, p + "ffn_gate.weight")
+            if p + "ffn_gate.weight" in reader.tensors:
+                layer["gate"] = _load_weight(reader, p + "ffn_gate.weight")
+            # else: gateless MLP (starcoder2-style act(up) @ down)
             layer["up"] = _load_weight(reader, p + "ffn_up.weight")
             layer["down"] = _load_weight(reader, p + "ffn_down.weight")
+            for nk, tk in (("bup", "ffn_up.bias"), ("bdown", "ffn_down.bias")):
+                b = _maybe_bias(reader, p + tk)
+                if b is not None:
+                    layer[nk] = b
         params["layers"].append(layer)
     reader.close()
     params, cfg = pad_ffn_for_tp(params, cfg, 1)
@@ -490,9 +513,22 @@ def write_random_llama_gguf(
     if arch == "phi2":
         tensors["output_norm.bias"] = f32v((d,), "r")
         tensors["output.bias"] = f32v((v,), "r")
+    nrm = lambda n: (GGMLType.F32, (n,),
+                     (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32))
+    if arch == "starcoder2":
+        tensors["output_norm.weight"] = nrm(d)
+        tensors["output_norm.bias"] = f32v((d,), "r")
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
-        tensors[p + "attn_norm.weight"] = (GGMLType.F32, (d,), np.ones(d, np.float32))
+        if arch == "olmo2":
+            pass   # post-norm-only: no attn_norm/ffn_norm tensors
+        elif arch in ("command-r", "starcoder2"):
+            tensors[p + "attn_norm.weight"] = nrm(d)   # LayerNorm weight
+            if arch == "starcoder2":
+                tensors[p + "attn_norm.bias"] = f32v((d,), "r")
+        else:
+            tensors[p + "attn_norm.weight"] = (GGMLType.F32, (d,),
+                                               np.ones(d, np.float32))
         if arch == "phi2":
             tensors[p + "attn_norm.bias"] = f32v((d,), "r")
             for name, shape in [
@@ -517,7 +553,15 @@ def write_random_llama_gguf(
             ]:
                 tensors[p + name] = (fmt, shape, quantize_tensor(w(shape), fmt))
             continue
-        tensors[p + "ffn_norm.weight"] = (GGMLType.F32, (d,), np.ones(d, np.float32))
+        if arch == "olmo2" or arch == "command-r":
+            pass   # olmo2: post-norms only; command-r: one shared
+            #        pre-norm feeds both parallel branches
+        elif arch == "starcoder2":
+            tensors[p + "ffn_norm.weight"] = nrm(d)
+            tensors[p + "ffn_norm.bias"] = f32v((d,), "r")
+        else:
+            tensors[p + "ffn_norm.weight"] = (GGMLType.F32, (d,),
+                                              np.ones(d, np.float32))
         if arch == "deepseek2":   # MLA attention + (shared-)expert FFN
             h, r, rd = cfg.n_heads, cfg.kv_lora_rank, cfg.qk_rope_dim
             nope, vd = cfg.qk_nope_dim, cfg.v_head_dim
@@ -581,22 +625,23 @@ def write_random_llama_gguf(
             ("attn_v.weight", (kv_d, d)), ("attn_output.weight", (d, q_d)),
         ]:
             tensors[p + name] = (fmt, shape, quantize_tensor(w(shape), fmt))
+        if arch == "starcoder2":   # biased projections
+            tensors[p + "attn_q.bias"] = f32v((q_d,), "r")
+            tensors[p + "attn_k.bias"] = f32v((kv_d,), "r")
+            tensors[p + "attn_v.bias"] = f32v((kv_d,), "r")
+            tensors[p + "attn_output.bias"] = f32v((d,), "r")
         # per-head q/k RMSNorm (random: exercised, not 1)
         if arch in ("qwen3", "qwen3moe"):
             hd = cfg.head_dim
-            tensors[p + "attn_q_norm.weight"] = (
-                GGMLType.F32, (hd,),
-                (1.0 + 0.1 * rng.standard_normal(hd)).astype(np.float32))
-            tensors[p + "attn_k_norm.weight"] = (
-                GGMLType.F32, (hd,),
-                (1.0 + 0.1 * rng.standard_normal(hd)).astype(np.float32))
-        if arch == "gemma2":  # post-branch norms (random: exercised, not 1)
-            tensors[p + "post_attention_norm.weight"] = (
-                GGMLType.F32, (d,),
-                (1.0 + 0.1 * rng.standard_normal(d)).astype(np.float32))
-            tensors[p + "post_ffw_norm.weight"] = (
-                GGMLType.F32, (d,),
-                (1.0 + 0.1 * rng.standard_normal(d)).astype(np.float32))
+            tensors[p + "attn_q_norm.weight"] = nrm(hd)
+            tensors[p + "attn_k_norm.weight"] = nrm(hd)
+        if arch == "olmo2":   # whole-vector q/k RMSNorms
+            tensors[p + "attn_q_norm.weight"] = nrm(q_d)
+            tensors[p + "attn_k_norm.weight"] = nrm(kv_d)
+        if arch in ("gemma2", "olmo2"):
+            # post-branch norms (random: exercised, not 1)
+            tensors[p + "post_attention_norm.weight"] = nrm(d)
+            tensors[p + "post_ffw_norm.weight"] = nrm(d)
         if cfg.n_experts:
             # mixtral-family MoE: random router (breaks routing ties so
             # tests exercise real top-k selection) + 3-D expert stacks
@@ -615,6 +660,14 @@ def write_random_llama_gguf(
             ]:
                 tensors[p + name] = (fmt, shape,
                                      quantize_tensor(w(shape), fmt))
+        elif arch == "starcoder2":   # gateless biased GELU FFN
+            for name, shape in [
+                ("ffn_up.weight", (f, d)), ("ffn_down.weight", (d, f)),
+            ]:
+                tensors[p + name] = (fmt, shape,
+                                     quantize_tensor(w(shape), fmt))
+            tensors[p + "ffn_up.bias"] = f32v((f,), "r")
+            tensors[p + "ffn_down.bias"] = f32v((d,), "r")
         else:
             for name, shape in [
                 ("ffn_gate.weight", (f, d)), ("ffn_up.weight", (f, d)),

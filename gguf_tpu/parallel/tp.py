@@ -73,6 +73,9 @@ LAYER_KINDS = {
     "attn_norm": REP, "ffn_norm": REP,
     # qwen3-family per-head q/k norms: (head_dim,), same for every head
     "q_norm": REP, "k_norm": REP,
+    # olmo2 whole-projection-vector q/k norms: sharded with the head
+    # columns (the global mean square psums in _rms_norm_global)
+    "q_norm_full": "col1d", "k_norm_full": "col1d",
     # gemma2-family post-branch norms: (dim,), replicated like attn_norm
     "post_attn_norm": REP, "post_ffn_norm": REP,
     "wq": COL, "wk": COL, "wv": COL, "wo": ROW,

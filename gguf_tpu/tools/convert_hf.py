@@ -145,7 +145,9 @@ def tokenizer_metadata(model_dir: str) -> dict:
 _ARCHS = {"llama": "llama", "mistral": "llama", "mixtral": "llama",
           "qwen2": "qwen2", "qwen3": "qwen3", "qwen3_moe": "qwen3moe",
           "gemma": "gemma", "gemma2": "gemma2", "phi3": "phi3",
-          "deepseek_v2": "deepseek2", "deepseek_v3": "deepseek2"}
+          "deepseek_v2": "deepseek2", "deepseek_v3": "deepseek2",
+          "cohere": "command-r", "olmo2": "olmo2",
+          "starcoder2": "starcoder2", "granite": "granite"}
 
 
 def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
@@ -173,8 +175,9 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
         f"{arch}.attention.head_count": n_heads,
         f"{arch}.attention.head_count_kv": n_kv,
         f"{arch}.feed_forward_length": hf["intermediate_size"],
-        f"{arch}.attention.layer_norm_rms_epsilon": hf.get("rms_norm_eps",
-                                                           1e-5),
+        f"{arch}.attention.layer_norm_rms_epsilon": (
+            hf.get("rms_norm_eps") or hf.get("layer_norm_eps")
+            or hf.get("norm_epsilon") or 1e-5),
         f"{arch}.rope.freq_base": hf.get("rope_theta", 10000.0),
         f"{arch}.context_length": hf.get("max_position_embeddings", 2048),
     }
@@ -221,6 +224,15 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
                 hf["final_logit_softcapping"])
     if hf.get("sliding_window") and arch in ("gemma2", "gemma3"):
         md[f"{arch}.attention.sliding_window"] = int(hf["sliding_window"])
+    if arch == "command-r" and hf.get("logit_scale"):
+        md[f"{arch}.logit_scale"] = float(hf["logit_scale"])
+    if arch == "granite":   # the four granite scalar multipliers
+        for hk, gk in (("embedding_multiplier", "embedding_scale"),
+                       ("residual_multiplier", "residual_scale"),
+                       ("attention_multiplier", "attention.scale"),
+                       ("logits_scaling", "logit_scale")):
+            if hf.get(hk):
+                md[f"{arch}.{gk}"] = float(hf[hk])
 
     rope_factor_tensors = {}
     rs = hf.get("rope_scaling") or {}
@@ -277,12 +289,14 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
             raise KeyError(f"missing HF tensor {name}")
         return weights[name]
 
-    # rope convention: llama/mistral GGUFs use interleaved pairs
+    # rope convention: llama/mistral/granite GGUFs use interleaved pairs
     # (ROPE_TYPE_NORM) and the converter must permute q/k into that
-    # order; qwen/gemma/phi GGUFs keep the HF rotate-half order and are
-    # served with NEOX rope (models/config.py rope_neox) — llama.cpp's
-    # converter does exactly the same split
-    permute = arch == "llama"
+    # order; qwen/gemma/phi/olmo2/starcoder2 GGUFs keep the HF
+    # rotate-half order and are served with NEOX rope (models/config.py
+    # rope_neox); cohere checkpoints are ALREADY interleaved (their HF
+    # rope is interleaved) so command-r needs NORM serving without any
+    # permutation — llama.cpp's converter does exactly the same split
+    permute = arch in ("llama", "granite")
     gemma = arch.startswith("gemma")
     # HF gemma RMSNorm computes x * (1 + w): llama.cpp's converter bakes
     # the +1 into every stored norm weight so serving uses plain RMSNorm
@@ -293,6 +307,9 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
         target)
     put(tensors, "output_norm.weight", norm_w(get("model.norm.weight")),
         GGMLType.F32)
+    if "model.norm.bias" in weights:     # starcoder2 final LayerNorm bias
+        put(tensors, "output_norm.bias", weights["model.norm.bias"],
+            GGMLType.F32)
     if "lm_head.weight" in weights:
         put(tensors, "output.weight", weights["lm_head.weight"], head_fmt)
     # tied embeddings: omit output.weight, the loader shares token_embd
@@ -302,9 +319,16 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
     for i in range(hf["num_hidden_layers"]):
         hp = f"model.layers.{i}."
         p = f"blk.{i}."
-        put(tensors, p + "attn_norm.weight",
-            norm_w(get(hp + "input_layernorm.weight")), GGMLType.F32)
-        if arch == "gemma2":
+        if arch == "olmo2":
+            # post-norm-only: HF post_attention/post_feedforward norms
+            # ARE the branch-output norms; no pre-norms exist
+            put(tensors, p + "post_attention_norm.weight",
+                get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
+            put(tensors, p + "post_ffw_norm.weight",
+                get(hp + "post_feedforward_layernorm.weight"), GGMLType.F32)
+        elif arch == "gemma2":
+            put(tensors, p + "attn_norm.weight",
+                norm_w(get(hp + "input_layernorm.weight")), GGMLType.F32)
             # gemma2's four norms: post_attention is the POST-branch norm;
             # pre_feedforward is the llama-style ffn_norm
             put(tensors, p + "post_attention_norm.weight",
@@ -316,10 +340,21 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
             put(tensors, p + "post_ffw_norm.weight",
                 norm_w(get(hp + "post_feedforward_layernorm.weight")),
                 GGMLType.F32)
+        elif arch == "command-r":
+            # one shared pre-norm feeds both parallel branches
+            put(tensors, p + "attn_norm.weight",
+                get(hp + "input_layernorm.weight"), GGMLType.F32)
         else:
+            put(tensors, p + "attn_norm.weight",
+                norm_w(get(hp + "input_layernorm.weight")), GGMLType.F32)
             put(tensors, p + "ffn_norm.weight",
                 norm_w(get(hp + "post_attention_layernorm.weight")),
                 GGMLType.F32)
+            if arch == "starcoder2":   # biased LayerNorms
+                put(tensors, p + "attn_norm.bias",
+                    get(hp + "input_layernorm.bias"), GGMLType.F32)
+                put(tensors, p + "ffn_norm.bias",
+                    get(hp + "post_attention_layernorm.bias"), GGMLType.F32)
 
         if arch == "deepseek2":   # MLA projections, no rope permutation
             # (HF deepseek stores q_pe/k_pe interleaved — served with
@@ -404,10 +439,23 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
                 if permute and nh is not None:
                     b = permute_rope(b[:, None], nh)[:, 0]
                 put(tensors, p + gname, b, GGMLType.F32)
+        if hp + "self_attn.o_proj.bias" in weights:   # starcoder2
+            put(tensors, p + "attn_output.bias",
+                weights[hp + "self_attn.o_proj.bias"], GGMLType.F32)
         for hname, gname in (("self_attn.q_norm.weight", "attn_q_norm.weight"),
                              ("self_attn.k_norm.weight", "attn_k_norm.weight")):
-            if hp + hname in weights:        # qwen3 QK-norm
+            if hp + hname in weights:        # qwen3/olmo2 QK-norm
                 put(tensors, p + gname, weights[hp + hname], GGMLType.F32)
+        if arch == "starcoder2":   # gateless biased GELU FFN (c_fc/c_proj)
+            put(tensors, p + "ffn_up.weight",
+                get(hp + "mlp.c_fc.weight"), target)
+            put(tensors, p + "ffn_up.bias",
+                get(hp + "mlp.c_fc.bias"), GGMLType.F32)
+            put(tensors, p + "ffn_down.weight",
+                get(hp + "mlp.c_proj.weight"), target)
+            put(tensors, p + "ffn_down.bias",
+                get(hp + "mlp.c_proj.bias"), GGMLType.F32)
+            continue
         if n_exp:
             # routed experts -> 3-D stacked GGUF tensors (leading E axis)
             if mt == "mixtral":  # w1=gate, w3=up, w2=down

@@ -641,3 +641,121 @@ def test_convert_deepseek2_matches_hf_reference(tmp_path, lite):
     denom = np.abs(ref).max()
     assert np.max(np.abs(got - ref)) / denom < 0.03, \
         np.max(np.abs(got - ref)) / denom
+
+
+def _arch_hf_dir(tmp_path, model_type, seed=41):
+    """Tiny HF dirs for cohere / olmo2 / starcoder2 / granite."""
+    rng = np.random.default_rng(seed)
+    d = tmp_path / "hf"
+    d.mkdir(exist_ok=True)
+    cfg = {"model_type": model_type, "vocab_size": VOCAB,
+           "hidden_size": DIM, "num_hidden_layers": LAYERS,
+           "num_attention_heads": HEADS, "num_key_value_heads": KV,
+           "intermediate_size": FFN, "rope_theta": 10000.0,
+           "max_position_embeddings": 64}
+    s = 0.5 / np.sqrt(DIM)
+    w = lambda *shape: (rng.standard_normal(shape) * s).astype(np.float32)
+    nrm = lambda n: (1 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    t = {"model.embed_tokens.weight": w(VOCAB, DIM),
+         "model.norm.weight": nrm(DIM), "lm_head.weight": w(VOCAB, DIM)}
+    if model_type == "cohere":
+        cfg.update({"layer_norm_eps": 1e-5, "logit_scale": 0.42})
+    elif model_type == "olmo2":
+        cfg["rms_norm_eps"] = 1e-5
+    elif model_type == "starcoder2":
+        cfg["norm_epsilon"] = 1e-5
+        t["model.norm.bias"] = nrm(DIM) * 0.1
+    elif model_type == "granite":
+        cfg.update({"rms_norm_eps": 1e-5, "embedding_multiplier": 4.0,
+                    "residual_multiplier": 0.5,
+                    "attention_multiplier": 0.015625,
+                    "logits_scaling": 8.0})
+    for i in range(LAYERS):
+        p = f"model.layers.{i}."
+        t[p + "self_attn.q_proj.weight"] = w(HEADS * HD, DIM)
+        t[p + "self_attn.k_proj.weight"] = w(KV * HD, DIM)
+        t[p + "self_attn.v_proj.weight"] = w(KV * HD, DIM)
+        t[p + "self_attn.o_proj.weight"] = w(DIM, HEADS * HD)
+        if model_type == "cohere":
+            t[p + "input_layernorm.weight"] = nrm(DIM)
+        elif model_type == "olmo2":
+            t[p + "post_attention_layernorm.weight"] = nrm(DIM)
+            t[p + "post_feedforward_layernorm.weight"] = nrm(DIM)
+            t[p + "self_attn.q_norm.weight"] = nrm(HEADS * HD)
+            t[p + "self_attn.k_norm.weight"] = nrm(KV * HD)
+        else:
+            t[p + "input_layernorm.weight"] = nrm(DIM)
+            t[p + "post_attention_layernorm.weight"] = nrm(DIM)
+        if model_type == "starcoder2":
+            t[p + "input_layernorm.bias"] = nrm(DIM) * 0.1
+            t[p + "post_attention_layernorm.bias"] = nrm(DIM) * 0.1
+            t[p + "self_attn.q_proj.bias"] = nrm(HEADS * HD) * 0.1
+            t[p + "self_attn.k_proj.bias"] = nrm(KV * HD) * 0.1
+            t[p + "self_attn.v_proj.bias"] = nrm(KV * HD) * 0.1
+            t[p + "self_attn.o_proj.bias"] = nrm(DIM) * 0.1
+            t[p + "mlp.c_fc.weight"] = w(FFN, DIM)
+            t[p + "mlp.c_fc.bias"] = nrm(FFN) * 0.1
+            t[p + "mlp.c_proj.weight"] = w(DIM, FFN)
+            t[p + "mlp.c_proj.bias"] = nrm(DIM) * 0.1
+        else:
+            t[p + "mlp.gate_proj.weight"] = w(FFN, DIM)
+            t[p + "mlp.up_proj.weight"] = w(FFN, DIM)
+            t[p + "mlp.down_proj.weight"] = w(DIM, FFN)
+    (d / "config.json").write_text(json.dumps(cfg))
+    (d / "tokenizer.json").write_text(json.dumps(_toy_unigram_tokenizer()))
+    _write_safetensors(str(d / "model.safetensors"), t)
+    return str(d), t
+
+
+@pytest.mark.parametrize("model_type,arch", [
+    ("cohere", "command-r"), ("olmo2", "olmo2"),
+    ("starcoder2", "starcoder2"), ("granite", "granite")])
+def test_convert_arch_mapping(tmp_path, model_type, arch):
+    """Tensor mapping + metadata for the round-2 arch additions: granite
+    permutes q/k like llama (NORM rope on a rotate-half checkpoint),
+    cohere does NOT (already interleaved), olmo2 maps post-norms +
+    whole-vector qk-norms, starcoder2 carries every bias."""
+    from gguf_tpu.gguf import GGUFReader
+
+    d, t = _arch_hf_dir(tmp_path, model_type)
+    out = str(tmp_path / "m.gguf")
+    md = convert_hf(d, out, fmt="q8_0")
+    assert md["general.architecture"] == arch
+
+    r = GGUFReader(out)
+    hf_q = t["model.layers.0.self_attn.q_proj.weight"]
+    got_q = r.dequantize("blk.0.attn_q.weight")
+    tol = 0.01 * np.abs(hf_q).max() + 2e-3
+    if arch == "granite":   # permuted to interleaved order
+        assert np.max(np.abs(got_q - permute_rope(hf_q, HEADS))) < tol
+        assert md["granite.residual_scale"] == 0.5
+        assert md["granite.attention.scale"] == 0.015625
+        assert md["granite.logit_scale"] == 8.0
+    else:                   # unpermuted
+        assert np.max(np.abs(got_q - hf_q)) < tol
+    if arch == "command-r":
+        assert md["command-r.logit_scale"] == pytest.approx(0.42)
+        assert "blk.0.ffn_norm.weight" not in r.tensors
+    if arch == "olmo2":
+        assert "blk.0.attn_norm.weight" not in r.tensors
+        assert r.load_array("blk.0.attn_q_norm.weight").shape == \
+            (HEADS * HD,)
+        np.testing.assert_allclose(
+            r.load_array("blk.0.post_attention_norm.weight"),
+            t["model.layers.0.post_attention_layernorm.weight"])
+    if arch == "starcoder2":
+        np.testing.assert_allclose(
+            r.load_array("blk.0.attn_norm.bias"),
+            t["model.layers.0.input_layernorm.bias"])
+        np.testing.assert_allclose(
+            r.load_array("blk.0.ffn_up.bias"),
+            t["model.layers.0.mlp.c_fc.bias"])
+        assert "blk.0.ffn_gate.weight" not in r.tensors
+    r.close()
+
+    cfg, params = load_llama(out)
+    cache = init_kv_cache(cfg, batch=1, max_seq=16)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 5, 9]], jnp.int32),
+                        jnp.zeros(1, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    assert np.isfinite(np.asarray(logits)).all()
