@@ -330,6 +330,10 @@ class LLM:
         # KV cache + span)
         self.prefill_chunk = max(8, prefill_chunk)
         self.opts = opts
+        if self.cfg.ssm_inner:
+            # recurrent state is not row-addressable: prefix reuse, slot
+            # save/restore, and speculative rollback all assume KV rows
+            prefix_cache = False
         self.prefix_cache = prefix_cache
         self.prefix_cache_hits = 0
         # slot -> (token history whose KV is resident, written row count);
@@ -668,6 +672,9 @@ class LLM:
         history (`_slot_history`, what the prefix cache would reuse);
         ChatSession.save passes its live history explicitly. Returns the
         number of rows saved."""
+        if self.cfg.ssm_inner:
+            raise ValueError("slot save/restore needs a KV cache; "
+                             "recurrent (mamba) state is not supported")
         if tokens is None:
             tokens, rows = self._slot_history.get(slot, (None, None))
             if tokens is None:
@@ -695,6 +702,9 @@ class LLM:
         saved prefix prefills only its suffix. Returns (tokens, rows)."""
         import json as _json
 
+        if self.cfg.ssm_inner:
+            raise ValueError("slot save/restore needs a KV cache; "
+                             "recurrent (mamba) state is not supported")
         z = np.load(path)
         meta = _json.loads(bytes(z["meta"]).decode())
         if meta != self._state_meta():
@@ -944,6 +954,9 @@ class LLM:
         assert speculative == 0 or speculative + 1 <= 16, (
             f"speculative draft length {speculative} > 15 would route the "
             "verify forward off the windowed cache insert")
+        assert speculative == 0 or not self.cfg.ssm_inner, (
+            "speculative decoding needs rewindable KV rows; recurrent "
+            "(mamba) state cannot roll back rejected drafts")
         # draft-model speculation only engages under the spec gate; don't
         # pay the draft prefill for calls that can never use it
         draft_active = (speculative > 0

@@ -122,9 +122,19 @@ class LlamaConfig:
     logit_scale: float = 0.0
     residual_scale: float = 1.0
     attn_scale: float = 0.0
+    # mamba-family state-space blocks (arch mamba). ssm_inner > 0 swaps
+    # every block's attention+FFN for a selective-SSM mixer; the "cache"
+    # becomes per-layer recurrent state (conv tail + SSM state) instead
+    # of KV rows, so sequence length no longer costs memory.
+    ssm_inner: int = 0       # d_inner (2 * dim)
+    ssm_state: int = 0       # d_state (16)
+    ssm_conv: int = 0        # d_conv  (4)
+    ssm_dt_rank: int = 0     # time-step rank (ceil(dim / 16))
 
     @property
     def head_dim(self) -> int:
+        if self.n_heads == 0:   # mamba: no attention heads
+            return self.head_dim_override or 0
         return self.head_dim_override or self.dim // self.n_heads
 
     @property
@@ -149,7 +159,7 @@ class LlamaConfig:
     def from_gguf_metadata(cls, md: dict) -> "LlamaConfig":
         arch = md.get("general.architecture", "llama")
         g = lambda key, default=None: md.get(f"{arch}.{key}", default)
-        n_heads = int(g("attention.head_count"))
+        n_heads = int(g("attention.head_count") or 0)   # mamba writes 0
         vocab = md.get(f"{arch}.vocab_size")
         if vocab is None:
             vocab = len(md["tokenizer.ggml.tokens"])
@@ -180,8 +190,12 @@ class LlamaConfig:
             dim=dim,
             n_layers=int(g("block_count")),
             n_heads=n_heads,
-            n_kv_heads=int(g("attention.head_count_kv", n_heads)),
-            ffn_dim=int(g("feed_forward_length")),
+            n_kv_heads=int(g("attention.head_count_kv", n_heads) or 0),
+            ffn_dim=int(g("feed_forward_length") or 0),
+            ssm_inner=int(g("ssm.inner_size", 0) or 0),
+            ssm_state=int(g("ssm.state_size", 0) or 0),
+            ssm_conv=int(g("ssm.conv_kernel", 0) or 0),
+            ssm_dt_rank=int(g("ssm.time_step_rank", 0) or 0),
             norm_eps=float(eps),
             rope_theta=float(g("rope.freq_base", 10000.0)),
             rope_scale=rs_factor,
@@ -302,5 +316,10 @@ class LlamaConfig:
                if self.residual_scale != 1.0 else {}),
             **({f"{arch}.attention.scale": self.attn_scale}
                if self.attn_scale else {}),
+            **({f"{arch}.ssm.inner_size": self.ssm_inner,
+                f"{arch}.ssm.state_size": self.ssm_state,
+                f"{arch}.ssm.conv_kernel": self.ssm_conv,
+                f"{arch}.ssm.time_step_rank": self.ssm_dt_rank}
+               if self.ssm_inner else {}),
             f"{arch}.context_length": self.max_seq_len,
         }

@@ -246,6 +246,10 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_seq: int | None = None):
     dicts, not one stacked array: stacking would force a slice of the whole
     cache into every layer and a re-stack every step (~2x the cache bytes of
     pure copy traffic per decode step at 22 layers)."""
+    if cfg.ssm_inner:   # mamba: recurrent state, not KV rows
+        from .ssm import init_ssm_cache
+
+        return init_ssm_cache(cfg, batch)
     s = max_seq or cfg.max_seq_len
     # MLA (deepseek2): one shared latent+rope row per token (kvh=1)
     shape = (batch, cfg.kv_cache_heads, s, cfg.kv_cache_dim)
@@ -859,6 +863,17 @@ def forward(
                   and i % cfg.swa_pattern != cfg.swa_pattern - 1 else 0)
         h = _norm(x, layer, "attn_norm", cfg)
         ls = {}
+        if "ssm_in" in layer:   # mamba: the mixer IS the whole block
+            from .ssm import mamba_block
+
+            if collect_sq:
+                ls["ssm_in"] = sumsq(h)
+            out, cache_l = mamba_block(layer, h, cfg, cache[i], pos, opts)
+            x = x + out
+            if collect_sq:
+                stats.append(ls)
+            new_layers.append(cache_l)
+            continue
         if "wkv_a" in layer:   # deepseek2 multi-head latent attention
             if collect_sq:
                 ls["attn_qkv"] = sumsq(h)

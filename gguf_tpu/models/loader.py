@@ -219,6 +219,8 @@ def load_llama(path: str):
         return _load_phi2(reader, cfg)
     if reader.metadata.get("general.architecture") == "phi3":
         return _load_phi3(reader, cfg)
+    if cfg.ssm_inner:
+        return _load_mamba(reader, cfg)
 
     params = {
         "token_embd": _load_weight(reader, "token_embd.weight"),
@@ -338,6 +340,45 @@ def load_llama(path: str):
         params["layers"].append(layer)
     reader.close()
     params, cfg = pad_ffn_for_tp(params, cfg, 1)
+    params = _pad_vocab_weights(params)
+    return cfg, params
+
+
+def _load_mamba(reader: GGUFReader, cfg: LlamaConfig):
+    """mamba tensor schema (llama.cpp LLM_ARCH_MAMBA): per block one
+    selective-SSM mixer — ssm_in [x;z] projection, depthwise conv1d,
+    ssm_x -> (dt_rank | B | C), ssm_dt, A_log/D, ssm_out. The big
+    projections (ssm_in/ssm_out) load as MMQ weights; the small SSM
+    tensors stay f32 (llama.cpp keeps them unquantized too)."""
+    params = {
+        "token_embd": _load_weight(reader, "token_embd.weight"),
+        "output_norm": jnp.asarray(reader.load_array("output_norm.weight"),
+                                   jnp.float32),
+        "layers": [],
+    }
+    params["output"] = (_load_weight(reader, "output.weight")
+                        if "output.weight" in reader.tensors
+                        else params["token_embd"])
+    f32 = lambda n: jnp.asarray(reader.load_array(n), jnp.float32)
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        conv_w = reader.dequantize(p + "ssm_conv1d.weight")
+        params["layers"].append({
+            "attn_norm": f32(p + "attn_norm.weight"),
+            "ssm_in": _load_weight(reader, p + "ssm_in.weight"),
+            "conv_w": jnp.asarray(
+                conv_w.reshape(cfg.ssm_inner, cfg.ssm_conv), jnp.float32),
+            "conv_b": f32(p + "ssm_conv1d.bias"),
+            "ssm_x": _load_weight(reader, p + "ssm_x.weight"),
+            "dt_w": _load_weight(reader, p + "ssm_dt.weight"),
+            "dt_b": f32(p + "ssm_dt.bias"),
+            "A_log": jnp.asarray(
+                reader.dequantize(p + "ssm_a").reshape(
+                    cfg.ssm_inner, cfg.ssm_state), jnp.float32),
+            "ssm_d": f32(p + "ssm_d"),
+            "ssm_out": _load_weight(reader, p + "ssm_out.weight"),
+        })
+    reader.close()
     params = _pad_vocab_weights(params)
     return cfg, params
 
@@ -490,7 +531,7 @@ def write_random_llama_gguf(
     """
     rng = np.random.default_rng(seed)
     d, f, v = cfg.dim, cfg.ffn_dim, cfg.vocab_size
-    q_d = cfg.n_heads * cfg.head_dim
+    q_d = cfg.n_heads * cfg.head_dim       # 0 for mamba (no attention)
     kv_d = cfg.n_kv_heads * cfg.head_dim
     scale = 0.5 / np.sqrt(d)
 
@@ -518,6 +559,37 @@ def write_random_llama_gguf(
     if arch == "starcoder2":
         tensors["output_norm.weight"] = nrm(d)
         tensors["output_norm.bias"] = f32v((d,), "r")
+    if arch == "mamba":
+        di, ds = cfg.ssm_inner, cfg.ssm_state
+        dr, dc = cfg.ssm_dt_rank, cfg.ssm_conv
+        for i in range(cfg.n_layers):
+            p = f"blk.{i}."
+            tensors[p + "attn_norm.weight"] = nrm(d)
+            tensors[p + "ssm_in.weight"] = (
+                fmt, (2 * di, d), quantize_tensor(w((2 * di, d)), fmt))
+            tensors[p + "ssm_conv1d.weight"] = (
+                GGMLType.F32, (di, dc),
+                (rng.standard_normal((di, dc)) * 0.3).astype(np.float32))
+            tensors[p + "ssm_conv1d.bias"] = f32v((di,), "r")
+            tensors[p + "ssm_x.weight"] = (
+                GGMLType.F32, (dr + 2 * ds, di),
+                w((dr + 2 * ds, di)) * 2)
+            tensors[p + "ssm_dt.weight"] = (
+                GGMLType.F32, (di, dr), w((di, dr)) * 4)
+            tensors[p + "ssm_dt.bias"] = (
+                GGMLType.F32, (di,),
+                rng.uniform(-4.0, -1.0, di).astype(np.float32))
+            tensors[p + "ssm_a"] = (
+                GGMLType.F32, (di, ds),
+                np.log(rng.uniform(0.5, 4.0, (di, ds))).astype(np.float32))
+            tensors[p + "ssm_d"] = f32v((di,), "r")
+            tensors[p + "ssm_out.weight"] = (
+                fmt, (d, di), quantize_tensor(w((d, di)), fmt))
+        md = cfg.to_gguf_metadata(arch)
+        md.update(extra_metadata or {})
+        write_gguf(path, md, tensors)
+        return
+
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
         if arch == "olmo2":

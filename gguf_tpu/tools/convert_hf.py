@@ -147,7 +147,68 @@ _ARCHS = {"llama": "llama", "mistral": "llama", "mixtral": "llama",
           "gemma": "gemma", "gemma2": "gemma2", "phi3": "phi3",
           "deepseek_v2": "deepseek2", "deepseek_v3": "deepseek2",
           "cohere": "command-r", "olmo2": "olmo2",
-          "starcoder2": "starcoder2", "granite": "granite"}
+          "starcoder2": "starcoder2", "granite": "granite",
+          "mamba": "mamba"}
+
+
+def _convert_mamba(hf: dict, weights: dict, md: dict, out_path: str,
+                   fmt: str) -> dict:
+    """HF MambaForCausalLM (backbone.*) -> llama.cpp mamba GGUF schema.
+    Big projections (in/out) quantize; the small SSM tensors stay F32
+    (llama.cpp's quantizer skips them too)."""
+    import math
+
+    target = GGMLType[fmt.upper()]
+    d = int(hf["hidden_size"])
+    di = int(hf.get("intermediate_size") or 2 * d)
+    ds = int(hf.get("state_size", 16))
+    dc = int(hf.get("conv_kernel", 4))
+    dr = hf.get("time_step_rank", "auto")
+    dr = int(math.ceil(d / 16)) if dr in (None, "auto") else int(dr)
+    md.update({
+        "mamba.ssm.inner_size": di, "mamba.ssm.state_size": ds,
+        "mamba.ssm.conv_kernel": dc, "mamba.ssm.time_step_rank": dr,
+        "mamba.attention.head_count": 0,
+        "mamba.attention.head_count_kv": 0,
+        "mamba.feed_forward_length": 0,
+        "mamba.attention.layer_norm_rms_epsilon": float(
+            hf.get("layer_norm_epsilon", 1e-5)),
+    })
+
+    def get(name):
+        if name not in weights:
+            raise KeyError(f"missing HF tensor {name}")
+        return weights[name]
+
+    def q(name, w):
+        w = np.ascontiguousarray(w, np.float32)
+        tensors[name] = (target, w.shape, quantize_tensor(w, target))
+
+    def f32(name, w):
+        w = np.ascontiguousarray(w, np.float32)
+        tensors[name] = (GGMLType.F32, w.shape, w)
+
+    tensors: dict = {}
+    q("token_embd.weight", get("backbone.embeddings.weight"))
+    f32("output_norm.weight", get("backbone.norm_f.weight"))
+    if "lm_head.weight" in weights:
+        q("output.weight", weights["lm_head.weight"])
+    for i in range(int(hf["num_hidden_layers"])):
+        hp = f"backbone.layers.{i}."
+        p = f"blk.{i}."
+        f32(p + "attn_norm.weight", get(hp + "norm.weight"))
+        q(p + "ssm_in.weight", get(hp + "mixer.in_proj.weight"))
+        f32(p + "ssm_conv1d.weight",
+            get(hp + "mixer.conv1d.weight").reshape(di, dc))
+        f32(p + "ssm_conv1d.bias", get(hp + "mixer.conv1d.bias"))
+        f32(p + "ssm_x.weight", get(hp + "mixer.x_proj.weight"))
+        f32(p + "ssm_dt.weight", get(hp + "mixer.dt_proj.weight"))
+        f32(p + "ssm_dt.bias", get(hp + "mixer.dt_proj.bias"))
+        f32(p + "ssm_a", get(hp + "mixer.A_log"))
+        f32(p + "ssm_d", get(hp + "mixer.D"))
+        q(p + "ssm_out.weight", get(hp + "mixer.out_proj.weight"))
+    write_gguf(out_path, md, tensors)
+    return md
 
 
 def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
@@ -160,6 +221,20 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
         raise ValueError(f"unsupported model_type {mt!r} "
                          f"(supported: {sorted(_ARCHS)})")
     arch = _ARCHS[mt]
+
+    if arch == "mamba":   # no attention geometry; backbone.* tensor names
+        md = {
+            "general.architecture": "mamba",
+            "general.name": os.path.basename(os.path.abspath(model_dir)),
+            "mamba.vocab_size": hf["vocab_size"],
+            "mamba.embedding_length": hf["hidden_size"],
+            "mamba.block_count": hf["num_hidden_layers"],
+            "mamba.context_length": hf.get("max_position_embeddings",
+                                           2 ** 20),
+        }
+        md.update(tokenizer_metadata(model_dir))
+        return _convert_mamba(hf, load_hf_weights(model_dir), md,
+                              out_path, fmt)
 
     n_heads = hf["num_attention_heads"]
     n_kv = hf.get("num_key_value_heads", n_heads)

@@ -759,3 +759,67 @@ def test_convert_arch_mapping(tmp_path, model_type, arch):
                         jnp.zeros(1, jnp.int32), cache,
                         opts=MMOpts(precision="high"))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_convert_mamba(tmp_path):
+    """HF MambaForCausalLM (backbone.*) -> llama.cpp mamba schema: conv
+    kernel reshapes (di,1,dc)->(di,dc), SSM tensors stay F32, in/out
+    projections quantize, metadata carries the ssm geometry."""
+    from gguf_tpu.gguf import GGUFReader
+
+    rng = np.random.default_rng(51)
+    d, di, ds, dc, layers = 64, 128, 16, 4, 2
+    hf = {"model_type": "mamba", "vocab_size": VOCAB, "hidden_size": d,
+          "num_hidden_layers": layers, "intermediate_size": di,
+          "state_size": ds, "conv_kernel": dc, "time_step_rank": "auto",
+          "layer_norm_epsilon": 1e-5}
+    dr = 4   # ceil(64/16)
+    s = 0.5 / np.sqrt(d)
+    w = lambda *shape: (rng.standard_normal(shape) * s).astype(np.float32)
+    nrm = lambda n: (1 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    t = {"backbone.embeddings.weight": w(VOCAB, d),
+         "backbone.norm_f.weight": nrm(d),
+         "lm_head.weight": w(VOCAB, d)}
+    for i in range(layers):
+        p = f"backbone.layers.{i}."
+        t[p + "norm.weight"] = nrm(d)
+        t[p + "mixer.in_proj.weight"] = w(2 * di, d)
+        t[p + "mixer.conv1d.weight"] = w(di, 1, dc) * 3
+        t[p + "mixer.conv1d.bias"] = nrm(di) * 0.1
+        t[p + "mixer.x_proj.weight"] = w(dr + 2 * ds, di) * 2
+        t[p + "mixer.dt_proj.weight"] = w(di, dr) * 4
+        t[p + "mixer.dt_proj.bias"] = \
+            rng.uniform(-4, -1, di).astype(np.float32)
+        t[p + "mixer.A_log"] = \
+            np.log(rng.uniform(0.5, 4.0, (di, ds))).astype(np.float32)
+        t[p + "mixer.D"] = nrm(di)
+        t[p + "mixer.out_proj.weight"] = w(d, di)
+    hd_dir = tmp_path / "hf"
+    hd_dir.mkdir()
+    (hd_dir / "config.json").write_text(json.dumps(hf))
+    (hd_dir / "tokenizer.json").write_text(
+        json.dumps(_toy_unigram_tokenizer()))
+    _write_safetensors(str(hd_dir / "model.safetensors"), t)
+
+    out = str(tmp_path / "mamba.gguf")
+    md = convert_hf(str(hd_dir), out, fmt="q8_0")
+    assert md["general.architecture"] == "mamba"
+    assert md["mamba.ssm.inner_size"] == di
+    assert md["mamba.ssm.time_step_rank"] == dr
+    assert md["mamba.attention.head_count"] == 0
+
+    r = GGUFReader(out)
+    np.testing.assert_allclose(
+        r.load_array("blk.0.ssm_conv1d.weight"),
+        t["backbone.layers.0.mixer.conv1d.weight"].reshape(di, dc))
+    np.testing.assert_allclose(r.load_array("blk.0.ssm_a"),
+                               t["backbone.layers.0.mixer.A_log"])
+    r.close()
+
+    cfg, params = load_llama(out)
+    assert cfg.ssm_inner == di and cfg.ssm_dt_rank == dr
+    cache = init_kv_cache(cfg, batch=1)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 5, 9]], jnp.int32),
+                        jnp.zeros(1, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    assert np.isfinite(np.asarray(logits)).all()

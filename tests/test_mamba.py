@@ -1,0 +1,174 @@
+"""Mamba (arch mamba) selective-SSM serving.
+
+Pinned against a naive numpy Mamba-1 forward (per-timestep recurrence,
+materialized causal conv) reading the same GGUF — llama.cpp
+build_mamba / HF MambaMixer semantics. The recurrent cache replaces KV
+rows: tests cover prefill/decode state continuity, slot-reuse state
+reset (a recurrence must be zeroed explicitly where attention relies on
+the causal mask), and the engine path.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gguf_tpu.engine import LLM, SamplerConfig
+from gguf_tpu.gguf import GGMLType, GGUFReader
+from gguf_tpu.models import (LlamaConfig, MMOpts, forward, init_kv_cache,
+                             load_llama, write_random_llama_gguf)
+
+CFG = LlamaConfig(vocab_size=256, dim=128, n_layers=2, n_heads=0,
+                  n_kv_heads=0, ffn_dim=0, max_seq_len=64,
+                  ssm_inner=256, ssm_state=16, ssm_conv=4, ssm_dt_rank=8)
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mamba") / "m.gguf")
+    write_random_llama_gguf(path, CFG, fmt=GGMLType.Q8_0, seed=23,
+                            arch="mamba")
+    cfg, params = load_llama(path)
+    return path, cfg, params
+
+
+def _numpy_mamba(path, cfg, tokens):
+    r = GGUFReader(path)
+    deq = lambda n: r.dequantize(n)
+    la = lambda n: r.load_array(n)
+    b, t = tokens.shape
+    di, ds = cfg.ssm_inner, cfg.ssm_state
+    dr, dc = cfg.ssm_dt_rank, cfg.ssm_conv
+    eps = cfg.norm_eps
+
+    def rmsn(v, wt):
+        return v / np.sqrt(np.mean(v * v, -1, keepdims=True) + eps) * wt
+
+    def silu(v):
+        return v / (1 + np.exp(-v))
+
+    x = deq("token_embd.weight")[tokens.reshape(-1)].reshape(b, t, cfg.dim)
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        h = rmsn(x, la(p + "attn_norm.weight"))
+        xz = h @ deq(p + "ssm_in.weight").T
+        xi, z = xz[..., :di], xz[..., di:]
+
+        conv_w = la(p + "ssm_conv1d.weight")           # (di, dc)
+        conv_b = la(p + "ssm_conv1d.bias")
+        padded = np.concatenate([np.zeros((b, dc - 1, di)), xi], axis=1)
+        conv = np.zeros((b, t, di))
+        for ti in range(t):
+            win = padded[:, ti:ti + dc, :]             # (b, dc, di)
+            conv[:, ti] = np.einsum("bcd,dc->bd", win, conv_w) + conv_b
+        xc = silu(conv)
+
+        dbc = xc @ la(p + "ssm_x.weight").T
+        dt_lo, B_, C_ = dbc[..., :dr], dbc[..., dr:dr + ds], dbc[..., dr + ds:]
+        dt = np.logaddexp(0, dt_lo @ la(p + "ssm_dt.weight").T
+                          + la(p + "ssm_dt.bias"))      # softplus
+        A = -np.exp(la(p + "ssm_a"))                   # (di, ds)
+        D = la(p + "ssm_d")
+
+        state = np.zeros((b, di, ds))
+        y = np.zeros((b, t, di))
+        for ti in range(t):
+            dA = np.exp(dt[:, ti, :, None] * A[None])
+            state = state * dA + (dt[:, ti] * xc[:, ti])[:, :, None] \
+                * B_[:, ti, None, :]
+            y[:, ti] = np.einsum("bis,bs->bi", state, C_[:, ti])
+        y = y + D[None, None, :] * xc
+        y = y * silu(z)
+        x = x + y @ deq(p + "ssm_out.weight").T
+
+    x = rmsn(x, la("output_norm.weight"))
+    logits = x @ deq("output.weight").T
+    r.close()
+    return logits
+
+
+def test_mamba_config_and_cache_shape(model):
+    _, cfg, params = model
+    assert cfg.ssm_inner == 256 and cfg.ssm_conv == 4
+    assert cfg.n_heads == 0
+    cache = init_kv_cache(cfg, batch=2)
+    assert cache[0]["conv"].shape == (2, 3, 256)
+    assert cache[0]["ssm"].shape == (2, 256, 16)
+    assert "ssm_in" in params["layers"][0]
+
+
+def test_mamba_matches_numpy_reference(model):
+    path, cfg, params = model
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 9)).astype(np.int32)
+    cache = init_kv_cache(cfg, batch=2)
+    logits, _ = forward(params, cfg, jnp.asarray(tokens),
+                        jnp.zeros(2, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    ref = _numpy_mamba(path, cfg, tokens)
+    got = np.asarray(logits)
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 0.03, \
+        np.max(np.abs(got - ref)) / denom
+
+
+def test_mamba_prefill_equals_stepwise_decode(model):
+    """Recurrent state round-trips through the cache: chunked prefill +
+    t=1 decode equals the one-shot forward."""
+    path, cfg, params = model
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, cfg.vocab_size, (1, 8)).astype(np.int32)
+    cache = init_kv_cache(cfg, batch=1)
+    full, _ = forward(params, cfg, jnp.asarray(toks),
+                      jnp.zeros(1, jnp.int32), cache,
+                      opts=MMOpts(precision="high"))
+
+    cache = init_kv_cache(cfg, batch=1)
+    _, cache = forward(params, cfg, jnp.asarray(toks[:, :4]),
+                       jnp.zeros(1, jnp.int32), cache,
+                       opts=MMOpts(precision="high"))
+    _, cache = forward(params, cfg, jnp.asarray(toks[:, 4:7]),
+                       jnp.asarray([4], jnp.int32), cache,
+                       opts=MMOpts(precision="high"))
+    step, _ = forward(params, cfg, jnp.asarray(toks[:, 7:]),
+                      jnp.asarray([7], jnp.int32), cache,
+                      opts=MMOpts(precision="high"))
+    a, b = np.asarray(full)[0, -1], np.asarray(step)[0, 0]
+    denom = np.abs(a).max()
+    assert np.max(np.abs(a - b)) / denom < 0.02, np.max(np.abs(a - b)) / denom
+
+
+def test_mamba_state_resets_on_slot_reuse(model):
+    """pos==0 zeroes the recurrent state: a second prompt through the
+    same cache must match a fresh cache exactly."""
+    path, cfg, params = model
+    rng = np.random.default_rng(2)
+    t1 = rng.integers(0, cfg.vocab_size, (1, 6)).astype(np.int32)
+    t2 = rng.integers(0, cfg.vocab_size, (1, 5)).astype(np.int32)
+    cache = init_kv_cache(cfg, batch=1)
+    _, cache = forward(params, cfg, jnp.asarray(t1),
+                       jnp.zeros(1, jnp.int32), cache,
+                       opts=MMOpts(precision="high"))
+    reused, _ = forward(params, cfg, jnp.asarray(t2),
+                        jnp.zeros(1, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    fresh, _ = forward(params, cfg, jnp.asarray(t2),
+                       jnp.zeros(1, jnp.int32), init_kv_cache(cfg, batch=1),
+                       opts=MMOpts(precision="high"))
+    np.testing.assert_array_equal(np.asarray(reused), np.asarray(fresh))
+
+
+def test_mamba_engine_serving(model):
+    path, _, _ = model
+    llm = LLM(path, max_batch=2, max_seq=64)
+    assert not llm.prefix_cache        # rows-based reuse is off for ssm
+    g = SamplerConfig(temperature=0.0)
+    outs = llm.generate([[1, 5, 9], [2, 7]], max_new_tokens=8, sampler=g,
+                        stop_at_eos=False)
+    assert all(len(o.token_ids) == 8 for o in outs)
+    [again] = llm.generate([[1, 5, 9]], max_new_tokens=8, sampler=g,
+                           stop_at_eos=False)
+    assert again.token_ids == outs[0].token_ids
+
+    with pytest.raises(ValueError, match="recurrent"):
+        llm.save_state("/tmp/nope.npz", slot=0)

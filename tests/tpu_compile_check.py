@@ -153,6 +153,21 @@ def main():
                          stop_at_eos=False)
     assert all(len(r.token_ids) == 6 for r in dres)
     print("deepseek2 MLA generate: ok", [r.token_ids[:3] for r in dres])
+
+    # 3d. mamba: recurrent-state cache (lax.scan SSM recurrence + shifted
+    # conv slices) through prefill + chunked decode
+    mpath = os.path.join(tempfile.gettempdir(), "tpu_compile_check_mamba.gguf")
+    if not os.path.exists(mpath):
+        write_random_llama_gguf(mpath, LlamaConfig(
+            vocab_size=256, dim=256, n_layers=2, n_heads=0, n_kv_heads=0,
+            ffn_dim=0, max_seq_len=64, ssm_inner=512, ssm_state=16,
+            ssm_conv=4, ssm_dt_rank=16), seed=9, arch="mamba")
+    mllm = LLM(mpath, max_batch=2, max_seq=64)
+    mres = mllm.generate([[1, 2, 3], [4, 5]], max_new_tokens=6,
+                         sampler=SamplerConfig(temperature=0.0),
+                         stop_at_eos=False)
+    assert all(len(r.token_ids) == 6 for r in mres)
+    print("mamba generate: ok", [r.token_ids[:3] for r in mres])
     print("ALL TPU COMPILE CHECKS PASSED")
 
 
