@@ -28,6 +28,24 @@ from .bpe_tokenizer import tokenizer_from_metadata
 from .tokenizer import SPMTokenizer, fim_tokens_from_metadata
 
 
+def _decode_data_image(url: str):
+    """data:image/...;base64,... -> HxWx3 uint8 array (PIL decode)."""
+    import base64
+    import io
+
+    if not isinstance(url, str) or not url.startswith("data:"):
+        raise ValueError("image_url must be a data: URI (base64 image); "
+                         "remote URLs are not fetched")
+    try:
+        b64 = url.split(",", 1)[1]
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(base64.b64decode(b64)))
+        return np.asarray(img.convert("RGB"))
+    except Exception as e:
+        raise ValueError(f"could not decode image data URI: {e}") from e
+
+
 def encode_with_specials(tokenizer, text: str) -> list[int]:
     """Encode text that may contain special/control token strings (chat
     template output): exact occurrences map to their single token ids,
@@ -282,6 +300,7 @@ class LLM:
         ep: int = 1,
         prefill_chunk: int = 512,
         draft: str | None = None,
+        mmproj: str | None = None,
         prefix_cache: bool = True,
     ):
         """tp > 1 serves the model tensor-sharded (Megatron column/row
@@ -322,6 +341,19 @@ class LLM:
         # fill-in-middle control tokens (infill()/POST /infill); empty
         # dict when the vocabulary has none
         self.fim = fim_tokens_from_metadata(md)
+        # multimodal: mmproj GGUF (CLIP vision tower + projector) enables
+        # image elements in prompts (llama.cpp libmtmd lineage)
+        self.clip_cfg = self.clip_params = None
+        if mmproj is not None:
+            from ..models.clip import ClipVisionConfig, load_clip
+
+            assert tp == 1 and dp == 1 and sp == 1 and ep == 1, \
+                "multimodal serving is single-chip for now"
+            assert not self.cfg.ssm_inner, "mmproj needs an attention LM"
+            self.clip_cfg, self.clip_params = load_clip(mmproj)
+            assert self.clip_cfg.proj_dim in (0, self.cfg.dim), (
+                f"mmproj projects to {self.clip_cfg.proj_dim}, LM dim "
+                f"is {self.cfg.dim}")
         self.max_batch = max_batch
         self.max_seq = max_seq or self.cfg.max_seq_len
         self._reserved: set[int] = set()   # slots pinned by ChatSessions
@@ -356,9 +388,9 @@ class LLM:
             self.cache = init_kv_cache(self.cfg, max_batch, self.max_seq)
 
             def fwd(params, tokens, pos, cache, span=None, batch_axis=None,
-                    _cfg=self.cfg, _o=self.opts):
+                    embeds=None, _cfg=self.cfg, _o=self.opts):
                 return forward(params, _cfg, tokens, pos, cache, _o,
-                               span=span)
+                               span=span, embeds=embeds)
 
         def _make_prefill(fwd_fn):
             @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(6,))
@@ -381,6 +413,28 @@ class LLM:
             return _prefill
 
         _prefill = _make_prefill(fwd)
+
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(6,))
+        def _prefill_embeds(params, cache, emb, slot, start, last_idx, span):
+            """_prefill over pre-built input embeddings (the multimodal
+            path: text-token embeddings spliced with projected image
+            embeddings). Single-chip only."""
+            cache_1 = jax.tree_util.tree_map(
+                lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0),
+                cache)
+            tokens = jnp.zeros(emb.shape[:2], jnp.int32)
+            logits, cache_1 = fwd(params, tokens,
+                                  jnp.reshape(start, (1,)).astype(jnp.int32),
+                                  cache_1, span=span, embeds=emb)
+            cache = jax.tree_util.tree_map(
+                lambda c, c1: jax.lax.dynamic_update_slice_in_dim(
+                    c, c1, slot, axis=0),
+                cache, cache_1)
+            last = jax.lax.dynamic_slice_in_dim(logits, last_idx, 1, axis=1)
+            return last[0, 0], cache
+
+        self._prefill_embeds_fn = _prefill_embeds if self.mesh is None \
+            else None
 
         @functools.partial(jax.jit, donate_argnums=(1, 4),
                            static_argnums=(9, 10, 11, 12))
@@ -616,6 +670,47 @@ class LLM:
             raise ValueError("model file has no embedded tokenizer")
         return encode_with_specials(self.tokenizer, text)
 
+    _MEDIA_MARK = "\x00__media__\x00"
+
+    def encode_chat_mm(self, messages,
+                       add_generation_prompt: bool = True) -> list:
+        """encode_chat for messages whose content may be OpenAI
+        content-part lists ([{type: "text"}, {type: "image_url"}]):
+        image parts become projected-embedding spans in the returned
+        mixed prompt (token ids interleaved with image arrays, the
+        generate() multimodal format). Images must be data: URIs —
+        this server never fetches remote URLs."""
+        imgs, flat = [], []
+        for m in messages:
+            c = m.get("content")
+            if isinstance(c, list):
+                parts = []
+                for part in c:
+                    if part.get("type") == "image_url":
+                        u = part.get("image_url")
+                        u = u.get("url") if isinstance(u, dict) else u
+                        imgs.append(_decode_data_image(u))
+                        parts.append(self._MEDIA_MARK)
+                    else:
+                        parts.append(str(part.get("text", "")))
+                m = {**m, "content": "".join(parts)}
+            flat.append(m)
+        if not imgs:
+            return self.encode_chat(flat, add_generation_prompt)
+        if self.clip_cfg is None:
+            raise ValueError("chat contains images but the server was "
+                             "started without an mmproj model")
+        text = self.apply_chat_template(
+            flat, add_generation_prompt=add_generation_prompt)
+        pieces = text.split(self._MEDIA_MARK)
+        prompt: list = []
+        for i, piece in enumerate(pieces):
+            if piece:
+                prompt.extend(encode_with_specials(self.tokenizer, piece))
+            if i < len(pieces) - 1:
+                prompt.append(imgs[i])
+        return prompt
+
     # llama.cpp's fallback for template-less checkpoints: plain ChatML
     CHATML_TEMPLATE = (
         "{% for message in messages %}"
@@ -828,6 +923,96 @@ class LLM:
             if off >= n:
                 return logits
 
+    # ------------------------------------------------------- multimodal ---
+    def embed_image(self, img) -> np.ndarray:
+        """Image (HxWx3 array or PIL Image) -> (n_patches, dim) f32
+        embeddings in the LM's space, via the mmproj CLIP tower +
+        projector."""
+        from ..models.clip import encode_image, preprocess_image
+
+        assert self.clip_cfg is not None, "LLM(..., mmproj=...) not set"
+        px = preprocess_image(img, self.clip_cfg)
+        if not hasattr(self, "_clip_jit"):
+            self._clip_jit = jax.jit(functools.partial(
+                encode_image, self.clip_params, self.clip_cfg))
+        return np.asarray(self._clip_jit(jnp.asarray(px))[0])
+
+    def _prepare_prompt(self, prompt):
+        """prompt -> (ids, embeds|None). Text-only prompts pass through;
+        a list mixing token ids / text strings / images becomes a full
+        (n, dim) embedding matrix (image spans carry token id 0 in `ids`
+        for length bookkeeping — penalties/logprobs see the placeholder)."""
+        if isinstance(prompt, str):
+            return self._encode(prompt), None
+        els = list(prompt)
+        if all(isinstance(e, (int, np.integer)) for e in els):
+            return [int(e) for e in els], None
+        assert self.clip_cfg is not None, (
+            "prompt contains images but the LLM was loaded without "
+            "mmproj=")
+        segs = []
+        first_text = True
+        for el in els:
+            if isinstance(el, (int, np.integer)):
+                segs.append(("t", int(el)))
+            elif isinstance(el, str):
+                for tid in self.tokenizer.encode(el, add_bos=first_text):
+                    segs.append(("t", tid))
+                first_text = False
+            else:
+                segs.append(("i", self.embed_image(el)))
+        txt_ids = np.asarray([v for k, v in segs if k == "t"], np.int32)
+        if not hasattr(self, "_tok_embed_jit"):
+            from ..models.llama import embed as _embed
+
+            def _te(params, ids, _cfg=self.cfg):
+                e = _embed(params["token_embd"], ids)
+                if _cfg.embed_scale != 1.0:
+                    e = e * jnp.bfloat16(
+                        _cfg.embed_scale).astype(jnp.float32)
+                return e
+
+            self._tok_embed_jit = jax.jit(_te)
+        temb = (np.asarray(self._tok_embed_jit(self.params,
+                                               jnp.asarray(txt_ids)))
+                if len(txt_ids) else np.zeros((0, self.cfg.dim), np.float32))
+        ids: list[int] = []
+        rows = []
+        ti = 0
+        for k, v in segs:
+            if k == "t":
+                ids.append(v)
+                rows.append(temb[ti:ti + 1])
+                ti += 1
+            else:
+                ids.extend([0] * v.shape[0])
+                rows.append(v)
+        return ids, np.concatenate(rows, axis=0).astype(np.float32)
+
+    def _prefill_chunks_embeds(self, emb, slot: int, start: int = 0):
+        """_prefill_chunks over an (n, dim) embedding matrix."""
+        n = emb.shape[0]
+        assert start + n < self.max_seq, (start, n, self.max_seq)
+        assert self._prefill_embeds_fn is not None, \
+            "multimodal prefill is single-chip"
+        off = 0
+        while True:
+            tail = n - off
+            tp = min(self._bucket(tail), self.prefill_chunk)
+            while tp > self.max_seq - (start + off):
+                tp //= 2
+            take = min(tail, tp)
+            chunk = np.zeros((1, tp, emb.shape[1]), np.float32)
+            chunk[0, :take] = emb[off:off + take]
+            span = self._span_bucket(start + off + tp)
+            logits, self.cache = self._prefill_embeds_fn(
+                self.params, self.cache, jnp.asarray(chunk),
+                jnp.int32(slot), jnp.int32(start + off),
+                jnp.int32(take - 1), span)
+            off += take
+            if off >= n:
+                return logits
+
     def embed(self, prompts, pooling: str = "mean",
               normalize: bool = True) -> np.ndarray:
         """Sentence embeddings: one batched forward with the LM head
@@ -967,11 +1152,15 @@ class LLM:
                         and not sampler.logit_bias and not sampler.mirostat
                         and not sampler.uses_dry
                         and logprobs == 0)
-        queue = [(i, self._encode(p)) for i, p in enumerate(prompts)]
+        queue = [(i, *self._prepare_prompt(p)) for i, p in enumerate(prompts)]
+        if any(emb is not None for _, _, emb in queue):
+            assert speculative == 0, (
+                "speculative decoding over multimodal prompts is not "
+                "supported (the draft model cannot see image embeddings)")
         queue.reverse()  # pop() takes the earliest request
         results = {i: GenerationResult(prompt_ids=ids,
                                        logprobs=[] if logprobs else None)
-                   for i, ids in ((i, ids) for i, ids in reversed(queue))}
+                   for i, ids, _ in reversed(queue)}
 
         emitted = {i: 0 for i in results}
         done_emitted: set = set()
@@ -1018,22 +1207,27 @@ class LLM:
             for s in range(self.max_batch):
                 if slots[s] is not None or s in self._reserved or not queue:
                     continue
-                rid, ids = queue.pop()
+                rid, ids, emb = queue.pop()
                 n = len(ids)
                 assert n < self.max_seq, f"prompt ({n}) exceeds max_seq {self.max_seq}"
                 # prefix cache: reuse this slot's resident KV rows for the
                 # longest shared prompt prefix (capped at n-1 so the last
-                # token always runs — its logits seed sampling)
+                # token always runs — its logits seed sampling).
+                # Multimodal prompts never match: image spans carry
+                # placeholder ids that would alias unrelated content.
                 hist, rows = self._slot_history.pop(s, (None, 0))
                 common = 0
-                if self.prefix_cache and hist:
+                if self.prefix_cache and hist and emb is None:
                     lim = min(len(hist), rows, n - 1)
                     while common < lim and hist[common] == ids[common]:
                         common += 1
                     if common < 8:   # below a prefill bucket: not worth a
                         common = 0   # distinct start-offset specialization
                     self.prefix_cache_hits += common
-                logits = self._prefill_chunks(ids[common:], s, start=common)
+                logits = (self._prefill_chunks_embeds(emb, s)
+                          if emb is not None else
+                          self._prefill_chunks(ids[common:], s,
+                                               start=common))
                 if draft_active:
                     # the draft model drafts from its own cache: give it the
                     # same prompt at the same positions (no history is

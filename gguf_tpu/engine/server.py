@@ -557,15 +557,25 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                     messages = payload.get("messages")
                     if not isinstance(messages, list) or not messages:
                         raise ValueError("missing 'messages' list")
+                    has_parts = any(isinstance(m.get("content"), list)
+                                    for m in messages
+                                    if isinstance(m, dict))
                     if payload.get("session"):
+                        if has_parts:
+                            raise ValueError(
+                                "content-part messages (images) are not "
+                                "supported in 'session' mode")
                         # session requests carry the raw messages; the
                         # engine thread renders + diffs against its cache
                         prompt = messages
                     else:
                         try:
                             # token ids with template specials parsed to
-                            # single control-token ids (no double BOS)
-                            prompt = worker.llm.encode_chat(messages)
+                            # single control-token ids (no double BOS);
+                            # image_url parts become embedding spans
+                            prompt = (worker.llm.encode_chat_mm(messages)
+                                      if has_parts
+                                      else worker.llm.encode_chat(messages))
                         except ValueError:
                             raise
                         except Exception as e:  # jinja render errors
@@ -687,8 +697,9 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
 
 def serve(model: str, host: str = "0.0.0.0", port: int = 8000,
           max_batch: int = 8, tp: int = 1, dp: int = 1, sp: int = 1,
-          slot_save_path: str | None = None):
-    llm = LLM(model, max_batch=max_batch, tp=tp, dp=dp, sp=sp)  # generate() chunks decode
+          slot_save_path: str | None = None, mmproj: str | None = None):
+    llm = LLM(model, max_batch=max_batch, tp=tp, dp=dp, sp=sp,
+              mmproj=mmproj)  # generate() chunks decode
 
     worker = EngineWorker(llm)
     httpd = ThreadingHTTPServer((host, port),

@@ -826,8 +826,14 @@ def forward(
     span: int | None = None,
     return_hidden: bool = False,
     collect_sq: bool = False,
+    embeds: jax.Array | None = None,
 ):
     """Run T tokens through the decoder; returns (logits (B, T, vocab), cache).
+
+    `embeds` (B, T, dim): pre-computed input embeddings replace the token
+    lookup — the multimodal path, where a prompt mixes text-token
+    embeddings with projected vision embeddings (`tokens` is then only
+    read for its shape).
 
     T=1 is the decode step; T>1 is chunked prefill. Per-sequence positions
     support continuous batching (sequences at different depths in one batch).
@@ -840,9 +846,13 @@ def forward(
     (logits, cache, stats) with stats = [{name: (in_dim,) f32}, ...] per
     layer plus a trailing {"output": ...} entry for the LM head.
     """
-    x = embed(params["token_embd"], tokens)
-    if cfg.embed_scale != 1.0:   # gemma: sqrt(dim), rounded through bf16
-        x = x * jnp.bfloat16(cfg.embed_scale).astype(jnp.float32)
+    if embeds is not None:
+        # caller-prepared embeddings (text rows already embed_scale'd)
+        x = embeds.astype(jnp.float32)
+    else:
+        x = embed(params["token_embd"], tokens)
+        if cfg.embed_scale != 1.0:   # gemma: sqrt(dim), through bf16
+            x = x * jnp.bfloat16(cfg.embed_scale).astype(jnp.float32)
     x = x.astype(jnp.bfloat16)
     tok_pos = pos[:, None] + jnp.arange(tokens.shape[1])[None, :]
     rope = rope_for_cfg(tok_pos, cfg)

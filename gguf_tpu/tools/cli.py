@@ -233,7 +233,7 @@ def cmd_serve(args):
 
     serve(args.model, host=args.host, port=args.port,
           max_batch=args.max_batch, tp=args.tp, dp=args.dp, sp=args.sp,
-          slot_save_path=args.slot_save_path)
+          slot_save_path=args.slot_save_path, mmproj=args.mmproj)
 
 
 def cmd_bench(args):
@@ -396,6 +396,8 @@ def main(argv=None):
                    help="context-parallel ways (shards each KV cache's sequence dim)")
     s.add_argument("--slot-save-path", default=None,
                    help="directory for /slots/{id}?action=save|restore files")
+    s.add_argument("--mmproj", default=None,
+                   help="mmproj GGUF (CLIP vision tower) for image chat")
     s.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

@@ -168,6 +168,25 @@ def main():
                          stop_at_eos=False)
     assert all(len(r.token_ids) == 6 for r in mres)
     print("mamba generate: ok", [r.token_ids[:3] for r in mres])
+
+    # 3e. multimodal: CLIP tower + embeds-prefill path
+    from gguf_tpu.models.clip import ClipVisionConfig, write_random_mmproj
+
+    vpath = os.path.join(tempfile.gettempdir(), "tpu_compile_check_mm.gguf")
+    vcfg = ClipVisionConfig(
+        image_size=32, patch_size=8, dim=64, n_layers=2, n_heads=4,
+        ffn_dim=128, norm_eps=1e-5, proj_dim=512,
+        image_mean=(0.48, 0.46, 0.41), image_std=(0.27, 0.26, 0.28),
+        projector="mlp")
+    if not os.path.exists(vpath):
+        write_random_mmproj(vpath, vcfg, seed=11)
+    vllm = LLM(path, max_batch=2, max_seq=64, mmproj=vpath)
+    img = rng.random((32, 32, 3)).astype(np.float32)
+    vres = vllm.generate([[1, 2, img, 3]], max_new_tokens=4,
+                         sampler=SamplerConfig(temperature=0.0),
+                         stop_at_eos=False)
+    assert len(vres[0].token_ids) == 4
+    print("multimodal generate: ok", vres[0].token_ids)
     print("ALL TPU COMPILE CHECKS PASSED")
 
 
