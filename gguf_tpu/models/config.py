@@ -232,9 +232,9 @@ class LlamaConfig:
             # ROPE_TYPE_NORM (HF deepseek checkpoints store q_pe/k_pe in
             # interleaved order — modeling_deepseek un-interleaves before
             # its rotate-half, so the stored layout is llama-style)
-            rope_neox=arch in ("qwen2", "qwen3", "qwen3moe", "phi2", "phi3",
-                               "gemma", "gemma2", "gemma3", "olmo2",
-                               "starcoder2"),
+            rope_neox=arch in ("qwen2", "qwen2moe", "qwen3", "qwen3moe",
+                               "phi2", "phi3", "gemma", "gemma2", "gemma3",
+                               "olmo2", "starcoder2"),
             rope_yarn_log_mul=float(
                 g("rope.scaling.yarn_log_multiplier", 0.0) or 0.0),
             q_lora_rank=int(g("attention.q_lora_rank", 0) or 0),
@@ -246,8 +246,11 @@ class LlamaConfig:
             leading_dense_layers=int(g("leading_dense_block_count", 0) or 0),
             n_shared_experts=int(g("expert_shared_count", 0) or 0),
             routed_scale=float(g("expert_weights_scale", 1.0) or 1.0),
+            # qwen2moe (qwen1.5/2-MoE) does NOT renormalize top-k
+            # weights (llama.cpp build_qwen2moe norm_w=false)
             moe_renorm=(bool(g("expert_weights_norm", False))
-                        if arch == "deepseek2" else True),
+                        if arch == "deepseek2"
+                        else arch != "qwen2moe"),
             moe_gating=("sigmoid"
                         if int(g("expert_gating_func", 1) or 1) == 2
                         else "softmax"),

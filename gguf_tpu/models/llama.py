@@ -751,10 +751,17 @@ def moe_mlp(layer, x, cfg: LlamaConfig, opts: MMOpts):
     axes = tuple(a for a in (opts.axis_name, opts.ep_axis) if a)
     if axes:  # one psum finishes row-parallel down AND the expert partials
         acc = jax.lax.psum(acc, axes)
-    if "gate_shexp" in layer:   # deepseek2 shared experts: a dense FFN
+    if "gate_shexp" in layer:   # deepseek2/qwen2moe shared experts
         shared = mlp({"gate": layer["gate_shexp"], "up": layer["up_shexp"],
                       "down": layer["down_shexp"]}, x, opts, cfg.act_fn)
-        acc = acc + shared.reshape(b * t, -1).astype(jnp.float32)
+        shared = shared.reshape(b * t, -1).astype(jnp.float32)
+        if "gate_inp_shexp" in layer:
+            # qwen2moe: the shared expert is gated by a per-token sigmoid
+            sg = jax.nn.sigmoid(
+                x.reshape(b * t, -1).astype(jnp.float32)
+                @ layer["gate_inp_shexp"][:, None])
+            shared = shared * sg
+        acc = acc + shared
     return acc.astype(x.dtype).reshape(b, t, -1)
 
 

@@ -324,6 +324,12 @@ def load_llama(path: str):
                            ("down_shexp", "ffn_down_shexp.weight")):
                 if p + tk in reader.tensors:
                     layer[nk] = _load_weight(reader, p + tk)
+            if p + "ffn_gate_inp_shexp.weight" in reader.tensors:
+                # qwen2moe: (1, dim) sigmoid gate on the shared expert
+                layer["gate_inp_shexp"] = jnp.asarray(
+                    reader.load_array(
+                        p + "ffn_gate_inp_shexp.weight").reshape(-1),
+                    jnp.float32)
             if p + "exp_probs_b.bias" in reader.tensors:
                 layer["gate_inp_b"] = jnp.asarray(
                     reader.load_array(p + "exp_probs_b.bias"), jnp.float32)
@@ -732,6 +738,18 @@ def write_random_llama_gguf(
             ]:
                 tensors[p + name] = (fmt, shape,
                                      quantize_tensor(w(shape), fmt))
+            if arch == "qwen2moe" and cfg.n_shared_experts:
+                sf = f * cfg.n_shared_experts
+                for name, shape in [
+                    ("ffn_gate_shexp.weight", (sf, d)),
+                    ("ffn_up_shexp.weight", (sf, d)),
+                    ("ffn_down_shexp.weight", (d, sf)),
+                ]:
+                    tensors[p + name] = (fmt, shape,
+                                         quantize_tensor(w(shape), fmt))
+                tensors[p + "ffn_gate_inp_shexp.weight"] = (
+                    GGMLType.F32, (1, d),
+                    (rng.standard_normal((1, d)) * 0.2).astype(np.float32))
         elif arch == "starcoder2":   # gateless biased GELU FFN
             for name, shape in [
                 ("ffn_up.weight", (f, d)), ("ffn_down.weight", (d, f)),

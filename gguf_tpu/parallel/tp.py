@@ -107,7 +107,7 @@ LAYER_KINDS = {
     # deepseek2 MoE extras: shared experts are a dense FFN (col/row),
     # the V3 selection bias rides the replicated router
     "gate_shexp": COL, "up_shexp": COL, "down_shexp": ROW,
-    "gate_inp_b": REP,
+    "gate_inp_b": REP, "gate_inp_shexp": REP,
 }
 
 

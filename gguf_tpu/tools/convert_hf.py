@@ -144,6 +144,7 @@ def tokenizer_metadata(model_dir: str) -> dict:
 # with llama.expert_count set (llama.cpp's convention).
 _ARCHS = {"llama": "llama", "mistral": "llama", "mixtral": "llama",
           "qwen2": "qwen2", "qwen3": "qwen3", "qwen3_moe": "qwen3moe",
+          "qwen2_moe": "qwen2moe",
           "gemma": "gemma", "gemma2": "gemma2", "phi3": "phi3",
           "deepseek_v2": "deepseek2", "deepseek_v3": "deepseek2",
           "cohere": "command-r", "olmo2": "olmo2",
@@ -326,6 +327,29 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
             # folds mscale^2 into the attention score scale
             md[f"{arch}.rope.scaling.yarn_log_multiplier"] = float(
                 0.1 * float(rs["mscale_all_dim"]))
+    elif rs_type == "llama3":
+        # llama-3.1 NTK-by-parts: bake the per-dimension frequency
+        # divisors into a rope_freqs tensor (llama.cpp
+        # LlamaModel.generate_extra_tensors) — no runtime scaling kind
+        import math
+
+        factor = float(rs.get("factor", 8.0))
+        low_f = float(rs.get("low_freq_factor", 1.0))
+        high_f = float(rs.get("high_freq_factor", 4.0))
+        old_ctx = int(rs.get("original_max_position_embeddings", 8192))
+        base = float(hf.get("rope_theta", 10000.0))
+        facs = []
+        for i in range(0, head_dim, 2):
+            wavelen = 2 * math.pi * base ** (i / head_dim)
+            if wavelen < old_ctx / high_f:
+                facs.append(1.0)
+            elif wavelen > old_ctx / low_f:
+                facs.append(factor)
+            else:
+                smooth = (old_ctx / wavelen - low_f) / (high_f - low_f)
+                facs.append(1.0 / ((1.0 - smooth) / factor + smooth))
+        rope_factor_tensors["rope_freqs.weight"] = np.asarray(
+            facs, np.float32)
     elif rs_type in ("longrope", "su") or (
             "long_factor" in rs and "short_factor" in rs):
         # phi3 LongRoPE: factor tensors + the converter-computed
@@ -539,12 +563,21 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
                        f"block_sparse_moe.experts.{e}.w3.weight",
                        f"block_sparse_moe.experts.{e}.w2.weight")
                       for e in range(n_exp)]
-            else:                # qwen3_moe
+            else:                # qwen3_moe / qwen2_moe
                 router = get(hp + "mlp.gate.weight")
                 en = [(f"mlp.experts.{e}.gate_proj.weight",
                        f"mlp.experts.{e}.up_proj.weight",
                        f"mlp.experts.{e}.down_proj.weight")
                       for e in range(n_exp)]
+            if hp + "mlp.shared_expert.gate_proj.weight" in weights:
+                # qwen2_moe: sigmoid-gated shared expert beside the sum
+                for g2 in ("gate", "up", "down"):
+                    put(tensors, p + f"ffn_{g2}_shexp.weight",
+                        get(hp + f"mlp.shared_expert.{g2}_proj.weight"),
+                        target)
+                put(tensors, p + "ffn_gate_inp_shexp.weight",
+                    get(hp + "mlp.shared_expert_gate.weight"),
+                    GGMLType.F32)
             put(tensors, p + "ffn_gate_inp.weight", router, GGMLType.F32)
             put(tensors, p + "ffn_gate_exps.weight",
                 np.stack([get(hp + g) for g, _, _ in en]), target)

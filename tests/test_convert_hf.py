@@ -823,3 +823,46 @@ def test_convert_mamba(tmp_path):
                         jnp.zeros(1, jnp.int32), cache,
                         opts=MMOpts(precision="high"))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_convert_llama3_rope_freqs(tmp_path):
+    """rope_scaling type 'llama3' bakes NTK-by-parts per-dim divisors
+    into rope_freqs.weight (llama.cpp generate_extra_tensors math):
+    fast dims stay 1.0, slow dims get the full factor, the crossover is
+    smoothly interpolated — and the converted model serves with them."""
+    import math
+
+    d, t = _make_hf_dir(tmp_path, seed=61)
+    cfgp = json.loads((tmp_path / "hf" / "config.json").read_text())
+    cfgp["rope_scaling"] = {
+        "rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+        "high_freq_factor": 4.0, "original_max_position_embeddings": 64}
+    (tmp_path / "hf" / "config.json").write_text(json.dumps(cfgp))
+    out = str(tmp_path / "l31.gguf")
+    md = convert_hf(d, out, fmt="q8_0")
+    assert "llama.rope.scaling.type" not in md   # factors carry it all
+
+    from gguf_tpu.gguf import GGUFReader
+
+    r = GGUFReader(out)
+    facs = r.load_array("rope_freqs.weight")
+    r.close()
+    assert facs.shape == (HD // 2,)
+    base, old_ctx = 10000.0, 64
+    for i in range(0, HD, 2):
+        wavelen = 2 * math.pi * base ** (i / HD)
+        if wavelen < old_ctx / 4.0:
+            assert facs[i // 2] == pytest.approx(1.0)
+        elif wavelen > old_ctx / 1.0:
+            assert facs[i // 2] == pytest.approx(8.0)
+        else:
+            assert 1.0 < facs[i // 2] < 8.0
+    assert facs.max() == pytest.approx(8.0)   # slow dims hit the factor
+
+    cfg, params = load_llama(out)
+    assert cfg.rope_freq_factors is not None
+    cache = init_kv_cache(cfg, batch=1, max_seq=16)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 5, 9]], jnp.int32),
+                        jnp.zeros(1, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    assert np.isfinite(np.asarray(logits)).all()

@@ -111,7 +111,8 @@ def _numpy_moe_ffn(r, p, cfg, hf, gate_inp=None):
     order = np.argsort(-pe, axis=-1)[:, :cfg.n_experts_used]
     w = np.zeros_like(pe)
     np.put_along_axis(w, order, np.take_along_axis(pe, order, -1), -1)
-    w /= w.sum(-1, keepdims=True)
+    if cfg.moe_renorm:
+        w /= w.sum(-1, keepdims=True)
     gate = deq(p + "ffn_gate_exps.weight")   # (E, F, D)
     up = deq(p + "ffn_up_exps.weight")
     down = deq(p + "ffn_down_exps.weight")   # (E, D, F)
@@ -120,6 +121,16 @@ def _numpy_moe_ffn(r, p, cfg, hf, gate_inp=None):
         g = hf @ gate[e].T
         u = hf @ up[e].T
         out += w[:, e:e + 1] * ((g / (1 + np.exp(-g)) * u) @ down[e].T)
+    if p + "ffn_gate_shexp.weight" in r.tensors:
+        g = hf @ deq(p + "ffn_gate_shexp.weight").T
+        u = hf @ deq(p + "ffn_up_shexp.weight").T
+        sh = (g / (1 + np.exp(-g)) * u) @ deq(p + "ffn_down_shexp.weight").T
+        if p + "ffn_gate_inp_shexp.weight" in r.tensors:
+            # qwen2moe: per-token sigmoid gate on the shared expert
+            sg = hf @ r.load_array(
+                p + "ffn_gate_inp_shexp.weight").reshape(-1)[:, None]
+            sh = sh * (1 / (1 + np.exp(-sg)))
+        out += sh
     return out
 
 
@@ -281,6 +292,36 @@ def test_qwen3moe_family(tmp_path):
     assert "q_norm" in params["layers"][0]
     assert "gate_exps" in params["layers"][0]
     rng = np.random.default_rng(1)
+    tokens = rng.integers(0, lcfg.vocab_size, (2, 8)).astype(np.int32)
+    cache = init_kv_cache(lcfg, batch=2, max_seq=32)
+    logits, _ = forward(params, lcfg, jnp.asarray(tokens),
+                        jnp.zeros(2, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    ref = _numpy_moe_reference(path, lcfg, tokens)
+    got = np.asarray(logits)
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 0.03, \
+        np.max(np.abs(got - ref)) / denom
+
+
+def test_qwen2moe_family(tmp_path):
+    """Qwen2-MoE (arch qwen2moe, Qwen1.5/2-MoE GGUFs): NO top-k weight
+    renormalization (llama.cpp build_qwen2moe norm_w=false) plus a
+    sigmoid-gated shared expert beside the routed sum."""
+    cfg = LlamaConfig(
+        vocab_size=128, dim=512, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=512, max_seq_len=64, n_experts=4, n_experts_used=4,
+        n_shared_experts=1, moe_renorm=False, rope_neox=True,
+    )
+    path = str(tmp_path / "q2moe.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q8_0, seed=8,
+                            arch="qwen2moe")
+    lcfg, params = load_llama(path)
+    assert lcfg.rope_neox and not lcfg.moe_renorm
+    l0 = params["layers"][0]
+    assert "gate_shexp" in l0 and "gate_inp_shexp" in l0
+    assert l0["gate_inp_shexp"].shape == (512,)
+    rng = np.random.default_rng(2)
     tokens = rng.integers(0, lcfg.vocab_size, (2, 8)).astype(np.int32)
     cache = init_kv_cache(lcfg, batch=2, max_seq=32)
     logits, _ = forward(params, lcfg, jnp.asarray(tokens),
