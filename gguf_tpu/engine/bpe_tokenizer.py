@@ -106,6 +106,10 @@ def tokenizer_from_metadata(md: dict):
     model = md.get("tokenizer.ggml.model", "llama")
     if model == "gpt2":
         return BPETokenizer.from_gguf_metadata(md)
+    if model == "bert":
+        from .wordpiece import WordPieceTokenizer
+
+        return WordPieceTokenizer.from_gguf_metadata(md)
     from .tokenizer import SPMTokenizer
 
     return SPMTokenizer.from_gguf_metadata(md)

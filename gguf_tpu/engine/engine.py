@@ -330,6 +330,29 @@ class LLM:
         identical recomputation would produce). `llm.prefix_cache_hits`
         counts reused tokens."""
         self.cfg, self.params = load_llama(path)
+        if not self.cfg.causal:
+            # bert-family encoder: embedding serving only (embed() /
+            # /v1/embeddings); no cache, no generation machinery
+            assert tp == dp == sp == ep == 1 and draft is None \
+                and mmproj is None, "encoder models are single-chip"
+            with GGUFReader(path) as r:
+                md = r.metadata
+            self.tokenizer = tokenizer_from_metadata(md)
+            self.chat_template = None
+            self.fim = {}
+            self.clip_cfg = self.clip_params = None
+            self.max_batch = max_batch
+            self.max_seq = max_seq or self.cfg.max_seq_len
+            self.opts = opts
+            self.mesh = None
+            self.prefix_cache = False
+            self.prefix_cache_hits = 0
+            self._reserved = set()
+            self._slot_history = {}
+            self.prefill_chunk = max(8, prefill_chunk)
+            self.draft = None
+            self._draft_spec_decode = None
+            return
         sharded = tp > 1 or dp > 1 or sp > 1 or ep > 1
         # single-chip fuses here; the sharded path fuses inside shard_llama
         # (interleaved per tp shard)
@@ -649,6 +672,7 @@ class LLM:
     def start_session(self) -> ChatSession:
         """Pin a cache slot for multi-turn generation (see ChatSession).
         The slot is excluded from generate()'s pool until close()."""
+        assert self.cfg.causal, "encoder-only model: no chat sessions"
         free = [s for s in range(self.max_batch) if s not in self._reserved]
         if not free:
             raise RuntimeError("all slots reserved by sessions")
@@ -1013,6 +1037,45 @@ class LLM:
             if off >= n:
                 return logits
 
+    def _embed_encoder(self, prompts, pooling: str,
+                       normalize: bool) -> np.ndarray:
+        """bert-family path: one bidirectional pass + masked pooling."""
+        from ..models.bert import bert_forward
+
+        if not hasattr(self, "_bert_fwd"):
+            self._bert_fwd = jax.jit(functools.partial(
+                bert_forward, self.params, self.cfg))
+        ids = [self._encode(p) for p in prompts]
+        assert all(ids), "empty prompt"
+        n = len(ids)
+        lens = np.array([len(x) for x in ids])
+        t = self._bucket(int(lens.max()))
+        assert t <= self.max_seq, (t, self.max_seq)
+        nb = self._bucket(n)
+        toks = np.zeros((nb, t), np.int32)
+        if getattr(self.tokenizer, "pad_id", None):
+            toks += int(self.tokenizer.pad_id)
+        for i, x in enumerate(ids):
+            toks[i, :len(x)] = x
+        lens_full = np.ones(nb, np.int64)
+        lens_full[:n] = lens
+        hidden = np.asarray(self._bert_fwd(
+            jnp.asarray(toks), jnp.asarray(lens_full, jnp.int32)))[:n]
+        if self.cfg.pooling != "none":   # the checkpoint's contract wins
+            pooling = self.cfg.pooling
+        out = np.zeros((n, hidden.shape[-1]), np.float32)
+        for i in range(n):
+            if pooling == "cls":
+                out[i] = hidden[i, 0]
+            elif pooling == "last":
+                out[i] = hidden[i, lens[i] - 1]
+            else:
+                out[i] = hidden[i, :lens[i]].mean(axis=0)
+        if normalize:
+            out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True),
+                              1e-12)
+        return out
+
     def embed(self, prompts, pooling: str = "mean",
               normalize: bool = True) -> np.ndarray:
         """Sentence embeddings: one batched forward with the LM head
@@ -1023,7 +1086,12 @@ class LLM:
 
         Pad tokens cannot leak into the result: they sit after the real
         tokens, so causal attention never lets a real position see them,
-        and pooling masks them out."""
+        and pooling masks them out.
+
+        bert-family encoders route to the bidirectional forward; their
+        GGUF pooling_type (mean/cls/last) overrides `pooling`."""
+        if not self.cfg.causal:
+            return self._embed_encoder(prompts, pooling, normalize)
         assert pooling in ("mean", "last"), pooling
         assert self.mesh is None, "embed() is single-chip for now"
         if not hasattr(self, "_embed_fwd"):
@@ -1115,6 +1183,8 @@ class LLM:
         masked sampling (a Gumbel-ordered candidate walk touches only a
         handful of tokens per step). Requires an embedded tokenizer;
         incompatible with speculative/logprobs."""
+        assert self.cfg.causal, (
+            "encoder-only (bert-family) model: use embed(), not generate()")
         t_start = time.perf_counter()
         g_samplers: dict = {}
         g_rng = None

@@ -130,6 +130,10 @@ class LlamaConfig:
     ssm_state: int = 0       # d_state (16)
     ssm_conv: int = 0        # d_conv  (4)
     ssm_dt_rank: int = 0     # time-step rank (ceil(dim / 16))
+    # bert-family encoders (arch bert / nomic-bert): bidirectional
+    # attention, no KV cache/generation — embedding models only
+    causal: bool = True
+    pooling: str = "none"    # none | mean | cls | last ({arch}.pooling_type)
 
     @property
     def head_dim(self) -> int:
@@ -192,6 +196,9 @@ class LlamaConfig:
             n_heads=n_heads,
             n_kv_heads=int(g("attention.head_count_kv", n_heads) or 0),
             ffn_dim=int(g("feed_forward_length") or 0),
+            causal=bool(g("attention.causal", True)),
+            pooling={0: "none", 1: "mean", 2: "cls", 3: "last"}.get(
+                int(g("pooling_type", 0) or 0), "none"),
             ssm_inner=int(g("ssm.inner_size", 0) or 0),
             ssm_state=int(g("ssm.state_size", 0) or 0),
             ssm_conv=int(g("ssm.conv_kernel", 0) or 0),
@@ -319,6 +326,11 @@ class LlamaConfig:
                if self.residual_scale != 1.0 else {}),
             **({f"{arch}.attention.scale": self.attn_scale}
                if self.attn_scale else {}),
+            **({f"{arch}.attention.causal": False,
+                f"{arch}.pooling_type":
+                    {"none": 0, "mean": 1, "cls": 2, "last": 3}[
+                        self.pooling]}
+               if not self.causal else {}),
             **({f"{arch}.ssm.inner_size": self.ssm_inner,
                 f"{arch}.ssm.state_size": self.ssm_state,
                 f"{arch}.ssm.conv_kernel": self.ssm_conv,

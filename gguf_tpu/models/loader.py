@@ -221,6 +221,12 @@ def load_llama(path: str):
         return _load_phi3(reader, cfg)
     if cfg.ssm_inner:
         return _load_mamba(reader, cfg)
+    if not cfg.causal:   # bert-family encoder (embedding models)
+        from .bert import load_bert
+
+        params = load_bert(reader, cfg)
+        reader.close()
+        return cfg, params
 
     params = {
         "token_embd": _load_weight(reader, "token_embd.weight"),
