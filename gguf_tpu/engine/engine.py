@@ -1076,6 +1076,41 @@ class LLM:
                               1e-12)
         return out
 
+    def rerank(self, query: str, documents: list[str]) -> np.ndarray:
+        """Relevance scores (N,) for (query, doc) pairs through a
+        reranker checkpoint (bert arch, pooling_type rank, cls head) —
+        each pair encodes as [CLS] query [SEP] doc [SEP] (llama.cpp
+        /v1/rerank formatting)."""
+        from ..models.bert import bert_forward, rank_scores
+
+        assert not self.cfg.causal and "cls" in self.params, (
+            "rerank() needs a reranker checkpoint "
+            "(bert arch with a cls head)")
+        tok = self.tokenizer
+        ids = []
+        for doc in documents:
+            q = tok.encode(query)                      # [CLS] q [SEP]
+            d = tok.encode(doc, add_bos=False) + [tok.sep_id]
+            ids.append((q + d)[:self.max_seq])
+        lens = np.array([len(x) for x in ids])
+        t = self._bucket(int(lens.max()))
+        nb = self._bucket(len(ids))
+        toks = np.zeros((nb, t), np.int32)
+        for i, x in enumerate(ids):
+            toks[i, :len(x)] = x
+        lens_full = np.ones(nb, np.int64)
+        lens_full[:len(ids)] = lens
+        if not hasattr(self, "_rank_fwd"):
+            def _rfwd(params, toks, lens, _cfg=self.cfg):
+                hidden = bert_forward(params, _cfg, toks, lens)
+                return rank_scores(params, _cfg, hidden)
+
+            self._rank_fwd = jax.jit(_rfwd)
+        scores = np.asarray(self._rank_fwd(
+            self.params, jnp.asarray(toks),
+            jnp.asarray(lens_full, jnp.int32)))
+        return scores[:len(ids)]
+
     def embed(self, prompts, pooling: str = "mean",
               normalize: bool = True) -> np.ndarray:
         """Sentence embeddings: one batched forward with the LM head

@@ -37,6 +37,7 @@ class _Request:
         self.stop = stop
         self.stop_ids = stop_ids        # extra terminator ids (/infill EOT)
         self.slot_op = None             # ("save"|"restore"|"erase", slot, path)
+        self.rerank = None              # (query, documents) for /v1/rerank
         self.stream = stream
         self.logprobs = logprobs
         self.session = session          # conversation id (chat sessions)
@@ -191,11 +192,27 @@ class EngineWorker:
         self.metrics["requests_total"] += 1
         r.done.set()
 
+    def _run_rerank(self, r: _Request) -> None:
+        t0 = time.monotonic()
+        try:
+            query, docs = r.rerank
+            scores = self.llm.rerank(query, docs)
+            r.result = [{"index": i, "relevance_score": float(s)}
+                        for i, s in enumerate(scores)]
+        except Exception as e:
+            r.error = str(e)
+            self.metrics["requests_failed"] += 1
+        self.metrics["requests_total"] += 1
+        self.metrics["engine_busy_s_total"] += time.monotonic() - t0
+        r.done.set()
+
     def _run(self) -> None:
         while True:
             batch = self._drain_batch()
             for r in [x for x in batch if x.slot_op is not None]:
                 self._run_slot_op(r)
+            for r in [x for x in batch if x.rerank is not None]:
+                self._run_rerank(r)
             # session-bound requests run through their pinned slots, one at
             # a time (their KV prefix lives in a specific slot)
             for r in [x for x in batch if x.session is not None]:
@@ -203,7 +220,7 @@ class EngineWorker:
             for r in [x for x in batch if x.embed]:
                 self._run_embed(r)
             batch = [x for x in batch if x.session is None and not x.embed
-                     and x.slot_op is None]
+                     and x.slot_op is None and x.rerank is None]
             if not batch:
                 continue
             # group by sampler/max_tokens (static jit args); serve each group
@@ -527,6 +544,33 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
         def do_POST(self):
             if self.path.startswith("/slots/"):
                 self._do_slot_op()
+                return
+            if self.path in ("/v1/rerank", "/rerank", "/v1/reranking"):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    query = payload["query"]
+                    docs = payload["documents"]
+                    if not isinstance(docs, list) or not docs:
+                        raise ValueError("'documents' must be a non-empty "
+                                         "list of strings")
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    self._reply(400, {"error": str(e)})
+                    return
+                req = _Request(None, 0, None, 0)
+                req.rerank = (str(query), [str(d) for d in docs])
+                worker.submit(req)
+                req.done.wait()
+                if req.error:
+                    self._reply(400, {"error": req.error})
+                    return
+                top_n = payload.get("top_n")
+                results = sorted(req.result,
+                                 key=lambda x: -x["relevance_score"])
+                if top_n:
+                    results = results[:int(top_n)]
+                self._reply(200, {"model": payload.get("model", "default"),
+                                  "results": results})
                 return
             if self.path in ("/v1/embeddings", "/embeddings"):
                 self._do_embeddings()

@@ -61,7 +61,24 @@ def load_bert(reader, cfg: LlamaConfig):
         if has(p + "ffn_gate.weight"):   # nomic-bert SwiGLU
             layer["gate"] = (t(p + "ffn_gate.weight"), None)
         params["layers"].append(layer)
+    if has("cls.weight"):   # reranker classification head (pooling rank)
+        params["cls"] = (t("cls.weight"), t("cls.bias")
+                         if has("cls.bias") else None)
+        if has("cls.output.weight"):   # optional second projection
+            params["cls_out"] = (t("cls.output.weight"),
+                                 t("cls.output.bias")
+                                 if has("cls.output.bias") else None)
     return params
+
+
+def rank_scores(params, cfg: LlamaConfig, hidden) -> "jax.Array":
+    """Reranker head: CLS hidden state -> relevance score per sequence
+    (llama.cpp pooling RANK: cls [+ tanh + cls.output])."""
+    x = hidden[:, 0, :]                  # CLS row
+    x = _lin(params["cls"], x)
+    if "cls_out" in params:
+        x = _lin(params["cls_out"], jnp.tanh(x))
+    return x[:, 0]
 
 
 def _ln(x, wb, eps):
@@ -158,6 +175,9 @@ def write_random_bert_gguf(path: str, cfg: LlamaConfig, seed: int = 0,
         for name in ("attn_output_norm", "layer_output_norm"):
             tensors[p + name + ".weight"] = f32(nrm(d))
             tensors[p + name + ".bias"] = f32(w(d))
+    if cfg.pooling == "rank":   # reranker cls head
+        tensors["cls.weight"] = f32(w(1, d))
+        tensors["cls.bias"] = f32(w(1))
     md = cfg.to_gguf_metadata(arch)
     md.update(extra_metadata or {})
     write_gguf(path, md, tensors)

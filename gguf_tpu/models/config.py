@@ -133,7 +133,9 @@ class LlamaConfig:
     # bert-family encoders (arch bert / nomic-bert): bidirectional
     # attention, no KV cache/generation — embedding models only
     causal: bool = True
-    pooling: str = "none"    # none | mean | cls | last ({arch}.pooling_type)
+    pooling: str = "none"    # none | mean | cls | last | rank
+                             # ({arch}.pooling_type; rank = reranker
+                             # with a cls classification head)
 
     @property
     def head_dim(self) -> int:
@@ -197,8 +199,9 @@ class LlamaConfig:
             n_kv_heads=int(g("attention.head_count_kv", n_heads) or 0),
             ffn_dim=int(g("feed_forward_length") or 0),
             causal=bool(g("attention.causal", True)),
-            pooling={0: "none", 1: "mean", 2: "cls", 3: "last"}.get(
-                int(g("pooling_type", 0) or 0), "none"),
+            pooling={0: "none", 1: "mean", 2: "cls", 3: "last",
+                     4: "rank"}.get(int(g("pooling_type", 0) or 0),
+                                    "none"),
             ssm_inner=int(g("ssm.inner_size", 0) or 0),
             ssm_state=int(g("ssm.state_size", 0) or 0),
             ssm_conv=int(g("ssm.conv_kernel", 0) or 0),
@@ -328,8 +331,8 @@ class LlamaConfig:
                if self.attn_scale else {}),
             **({f"{arch}.attention.causal": False,
                 f"{arch}.pooling_type":
-                    {"none": 0, "mean": 1, "cls": 2, "last": 3}[
-                        self.pooling]}
+                    {"none": 0, "mean": 1, "cls": 2, "last": 3,
+                     "rank": 4}[self.pooling]}
                if not self.causal else {}),
             **({f"{arch}.ssm.inner_size": self.ssm_inner,
                 f"{arch}.ssm.state_size": self.ssm_state,

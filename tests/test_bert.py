@@ -229,3 +229,61 @@ def test_bert_embeddings_endpoint(model):
         assert len(out["data"][0]["embedding"]) == CFG.dim
     finally:
         httpd.shutdown()
+
+
+def test_rerank_scores_and_endpoint(tmp_path):
+    """Reranker (pooling rank + cls head): pair encoding, numpy-pinned
+    scores, and the /v1/rerank endpoint with score-sorted results."""
+    import dataclasses
+
+    from gguf_tpu.models.bert import rank_scores  # noqa: F401
+
+    cfg = dataclasses.replace(CFG, pooling="rank")
+    path = str(tmp_path / "rank.gguf")
+    write_random_bert_gguf(path, cfg, seed=45, extra_metadata=_bert_md())
+    llm = LLM(path, max_batch=2)
+    assert llm.cfg.pooling == "rank" and "cls" in llm.params
+
+    docs = ["hello world", "unaffable running world hello"]
+    scores = llm.rerank("hello", docs)
+    assert scores.shape == (2,)
+
+    # numpy pin: [CLS] q [SEP] d [SEP] through the reference encoder,
+    # then the cls head on the CLS row
+    r = GGUFReader(path)
+    cls_w, cls_b = r.load_array("cls.weight"), r.load_array("cls.bias")
+    r.close()
+    tok = llm.tokenizer
+    for i, doc in enumerate(docs):
+        ids = tok.encode("hello") + tok.encode(doc, add_bos=False) + \
+            [tok.sep_id]
+        ref_h = _numpy_bert(path, llm.cfg,
+                            np.asarray([ids], np.int32),
+                            np.array([len(ids)]))
+        ref = (ref_h[0, 0] @ cls_w.T + cls_b)[0]
+        assert abs(scores[i] - ref) < 1e-3 * max(1.0, abs(ref)), (i, scores[i], ref)
+
+    # endpoint
+    from http.server import ThreadingHTTPServer
+
+    from gguf_tpu.engine.server import EngineWorker, make_handler
+
+    worker = EngineWorker(llm)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/rerank",
+            data=json.dumps({"query": "hello",
+                             "documents": docs, "top_n": 1}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            out = json.loads(resp.read())
+        assert len(out["results"]) == 1
+        best = int(np.argmax(scores))
+        assert out["results"][0]["index"] == best
+        assert out["results"][0]["relevance_score"] == \
+            pytest.approx(float(scores[best]), abs=1e-5)
+    finally:
+        httpd.shutdown()
