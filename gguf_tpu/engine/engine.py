@@ -330,6 +330,9 @@ class LLM:
         identical recomputation would produce). `llm.prefix_cache_hits`
         counts reused tokens."""
         self.cfg, self.params = load_llama(path)
+        if self.cfg.ssm_inner:
+            assert tp == dp == sp == ep == 1, (
+                "mamba (recurrent-state) serving is single-chip for now")
         if not self.cfg.causal:
             # bert-family encoder: embedding serving only (embed() /
             # /v1/embeddings); no cache, no generation machinery
@@ -411,22 +414,26 @@ class LLM:
             self.cache = init_kv_cache(self.cfg, max_batch, self.max_seq)
 
             def fwd(params, tokens, pos, cache, span=None, batch_axis=None,
-                    embeds=None, _cfg=self.cfg, _o=self.opts):
+                    embeds=None, t_real=None, _cfg=self.cfg, _o=self.opts):
                 return forward(params, _cfg, tokens, pos, cache, _o,
-                               span=span, embeds=embeds)
+                               span=span, embeds=embeds, t_real=t_real)
 
-        def _make_prefill(fwd_fn):
+        def _make_prefill(fwd_fn, pass_t_real: bool = False):
             @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(6,))
             def _prefill(params, cache, tokens, slot, start, last_idx, span):
                 """Prefill one prompt chunk into cache slot `slot` at positions
                 start..start+t-1; returns the logits of the chunk's token
                 `last_idx` (only meaningful on the final chunk). `span` is the
-                scheduler's static bound on start + t."""
+                scheduler's static bound on start + t. `last_idx + 1` is also
+                the chunk's REAL length — recurrent (mamba) layers must not
+                run the bucket padding through their state."""
+                extra = {"t_real": last_idx + 1} if pass_t_real else {}
                 cache_1 = jax.tree_util.tree_map(
                     lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0), cache)
                 logits, cache_1 = fwd_fn(params, tokens,
                                          jnp.reshape(start, (1,)).astype(jnp.int32),
-                                         cache_1, span=span, batch_axis=None)
+                                         cache_1, span=span, batch_axis=None,
+                                         **extra)
                 cache = jax.tree_util.tree_map(
                     lambda c, c1: jax.lax.dynamic_update_slice_in_dim(c, c1, slot, axis=0),
                     cache, cache_1)
@@ -435,7 +442,10 @@ class LLM:
 
             return _prefill
 
-        _prefill = _make_prefill(fwd)
+        # mamba's recurrence must see the chunk's real length; the tp
+        # forward fn takes no t_real kwarg (sharded mamba is guarded off)
+        _prefill = _make_prefill(
+            fwd, pass_t_real=bool(self.cfg.ssm_inner) and self.mesh is None)
 
         @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(6,))
         def _prefill_embeds(params, cache, emb, slot, start, last_idx, span):
@@ -975,14 +985,14 @@ class LLM:
             "prompt contains images but the LLM was loaded without "
             "mmproj=")
         segs = []
-        first_text = True
         for el in els:
             if isinstance(el, (int, np.integer)):
                 segs.append(("t", int(el)))
             elif isinstance(el, str):
-                for tid in self.tokenizer.encode(el, add_bos=first_text):
+                # BOS only at true position 0: an image- or id-led prompt
+                # must not grow a BOS mid-sequence
+                for tid in self.tokenizer.encode(el, add_bos=not segs):
                     segs.append(("t", tid))
-                first_text = False
             else:
                 segs.append(("i", self.embed_image(el)))
         txt_ids = np.asarray([v for k, v in segs if k == "t"], np.int32)
@@ -1063,6 +1073,10 @@ class LLM:
             jnp.asarray(toks), jnp.asarray(lens_full, jnp.int32)))[:n]
         if self.cfg.pooling != "none":   # the checkpoint's contract wins
             pooling = self.cfg.pooling
+        if pooling == "rank":
+            raise ValueError(
+                "this checkpoint is a reranker (pooling_type rank): its "
+                "cls head yields scores, not embeddings — use rerank()")
         out = np.zeros((n, hidden.shape[-1]), np.float32)
         for i in range(n):
             if pooling == "cls":

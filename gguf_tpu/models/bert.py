@@ -82,10 +82,10 @@ def rank_scores(params, cfg: LlamaConfig, hidden) -> "jax.Array":
 
 
 def _ln(x, wb, eps):
-    w, b = wb
-    m = x.mean(-1, keepdims=True)
-    v = ((x - m) ** 2).mean(-1, keepdims=True)
-    return (x - m) * jax.lax.rsqrt(v + eps) * w + b
+    """(weight, bias)-tuple adapter over the shared LayerNorm."""
+    from .llama import layer_norm
+
+    return layer_norm(x, wb[0], wb[1], eps)
 
 
 def _lin(wb, x):

@@ -145,11 +145,7 @@ def preprocess_image(img, cfg: ClipVisionConfig) -> np.ndarray:
     return (img - mean) / std
 
 
-def _ln(x, wb, eps):
-    w, b = wb
-    m = x.mean(-1, keepdims=True)
-    v = ((x - m) ** 2).mean(-1, keepdims=True)
-    return (x - m) * jax.lax.rsqrt(v + eps) * w + b
+from .bert import _ln  # shared (weight, bias)-tuple LayerNorm adapter
 
 
 def encode_image(params, cfg: ClipVisionConfig, pixels) -> jax.Array:

@@ -69,6 +69,10 @@ class LlamaConfig:
     # 0 = dense FFN; > 0 switches every layer's FFN to top-k routed experts.
     n_experts: int = 0
     n_experts_used: int = 0
+    # routed experts' FFN width when it differs from the dense ffn_dim
+    # ({arch}.expert_feed_forward_length — DeepSeek-V2, Qwen-MoE);
+    # 0 = same as ffn_dim
+    expert_ffn_dim: int = 0
     # gemma2-family switches:
     # sliding-window attention — layer i attends only the last
     # sliding_window positions when swa_pattern > 1 and
@@ -228,6 +232,7 @@ class LlamaConfig:
                       else None),
             n_experts=int(g("expert_count", 0) or 0),
             n_experts_used=int(g("expert_used_count", 0) or 0),
+            expert_ffn_dim=int(g("expert_feed_forward_length", 0) or 0),
             sliding_window=int(g("attention.sliding_window", 0) or 0),
             # llama.cpp set_swa_pattern: every nth layer stays global —
             # gemma2 alternates 1:1, gemma3 runs 5 local : 1 global
@@ -311,6 +316,8 @@ class LlamaConfig:
             **({f"{arch}.expert_count": self.n_experts,
                 f"{arch}.expert_used_count": self.n_experts_used}
                if self.n_experts else {}),
+            **({f"{arch}.expert_feed_forward_length": self.expert_ffn_dim}
+               if self.expert_ffn_dim else {}),
             **({f"{arch}.attention.sliding_window": self.sliding_window}
                if self.sliding_window else {}),
             **({f"{arch}.rope.freq_base_swa": self.rope_theta_swa}

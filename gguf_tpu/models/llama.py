@@ -834,8 +834,13 @@ def forward(
     return_hidden: bool = False,
     collect_sq: bool = False,
     embeds: jax.Array | None = None,
+    t_real=None,
 ):
     """Run T tokens through the decoder; returns (logits (B, T, vocab), cache).
+
+    `t_real` (dynamic scalar): real timestep count when the caller padded
+    T to a bucket — only recurrent (mamba) layers need it; attention's
+    causal mask already hides trailing pads.
 
     `embeds` (B, T, dim): pre-computed input embeddings replace the token
     lookup — the multimodal path, where a prompt mixes text-token
@@ -885,7 +890,8 @@ def forward(
 
             if collect_sq:
                 ls["ssm_in"] = sumsq(h)
-            out, cache_l = mamba_block(layer, h, cfg, cache[i], pos, opts)
+            out, cache_l = mamba_block(layer, h, cfg, cache[i], pos, opts,
+                                       t_real=t_real)
             x = x + out
             if collect_sq:
                 stats.append(ls)

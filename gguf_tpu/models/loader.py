@@ -130,16 +130,39 @@ def pad_ffn_for_tp(params: dict, cfg: LlamaConfig, tp: int):
     carry the per-expert axes after the leading E dim)."""
     granule = 256 * tp
     ffn = cfg.ffn_dim
-    ffn_pad = _ffn_pad_target(ffn, granule)
-    if ffn_pad == ffn:
+    ffn_pad = _ffn_pad_target(ffn, granule) if ffn else 0
+    # MoE checkpoints route through experts of their OWN width
+    # (expert_feed_forward_length — DeepSeek-V2 1408 vs dense 10944,
+    # Qwen1.5-MoE 1408 vs 5632); shared experts are n_shared stacked
+    # expert-width FFNs
+    e_ffn = cfg.expert_ffn_dim or ffn
+    e_pad = _ffn_pad_target(e_ffn, granule) if e_ffn else 0
+    if ffn_pad == ffn and e_pad == e_ffn:
         return params, cfg
     layers = []
     for layer in params["layers"]:
         layer = dict(layer)
         if "gate_exps" in layer:
-            layer["gate_exps"] = _pad_exps(layer["gate_exps"], ffn, ffn_pad, "m")
-            layer["up_exps"] = _pad_exps(layer["up_exps"], ffn, ffn_pad, "m")
-            layer["down_exps"] = _pad_exps(layer["down_exps"], ffn, ffn_pad, "k")
+            if e_pad != e_ffn:
+                layer["gate_exps"] = _pad_exps(layer["gate_exps"],
+                                               e_ffn, e_pad, "m")
+                layer["up_exps"] = _pad_exps(layer["up_exps"],
+                                             e_ffn, e_pad, "m")
+                layer["down_exps"] = _pad_exps(layer["down_exps"],
+                                               e_ffn, e_pad, "k")
+            if "gate_shexp" in layer:
+                s_ffn = layer["up_shexp"].shape[0]
+                s_pad = _ffn_pad_target(s_ffn, granule)
+                if s_pad != s_ffn:
+                    layer["gate_shexp"] = _pad_cols_to(layer["gate_shexp"],
+                                                       s_pad)
+                    layer["up_shexp"] = _pad_cols_to(layer["up_shexp"],
+                                                     s_pad)
+                    layer["down_shexp"] = _pad_k_to(layer["down_shexp"],
+                                                    s_pad)
+            layers.append(layer)
+            continue
+        if ffn_pad == ffn or "up" not in layer:
             layers.append(layer)
             continue
         if "gate" in layer:
@@ -152,7 +175,9 @@ def pad_ffn_for_tp(params: dict, cfg: LlamaConfig, tp: int):
                 np.pad(b, (0, ffn_pad - b.shape[0])))
         layers.append(layer)
     params = {**params, "layers": layers}
-    return params, dataclasses.replace(cfg, ffn_dim=ffn_pad)
+    return params, dataclasses.replace(
+        cfg, ffn_dim=ffn_pad or cfg.ffn_dim,
+        expert_ffn_dim=e_pad if cfg.expert_ffn_dim else cfg.expert_ffn_dim)
 
 
 def _load_weight(reader: GGUFReader, name: str, rows: slice | None = None):
@@ -673,18 +698,19 @@ def write_random_llama_gguf(
                 fmt, (d, h * vd), quantize_tensor(w((d, h * vd)), fmt))
             if cfg.n_experts and i >= cfg.leading_dense_layers:
                 e = cfg.n_experts
+                ef = cfg.expert_ffn_dim or f
                 tensors[p + "ffn_gate_inp.weight"] = (
                     GGMLType.F32, (e, d),
                     (rng.standard_normal((e, d)) * 0.15).astype(np.float32))
                 for name, shape in [
-                    ("ffn_gate_exps.weight", (e, f, d)),
-                    ("ffn_up_exps.weight", (e, f, d)),
-                    ("ffn_down_exps.weight", (e, d, f)),
+                    ("ffn_gate_exps.weight", (e, ef, d)),
+                    ("ffn_up_exps.weight", (e, ef, d)),
+                    ("ffn_down_exps.weight", (e, d, ef)),
                 ]:
                     tensors[p + name] = (fmt, shape,
                                          quantize_tensor(w(shape), fmt))
                 if cfg.n_shared_experts:
-                    sf = f * cfg.n_shared_experts
+                    sf = ef * cfg.n_shared_experts
                     for name, shape in [
                         ("ffn_gate_shexp.weight", (sf, d)),
                         ("ffn_up_shexp.weight", (sf, d)),
@@ -734,18 +760,19 @@ def write_random_llama_gguf(
             # shardings/compilations don't hit top-k near-ties (a routing
             # flip from bf16 rounding changes a token's output by the
             # expert disagreement, which no numeric tolerance absorbs)
+            ef = cfg.expert_ffn_dim or f
             tensors[p + "ffn_gate_inp.weight"] = (
                 GGMLType.F32, (e, d),
                 (rng.standard_normal((e, d)) * 0.15).astype(np.float32))
             for name, shape in [
-                ("ffn_gate_exps.weight", (e, f, d)),
-                ("ffn_up_exps.weight", (e, f, d)),
-                ("ffn_down_exps.weight", (e, d, f)),
+                ("ffn_gate_exps.weight", (e, ef, d)),
+                ("ffn_up_exps.weight", (e, ef, d)),
+                ("ffn_down_exps.weight", (e, d, ef)),
             ]:
                 tensors[p + name] = (fmt, shape,
                                      quantize_tensor(w(shape), fmt))
             if arch == "qwen2moe" and cfg.n_shared_experts:
-                sf = f * cfg.n_shared_experts
+                sf = ef * cfg.n_shared_experts
                 for name, shape in [
                     ("ffn_gate_shexp.weight", (sf, d)),
                     ("ffn_up_shexp.weight", (sf, d)),

@@ -33,9 +33,17 @@ import jax.numpy as jnp
 from .config import LlamaConfig
 
 
-def mamba_block(layer, h, cfg: LlamaConfig, cache_l, pos, opts):
+def mamba_block(layer, h, cfg: LlamaConfig, cache_l, pos, opts,
+                t_real=None):
     """One Mamba mixer. h: (B, T, dim) normed input; pos: (B,) start
-    positions (0 resets the recurrent state). Returns (out, new_cache)."""
+    positions (0 resets the recurrent state). Returns (out, new_cache).
+
+    `t_real` (dynamic scalar): number of REAL timesteps — the engine
+    pads prefill chunks to bucket sizes, and unlike attention (whose
+    causal mask makes trailing pads invisible) a recurrence would run
+    the pad steps through the state. Steps >= t_real are masked to
+    identity updates (dt -> 0 so exp(dt*A) = 1 and dt*x*B = 0) and the
+    conv tail is sliced at the last real input."""
     from .llama import linear
 
     b, t, d = h.shape
@@ -56,7 +64,12 @@ def mamba_block(layer, h, cfg: LlamaConfig, cache_l, pos, opts):
     conv = layer["conv_b"].astype(jnp.float32)[None, None, :]
     for j in range(dc):
         conv = conv + full[:, j:j + t, :] * w[None, None, :, j]
-    new_conv_st = full[:, t:, :]
+    if t_real is None:
+        new_conv_st = full[:, t:, :]
+    else:
+        # tail = the last dc-1 REAL inputs: full rows [t_real, t_real+dc-1)
+        new_conv_st = jax.lax.dynamic_slice_in_dim(
+            full, jnp.asarray(t_real, jnp.int32), dc - 1, axis=1)
     x = jax.nn.silu(conv)
 
     dbc = linear(layer["ssm_x"], x.reshape(b * t, di), opts)
@@ -65,6 +78,10 @@ def mamba_block(layer, h, cfg: LlamaConfig, cache_l, pos, opts):
     dt = linear(layer["dt_w"], dt_lo, opts).astype(jnp.float32)
     dt = jax.nn.softplus(dt + layer["dt_b"].astype(jnp.float32))
     dt = dt.reshape(b, t, di)
+    if t_real is not None:
+        # pad steps become identity state updates
+        valid = jnp.arange(t) < jnp.asarray(t_real, jnp.int32)
+        dt = dt * valid[None, :, None]
     B_ = B_.reshape(b, t, ds)
     C_ = C_.reshape(b, t, ds)
 

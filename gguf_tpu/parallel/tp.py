@@ -161,6 +161,10 @@ def shard_llama(params: dict, cfg: LlamaConfig, mesh: Mesh,
     path gets the same one-launch projections as single-chip serving."""
     from ..models.llama import fuse_llama_params
 
+    if cfg.ssm_inner:
+        raise NotImplementedError(
+            "mamba (recurrent-state) models are single-chip for now — "
+            "their conv/ssm state has no head axis to shard")
     tp = mesh.shape["tp"]
     ep = mesh.shape.get("ep", 1)
     assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, (

@@ -287,3 +287,17 @@ def test_rerank_scores_and_endpoint(tmp_path):
             pytest.approx(float(scores[best]), abs=1e-5)
     finally:
         httpd.shutdown()
+
+
+def test_rank_checkpoint_rejects_embed(tmp_path):
+    """A reranker's cls head yields scores, not embeddings — embed()
+    must refuse instead of silently mean-pooling (llama.cpp rejects
+    embeddings on RANK pooling too)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, pooling="rank")
+    path = str(tmp_path / "rank2.gguf")
+    write_random_bert_gguf(path, cfg, seed=46, extra_metadata=_bert_md())
+    llm = LLM(path, max_batch=1)
+    with pytest.raises(ValueError, match="reranker"):
+        llm.embed(["hello"])

@@ -172,3 +172,32 @@ def test_mamba_engine_serving(model):
 
     with pytest.raises(ValueError, match="recurrent"):
         llm.save_state("/tmp/nope.npz", slot=0)
+
+
+def test_mamba_engine_prefill_padding_masked(model):
+    """The engine pads prefill chunks to bucket sizes; the recurrence
+    must treat pad steps as identity (dt masked to 0) and keep the conv
+    tail at the last REAL input — the slot state after a padded 3-token
+    prefill must equal the state of an unpadded 3-token forward."""
+    path, cfg, params = model
+    llm = LLM(path, max_batch=1, max_seq=64)
+    logits_pad = np.asarray(llm._prefill_chunks([1, 5, 9], 0))
+
+    cache = init_kv_cache(cfg, batch=1)
+    logits_ref, cache = forward(params, cfg,
+                                jnp.asarray([[1, 5, 9]], jnp.int32),
+                                jnp.zeros(1, jnp.int32), cache, llm.opts)
+    # logits: one bf16 ulp of matmul-shape noise is fine; the STATE
+    # comparison below is the real padding gate
+    np.testing.assert_allclose(
+        logits_pad, np.asarray(logits_ref)[0, -1], rtol=0, atol=2e-2)
+    # the bf16 residual stream gives one-ulp (~0.008) shape-dependent
+    # matmul noise in deeper layers; the padding BUG this test pins ran
+    # 5 extra recurrence steps and produced order-1 state garbage
+    for i in range(cfg.n_layers):
+        np.testing.assert_allclose(
+            np.asarray(llm.cache[i]["ssm"][0]),
+            np.asarray(cache[i]["ssm"][0]), rtol=0, atol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(llm.cache[i]["conv"][0]),
+            np.asarray(cache[i]["conv"][0]), rtol=0, atol=2e-2)

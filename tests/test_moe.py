@@ -332,3 +332,39 @@ def test_qwen2moe_family(tmp_path):
     denom = np.abs(ref).max()
     assert np.max(np.abs(got - ref)) / denom < 0.03, \
         np.max(np.abs(got - ref)) / denom
+
+
+def test_heterogeneous_expert_ffn_width(tmp_path):
+    """Checkpoints whose expert FFN width differs from the dense width
+    (expert_feed_forward_length — DeepSeek-V2's 1408 vs 10944, Qwen-MoE)
+    must load, pad each width independently, and still match the
+    reference built from the UNPADDED GGUF bytes (zero-pad exactness)."""
+    cfg = LlamaConfig(
+        vocab_size=128, dim=512, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=288, expert_ffn_dim=320, max_seq_len=64,
+        n_experts=4, n_experts_used=4, n_shared_experts=1,
+        moe_renorm=False, rope_neox=True,
+    )
+    path = str(tmp_path / "het.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q8_0, seed=12,
+                            arch="qwen2moe")
+    lcfg, params = load_llama(path)
+    assert lcfg.expert_ffn_dim >= 320          # padded independently
+    l0 = params["layers"][0]
+    # stacked SoA: lane (M) axis is last; E leads
+    assert l0["gate_exps"].d_bits.shape[-1] == lcfg.expert_ffn_dim
+    assert l0["up_shexp"].shape[0] >= 320
+
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, lcfg.vocab_size, (2, 6)).astype(np.int32)
+    cache = init_kv_cache(lcfg, batch=2, max_seq=32)
+    logits, _ = forward(params, lcfg, jnp.asarray(tokens),
+                        jnp.zeros(2, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    # reference reads the raw (unpadded) GGUF: padding must be invisible
+    ref_cfg = LlamaConfig.from_gguf_metadata(GGUFReader(path).metadata)
+    ref = _numpy_moe_reference(path, ref_cfg, tokens)
+    got = np.asarray(logits)
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 0.03, \
+        np.max(np.abs(got - ref)) / denom

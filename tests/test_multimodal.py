@@ -242,3 +242,31 @@ def test_mm_chat_endpoint(tmp_path, mmproj):
         assert out["usage"]["prompt_tokens"] > VCFG.n_patches
     finally:
         httpd.shutdown()
+
+
+def test_mm_prompt_string_bos_position(tmp_path, mmproj):
+    """BOS belongs only at true position 0: image- or id-led prompts
+    must not grow a BOS mid-sequence (llama.cpp mtmd puts BOS first)."""
+    from gguf_tpu.engine import LLM
+
+    tokens = ["<unk>", "<s>", "</s>"]
+    tokens += [f"<0x{b:02X}>" for b in range(253)]
+    path = str(tmp_path / "lmtok.gguf")
+    write_random_llama_gguf(
+        path, LCFG, fmt=GGMLType.Q8_0, seed=36,
+        extra_metadata={
+            "tokenizer.ggml.tokens": tokens,
+            "tokenizer.ggml.scores": np.zeros(256, np.float32),
+            "tokenizer.ggml.bos_token_id": 1,
+            "tokenizer.ggml.eos_token_id": 2,
+        })
+    llm = LLM(path, max_batch=1, max_seq=64, mmproj=mmproj)
+    rng = np.random.default_rng(12)
+    img = rng.random((32, 32, 3)).astype(np.float32)
+    bos = llm.tokenizer.bos_id
+    ids, _ = llm._prepare_prompt(["a", img])
+    assert ids[0] == bos and ids.count(bos) == 1      # leading string: BOS
+    ids, _ = llm._prepare_prompt([img, "a"])
+    assert bos not in ids                              # image-led: none
+    ids, _ = llm._prepare_prompt([7, "a", img])
+    assert bos not in ids                              # id-led: none
