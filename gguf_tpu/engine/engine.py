@@ -110,13 +110,31 @@ class ChatSession:
     generated token, which is part of the conversation but whose K/V is
     not yet inserted (it rides along with the next turn's prefill)."""
 
-    def __init__(self, llm: "LLM", slot: int):
+    def __init__(self, llm: "LLM", slot: int, n_keep: int = 0):
         self.llm = llm
         self.slot = slot
         self.cached = 0
+        self.n_keep = n_keep            # ctx-shift: rows pinned at the front
         self._pending: int | None = None
         self._history: list[int] = []   # full context, for the penalties
         self.closed = False
+
+    def _maybe_shift(self, incoming: int) -> None:
+        """llama.cpp --ctx-shift: when the next turn would overflow the
+        slot, drop the oldest half of the non-pinned context (KV rows
+        slide down with rope re-rotation; history trims to match)."""
+        llm = self.llm
+        if not llm.ctx_shift or self.cached + incoming < llm.max_seq - 1:
+            return
+        keep = min(self.n_keep, self.cached)
+        need = self.cached + incoming - (llm.max_seq - 2)
+        drop = min(max((self.cached - keep) // 2, need),
+                   self.cached - keep)
+        if drop <= 0:
+            return
+        llm.shift_slot(self.slot, keep, drop)
+        self.cached -= drop
+        self._history = self._history[:keep] + self._history[keep + drop:]
 
     def send(self, prompt, max_new_tokens: int = 64,
              sampler: SamplerConfig = SamplerConfig(), seed: int = 0,
@@ -132,8 +150,11 @@ class ChatSession:
         ids = ([self._pending] if self._pending is not None else []) + new_ids
         self._pending = None
         n = len(ids)
+        self._maybe_shift(n)
         assert self.cached + n < llm.max_seq, (
-            f"conversation ({self.cached + n}) exceeds max_seq {llm.max_seq}")
+            f"conversation ({self.cached + n}) exceeds max_seq {llm.max_seq}"
+            + ("" if llm.ctx_shift else
+               " (LLM(ctx_shift=True) drops the oldest context instead)"))
         key = jax.random.PRNGKey(seed ^ (self.cached << 8))
         logits = llm._prefill_chunks(ids, self.slot, start=self.cached)
         self.cached += n
@@ -302,6 +323,7 @@ class LLM:
         draft: str | None = None,
         mmproj: str | None = None,
         prefix_cache: bool = True,
+        ctx_shift: bool = False,
     ):
         """tp > 1 serves the model tensor-sharded (Megatron column/row
         sharding, psum over ICI — parallel/tp.py); dp > 1 additionally
@@ -388,6 +410,14 @@ class LLM:
         # KV cache + span)
         self.prefill_chunk = max(8, prefill_chunk)
         self.opts = opts
+        # llama.cpp --ctx-shift: ChatSessions that would overflow drop
+        # the oldest half of their context and keep going (see
+        # shift_kv_cache; needs absolute-rope KV rows)
+        self.ctx_shift = ctx_shift
+        if ctx_shift:
+            assert not (self.cfg.ssm_inner or self.cfg.kv_lora_rank
+                        or self.cfg.sliding_window or sp > 1), (
+                "ctx_shift supports plain rope attention KV caches only")
         if self.cfg.ssm_inner:
             # recurrent state is not row-addressable: prefix reuse, slot
             # save/restore, and speculative rollback all assume KV rows
@@ -679,9 +709,11 @@ class LLM:
             self._draft_spec_decode = _draft_spec_decode
 
     # ------------------------------------------------------------- utils ---
-    def start_session(self) -> ChatSession:
+    def start_session(self, n_keep: int = 0) -> ChatSession:
         """Pin a cache slot for multi-turn generation (see ChatSession).
-        The slot is excluded from generate()'s pool until close()."""
+        The slot is excluded from generate()'s pool until close().
+        `n_keep`: with LLM(ctx_shift=True), rows pinned at the front
+        (system prompt) that context shifts never drop."""
         assert self.cfg.causal, "encoder-only model: no chat sessions"
         free = [s for s in range(self.max_batch) if s not in self._reserved]
         if not free:
@@ -690,7 +722,7 @@ class LLM:
         # the session will overwrite this slot's rows; its recorded prefix
         # history (if any) is no longer the cache contents
         self._slot_history.pop(free[0], None)
-        return ChatSession(self, free[0])
+        return ChatSession(self, free[0], n_keep=n_keep)
 
     def encode_chat(self, messages,
                     add_generation_prompt: bool = True) -> list[int]:
@@ -784,6 +816,20 @@ class LLM:
                 raise ValueError("model file has no embedded tokenizer; pass token ids")
             return self.tokenizer.encode(prompt)
         return list(prompt)
+
+    # ------------------------------------------------------ context shift ---
+    def shift_slot(self, slot: int, keep: int, drop: int) -> None:
+        """Drop `drop` cache rows at row `keep` in `slot`, sliding later
+        rows down with rope re-rotation (llama.cpp --ctx-shift). The
+        caller owns the position bookkeeping (ChatSession does it)."""
+        from ..models.llama import shift_kv_cache
+
+        if not hasattr(self, "_shift_jit"):
+            self._shift_jit = jax.jit(functools.partial(
+                shift_kv_cache, cfg=self.cfg), donate_argnums=(0,))
+        self.cache = self._shift_jit(
+            self.cache, slot=jnp.int32(slot), keep=jnp.int32(keep),
+            drop=jnp.int32(drop))
 
     # ------------------------------------------------------- slot state ---
     def _state_meta(self) -> dict:

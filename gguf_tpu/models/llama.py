@@ -290,6 +290,64 @@ def _cache_update(cache_l, new_k, new_v, pos):
     return {"k": k, "v": v, "k_scale": ks, "v_scale": vs}
 
 
+def _unit_rope_cos_sin(positions: jax.Array, cfg):
+    """cos/sin with NO magnitude factor (pure rotation) for relative
+    re-rotation: yarn/longrope bake an mscale into rope_for_cfg's
+    output, which must not apply twice when rotating existing keys."""
+    attn_factor = 1.0
+    if cfg.rope_scaling_kind == "yarn":
+        # cancel rope_cos_sin's internal mscale = af * (1 + 0.1 ln s)
+        attn_factor = 1.0 / (1.0 + 0.1 * math.log(cfg.rope_scale)) \
+            if cfg.rope_scale > 0 else 1.0
+    return rope_cos_sin(
+        positions, cfg.rope_dim or cfg.head_dim, cfg.rope_theta,
+        cfg.rope_scale, kind=cfg.rope_scaling_kind,
+        orig_ctx=cfg.rope_orig_ctx or cfg.max_seq_len,
+        attn_factor=attn_factor, freq_factors=cfg.rope_freq_factors)
+
+
+def shift_kv_cache(cache: list, cfg: LlamaConfig, slot, keep, drop) -> list:
+    """Context shift (llama.cpp --ctx-shift): drop `drop` cache rows
+    starting at row `keep` in one slot; every later row moves down by
+    `drop`, and moved K rows are re-rotated by -drop positions. Rope is
+    a pure per-dimension rotation linear in position — for every
+    scaling scheme K(p-d) = R(-d)·K(p), the magnitude factors cancel —
+    so shifted keys are exactly what a fresh prefill at the new
+    positions would produce, modulo one extra int8 requant round trip
+    on the moved K rows (V moves bit-exactly).
+
+    slot/keep/drop are dynamic scalars; the row remap is a clip-mode
+    take, so ONE compiled program serves every shift geometry."""
+    keep = jnp.asarray(keep, jnp.int32)
+    drop = jnp.asarray(drop, jnp.int32)
+    out = []
+    hd = cfg.head_dim
+    rd = cfg.rope_dim or hd
+    for cl in cache:
+        S = cl["k"].shape[2]
+        ar = jnp.arange(S)
+        idx = jnp.minimum(jnp.where(ar < keep, ar, ar + drop), S - 1)
+        moved = ar >= keep                                # rows that slid
+        delta = jnp.where(moved, -drop, 0).astype(jnp.float32)
+        cos, sin = _unit_rope_cos_sin(delta, cfg)         # (S, rd/2)
+
+        ksl = jnp.take(cl["k"][slot], idx, axis=1)        # (H, S, hd)
+        ks = jnp.take(cl["k_scale"][slot], idx, axis=1)   # (H, S)
+        kf = ksl.astype(jnp.float32) * ks[..., None]
+        rot = apply_rope(kf[..., :rd], cos[None], sin[None], cfg.rope_neox)
+        kf = jnp.concatenate([rot, kf[..., rd:]], -1) if rd < hd else rot
+        kq, kqs = _quantize_kv(kf)
+
+        out.append({
+            "k": cl["k"].at[slot].set(kq),
+            "k_scale": cl["k_scale"].at[slot].set(kqs),
+            "v": cl["v"].at[slot].set(jnp.take(cl["v"][slot], idx, axis=1)),
+            "v_scale": cl["v_scale"].at[slot].set(
+                jnp.take(cl["v_scale"][slot], idx, axis=1)),
+        })
+    return out
+
+
 # ----------------------------------------------------------- transformer ---
 
 
