@@ -351,6 +351,37 @@ class LLM:
         automatic prefix caching, exact: the reused rows are the ones the
         identical recomputation would produce). `llm.prefix_cache_hits`
         counts reused tokens."""
+        with GGUFReader(path) as _r:
+            _arch = _r.metadata.get("general.architecture", "llama")
+        if _arch == "t5":
+            # encoder-decoder serving: a dedicated lockstep decode loop
+            # (the continuous-batching machinery is decoder-LM specific)
+            from ..models.t5 import load_t5
+
+            assert tp == dp == sp == ep == 1 and draft is None \
+                and mmproj is None, "t5 serving is single-chip"
+            with GGUFReader(path) as r:
+                self.cfg, self.params = load_t5(r)
+                md = r.metadata
+            self.t5 = True
+            self.tokenizer = tokenizer_from_metadata(md)
+            self.chat_template = md.get("tokenizer.chat_template")
+            self.fim = {}
+            self.clip_cfg = self.clip_params = None
+            self.max_batch = max_batch
+            self.max_seq = max_seq or self.cfg.max_seq_len
+            self.opts = opts
+            self.mesh = None
+            self.ctx_shift = False
+            self.prefix_cache = False
+            self.prefix_cache_hits = 0
+            self._reserved = set()
+            self._slot_history = {}
+            self.prefill_chunk = max(8, prefill_chunk)
+            self.draft = None
+            self._draft_spec_decode = None
+            return
+        self.t5 = False
         self.cfg, self.params = load_llama(path)
         if self.cfg.ssm_inner:
             assert tp == dp == sp == ep == 1, (
@@ -817,6 +848,50 @@ class LLM:
             return self.tokenizer.encode(prompt)
         return list(prompt)
 
+    # ---------------------------------------------------------------- t5 ---
+    def _t5_generate(self, prompts, max_new_tokens, sampler, seed,
+                     stop_at_eos):
+        """Encoder-decoder serving: encode the padded batch once, decode
+        in lockstep from decoder_start_token_id (T5 convention: encoder
+        input is the raw text + EOS, no BOS)."""
+        from ..models.t5 import t5_generate
+
+        t_start = time.perf_counter()
+        ids = []
+        for p in prompts:
+            if isinstance(p, str):
+                if self.tokenizer is None:
+                    raise ValueError("model has no embedded tokenizer; "
+                                     "pass token ids")
+                e = self.tokenizer.encode(p, add_bos=False)
+                e.append(self.tokenizer.eos_id)
+            else:
+                e = [int(x) for x in p]
+            ids.append(e)
+        lens = np.asarray([len(x) for x in ids])
+        s = self._bucket(int(lens.max()))
+        assert s <= self.max_seq, (s, self.max_seq)
+        toks = np.zeros((len(ids), s), np.int32)
+        for i, x in enumerate(ids):
+            toks[i, :len(x)] = x
+        eos = self.tokenizer.eos_id if self.tokenizer else 1
+        outs = t5_generate(self.params, self.cfg, toks, lens,
+                           max_new_tokens=max_new_tokens,
+                           eos_id=eos if stop_at_eos else -1,
+                           temperature=sampler.temperature, seed=seed)
+        wall = time.perf_counter() - t_start
+        n_new = sum(len(o) for o in outs)
+        stats = {"wall_s": round(wall, 4), "new_tokens": n_new,
+                 "tokens_per_s": round(n_new / max(wall, 1e-9), 2)}
+        results = []
+        for i, o in enumerate(outs):
+            r = GenerationResult(prompt_ids=ids[i], token_ids=o,
+                                 finished=True, stats=stats)
+            if self.tokenizer is not None:
+                r.text = self.tokenizer.decode(o)
+            results.append(r)
+        return results
+
     # ------------------------------------------------------ context shift ---
     def shift_slot(self, slot: int, keep: int, drop: int) -> None:
         """Drop `drop` cache rows at row `keep` in `slot`, sliding later
@@ -1278,6 +1353,9 @@ class LLM:
         masked sampling (a Gumbel-ordered candidate walk touches only a
         handful of tokens per step). Requires an embedded tokenizer;
         incompatible with speculative/logprobs."""
+        if self.t5:
+            return self._t5_generate(prompts, max_new_tokens, sampler,
+                                     seed, stop_at_eos)
         assert self.cfg.causal, (
             "encoder-only (bert-family) model: use embed(), not generate()")
         t_start = time.perf_counter()

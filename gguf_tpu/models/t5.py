@@ -1,0 +1,368 @@
+"""T5 encoder-decoder (llama.cpp arch "t5"): flan-t5 / madlad GGUFs.
+
+Architecture (llama.cpp build_t5_enc/build_t5_dec, HF T5 semantics):
+- RMS pre-norms everywhere (T5 LayerNorm is variance-only)
+- attention scores are NOT scaled (no 1/sqrt(d_kv)) and use a LEARNED
+  relative position bias — bucketed log-spaced distances, bidirectional
+  buckets in the encoder, causal in the decoder, bias weights taken
+  from layer 0 (T5 shares them across layers; llama.cpp stores
+  attn_rel_b per layer but reads blk 0)
+- d_kv (head width) is independent of d_model/heads; the attention
+  output projection maps heads*d_kv -> d_model
+- gated-GELU FFN (t5 v1.1 / flan) or ungated ReLU (t5 v1.0) — keyed on
+  the ffn_gate tensor
+- decoder blocks add cross-attention over the encoder output (no
+  position bias); generation starts from decoder_start_token_id and
+  feeds a per-layer f32 self-attention KV cache + once-computed cross
+  K/V
+
+Serving surface: the engine routes generate()/encode through
+T5 helpers when the GGUF's architecture is t5 (batch loop with a jitted
+decode step; the continuous-batching machinery is decoder-only-LM
+specific).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class T5Config:
+    vocab_size: int
+    dim: int
+    n_enc_layers: int
+    n_dec_layers: int
+    n_heads: int
+    head_dim: int            # d_kv
+    ffn_dim: int
+    norm_eps: float
+    rel_buckets: int         # attention.relative_buckets_count (32)
+    rel_max_dist: int        # 128 (not in GGUF; T5's fixed default)
+    decoder_start: int
+    max_seq_len: int
+    tied_head: bool = True   # tied LM head scales hidden by d_model^-0.5
+
+    @classmethod
+    def from_gguf_metadata(cls, md: dict) -> "T5Config":
+        g = lambda k, d=None: md.get(f"t5.{k}", d)
+        n_heads = int(g("attention.head_count"))
+        dim = int(g("embedding_length"))
+        key_len = g("attention.key_length")
+        vocab = md.get("t5.vocab_size")
+        if vocab is None:
+            vocab = len(md["tokenizer.ggml.tokens"])
+        return cls(
+            vocab_size=int(vocab),
+            dim=dim,
+            n_enc_layers=int(g("block_count")),
+            n_dec_layers=int(g("decoder_block_count",
+                               g("block_count")) or g("block_count")),
+            n_heads=n_heads,
+            head_dim=int(key_len) if key_len else dim // n_heads,
+            ffn_dim=int(g("feed_forward_length")),
+            norm_eps=float(g("attention.layer_norm_rms_epsilon", 1e-6)
+                           or 1e-6),
+            rel_buckets=int(g("attention.relative_buckets_count", 32)
+                            or 32),
+            rel_max_dist=128,
+            decoder_start=int(g("decoder_start_token_id", 0) or 0),
+            max_seq_len=int(g("context_length", 512) or 512),
+        )
+
+
+def load_t5(reader):
+    """t5 GGUF -> (T5Config, params). Weights dequantize to f32 arrays
+    (T5 checkpoints are small; MMQ can come later)."""
+    cfg = T5Config.from_gguf_metadata(reader.metadata)
+    t = lambda n: jnp.asarray(reader.dequantize(n), jnp.float32)
+    has = lambda n: n in reader.tensors
+
+    def blk(prefix, n_layers, cross):
+        layers = []
+        for i in range(n_layers):
+            p = f"{prefix}.blk.{i}."
+            layer = {
+                "attn_norm": t(p + "attn_norm.weight"),
+                "wq": t(p + "attn_q.weight"),
+                "wk": t(p + "attn_k.weight"),
+                "wv": t(p + "attn_v.weight"),
+                "wo": t(p + "attn_o.weight"),
+                "ffn_norm": t(p + "ffn_norm.weight"),
+                "up": t(p + "ffn_up.weight"),
+                "down": t(p + "ffn_down.weight"),
+            }
+            if has(p + "ffn_gate.weight"):
+                layer["gate"] = t(p + "ffn_gate.weight")
+            if has(p + "attn_rel_b.weight"):
+                # normalized to (n_heads, n_buckets); llama.cpp GGUFs
+                # store ne {n_head, n_buckets} -> numpy (buckets, heads)
+                rb = t(p + "attn_rel_b.weight")
+                if rb.shape[0] == cfg.rel_buckets and \
+                        rb.shape[-1] == cfg.n_heads:
+                    rb = rb.T
+                layer["rel_b"] = rb
+            if cross:
+                layer.update({
+                    "cross_norm": t(p + "cross_attn_norm.weight"),
+                    "cq": t(p + "cross_attn_q.weight"),
+                    "ck": t(p + "cross_attn_k.weight"),
+                    "cv": t(p + "cross_attn_v.weight"),
+                    "co": t(p + "cross_attn_o.weight"),
+                })
+            layers.append(layer)
+        return layers
+
+    params = {
+        "token_embd": t("token_embd.weight"),
+        "enc_layers": blk("enc", cfg.n_enc_layers, cross=False),
+        "dec_layers": blk("dec", cfg.n_dec_layers, cross=True),
+        "enc_norm": t("enc.output_norm.weight"),
+        "dec_norm": t("dec.output_norm.weight"),
+    }
+    params["output"] = (t("output.weight") if has("output.weight")
+                        else params["token_embd"])
+    if has("output.weight"):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, tied_head=False)
+    return cfg, params
+
+
+def _rmsn(x, w, eps):
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * w
+
+
+def _rel_bucket(rel, bidirectional: bool, n_buckets: int, max_dist: int):
+    """HF/llama.cpp relative_position_bucket: near distances get exact
+    buckets, far ones log-spaced, symmetric halves when bidirectional."""
+    rel = jnp.asarray(rel, jnp.int32)
+    if bidirectional:
+        half = n_buckets // 2
+        bucket = jnp.where(rel > 0, half, 0)
+        rel = jnp.abs(rel)
+        n = half
+    else:
+        bucket = jnp.zeros_like(rel)
+        rel = -jnp.minimum(rel, 0)
+        n = n_buckets
+    exact = n // 2
+    is_small = rel < exact
+    large = exact + (
+        jnp.log(jnp.maximum(rel, 1).astype(jnp.float32) / exact)
+        / np.log(max_dist / exact) * (n - exact)).astype(jnp.int32)
+    large = jnp.minimum(large, n - 1)
+    return bucket + jnp.where(is_small, rel, large)
+
+
+def _attn_bias(q_pos, k_pos, rel_b, bidirectional, cfg: T5Config):
+    """(H, Tq, Tk) additive score bias from the shared learned table."""
+    rel = k_pos[None, :] - q_pos[:, None]            # (Tq, Tk) memory - query
+    b = _rel_bucket(rel, bidirectional, cfg.rel_buckets, cfg.rel_max_dist)
+    return rel_b[:, b]                               # (H, Tq, Tk)
+
+
+def _mha(q, k, v, bias):
+    """q (B,Tq,H,hd) k/v (B,Tk,H,hd) bias (B,H,Tq,Tk) -> (B,Tq,H*hd).
+    T5: scores are UNSCALED."""
+    sc = jnp.einsum("bqhd,bkhd->bhqk", q, k) + bias
+    pr = jax.nn.softmax(sc, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", pr, v)
+    b, tq = out.shape[:2]
+    return out.reshape(b, tq, -1)
+
+
+def _ffn(layer, x, eps):
+    h = _rmsn(x, layer["ffn_norm"], eps)
+    u = h @ layer["up"].T
+    if "gate" in layer:          # t5 v1.1: gated GELU
+        act = jax.nn.gelu(h @ layer["gate"].T, approximate=False) * u
+    else:                        # t5 v1.0: ReLU
+        act = jax.nn.relu(u)
+    return x + act @ layer["down"].T
+
+
+def t5_encode(params, cfg: T5Config, tokens, lengths):
+    """(B, S) padded tokens -> encoder hidden states (B, S, dim)."""
+    b, s = tokens.shape
+    h, hd = cfg.n_heads, cfg.head_dim
+    x = params["token_embd"][tokens.reshape(-1)].reshape(b, s, cfg.dim)
+    pos = jnp.arange(s)
+    rel_b = params["enc_layers"][0]["rel_b"]         # shared across layers
+    bias = _attn_bias(pos, pos, rel_b, True, cfg)[None]      # (1,H,S,S)
+    valid = jnp.arange(s)[None, :] < lengths[:, None]
+    bias = bias + jnp.where(valid, 0.0, -jnp.inf)[:, None, None, :]
+    for lyr in params["enc_layers"]:
+        r = _rmsn(x, lyr["attn_norm"], cfg.norm_eps)
+        q = (r @ lyr["wq"].T).reshape(b, s, h, hd)
+        k = (r @ lyr["wk"].T).reshape(b, s, h, hd)
+        v = (r @ lyr["wv"].T).reshape(b, s, h, hd)
+        x = x + _mha(q, k, v, bias) @ lyr["wo"].T
+        x = _ffn(lyr, x, cfg.norm_eps)
+    return _rmsn(x, params["enc_norm"], cfg.norm_eps)
+
+
+def t5_decode_step(params, cfg: T5Config, tokens, pos, cache, enc_out,
+                   enc_lengths):
+    """Decoder forward for T new tokens at positions pos..pos+T-1 (all
+    sequences aligned — T5 serving decodes a batch in lockstep from
+    decoder_start). Returns (logits (B,T,V), cache). cache: per-layer
+    {"k","v"} (B, S_max, H, hd) f32 self-attention rows."""
+    b, t = tokens.shape
+    h, hd = cfg.n_heads, cfg.head_dim
+    s_max = cache[0]["k"].shape[1]
+    x = params["token_embd"][tokens.reshape(-1)].reshape(b, t, cfg.dim)
+
+    q_pos = pos + jnp.arange(t)
+    k_pos = jnp.arange(s_max)
+    rel_b = params["dec_layers"][0]["rel_b"]
+    bias = _attn_bias(q_pos, k_pos, rel_b, False, cfg)[None]  # (1,H,T,S)
+    causal = k_pos[None, :] <= q_pos[:, None]                 # (T, S)
+    bias = bias + jnp.where(causal, 0.0, -jnp.inf)[None, None]
+
+    se = enc_out.shape[1]
+    evalid = jnp.arange(se)[None, :] < enc_lengths[:, None]
+    cbias = jnp.where(evalid, 0.0, -jnp.inf)[:, None, None, :]
+
+    new_cache = []
+    for li, lyr in enumerate(params["dec_layers"]):
+        r = _rmsn(x, lyr["attn_norm"], cfg.norm_eps)
+        q = (r @ lyr["wq"].T).reshape(b, t, h, hd)
+        k = (r @ lyr["wk"].T).reshape(b, t, h, hd)
+        v = (r @ lyr["wv"].T).reshape(b, t, h, hd)
+        ck = jax.lax.dynamic_update_slice(
+            cache[li]["k"], k, (0, pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cache[li]["v"], v, (0, pos, 0, 0))
+        new_cache.append({"k": ck, "v": cv})
+        x = x + _mha(q, ck, cv, bias) @ lyr["wo"].T
+
+        r = _rmsn(x, lyr["cross_norm"], cfg.norm_eps)
+        cq = (r @ lyr["cq"].T).reshape(b, t, h, hd)
+        ek = (enc_out @ lyr["ck"].T).reshape(b, se, h, hd)
+        ev = (enc_out @ lyr["cv"].T).reshape(b, se, h, hd)
+        x = x + _mha(cq, ek, ev, cbias) @ lyr["co"].T
+
+        x = _ffn(lyr, x, cfg.norm_eps)
+
+    x = _rmsn(x, params["dec_norm"], cfg.norm_eps)
+    if cfg.tied_head:            # HF: tied head scales by d_model^-0.5
+        x = x * (cfg.dim ** -0.5)
+    logits = x @ params["output"].T
+    return logits, new_cache
+
+
+def write_random_t5_gguf(path: str, cfg: T5Config, seed: int = 0,
+                         extra_metadata: dict | None = None,
+                         gated: bool = True, tied: bool = True) -> None:
+    """Random llama.cpp-schema t5 GGUF (tests)."""
+    from ..gguf import GGMLType
+    from ..gguf.writer import write_gguf
+
+    rng = np.random.default_rng(seed)
+    d, f, v = cfg.dim, cfg.ffn_dim, cfg.vocab_size
+    h, hd, nb = cfg.n_heads, cfg.head_dim, cfg.rel_buckets
+    s = 0.5 / np.sqrt(d)
+    w = lambda *sh: (rng.standard_normal(sh) * s).astype(np.float32)
+    nrm = lambda n: (1 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    f32 = lambda arr: (GGMLType.F32, arr.shape, arr)
+    tensors = {
+        "token_embd.weight": f32(w(v, d) * 4),
+        "enc.output_norm.weight": f32(nrm(d)),
+        "dec.output_norm.weight": f32(nrm(d)),
+    }
+    if not tied:
+        tensors["output.weight"] = f32(w(v, d))
+
+    def blk(prefix, n_layers, cross):
+        for i in range(n_layers):
+            p = f"{prefix}.blk.{i}."
+            for name, shape in (("attn_q", (h * hd, d)),
+                                ("attn_k", (h * hd, d)),
+                                ("attn_v", (h * hd, d)),
+                                ("attn_o", (d, h * hd)),
+                                ("ffn_up", (f, d)), ("ffn_down", (d, f))):
+                tensors[p + name + ".weight"] = f32(w(*shape))
+            if gated:
+                tensors[p + "ffn_gate.weight"] = f32(w(f, d))
+            for name in ("attn_norm", "ffn_norm"):
+                tensors[p + name + ".weight"] = f32(nrm(d))
+            if i == 0:   # llama.cpp layout: (buckets, heads) on disk
+                tensors[p + "attn_rel_b.weight"] = f32(
+                    (rng.standard_normal((nb, h)) * 0.5).astype(np.float32))
+            if cross:
+                for name, shape in (("cross_attn_q", (h * hd, d)),
+                                    ("cross_attn_k", (h * hd, d)),
+                                    ("cross_attn_v", (h * hd, d)),
+                                    ("cross_attn_o", (d, h * hd))):
+                    tensors[p + name + ".weight"] = f32(w(*shape))
+                tensors[p + "cross_attn_norm.weight"] = f32(nrm(d))
+
+    blk("enc", cfg.n_enc_layers, cross=False)
+    blk("dec", cfg.n_dec_layers, cross=True)
+    md = {
+        "general.architecture": "t5",
+        "t5.vocab_size": v,
+        "t5.embedding_length": d,
+        "t5.block_count": cfg.n_enc_layers,
+        "t5.decoder_block_count": cfg.n_dec_layers,
+        "t5.attention.head_count": h,
+        "t5.attention.key_length": hd,
+        "t5.attention.value_length": hd,
+        "t5.feed_forward_length": f,
+        "t5.attention.layer_norm_rms_epsilon": cfg.norm_eps,
+        "t5.attention.relative_buckets_count": nb,
+        "t5.decoder_start_token_id": cfg.decoder_start,
+        "t5.context_length": cfg.max_seq_len,
+    }
+    md.update(extra_metadata or {})
+    write_gguf(path, md, tensors)
+
+
+def t5_generate(params, cfg: T5Config, enc_tokens, lengths,
+                max_new_tokens: int = 64, eos_id: int = 1,
+                temperature: float = 0.0, seed: int = 0):
+    """Greedy/sampled decode for a padded batch (B, S) of encoder token
+    ids with real `lengths`. Returns list[list[int]] without EOS."""
+    b = enc_tokens.shape[0]
+    enc_out = jax.jit(t5_encode, static_argnums=(1,))(
+        params, cfg, jnp.asarray(enc_tokens),
+        jnp.asarray(lengths, jnp.int32))
+    s_max = max_new_tokens + 1
+    cache = [{"k": jnp.zeros((b, s_max, cfg.n_heads, cfg.head_dim),
+                             jnp.float32),
+              "v": jnp.zeros((b, s_max, cfg.n_heads, cfg.head_dim),
+                             jnp.float32)}
+             for _ in range(cfg.n_dec_layers)]
+
+    step = jax.jit(t5_decode_step, static_argnums=(1,))
+    key = jax.random.PRNGKey(seed)
+    tok = np.full((b, 1), cfg.decoder_start, np.int32)
+    out = [[] for _ in range(b)]
+    done = np.zeros(b, bool)
+    for i in range(max_new_tokens):
+        logits, cache = step(params, cfg, jnp.asarray(tok), jnp.int32(i),
+                             cache, enc_out,
+                             jnp.asarray(lengths, jnp.int32))
+        lg = logits[:, 0]
+        if temperature > 0:
+            key, sub = jax.random.split(key)
+            nxt = np.asarray(jax.random.categorical(
+                sub, lg / jnp.float32(temperature)))
+        else:
+            nxt = np.asarray(jnp.argmax(lg, axis=-1))
+        for j in range(b):
+            if not done[j]:
+                if int(nxt[j]) == eos_id:
+                    done[j] = True
+                else:
+                    out[j].append(int(nxt[j]))
+        if done.all():
+            break
+        tok = nxt[:, None].astype(np.int32)
+    return out
