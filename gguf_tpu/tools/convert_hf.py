@@ -149,7 +149,194 @@ _ARCHS = {"llama": "llama", "mistral": "llama", "mixtral": "llama",
           "deepseek_v2": "deepseek2", "deepseek_v3": "deepseek2",
           "cohere": "command-r", "olmo2": "olmo2",
           "starcoder2": "starcoder2", "granite": "granite",
-          "mamba": "mamba"}
+          "mamba": "mamba", "bert": "bert", "t5": "t5"}
+
+
+def _convert_t5(hf: dict, weights: dict, md: dict, out_path: str,
+                fmt: str) -> dict:
+    """HF T5ForConditionalGeneration -> llama.cpp t5 GGUF schema
+    (enc./dec. prefixes, rel_b on block 0, gated wi_0/wi_1 or plain
+    wi)."""
+    f32 = lambda w: (GGMLType.F32, w.shape,
+                     np.ascontiguousarray(w, np.float32))
+
+    def get(name):
+        if name not in weights:
+            raise KeyError(f"missing HF tensor {name}")
+        return weights[name]
+
+    n_heads = int(hf["num_heads"])
+    md.update({
+        "t5.embedding_length": hf["d_model"],
+        "t5.block_count": hf["num_layers"],
+        "t5.decoder_block_count": hf.get("num_decoder_layers",
+                                         hf["num_layers"]),
+        "t5.attention.head_count": n_heads,
+        "t5.attention.key_length": hf.get("d_kv",
+                                          hf["d_model"] // n_heads),
+        "t5.attention.value_length": hf.get("d_kv",
+                                            hf["d_model"] // n_heads),
+        "t5.feed_forward_length": hf["d_ff"],
+        "t5.attention.layer_norm_rms_epsilon": float(
+            hf.get("layer_norm_epsilon", 1e-6)),
+        "t5.attention.relative_buckets_count": int(
+            hf.get("relative_attention_num_buckets", 32)),
+        "t5.decoder_start_token_id": int(
+            hf.get("decoder_start_token_id", 0)),
+        "t5.context_length": hf.get("n_positions", 512),
+        "t5.vocab_size": hf["vocab_size"],
+    })
+    tensors = {
+        "token_embd.weight": f32(get("shared.weight")),
+        "enc.output_norm.weight": f32(
+            get("encoder.final_layer_norm.weight")),
+        "dec.output_norm.weight": f32(
+            get("decoder.final_layer_norm.weight")),
+    }
+    if "lm_head.weight" in weights:   # t5 v1.1/flan: untied head
+        tensors["output.weight"] = f32(weights["lm_head.weight"])
+
+    def ffn(hp, p):
+        if hp + "DenseReluDense.wi_0.weight" in weights:   # gated
+            tensors[p + "ffn_gate.weight"] = f32(
+                get(hp + "DenseReluDense.wi_0.weight"))
+            tensors[p + "ffn_up.weight"] = f32(
+                get(hp + "DenseReluDense.wi_1.weight"))
+        else:
+            tensors[p + "ffn_up.weight"] = f32(
+                get(hp + "DenseReluDense.wi.weight"))
+        tensors[p + "ffn_down.weight"] = f32(
+            get(hp + "DenseReluDense.wo.weight"))
+        tensors[p + "ffn_norm.weight"] = f32(get(hp + "layer_norm.weight"))
+
+    for i in range(int(hf["num_layers"])):
+        hp = f"encoder.block.{i}."
+        p = f"enc.blk.{i}."
+        for hn, gn in (("q", "attn_q"), ("k", "attn_k"), ("v", "attn_v"),
+                       ("o", "attn_o")):
+            tensors[p + gn + ".weight"] = f32(
+                get(hp + f"layer.0.SelfAttention.{hn}.weight"))
+        tensors[p + "attn_norm.weight"] = f32(
+            get(hp + "layer.0.layer_norm.weight"))
+        if i == 0:
+            # HF stores (buckets, heads); the llama.cpp GGUF layout the
+            # loader expects is the same numpy orientation
+            tensors[p + "attn_rel_b.weight"] = f32(get(
+                hp + "layer.0.SelfAttention.relative_attention_bias"
+                ".weight"))
+        ffn(hp + "layer.1.", p)
+    for i in range(int(hf.get("num_decoder_layers", hf["num_layers"]))):
+        hp = f"decoder.block.{i}."
+        p = f"dec.blk.{i}."
+        for hn, gn in (("q", "attn_q"), ("k", "attn_k"), ("v", "attn_v"),
+                       ("o", "attn_o")):
+            tensors[p + gn + ".weight"] = f32(
+                get(hp + f"layer.0.SelfAttention.{hn}.weight"))
+        tensors[p + "attn_norm.weight"] = f32(
+            get(hp + "layer.0.layer_norm.weight"))
+        if i == 0:
+            tensors[p + "attn_rel_b.weight"] = f32(get(
+                hp + "layer.0.SelfAttention.relative_attention_bias"
+                ".weight"))
+        for hn, gn in (("q", "cross_attn_q"), ("k", "cross_attn_k"),
+                       ("v", "cross_attn_v"), ("o", "cross_attn_o")):
+            tensors[p + gn + ".weight"] = f32(
+                get(hp + f"layer.1.EncDecAttention.{hn}.weight"))
+        tensors[p + "cross_attn_norm.weight"] = f32(
+            get(hp + "layer.1.layer_norm.weight"))
+        ffn(hp + "layer.2.", p)
+    write_gguf(out_path, md, tensors)
+    return md
+
+
+def _wordpiece_metadata(model_dir: str) -> dict:
+    """tokenizer.json (WordPiece model) -> tokenizer.ggml.* bert schema."""
+    path = os.path.join(model_dir, "tokenizer.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        tj = json.load(f)
+    model = tj.get("model", {})
+    if model.get("type") != "WordPiece":
+        return {}
+    vocab = model["vocab"]                    # {token: id}
+    tokens = [None] * len(vocab)
+    for t, i in vocab.items():
+        tokens[i] = t
+    index = {t: i for i, t in enumerate(tokens)}
+    md = {"tokenizer.ggml.model": "bert",
+          "tokenizer.ggml.tokens": tokens}
+    for key, name in (("cls_token_id", "[CLS]"),
+                      ("seperator_token_id", "[SEP]"),
+                      ("unknown_token_id", "[UNK]"),
+                      ("padding_token_id", "[PAD]"),
+                      ("mask_token_id", "[MASK]")):
+        if name in index:
+            md[f"tokenizer.ggml.{key}"] = index[name]
+    return md
+
+
+def _convert_bert(hf: dict, weights: dict, model_dir: str, out_path: str,
+                  fmt: str) -> dict:
+    """HF BertModel -> llama.cpp bert GGUF (embedding encoder). Handles
+    both bare and 'bert.'-prefixed state dicts; everything stays F32
+    (encoders are small)."""
+    pre = "bert." if "bert.embeddings.word_embeddings.weight" in weights \
+        else ""
+
+    def get(name):
+        if pre + name not in weights:
+            raise KeyError(f"missing HF tensor {pre}{name}")
+        return weights[pre + name]
+
+    f32 = lambda w: (GGMLType.F32, w.shape,
+                     np.ascontiguousarray(w, np.float32))
+    md = {
+        "general.architecture": "bert",
+        "general.name": os.path.basename(os.path.abspath(model_dir)),
+        "bert.vocab_size": hf["vocab_size"],
+        "bert.embedding_length": hf["hidden_size"],
+        "bert.block_count": hf["num_hidden_layers"],
+        "bert.attention.head_count": hf["num_attention_heads"],
+        "bert.attention.head_count_kv": hf["num_attention_heads"],
+        "bert.feed_forward_length": hf["intermediate_size"],
+        "bert.attention.layer_norm_epsilon": float(
+            hf.get("layer_norm_eps", 1e-12)),
+        "bert.context_length": hf.get("max_position_embeddings", 512),
+        "bert.attention.causal": False,
+        "bert.pooling_type": 1,   # sentence-transformers default: mean
+    }
+    md.update(_wordpiece_metadata(model_dir))
+    tensors = {
+        "token_embd.weight": f32(get("embeddings.word_embeddings.weight")),
+        "token_types.weight": f32(
+            get("embeddings.token_type_embeddings.weight")),
+        "position_embd.weight": f32(
+            get("embeddings.position_embeddings.weight")),
+        "token_embd_norm.weight": f32(get("embeddings.LayerNorm.weight")),
+        "token_embd_norm.bias": f32(get("embeddings.LayerNorm.bias")),
+    }
+    for i in range(int(hf["num_hidden_layers"])):
+        hp = f"encoder.layer.{i}."
+        p = f"blk.{i}."
+        for hn, gn in (("attention.self.query", "attn_q"),
+                       ("attention.self.key", "attn_k"),
+                       ("attention.self.value", "attn_v"),
+                       ("attention.output.dense", "attn_output"),
+                       ("intermediate.dense", "ffn_up"),
+                       ("output.dense", "ffn_down")):
+            tensors[p + gn + ".weight"] = f32(get(hp + hn + ".weight"))
+            tensors[p + gn + ".bias"] = f32(get(hp + hn + ".bias"))
+        tensors[p + "attn_output_norm.weight"] = f32(
+            get(hp + "attention.output.LayerNorm.weight"))
+        tensors[p + "attn_output_norm.bias"] = f32(
+            get(hp + "attention.output.LayerNorm.bias"))
+        tensors[p + "layer_output_norm.weight"] = f32(
+            get(hp + "output.LayerNorm.weight"))
+        tensors[p + "layer_output_norm.bias"] = f32(
+            get(hp + "output.LayerNorm.bias"))
+    write_gguf(out_path, md, tensors)
+    return md
 
 
 def _convert_mamba(hf: dict, weights: dict, md: dict, out_path: str,
@@ -222,6 +409,18 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
         raise ValueError(f"unsupported model_type {mt!r} "
                          f"(supported: {sorted(_ARCHS)})")
     arch = _ARCHS[mt]
+
+    if arch == "bert":    # encoder: different tensor tree + WordPiece vocab
+        return _convert_bert(hf, load_hf_weights(model_dir), model_dir,
+                             out_path, fmt)
+
+    if arch == "t5":      # encoder-decoder: enc./dec. tensor tree
+        md = {"general.architecture": "t5",
+              "general.name": os.path.basename(
+                  os.path.abspath(model_dir))}
+        md.update(tokenizer_metadata(model_dir))
+        return _convert_t5(hf, load_hf_weights(model_dir), md, out_path,
+                           fmt)
 
     if arch == "mamba":   # no attention geometry; backbone.* tensor names
         md = {

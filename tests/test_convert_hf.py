@@ -866,3 +866,145 @@ def test_convert_llama3_rope_freqs(tmp_path):
                         jnp.zeros(1, jnp.int32), cache,
                         opts=MMOpts(precision="high"))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_convert_bert(tmp_path):
+    """HF BertModel -> bert GGUF: WordPiece vocab mapping, LayerNorm/
+    bias fidelity, causal=false + mean pooling metadata — and the result
+    serves embeddings."""
+    from gguf_tpu.engine import LLM
+
+    rng = np.random.default_rng(71)
+    d, f_, layers, vocab = 64, 128, 2, 48
+    hf = {"model_type": "bert", "vocab_size": vocab, "hidden_size": d,
+          "num_hidden_layers": layers, "num_attention_heads": 4,
+          "intermediate_size": f_, "layer_norm_eps": 1e-12,
+          "max_position_embeddings": 64}
+    s = 0.5 / np.sqrt(d)
+    w = lambda *sh: (rng.standard_normal(sh) * s).astype(np.float32)
+    nrm = lambda n: (1 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    t = {"embeddings.word_embeddings.weight": w(vocab, d),
+         "embeddings.token_type_embeddings.weight": w(2, d),
+         "embeddings.position_embeddings.weight": w(64, d),
+         "embeddings.LayerNorm.weight": nrm(d),
+         "embeddings.LayerNorm.bias": w(d)}
+    for i in range(layers):
+        p = f"encoder.layer.{i}."
+        for n_, shape in (("attention.self.query", (d, d)),
+                          ("attention.self.key", (d, d)),
+                          ("attention.self.value", (d, d)),
+                          ("attention.output.dense", (d, d)),
+                          ("intermediate.dense", (f_, d)),
+                          ("output.dense", (d, f_))):
+            t[p + n_ + ".weight"] = w(*shape)
+            t[p + n_ + ".bias"] = w(shape[0])
+        for n_ in ("attention.output.LayerNorm", "output.LayerNorm"):
+            t[p + n_ + ".weight"] = nrm(d)
+            t[p + n_ + ".bias"] = w(d)
+    wp_vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3,
+                "hello": 4, "world": 5, "##ing": 6}
+    for i in range(7, vocab):
+        wp_vocab[f"tok{i}"] = i
+    hd_dir = tmp_path / "hf"
+    hd_dir.mkdir()
+    (hd_dir / "config.json").write_text(json.dumps(hf))
+    (hd_dir / "tokenizer.json").write_text(json.dumps(
+        {"model": {"type": "WordPiece", "vocab": wp_vocab}}))
+    _write_safetensors(str(hd_dir / "model.safetensors"), t)
+
+    out = str(tmp_path / "bert.gguf")
+    md = convert_hf(str(hd_dir), out, fmt="q8_0")
+    assert md["bert.attention.causal"] is False
+    assert md["bert.pooling_type"] == 1
+    assert md["tokenizer.ggml.model"] == "bert"
+    assert md["tokenizer.ggml.cls_token_id"] == 2
+
+    from gguf_tpu.gguf import GGUFReader
+
+    r = GGUFReader(out)
+    np.testing.assert_allclose(
+        r.load_array("blk.0.attn_output_norm.bias"),
+        t["encoder.layer.0.attention.output.LayerNorm.bias"])
+    r.close()
+
+    llm = LLM(out, max_batch=2)
+    assert not llm.cfg.causal and llm.cfg.pooling == "mean"
+    emb = llm.embed(["hello world"])
+    assert emb.shape == (1, d) and np.isfinite(emb).all()
+
+
+def test_convert_t5(tmp_path):
+    """HF T5 (gated v1.1 layout) -> t5 GGUF: enc/dec tensor tree,
+    block-0 relative bias, untied head — and the result generates."""
+    from gguf_tpu.engine import LLM, SamplerConfig
+
+    rng = np.random.default_rng(81)
+    d, dkv, h, f_, layers, vocab, nb = 64, 16, 4, 128, 2, 64, 8
+    hf = {"model_type": "t5", "vocab_size": vocab, "d_model": d,
+          "d_kv": dkv, "d_ff": f_, "num_layers": layers,
+          "num_decoder_layers": layers, "num_heads": h,
+          "relative_attention_num_buckets": nb,
+          "layer_norm_epsilon": 1e-6, "decoder_start_token_id": 0,
+          "n_positions": 64}
+    s = 0.5 / np.sqrt(d)
+    w = lambda *sh: (rng.standard_normal(sh) * s).astype(np.float32)
+    nrm = lambda n: (1 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    t = {"shared.weight": w(vocab, d) * 4,
+         "encoder.final_layer_norm.weight": nrm(d),
+         "decoder.final_layer_norm.weight": nrm(d),
+         "lm_head.weight": w(vocab, d)}
+    for pre, n_l, cross in (("encoder", layers, False),
+                            ("decoder", layers, True)):
+        for i in range(n_l):
+            p = f"{pre}.block.{i}."
+            for hn in "qkv":
+                t[p + f"layer.0.SelfAttention.{hn}.weight"] = w(h * dkv, d)
+            t[p + "layer.0.SelfAttention.o.weight"] = w(d, h * dkv)
+            t[p + "layer.0.layer_norm.weight"] = nrm(d)
+            if i == 0:
+                t[p + "layer.0.SelfAttention.relative_attention_bias"
+                  ".weight"] = (rng.standard_normal((nb, h)) * 0.5
+                                ).astype(np.float32)
+            fl = "layer.2." if cross else "layer.1."
+            if cross:
+                for hn in "qkv":
+                    t[p + f"layer.1.EncDecAttention.{hn}.weight"] = \
+                        w(h * dkv, d)
+                t[p + "layer.1.EncDecAttention.o.weight"] = w(d, h * dkv)
+                t[p + "layer.1.layer_norm.weight"] = nrm(d)
+            t[p + fl + "DenseReluDense.wi_0.weight"] = w(f_, d)
+            t[p + fl + "DenseReluDense.wi_1.weight"] = w(f_, d)
+            t[p + fl + "DenseReluDense.wo.weight"] = w(d, f_)
+            t[p + fl + "layer_norm.weight"] = nrm(d)
+    hd_dir = tmp_path / "hf"
+    hd_dir.mkdir()
+    (hd_dir / "config.json").write_text(json.dumps(hf))
+    vocab_l = [["<pad>", 0.0], ["</s>", 0.0], ["<unk>", 0.0]]
+    vocab_l += [[f"w{i}", -float(i)] for i in range(vocab - 3)]
+    (hd_dir / "tokenizer.json").write_text(json.dumps(
+        {"model": {"type": "Unigram", "vocab": vocab_l}}))
+    _write_safetensors(str(hd_dir / "model.safetensors"), t)
+
+    out = str(tmp_path / "t5.gguf")
+    md = convert_hf(str(hd_dir), out, fmt="q8_0")
+    assert md["general.architecture"] == "t5"
+    assert md["t5.attention.key_length"] == dkv
+    assert md["t5.attention.relative_buckets_count"] == nb
+
+    from gguf_tpu.gguf import GGUFReader
+
+    r = GGUFReader(out)
+    np.testing.assert_allclose(
+        r.load_array("enc.blk.0.attn_rel_b.weight"),
+        t["encoder.block.0.layer.0.SelfAttention"
+          ".relative_attention_bias.weight"])
+    assert "dec.blk.0.cross_attn_q.weight" in r.tensors
+    assert "enc.blk.0.ffn_gate.weight" in r.tensors
+    r.close()
+
+    llm = LLM(out, max_batch=2, max_seq=64)
+    assert llm.t5 and not llm.cfg.tied_head
+    outs = llm.generate([[5, 9, 3, 1]], max_new_tokens=4,
+                        sampler=SamplerConfig(temperature=0.0),
+                        stop_at_eos=False)
+    assert len(outs[0].token_ids) == 4
