@@ -756,13 +756,15 @@ class LLM:
         return ChatSession(self, free[0], n_keep=n_keep)
 
     def encode_chat(self, messages,
-                    add_generation_prompt: bool = True) -> list[int]:
+                    add_generation_prompt: bool = True,
+                    tools: list | None = None) -> list[int]:
         """Render the chat template and encode it with special-token
         parsing: template-emitted control tokens (<s>, <|im_start|>, ...)
         become their single token ids, exactly as a chat-tuned checkpoint
         expects (no extra BOS is prepended — templates render their own)."""
         text = self.apply_chat_template(
-            messages, add_generation_prompt=add_generation_prompt)
+            messages, add_generation_prompt=add_generation_prompt,
+            tools=tools)
         if self.tokenizer is None:
             raise ValueError("model file has no embedded tokenizer")
         return encode_with_specials(self.tokenizer, text)
@@ -816,11 +818,16 @@ class LLM:
         "{% if add_generation_prompt %}<|im_start|>assistant\n{% endif %}")
 
     def apply_chat_template(self, messages,
-                            add_generation_prompt: bool = True) -> str:
+                            add_generation_prompt: bool = True,
+                            tools: list | None = None) -> str:
         """Render the GGUF's embedded jinja chat template
         (tokenizer.chat_template) over OpenAI-style messages
         [{"role": ..., "content": ...}, ...]. Checkpoints without a
-        template fall back to ChatML (llama.cpp's default)."""
+        template fall back to ChatML (llama.cpp's default). `tools`
+        (OpenAI function specs) pass straight into the template for
+        tool-calling checkpoints (hermes/qwen-style templates iterate
+        them); parsing the model's tool-call output is the caller's
+        job."""
         if not self.chat_template:
             self.chat_template = self.CHATML_TEMPLATE
         try:
@@ -839,7 +846,8 @@ class LLM:
             tok, "eos_id", None) is not None else ""
         return env.from_string(self.chat_template).render(
             messages=messages, bos_token=bos, eos_token=eos,
-            add_generation_prompt=add_generation_prompt)
+            add_generation_prompt=add_generation_prompt,
+            tools=tools or None)
 
     def _encode(self, prompt) -> list[int]:
         if isinstance(prompt, str):

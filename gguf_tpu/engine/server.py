@@ -619,7 +619,9 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                             # image_url parts become embedding spans
                             prompt = (worker.llm.encode_chat_mm(messages)
                                       if has_parts
-                                      else worker.llm.encode_chat(messages))
+                                      else worker.llm.encode_chat(
+                                          messages,
+                                          tools=payload.get("tools")))
                         except ValueError:
                             raise
                         except Exception as e:  # jinja render errors
@@ -686,26 +688,38 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                         "'grammar' does not compose with repetition "
                         "penalties or logit_bias")
                 fim = worker.llm.fim if infill else {}
-                req = _Request(prompt,
-                               int(payload.get("max_tokens",
-                                               payload.get("n_predict", 64))),
-                               sampler, int(payload.get("seed", 0)), stop,
-                               stream=bool(payload.get("stream", False)),
-                               logprobs=int(payload.get("logprobs", 0) or 0),
-                               session=str(session) if session else None,
-                               grammar=grammar,
-                               stop_ids=[fim[k] for k in ("eot", "pad")
-                                         if k in fim] or None)
+                n_choices = int(payload.get("n", 1) or 1)
+                if n_choices > 1 and (payload.get("stream") or session
+                                      or infill):
+                    raise ValueError(
+                        "'n' > 1 is non-streaming stateless only")
+                seed0 = int(payload.get("seed", 0))
+                reqs = [
+                    _Request(prompt,
+                             int(payload.get("max_tokens",
+                                             payload.get("n_predict", 64))),
+                             sampler, seed0 + 7919 * i, stop,
+                             stream=bool(payload.get("stream", False)),
+                             logprobs=int(payload.get("logprobs", 0) or 0),
+                             session=str(session) if session else None,
+                             grammar=grammar,
+                             stop_ids=[fim[k] for k in ("eot", "pad")
+                                       if k in fim] or None)
+                    for i in range(n_choices)]
+                req = reqs[0]
             except (ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
                 return
-            worker.submit(req)
+            for r_ in reqs:
+                worker.submit(r_)
             if req.stream:
                 self._stream_reply(req, chat=chat)
                 return
-            req.done.wait()
-            if req.error:
-                self._reply(500, {"error": req.error})
+            for r_ in reqs:
+                r_.done.wait()
+            err = next((r_.error for r_ in reqs if r_.error), None)
+            if err:
+                self._reply(500, {"error": err})
                 return
             res = req.result
             if infill:   # llama.cpp /infill response shape
@@ -717,21 +731,30 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                     "stats": res.stats,
                 })
                 return
-            choice = ({"message": {"role": "assistant", "content": res.text},
-                       "token_ids": res.token_ids,
-                       "finish_reason": "stop" if res.finished else "length"}
-                      if chat else
-                      {"text": res.text,
-                       "token_ids": res.token_ids,
-                       "finish_reason": "stop" if res.finished else "length"})
-            if req.logprobs:
-                choice["logprobs"] = res.logprobs
+            choices = []
+            for i, r_ in enumerate(reqs):
+                rr = r_.result
+                choice = ({"message": {"role": "assistant",
+                                       "content": rr.text},
+                           "token_ids": rr.token_ids,
+                           "finish_reason":
+                               "stop" if rr.finished else "length"}
+                          if chat else
+                          {"text": rr.text,
+                           "token_ids": rr.token_ids,
+                           "finish_reason":
+                               "stop" if rr.finished else "length"})
+                choice["index"] = i
+                if r_.logprobs:
+                    choice["logprobs"] = rr.logprobs
+                choices.append(choice)
             self._reply(200, {
                 "object": "chat.completion" if chat else "text_completion",
-                "choices": [choice],
+                "choices": choices,
                 "usage": {
                     "prompt_tokens": len(res.prompt_ids),
-                    "completion_tokens": len(res.token_ids),
+                    "completion_tokens": sum(
+                        len(r_.result.token_ids) for r_ in reqs),
                 },
                 "stats": res.stats,  # micro-batch wall_s / tokens_per_s
             })

@@ -414,3 +414,49 @@ def test_tokenize_detokenize(tmp_path):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_n_multiple_choices(server):
+    """OpenAI 'n': one request returns n independent sampled choices
+    (per-choice seeds), each with its own index."""
+    out = _post(server, {"prompt": [1, 5, 9], "max_tokens": 5, "n": 3,
+                         "temperature": 1.0, "seed": 4})
+    assert len(out["choices"]) == 3
+    assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+    # high temperature + distinct seeds: not all three identical
+    texts = {tuple(c["token_ids"]) for c in out["choices"]}
+    assert len(texts) >= 2
+    assert out["usage"]["completion_tokens"] == sum(
+        len(c["token_ids"]) for c in out["choices"])
+
+
+def test_chat_template_receives_tools(tmp_path):
+    """'tools' passes into the jinja template (hermes/qwen-style
+    templates render function specs into the system prompt)."""
+    import numpy as np
+
+    from gguf_tpu.models import write_random_llama_gguf
+    path = str(tmp_path / "tools.gguf")
+    tokens = ["<unk>", "<s>", "</s>"]
+    tokens += [f"<0x{b:02X}>" for b in range(256)]
+    tokens = (tokens + [f"<p{i}>" for i in range(512)])[:CFG.vocab_size]
+    write_random_llama_gguf(path, CFG, fmt=GGMLType.Q4_K, seed=9,
+                            extra_metadata={
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": np.zeros(CFG.vocab_size, np.float32),
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+        "tokenizer.chat_template":
+            "{% if tools %}TOOLS:{% for t in tools %}"
+            "{{ t.function.name }};{% endfor %}{% endif %}"
+            "{% for m in messages %}[{{ m.role }}]{{ m.content }}"
+            "{% endfor %}",
+    })
+    llm = LLM(path, max_batch=1, max_seq=64)
+    tools = [{"type": "function",
+              "function": {"name": "get_weather", "parameters": {}}}]
+    text = llm.apply_chat_template(
+        [{"role": "user", "content": "hi"}], tools=tools)
+    assert text.startswith("TOOLS:get_weather;")
+    text2 = llm.apply_chat_template([{"role": "user", "content": "hi"}])
+    assert not text2.startswith("TOOLS")
