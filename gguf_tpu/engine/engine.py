@@ -163,7 +163,9 @@ class ChatSession:
 
         def _counts_row():
             c = np.zeros((1, llm.cfg.vocab_size), np.int32)
-            np.add.at(c[0], np.asarray(self._history, np.int64), 1)
+            w = sampler.penalty_last_n
+            hist = self._history[-w:] if w > 0 else self._history
+            np.add.at(c[0], np.asarray(hist, np.int64), 1)
             return jnp.asarray(c)
 
         def _hist_row():
@@ -244,8 +246,9 @@ class ChatSession:
             span = llm._span_bucket(self.cached + steps)
             if sampler.uses_penalties:
                 counts = np.zeros((llm.max_batch, llm.cfg.vocab_size), np.int32)
-                np.add.at(counts[self.slot],
-                          np.asarray(self._history, np.int64), 1)
+                w = sampler.penalty_last_n
+                hist = self._history[-w:] if w > 0 else self._history
+                np.add.at(counts[self.slot], np.asarray(hist, np.int64), 1)
                 counts = jnp.asarray(counts)
             else:
                 counts = jnp.zeros((llm.max_batch, 1), jnp.int32)
@@ -1447,9 +1450,12 @@ class LLM:
                 "before calling generate()")
 
         def _ids_counts(rows_ids):
-            """(slot -> context ids) -> (max_batch, V) int32 counts."""
+            """(slot -> context ids) -> (max_batch, V) int32 counts,
+            windowed to the last penalty_last_n ids when set."""
+            w = sampler.penalty_last_n
             cnts = np.zeros((self.max_batch, self.cfg.vocab_size), np.int32)
             for s, ids in rows_ids.items():
+                ids = ids[-w:] if w > 0 else ids
                 np.add.at(cnts[s], np.asarray(ids, np.int64), 1)
             return jnp.asarray(cnts)
 

@@ -20,7 +20,12 @@ class SamplerConfig:
                                # keep the smallest set of tokens whose
                                # |-log p - H| is lowest with cum prob >= tp)
     # context-repetition penalties; counts cover the WHOLE context
-    # (prompt + generated), the OpenAI semantics
+    # (prompt + generated), the OpenAI semantics — set penalty_last_n
+    # for llama.cpp's windowed behavior (--repeat-last-n, default 64
+    # there): only the most recent n context tokens are counted. The
+    # window advances at decode-chunk granularity (tokens age out when
+    # the host rebuilds counts between chunks, <= chunk-1 steps late).
+    penalty_last_n: int = -1       # -1 = whole context
     repeat_penalty: float = 1.0    # llama.cpp: >1 shrinks seen tokens'
                                    # logits (divide if >0, multiply if <0)
     presence_penalty: float = 0.0  # OpenAI: flat subtraction once seen

@@ -640,6 +640,7 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                     min_p=float(payload.get("min_p", 0.0)),
                     typical_p=float(payload.get("typical_p", 1.0)),
                     repeat_penalty=float(payload.get("repeat_penalty", 1.0)),
+                    penalty_last_n=int(payload.get("repeat_last_n", -1)),
                     presence_penalty=float(payload.get("presence_penalty", 0.0)),
                     frequency_penalty=float(payload.get("frequency_penalty", 0.0)),
                     logit_bias=tuple(sorted(

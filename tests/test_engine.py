@@ -859,3 +859,33 @@ def test_chat_session_dry(llm):
         assert all(0 <= t < CFG.vocab_size for t in r.token_ids)
     finally:
         sess.close()
+
+
+def test_penalty_last_n_windows_counts(llm):
+    """llama.cpp --repeat-last-n: only the most recent n context tokens
+    are penalized. Guarantee tested: with window n=2 over prompt
+    [...X*6, 1, 9], only {1, 9} can be penalized — so if the
+    unpenalized greedy choice is outside {1, 9}, a huge windowed
+    penalty must not change it, while the whole-context penalty DOES
+    change it whenever that choice sits in the X-run."""
+    g = SamplerConfig(temperature=0.0)
+    [seed_run] = llm.generate([[1, 9]], max_new_tokens=1, sampler=g,
+                              stop_at_eos=False)
+    x = seed_run.token_ids[0]
+    prompt = [x] * 6 + [1, 9]
+    [none] = llm.generate([prompt], max_new_tokens=1, sampler=g,
+                          stop_at_eos=False)
+    t0 = none.token_ids[0]
+    pen = SamplerConfig(temperature=0.0, repeat_penalty=9.0)
+    win = SamplerConfig(temperature=0.0, repeat_penalty=9.0,
+                        penalty_last_n=2)
+    [full] = llm.generate([prompt], max_new_tokens=1, sampler=pen,
+                          stop_at_eos=False)
+    [windowed] = llm.generate([prompt], max_new_tokens=1, sampler=win,
+                              stop_at_eos=False)
+    if t0 not in (1, 9):
+        # outside the window: the windowed penalty cannot touch it
+        assert windowed.token_ids[0] == t0
+    if t0 == x:
+        # inside the whole context: the full penalty must crush it
+        assert full.token_ids[0] != t0
