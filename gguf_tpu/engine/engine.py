@@ -28,6 +28,14 @@ from .bpe_tokenizer import tokenizer_from_metadata
 from .tokenizer import SPMTokenizer, fim_tokens_from_metadata
 
 
+def _penalty_window(ids, n: int):
+    """llama.cpp --repeat-last-n semantics: n > 0 keeps the last n
+    context tokens, 0 DISABLES the penalties, negative = whole context."""
+    if n == 0:
+        return []
+    return ids[-n:] if n > 0 else ids
+
+
 def _decode_data_image(url: str):
     """data:image/...;base64,... -> HxWx3 uint8 array (PIL decode)."""
     import base64
@@ -163,8 +171,7 @@ class ChatSession:
 
         def _counts_row():
             c = np.zeros((1, llm.cfg.vocab_size), np.int32)
-            w = sampler.penalty_last_n
-            hist = self._history[-w:] if w > 0 else self._history
+            hist = _penalty_window(self._history, sampler.penalty_last_n)
             np.add.at(c[0], np.asarray(hist, np.int64), 1)
             return jnp.asarray(c)
 
@@ -197,10 +204,17 @@ class ChatSession:
         budget = max_new_tokens - 1
 
         def finished(t):
+            if llm.ctx_shift:   # shifting handles the boundary mid-decode
+                return stop_at_eos and t == eos
             return (stop_at_eos and t == eos) or \
                 self.cached + 1 >= llm.max_seq - 1
 
         while budget > 0 and not finished(tok):
+            # llama.cpp shifts DURING generation too: free room before
+            # the next chunk instead of truncating the turn
+            self._maybe_shift(min(budget, decode_chunk) + 2)
+            if llm.max_seq - self.cached - 2 < 1:
+                break   # n_keep pins everything: nothing left to drop
             steps = 1
             room = min(budget, llm.max_seq - self.cached - 2)
             while steps * 2 <= min(decode_chunk, max(room, 1)):
@@ -246,8 +260,7 @@ class ChatSession:
             span = llm._span_bucket(self.cached + steps)
             if sampler.uses_penalties:
                 counts = np.zeros((llm.max_batch, llm.cfg.vocab_size), np.int32)
-                w = sampler.penalty_last_n
-                hist = self._history[-w:] if w > 0 else self._history
+                hist = _penalty_window(self._history, sampler.penalty_last_n)
                 np.add.at(counts[self.slot], np.asarray(hist, np.int64), 1)
                 counts = jnp.asarray(counts)
             else:
@@ -354,8 +367,8 @@ class LLM:
         automatic prefix caching, exact: the reused rows are the ones the
         identical recomputation would produce). `llm.prefix_cache_hits`
         counts reused tokens."""
-        with GGUFReader(path) as _r:
-            _arch = _r.metadata.get("general.architecture", "llama")
+        _reader = GGUFReader(path)
+        _arch = _reader.metadata.get("general.architecture", "llama")
         if _arch == "t5":
             # encoder-decoder serving: a dedicated lockstep decode loop
             # (the continuous-batching machinery is decoder-LM specific)
@@ -363,7 +376,7 @@ class LLM:
 
             assert tp == dp == sp == ep == 1 and draft is None \
                 and mmproj is None, "t5 serving is single-chip"
-            with GGUFReader(path) as r:
+            with _reader as r:
                 self.cfg, self.params = load_t5(r)
                 md = r.metadata
             self.t5 = True
@@ -384,6 +397,7 @@ class LLM:
             self.draft = None
             self._draft_spec_decode = None
             return
+        _reader.close()
         self.t5 = False
         self.cfg, self.params = load_llama(path)
         if self.cfg.ssm_inner:
@@ -775,7 +789,8 @@ class LLM:
     _MEDIA_MARK = "\x00__media__\x00"
 
     def encode_chat_mm(self, messages,
-                       add_generation_prompt: bool = True) -> list:
+                       add_generation_prompt: bool = True,
+                       tools: list | None = None) -> list:
         """encode_chat for messages whose content may be OpenAI
         content-part lists ([{type: "text"}, {type: "image_url"}]):
         image parts become projected-embedding spans in the returned
@@ -798,12 +813,14 @@ class LLM:
                 m = {**m, "content": "".join(parts)}
             flat.append(m)
         if not imgs:
-            return self.encode_chat(flat, add_generation_prompt)
+            return self.encode_chat(flat, add_generation_prompt,
+                                    tools=tools)
         if self.clip_cfg is None:
             raise ValueError("chat contains images but the server was "
                              "started without an mmproj model")
         text = self.apply_chat_template(
-            flat, add_generation_prompt=add_generation_prompt)
+            flat, add_generation_prompt=add_generation_prompt,
+            tools=tools)
         pieces = text.split(self._MEDIA_MARK)
         prompt: list = []
         for i, piece in enumerate(pieces):
@@ -861,10 +878,13 @@ class LLM:
 
     # ---------------------------------------------------------------- t5 ---
     def _t5_generate(self, prompts, max_new_tokens, sampler, seed,
-                     stop_at_eos):
+                     stop_at_eos, stop=None, on_tokens=None,
+                     stop_ids=None):
         """Encoder-decoder serving: encode the padded batch once, decode
-        in lockstep from decoder_start_token_id (T5 convention: encoder
-        input is the raw text + EOS, no BOS)."""
+        in lockstep jitted chunks from decoder_start_token_id (T5
+        convention: encoder input is the raw text + EOS, no BOS).
+        Supports temperature sampling, stop strings/ids, and streaming
+        callbacks; finish_reason reflects EOS vs length."""
         from ..models.t5 import t5_generate
 
         t_start = time.perf_counter()
@@ -886,21 +906,59 @@ class LLM:
         for i, x in enumerate(ids):
             toks[i, :len(x)] = x
         eos = self.tokenizer.eos_id if self.tokenizer else 1
-        outs = t5_generate(self.params, self.cfg, toks, lens,
-                           max_new_tokens=max_new_tokens,
-                           eos_id=eos if stop_at_eos else -1,
-                           temperature=sampler.temperature, seed=seed)
+        stop_set = frozenset(int(t) for t in (stop_ids or ()))
+        stopped: dict = {}
+
+        def cb(row, new_ids, finished):
+            if row in stopped:
+                return
+            kept = []
+            for t in new_ids:
+                if t in stop_set:
+                    stopped[row] = len(results_ids[row]) + len(kept)
+                    finished = True
+                    break
+                kept.append(t)
+            results_ids[row].extend(kept)
+            if stop and self.tokenizer is not None and kept:
+                tail = self.tokenizer.decode(
+                    results_ids[row][-(4 * max_stop + 8):])
+                for sp_ in stop:
+                    if sp_ in tail:
+                        stopped[row] = len(results_ids[row])
+                        finished = True
+                        break
+            if on_tokens is not None:
+                on_tokens(row, kept, finished)
+
+        results_ids = [[] for _ in ids]
+        max_stop = max((len(x) for x in (stop or ())), default=0)
+        outs, hit_eos = t5_generate(
+            self.params, self.cfg, toks, lens,
+            max_new_tokens=max_new_tokens,
+            eos_id=eos if stop_at_eos else -1,
+            temperature=sampler.temperature, seed=seed, on_tokens=cb)
         wall = time.perf_counter() - t_start
-        n_new = sum(len(o) for o in outs)
-        stats = {"wall_s": round(wall, 4), "new_tokens": n_new,
-                 "tokens_per_s": round(n_new / max(wall, 1e-9), 2)}
         results = []
-        for i, o in enumerate(outs):
+        n_new = 0
+        for i in range(len(ids)):
+            o = results_ids[i]
+            finished = bool(hit_eos[i]) or i in stopped
             r = GenerationResult(prompt_ids=ids[i], token_ids=o,
-                                 finished=True, stats=stats)
+                                 finished=finished)
+            n_new += len(o)
             if self.tokenizer is not None:
                 r.text = self.tokenizer.decode(o)
+                if stop:
+                    cut = min((r.text.find(sp_) for sp_ in stop
+                               if sp_ in r.text), default=-1)
+                    if cut >= 0:
+                        r.text = r.text[:cut]
             results.append(r)
+        stats = {"wall_s": round(wall, 4), "new_tokens": n_new,
+                 "tokens_per_s": round(n_new / max(wall, 1e-9), 2)}
+        for r in results:
+            r.stats = stats
         return results
 
     # ------------------------------------------------------ context shift ---
@@ -1365,8 +1423,12 @@ class LLM:
         handful of tokens per step). Requires an embedded tokenizer;
         incompatible with speculative/logprobs."""
         if self.t5:
+            assert speculative == 0 and grammar is None and logprobs == 0, \
+                "t5 serving supports sampling/stop/streaming only"
             return self._t5_generate(prompts, max_new_tokens, sampler,
-                                     seed, stop_at_eos)
+                                     seed, stop_at_eos, stop=stop,
+                                     on_tokens=on_tokens,
+                                     stop_ids=stop_ids)
         assert self.cfg.causal, (
             "encoder-only (bert-family) model: use embed(), not generate()")
         t_start = time.perf_counter()
@@ -1452,10 +1514,9 @@ class LLM:
         def _ids_counts(rows_ids):
             """(slot -> context ids) -> (max_batch, V) int32 counts,
             windowed to the last penalty_last_n ids when set."""
-            w = sampler.penalty_last_n
             cnts = np.zeros((self.max_batch, self.cfg.vocab_size), np.int32)
             for s, ids in rows_ids.items():
-                ids = ids[-w:] if w > 0 else ids
+                ids = _penalty_window(ids, sampler.penalty_last_n)
                 np.add.at(cnts[s], np.asarray(ids, np.int64), 1)
             return jnp.asarray(cnts)
 

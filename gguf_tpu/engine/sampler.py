@@ -71,8 +71,11 @@ class SamplerConfig:
 
     @property
     def uses_penalties(self) -> bool:
-        return (self.repeat_penalty != 1.0 or self.presence_penalty != 0.0
-                or self.frequency_penalty != 0.0)
+        # llama.cpp: repeat_last_n == 0 disables the penalties entirely
+        return (self.penalty_last_n != 0
+                and (self.repeat_penalty != 1.0
+                     or self.presence_penalty != 0.0
+                     or self.frequency_penalty != 0.0))
 
 
 def apply_penalties(logits: jax.Array, counts: jax.Array,

@@ -498,7 +498,12 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                 self._reply(200, {"object": "list", "data": [{
                     "id": "gguf_tpu", "object": "model",
                     "owned_by": "gguf_tpu",
-                    "meta": {"n_layers": worker.llm.cfg.n_layers,
+                    # T5Config carries enc/dec layer counts, not n_layers
+                    "meta": {"n_layers": getattr(
+                                 worker.llm.cfg, "n_layers",
+                                 getattr(worker.llm.cfg, "n_enc_layers", 0)
+                                 + getattr(worker.llm.cfg,
+                                           "n_dec_layers", 0)),
                              "dim": worker.llm.cfg.dim,
                              "vocab_size": worker.llm.cfg.vocab_size,
                              "max_seq": worker.llm.max_seq}}]})
@@ -617,7 +622,9 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                             # token ids with template specials parsed to
                             # single control-token ids (no double BOS);
                             # image_url parts become embedding spans
-                            prompt = (worker.llm.encode_chat_mm(messages)
+                            prompt = (worker.llm.encode_chat_mm(
+                                          messages,
+                                          tools=payload.get("tools"))
                                       if has_parts
                                       else worker.llm.encode_chat(
                                           messages,
@@ -690,6 +697,8 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                         "penalties or logit_bias")
                 fim = worker.llm.fim if infill else {}
                 n_choices = int(payload.get("n", 1) or 1)
+                if not 1 <= n_choices <= 16:
+                    raise ValueError("'n' must be between 1 and 16")
                 if n_choices > 1 and (payload.get("stream") or session
                                       or infill):
                     raise ValueError(
@@ -699,7 +708,7 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                     _Request(prompt,
                              int(payload.get("max_tokens",
                                              payload.get("n_predict", 64))),
-                             sampler, seed0 + 7919 * i, stop,
+                             sampler, seed0, stop,
                              stream=bool(payload.get("stream", False)),
                              logprobs=int(payload.get("logprobs", 0) or 0),
                              session=str(session) if session else None,

@@ -24,6 +24,7 @@ specific).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -324,15 +325,43 @@ def write_random_t5_gguf(path: str, cfg: T5Config, seed: int = 0,
     write_gguf(path, md, tensors)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 8))
+def _t5_chunk(params, cfg, cache, tok, pos, enc_out, lens, key, steps,
+              temp):
+    """`steps` decode iterations in one jit (lax.scan): one host sync
+    per chunk instead of per token — the relay round-trip otherwise
+    dominates decode. Returns (cache, next_tok, key, toks (steps, B))."""
+
+    def step(carry, _):
+        cache, tok, pos, key = carry
+        logits, cache = t5_decode_step(params, cfg, tok, pos, cache,
+                                       enc_out, lens)
+        key, sub = jax.random.split(key)
+        lg = logits[:, 0]
+        sampled = jax.random.categorical(
+            sub, lg / jnp.maximum(temp, 1e-6))
+        nxt = jnp.where(temp > 0, sampled, jnp.argmax(lg, axis=-1))
+        nxt = nxt.astype(jnp.int32)
+        return (cache, nxt[:, None], pos + 1, key), nxt
+
+    (cache, tok, pos, key), toks = jax.lax.scan(
+        step, (cache, tok, jnp.asarray(pos, jnp.int32), key), None,
+        length=steps)
+    return cache, tok, key, toks
+
+
 def t5_generate(params, cfg: T5Config, enc_tokens, lengths,
                 max_new_tokens: int = 64, eos_id: int = 1,
-                temperature: float = 0.0, seed: int = 0):
+                temperature: float = 0.0, seed: int = 0,
+                chunk: int = 8, on_tokens=None):
     """Greedy/sampled decode for a padded batch (B, S) of encoder token
-    ids with real `lengths`. Returns list[list[int]] without EOS."""
+    ids with real `lengths`. Decodes in jitted chunks; `on_tokens(row,
+    new_ids, finished)` streams per chunk. Returns (token lists without
+    EOS, per-row ended-by-EOS flags)."""
     b = enc_tokens.shape[0]
+    lens = jnp.asarray(lengths, jnp.int32)
     enc_out = jax.jit(t5_encode, static_argnums=(1,))(
-        params, cfg, jnp.asarray(enc_tokens),
-        jnp.asarray(lengths, jnp.int32))
+        params, cfg, jnp.asarray(enc_tokens), lens)
     s_max = max_new_tokens + 1
     cache = [{"k": jnp.zeros((b, s_max, cfg.n_heads, cfg.head_dim),
                              jnp.float32),
@@ -340,29 +369,37 @@ def t5_generate(params, cfg: T5Config, enc_tokens, lengths,
                              jnp.float32)}
              for _ in range(cfg.n_dec_layers)]
 
-    step = jax.jit(t5_decode_step, static_argnums=(1,))
     key = jax.random.PRNGKey(seed)
-    tok = np.full((b, 1), cfg.decoder_start, np.int32)
+    tok = jnp.full((b, 1), cfg.decoder_start, jnp.int32)
     out = [[] for _ in range(b)]
+    hit_eos = [False] * b
     done = np.zeros(b, bool)
-    for i in range(max_new_tokens):
-        logits, cache = step(params, cfg, jnp.asarray(tok), jnp.int32(i),
-                             cache, enc_out,
-                             jnp.asarray(lengths, jnp.int32))
-        lg = logits[:, 0]
-        if temperature > 0:
-            key, sub = jax.random.split(key)
-            nxt = np.asarray(jax.random.categorical(
-                sub, lg / jnp.float32(temperature)))
-        else:
-            nxt = np.asarray(jnp.argmax(lg, axis=-1))
-        for j in range(b):
-            if not done[j]:
-                if int(nxt[j]) == eos_id:
-                    done[j] = True
+    pos = 0
+    while pos < max_new_tokens:
+        steps = min(chunk, max_new_tokens - pos)
+        cache, tok, key, toks = _t5_chunk(
+            params, cfg, cache, tok, pos, enc_out, lens, key, steps,
+            jnp.float32(temperature))
+        toks = np.asarray(toks)                      # (steps, B)
+        fresh = [[] for _ in range(b)]
+        for t_i in range(steps):
+            for j in range(b):
+                if done[j]:
+                    continue
+                tk = int(toks[t_i, j])
+                if tk == eos_id:
+                    done[j] = hit_eos[j] = True
                 else:
-                    out[j].append(int(nxt[j]))
+                    out[j].append(tk)
+                    fresh[j].append(tk)
+        pos += steps
+        if on_tokens is not None:
+            for j in range(b):
+                if fresh[j] or (done[j] and not hit_eos[j]):
+                    on_tokens(j, fresh[j], bool(done[j]))
         if done.all():
             break
-        tok = nxt[:, None].astype(np.int32)
-    return out
+    if on_tokens is not None:        # final finished notifications
+        for j in range(b):
+            on_tokens(j, [], True)
+    return out, hit_eos

@@ -137,10 +137,9 @@ def test_session_outlives_max_seq(model):
                         stop_at_eos=False)
         total += len(res.token_ids)
         assert res.token_ids, turn
-    # a turn that hits the boundary mid-decode truncates (the shift runs
-    # at the NEXT send), so not every turn yields all 6 tokens — but the
-    # total stream processed far exceeds the 32-row cache
-    assert total >= 24 and 6 * 3 + total > 32
+    # shifts fire mid-decode too (llama.cpp behavior), so every turn
+    # delivers its full 6 tokens despite the 32-row cache
+    assert total == 36
     assert sess.cached < 32                  # yet the slot never overflowed
     assert len(sess._history) <= 32          # trimmed alongside the cache
     assert sess._history[:2] == [3, 7]       # the pinned prefix survived

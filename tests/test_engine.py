@@ -889,3 +889,17 @@ def test_penalty_last_n_windows_counts(llm):
     if t0 == x:
         # inside the whole context: the full penalty must crush it
         assert full.token_ids[0] != t0
+
+
+def test_penalty_last_n_zero_disables(llm):
+    """llama.cpp: repeat_last_n == 0 DISABLES the penalties entirely
+    (0 is not 'whole context')."""
+    prompt = [5, 5, 5, 5, 1, 9]
+    g = SamplerConfig(temperature=0.0)
+    [none] = llm.generate([prompt], max_new_tokens=3, sampler=g,
+                          stop_at_eos=False)
+    off = SamplerConfig(temperature=0.0, repeat_penalty=9.0,
+                        penalty_last_n=0)
+    [disabled] = llm.generate([prompt], max_new_tokens=3, sampler=off,
+                              stop_at_eos=False)
+    assert disabled.token_ids == none.token_ids

@@ -166,8 +166,9 @@ def test_t5_generate_greedy_matches_numpy(model):
     path, cfg, params = model
     rng = np.random.default_rng(1)
     enc_ids = rng.integers(2, cfg.vocab_size, 5).astype(np.int32)
-    outs = t5_generate(params, cfg, enc_ids[None], [5],
-                       max_new_tokens=6, eos_id=-1)
+    outs, hit_eos = t5_generate(params, cfg, enc_ids[None], [5],
+                                max_new_tokens=6, eos_id=-1)
+    assert hit_eos == [False]
     # numpy greedy rollout
     dec = [cfg.decoder_start]
     for _ in range(6):
@@ -194,8 +195,45 @@ def test_t5_engine_and_tokenizer(tmp_path):
     outs = llm.generate(["ab", "c"], max_new_tokens=5,
                         sampler=SamplerConfig(temperature=0.0))
     assert len(outs) == 2
-    assert all(len(o.token_ids) <= 5 and o.finished for o in outs)
+    # finished reflects EOS (finish_reason stop) vs the length cap
+    assert all(len(o.token_ids) <= 5 for o in outs)
+    assert all(o.finished == (len(o.token_ids) < 5) for o in outs)
     # batched greedy equals solo (padding must not leak)
     [solo] = llm.generate(["ab"], max_new_tokens=5,
                           sampler=SamplerConfig(temperature=0.0))
     assert solo.token_ids == outs[0].token_ids
+
+
+def test_t5_streaming_and_stop(tmp_path):
+    """on_tokens streams per chunk; stop strings finish early and trim
+    .text; finished reflects the cause."""
+    tokens = ["<pad>", "</s>", "<unk>"]
+    tokens += [f"<0x{b:02X}>" for b in range(93)]
+    md = {"tokenizer.ggml.model": "llama",
+          "tokenizer.ggml.tokens": tokens[:CFG.vocab_size],
+          "tokenizer.ggml.scores": np.zeros(CFG.vocab_size, np.float32),
+          "tokenizer.ggml.bos_token_id": 0,
+          "tokenizer.ggml.eos_token_id": 1,
+          "tokenizer.ggml.unknown_token_id": 2}
+    path = str(tmp_path / "t5s.gguf")
+    write_random_t5_gguf(path, CFG, seed=63, extra_metadata=md)
+    llm = LLM(path, max_batch=1, max_seq=64)
+    got = []
+    [res] = llm.generate(["ab"], max_new_tokens=10,
+                         sampler=SamplerConfig(temperature=0.0),
+                         stop_at_eos=False,
+                         on_tokens=lambda r, ids, fin: got.append(
+                             (r, list(ids), fin)))
+    streamed = [t for _, ids, _ in got for t in ids]
+    assert streamed == res.token_ids          # stream covers the output
+    assert any(fin for _, _, fin in got)      # a finished notification
+
+    # stop_ids: first emitted token as terminator -> empty, finished
+    first = res.token_ids[0]
+    [res2] = llm.generate(["ab"], max_new_tokens=10,
+                          sampler=SamplerConfig(temperature=0.0),
+                          stop_at_eos=False, stop_ids=[first])
+    assert res2.finished and res2.token_ids == []
+
+    with pytest.raises(AssertionError, match="t5 serving"):
+        llm.generate(["ab"], max_new_tokens=2, logprobs=3)
