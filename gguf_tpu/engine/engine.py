@@ -340,6 +340,8 @@ class LLM:
         mmproj: str | None = None,
         prefix_cache: bool = True,
         ctx_shift: bool = False,
+        lora: str | list | None = None,
+        lora_scale: float = 1.0,
     ):
         """tp > 1 serves the model tensor-sharded (Megatron column/row
         sharding, psum over ICI — parallel/tp.py); dp > 1 additionally
@@ -367,6 +369,26 @@ class LLM:
         automatic prefix caching, exact: the reused rows are the ones the
         identical recomputation would produce). `llm.prefix_cache_hits`
         counts reused tokens."""
+        if lora:
+            # llama.cpp --lora: bake the adapter(s) in at load so the hot
+            # path stays pure MMQ (llama.cpp's runtime keeps A/B resident;
+            # at fixed scale the merged math is identical). Chained
+            # adapters merge in order through temp files.
+            import os as _os
+            import tempfile as _tempfile
+
+            from ..models.lora import merge_lora
+
+            tmps = []
+            for apath in ([lora] if isinstance(lora, str) else list(lora)):
+                fd, tmp = _tempfile.mkstemp(suffix=".gguf",
+                                            prefix="gguf_tpu_lora_")
+                _os.close(fd)
+                merge_lora(path, apath, tmp, scale=lora_scale)
+                tmps.append(tmp)
+                path = tmp
+            self._lora_tmp_paths = tmps   # removed after weights load
+
         _reader = GGUFReader(path)
         _arch = _reader.metadata.get("general.architecture", "llama")
         if _arch == "t5":
@@ -379,6 +401,7 @@ class LLM:
             with _reader as r:
                 self.cfg, self.params = load_t5(r)
                 md = r.metadata
+            self._drop_lora_tmps()
             self.t5 = True
             self.tokenizer = tokenizer_from_metadata(md)
             self.chat_template = md.get("tokenizer.chat_template")
@@ -410,6 +433,7 @@ class LLM:
                 and mmproj is None, "encoder models are single-chip"
             with GGUFReader(path) as r:
                 md = r.metadata
+            self._drop_lora_tmps()
             self.tokenizer = tokenizer_from_metadata(md)
             self.chat_template = None
             self.fim = {}
@@ -432,6 +456,7 @@ class LLM:
         self.params = self.params if sharded else fuse_llama_params(self.params)
         with GGUFReader(path) as r:
             md = r.metadata
+        self._drop_lora_tmps()
         self.tokenizer = tokenizer_from_metadata(md)
         self.chat_template = md.get("tokenizer.chat_template")
         # fill-in-middle control tokens (infill()/POST /infill); empty
@@ -875,6 +900,16 @@ class LLM:
                 raise ValueError("model file has no embedded tokenizer; pass token ids")
             return self.tokenizer.encode(prompt)
         return list(prompt)
+
+    def _drop_lora_tmps(self):
+        import os as _os
+
+        for t in getattr(self, "_lora_tmp_paths", []):
+            try:
+                _os.remove(t)
+            except OSError:
+                pass
+        self._lora_tmp_paths = []
 
     # ---------------------------------------------------------------- t5 ---
     def _t5_generate(self, prompts, max_new_tokens, sampler, seed,

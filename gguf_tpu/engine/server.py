@@ -452,11 +452,26 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
             if self.path == "/health":
                 self._reply(200, {"status": "ok",
                                   "model": worker.llm.cfg.__dict__})
-            elif self.path == "/metrics":
+            elif self.path.startswith("/metrics"):
                 m = dict(worker.metrics)
                 m["queue_depth"] = worker.queue.qsize()
                 m["prefix_cache_hit_tokens_total"] = worker.llm.prefix_cache_hits
-                self._reply(200, m)
+                if "format=json" in self.path:
+                    self._reply(200, m)
+                    return
+                # llama.cpp serves Prometheus text exposition by default
+                lines = []
+                for k, v in sorted(m.items()):
+                    kind = ("counter" if k.endswith("_total") else "gauge")
+                    lines.append(f"# TYPE gguf_tpu:{k} {kind}")
+                    lines.append(f"gguf_tpu:{k} {v}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/props":
                 # llama.cpp server /props: static server properties
                 llm = worker.llm
@@ -774,9 +789,11 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
 
 def serve(model: str, host: str = "0.0.0.0", port: int = 8000,
           max_batch: int = 8, tp: int = 1, dp: int = 1, sp: int = 1,
-          slot_save_path: str | None = None, mmproj: str | None = None):
+          slot_save_path: str | None = None, mmproj: str | None = None,
+          lora: str | None = None, lora_scale: float = 1.0):
     llm = LLM(model, max_batch=max_batch, tp=tp, dp=dp, sp=sp,
-              mmproj=mmproj)  # generate() chunks decode
+              mmproj=mmproj, lora=lora,
+              lora_scale=lora_scale)  # generate() chunks decode
 
     worker = EngineWorker(llm)
     httpd = ThreadingHTTPServer((host, port),

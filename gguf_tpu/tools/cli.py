@@ -233,7 +233,8 @@ def cmd_serve(args):
 
     serve(args.model, host=args.host, port=args.port,
           max_batch=args.max_batch, tp=args.tp, dp=args.dp, sp=args.sp,
-          slot_save_path=args.slot_save_path, mmproj=args.mmproj)
+          slot_save_path=args.slot_save_path, mmproj=args.mmproj,
+          lora=args.lora, lora_scale=args.lora_scale)
 
 
 def cmd_bench(args):
@@ -398,6 +399,9 @@ def main(argv=None):
                    help="directory for /slots/{id}?action=save|restore files")
     s.add_argument("--mmproj", default=None,
                    help="mmproj GGUF (CLIP vision tower) for image chat")
+    s.add_argument("--lora", default=None,
+                   help="LoRA adapter GGUF baked in at load (llama.cpp --lora)")
+    s.add_argument("--lora-scale", type=float, default=1.0)
     s.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

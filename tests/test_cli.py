@@ -173,3 +173,43 @@ def test_tokenize_cli(tmp_path, capsys):
         tok = tokenizer_from_metadata(r.metadata)
     assert tok.decode(ids) == "hi"
     assert "->" in out
+
+
+def test_llm_runtime_lora(model, tmp_path):
+    """LLM(lora=...) bakes the adapter in at load (llama.cpp --lora):
+    serving output matches an offline merge, temp files are cleaned up,
+    and the base model is untouched."""
+    import glob
+    import tempfile
+
+    from gguf_tpu.engine import LLM, SamplerConfig
+    from gguf_tpu.gguf import GGUFReader
+    from gguf_tpu.models.lora import merge_lora, write_lora_adapter
+
+    rng = np.random.default_rng(8)
+    with GGUFReader(model) as r:
+        m, k = r.dequantize("blk.0.attn_q.weight").shape
+    rank, alpha = 4, 8.0
+    a = (rng.standard_normal((rank, k)) * 0.2).astype(np.float32)
+    b = (rng.standard_normal((m, rank)) * 0.2).astype(np.float32)
+    lora_path = str(tmp_path / "adapter.gguf")
+    write_lora_adapter(lora_path, alpha, {"blk.0.attn_q.weight": (a, b)})
+
+    g = SamplerConfig(temperature=0.0)
+    llm = LLM(model, max_batch=1, max_seq=32, lora=lora_path)
+    [tuned] = llm.generate([[1, 5, 9]], max_new_tokens=5, sampler=g,
+                           stop_at_eos=False)
+    assert not glob.glob(
+        tempfile.gettempdir() + "/gguf_tpu_lora_*.gguf")   # cleaned up
+
+    merged_path = str(tmp_path / "merged.gguf")
+    merge_lora(model, lora_path, merged_path)
+    offline = LLM(merged_path, max_batch=1, max_seq=32)
+    [ref] = offline.generate([[1, 5, 9]], max_new_tokens=5, sampler=g,
+                             stop_at_eos=False)
+    assert tuned.token_ids == ref.token_ids
+
+    base = LLM(model, max_batch=1, max_seq=32)
+    [plain] = base.generate([[1, 5, 9]], max_new_tokens=5, sampler=g,
+                            stop_at_eos=False)
+    assert plain.token_ids != tuned.token_ids   # the adapter changed it

@@ -460,3 +460,20 @@ def test_chat_template_receives_tools(tmp_path):
     assert text.startswith("TOOLS:get_weather;")
     text2 = llm.apply_chat_template([{"role": "user", "content": "hi"}])
     assert not text2.startswith("TOOLS")
+
+
+def test_metrics_prometheus_and_json(server):
+    """/metrics serves Prometheus text exposition (llama.cpp default);
+    ?format=json keeps the structured form."""
+    import urllib.request
+
+    with urllib.request.urlopen(server + "/metrics", timeout=60) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    assert "# TYPE gguf_tpu:requests_total counter" in body
+    assert "gguf_tpu:queue_depth" in body
+
+    with urllib.request.urlopen(server + "/metrics?format=json",
+                                timeout=60) as r:
+        data = json.loads(r.read())
+    assert "requests_total" in data and "queue_depth" in data
