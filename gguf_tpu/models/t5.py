@@ -77,10 +77,15 @@ class T5Config:
 
 
 def load_t5(reader):
-    """t5 GGUF -> (T5Config, params). Weights dequantize to f32 arrays
-    (T5 checkpoints are small; MMQ can come later)."""
+    """t5 GGUF -> (T5Config, params). Projection weights load through
+    the MMQ path (QuantTensor SoA for quantized checkpoints — madlad/
+    flan GGUFs ship q4_k/q8_0 mixes; float tensors stay jnp arrays);
+    norms and the relative-bias table stay f32."""
+    from .loader import _load_weight
+
     cfg = T5Config.from_gguf_metadata(reader.metadata)
     t = lambda n: jnp.asarray(reader.dequantize(n), jnp.float32)
+    w = lambda n: _load_weight(reader, n)
     has = lambda n: n in reader.tensors
 
     def blk(prefix, n_layers, cross):
@@ -89,16 +94,16 @@ def load_t5(reader):
             p = f"{prefix}.blk.{i}."
             layer = {
                 "attn_norm": t(p + "attn_norm.weight"),
-                "wq": t(p + "attn_q.weight"),
-                "wk": t(p + "attn_k.weight"),
-                "wv": t(p + "attn_v.weight"),
-                "wo": t(p + "attn_o.weight"),
+                "wq": w(p + "attn_q.weight"),
+                "wk": w(p + "attn_k.weight"),
+                "wv": w(p + "attn_v.weight"),
+                "wo": w(p + "attn_o.weight"),
                 "ffn_norm": t(p + "ffn_norm.weight"),
-                "up": t(p + "ffn_up.weight"),
-                "down": t(p + "ffn_down.weight"),
+                "up": w(p + "ffn_up.weight"),
+                "down": w(p + "ffn_down.weight"),
             }
             if has(p + "ffn_gate.weight"):
-                layer["gate"] = t(p + "ffn_gate.weight")
+                layer["gate"] = w(p + "ffn_gate.weight")
             if has(p + "attn_rel_b.weight"):
                 # normalized to (n_heads, n_buckets); llama.cpp GGUFs
                 # store ne {n_head, n_buckets} -> numpy (buckets, heads)
@@ -110,22 +115,22 @@ def load_t5(reader):
             if cross:
                 layer.update({
                     "cross_norm": t(p + "cross_attn_norm.weight"),
-                    "cq": t(p + "cross_attn_q.weight"),
-                    "ck": t(p + "cross_attn_k.weight"),
-                    "cv": t(p + "cross_attn_v.weight"),
-                    "co": t(p + "cross_attn_o.weight"),
+                    "cq": w(p + "cross_attn_q.weight"),
+                    "ck": w(p + "cross_attn_k.weight"),
+                    "cv": w(p + "cross_attn_v.weight"),
+                    "co": w(p + "cross_attn_o.weight"),
                 })
             layers.append(layer)
         return layers
 
     params = {
-        "token_embd": t("token_embd.weight"),
+        "token_embd": w("token_embd.weight"),
         "enc_layers": blk("enc", cfg.n_enc_layers, cross=False),
         "dec_layers": blk("dec", cfg.n_dec_layers, cross=True),
         "enc_norm": t("enc.output_norm.weight"),
         "dec_norm": t("dec.output_norm.weight"),
     }
-    params["output"] = (t("output.weight") if has("output.weight")
+    params["output"] = (w("output.weight") if has("output.weight")
                         else params["token_embd"])
     if has("output.weight"):
         import dataclasses
@@ -168,6 +173,21 @@ def _attn_bias(q_pos, k_pos, rel_b, bidirectional, cfg: T5Config):
     return rel_b[:, b]                               # (H, Tq, Tk)
 
 
+def _lin(w, x):
+    """x (..., K) @ W^T for float or MMQ QuantTensor weights."""
+    from .llama import linear
+
+    lead = x.shape[:-1]
+    out = linear(w, x.reshape(-1, x.shape[-1]).astype(jnp.float32))
+    return out.reshape(*lead, -1).astype(jnp.float32)
+
+
+def _embed(table, ids):
+    from .llama import embed
+
+    return embed(table, ids)
+
+
 def _mha(q, k, v, bias):
     """q (B,Tq,H,hd) k/v (B,Tk,H,hd) bias (B,H,Tq,Tk) -> (B,Tq,H*hd).
     T5: scores are UNSCALED."""
@@ -180,19 +200,19 @@ def _mha(q, k, v, bias):
 
 def _ffn(layer, x, eps):
     h = _rmsn(x, layer["ffn_norm"], eps)
-    u = h @ layer["up"].T
+    u = _lin(layer["up"], h)
     if "gate" in layer:          # t5 v1.1: gated GELU
-        act = jax.nn.gelu(h @ layer["gate"].T, approximate=False) * u
+        act = jax.nn.gelu(_lin(layer["gate"], h), approximate=False) * u
     else:                        # t5 v1.0: ReLU
         act = jax.nn.relu(u)
-    return x + act @ layer["down"].T
+    return x + _lin(layer["down"], act)
 
 
 def t5_encode(params, cfg: T5Config, tokens, lengths):
     """(B, S) padded tokens -> encoder hidden states (B, S, dim)."""
     b, s = tokens.shape
     h, hd = cfg.n_heads, cfg.head_dim
-    x = params["token_embd"][tokens.reshape(-1)].reshape(b, s, cfg.dim)
+    x = _embed(params["token_embd"], tokens)
     pos = jnp.arange(s)
     rel_b = params["enc_layers"][0]["rel_b"]         # shared across layers
     bias = _attn_bias(pos, pos, rel_b, True, cfg)[None]      # (1,H,S,S)
@@ -200,10 +220,10 @@ def t5_encode(params, cfg: T5Config, tokens, lengths):
     bias = bias + jnp.where(valid, 0.0, -jnp.inf)[:, None, None, :]
     for lyr in params["enc_layers"]:
         r = _rmsn(x, lyr["attn_norm"], cfg.norm_eps)
-        q = (r @ lyr["wq"].T).reshape(b, s, h, hd)
-        k = (r @ lyr["wk"].T).reshape(b, s, h, hd)
-        v = (r @ lyr["wv"].T).reshape(b, s, h, hd)
-        x = x + _mha(q, k, v, bias) @ lyr["wo"].T
+        q = _lin(lyr["wq"], r).reshape(b, s, h, hd)
+        k = _lin(lyr["wk"], r).reshape(b, s, h, hd)
+        v = _lin(lyr["wv"], r).reshape(b, s, h, hd)
+        x = x + _lin(lyr["wo"], _mha(q, k, v, bias))
         x = _ffn(lyr, x, cfg.norm_eps)
     return _rmsn(x, params["enc_norm"], cfg.norm_eps)
 
@@ -217,7 +237,7 @@ def t5_decode_step(params, cfg: T5Config, tokens, pos, cache, enc_out,
     b, t = tokens.shape
     h, hd = cfg.n_heads, cfg.head_dim
     s_max = cache[0]["k"].shape[1]
-    x = params["token_embd"][tokens.reshape(-1)].reshape(b, t, cfg.dim)
+    x = _embed(params["token_embd"], tokens)
 
     q_pos = pos + jnp.arange(t)
     k_pos = jnp.arange(s_max)
@@ -233,37 +253,39 @@ def t5_decode_step(params, cfg: T5Config, tokens, pos, cache, enc_out,
     new_cache = []
     for li, lyr in enumerate(params["dec_layers"]):
         r = _rmsn(x, lyr["attn_norm"], cfg.norm_eps)
-        q = (r @ lyr["wq"].T).reshape(b, t, h, hd)
-        k = (r @ lyr["wk"].T).reshape(b, t, h, hd)
-        v = (r @ lyr["wv"].T).reshape(b, t, h, hd)
+        q = _lin(lyr["wq"], r).reshape(b, t, h, hd)
+        k = _lin(lyr["wk"], r).reshape(b, t, h, hd)
+        v = _lin(lyr["wv"], r).reshape(b, t, h, hd)
         ck = jax.lax.dynamic_update_slice(
             cache[li]["k"], k, (0, pos, 0, 0))
         cv = jax.lax.dynamic_update_slice(
             cache[li]["v"], v, (0, pos, 0, 0))
         new_cache.append({"k": ck, "v": cv})
-        x = x + _mha(q, ck, cv, bias) @ lyr["wo"].T
+        x = x + _lin(lyr["wo"], _mha(q, ck, cv, bias))
 
         r = _rmsn(x, lyr["cross_norm"], cfg.norm_eps)
-        cq = (r @ lyr["cq"].T).reshape(b, t, h, hd)
-        ek = (enc_out @ lyr["ck"].T).reshape(b, se, h, hd)
-        ev = (enc_out @ lyr["cv"].T).reshape(b, se, h, hd)
-        x = x + _mha(cq, ek, ev, cbias) @ lyr["co"].T
+        cq = _lin(lyr["cq"], r).reshape(b, t, h, hd)
+        ek = _lin(lyr["ck"], enc_out).reshape(b, se, h, hd)
+        ev = _lin(lyr["cv"], enc_out).reshape(b, se, h, hd)
+        x = x + _lin(lyr["co"], _mha(cq, ek, ev, cbias))
 
         x = _ffn(lyr, x, cfg.norm_eps)
 
     x = _rmsn(x, params["dec_norm"], cfg.norm_eps)
     if cfg.tied_head:            # HF: tied head scales by d_model^-0.5
         x = x * (cfg.dim ** -0.5)
-    logits = x @ params["output"].T
+    logits = _lin(params["output"], x)
     return logits, new_cache
 
 
 def write_random_t5_gguf(path: str, cfg: T5Config, seed: int = 0,
                          extra_metadata: dict | None = None,
-                         gated: bool = True, tied: bool = True) -> None:
-    """Random llama.cpp-schema t5 GGUF (tests)."""
+                         gated: bool = True, tied: bool = True,
+                         fmt=None) -> None:
+    """Random llama.cpp-schema t5 GGUF (tests). `fmt` (a GGMLType)
+    quantizes the projection weights like real madlad/flan files."""
     from ..gguf import GGMLType
-    from ..gguf.writer import write_gguf
+    from ..gguf.writer import quantize_tensor, write_gguf
 
     rng = np.random.default_rng(seed)
     d, f, v = cfg.dim, cfg.ffn_dim, cfg.vocab_size
@@ -272,13 +294,15 @@ def write_random_t5_gguf(path: str, cfg: T5Config, seed: int = 0,
     w = lambda *sh: (rng.standard_normal(sh) * s).astype(np.float32)
     nrm = lambda n: (1 + 0.1 * rng.standard_normal(n)).astype(np.float32)
     f32 = lambda arr: (GGMLType.F32, arr.shape, arr)
+    proj = (f32 if fmt is None else
+            (lambda arr: (fmt, arr.shape, quantize_tensor(arr, fmt))))
     tensors = {
-        "token_embd.weight": f32(w(v, d) * 4),
+        "token_embd.weight": proj(w(v, d) * 4),
         "enc.output_norm.weight": f32(nrm(d)),
         "dec.output_norm.weight": f32(nrm(d)),
     }
     if not tied:
-        tensors["output.weight"] = f32(w(v, d))
+        tensors["output.weight"] = proj(w(v, d))
 
     def blk(prefix, n_layers, cross):
         for i in range(n_layers):
@@ -288,9 +312,9 @@ def write_random_t5_gguf(path: str, cfg: T5Config, seed: int = 0,
                                 ("attn_v", (h * hd, d)),
                                 ("attn_o", (d, h * hd)),
                                 ("ffn_up", (f, d)), ("ffn_down", (d, f))):
-                tensors[p + name + ".weight"] = f32(w(*shape))
+                tensors[p + name + ".weight"] = proj(w(*shape))
             if gated:
-                tensors[p + "ffn_gate.weight"] = f32(w(f, d))
+                tensors[p + "ffn_gate.weight"] = proj(w(f, d))
             for name in ("attn_norm", "ffn_norm"):
                 tensors[p + name + ".weight"] = f32(nrm(d))
             if i == 0:   # llama.cpp layout: (buckets, heads) on disk
@@ -301,7 +325,7 @@ def write_random_t5_gguf(path: str, cfg: T5Config, seed: int = 0,
                                     ("cross_attn_k", (h * hd, d)),
                                     ("cross_attn_v", (h * hd, d)),
                                     ("cross_attn_o", (d, h * hd))):
-                    tensors[p + name + ".weight"] = f32(w(*shape))
+                    tensors[p + name + ".weight"] = proj(w(*shape))
                 tensors[p + "cross_attn_norm.weight"] = f32(nrm(d))
 
     blk("enc", cfg.n_enc_layers, cross=False)

@@ -237,3 +237,35 @@ def test_t5_streaming_and_stop(tmp_path):
 
     with pytest.raises(AssertionError, match="t5 serving"):
         llm.generate(["ab"], max_new_tokens=2, logprobs=3)
+
+
+def test_t5_quantized_weights(tmp_path):
+    """Quantized T5 checkpoints (madlad/flan ship q8_0/q4_k mixes) load
+    as MMQ QuantTensors and match the f32 model within quant noise."""
+    from gguf_tpu.gguf import GGMLType
+    from gguf_tpu.quant.layouts import QuantTensor
+
+    pf = str(tmp_path / "f32.gguf")
+    pq = str(tmp_path / "q8.gguf")
+    write_random_t5_gguf(pf, CFG, seed=64)
+    write_random_t5_gguf(pq, CFG, seed=64, fmt=GGMLType.Q8_0)
+    with GGUFReader(pq) as r:
+        cfgq, pq_params = load_t5(r)
+    with GGUFReader(pf) as r:
+        cfgf, pf_params = load_t5(r)
+    assert isinstance(pq_params["enc_layers"][0]["wq"], QuantTensor)
+
+    rng = np.random.default_rng(2)
+    enc_ids = rng.integers(2, CFG.vocab_size, 6).astype(np.int32)
+    ef = np.asarray(t5_encode(pf_params, cfgf, jnp.asarray(enc_ids[None]),
+                              jnp.asarray([6], jnp.int32)))
+    eq = np.asarray(t5_encode(pq_params, cfgq, jnp.asarray(enc_ids[None]),
+                              jnp.asarray([6], jnp.int32)))
+    denom = np.abs(ef).max()
+    assert np.max(np.abs(ef - eq)) / denom < 0.03
+
+    outs_f, _ = t5_generate(pf_params, cfgf, enc_ids[None], [6],
+                            max_new_tokens=4, eos_id=-1)
+    outs_q, _ = t5_generate(pq_params, cfgq, enc_ids[None], [6],
+                            max_new_tokens=4, eos_id=-1)
+    assert len(outs_q[0]) == 4     # serves; greedy may differ by quant
