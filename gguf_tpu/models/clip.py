@@ -42,7 +42,8 @@ class ClipVisionConfig:
     proj_dim: int       # LM embedding width the projector maps into
     image_mean: tuple
     image_std: tuple
-    projector: str      # "mlp" (llava) | "linear"
+    projector: str      # "mlp" (llava) | "linear" | "gemma3"
+    proj_scale: int = 4  # gemma3: patch-grid pooling factor per side
 
     @property
     def n_patches(self) -> int:
@@ -67,6 +68,8 @@ class ClipVisionConfig:
                             g("image_std", (0.26862954, 0.26130258,
                                             0.27577711))),
             projector=str(md.get("clip.projector_type", "mlp")),
+            proj_scale=int(md.get("clip.vision.projector.scale_factor", 4)
+                           or 4),
         )
 
 
@@ -87,6 +90,8 @@ def load_clip(path: str):
     patch = patch.reshape(D, 3 * P * P)
     params = {
         "patch": jnp.asarray(patch, jnp.float32),
+        "patch_bias": t("v.patch_embd.bias")
+        if has("v.patch_embd.bias") else None,   # SigLIP conv has a bias
         "class_embd": t("v.class_embd") if has("v.class_embd") else None,
         "pos": t("v.position_embd.weight"),
         "layers": [],
@@ -109,6 +114,10 @@ def load_clip(path: str):
         if has(f"mm.{i}.weight"):
             proj[i] = (t(f"mm.{i}.weight"), t(f"mm.{i}.bias"))
     params["proj"] = proj
+    # gemma3 (SigLIP tower): RMS-normed 4x4-pooled soft embeddings
+    if has("mm.input_projection.weight"):
+        params["g3_proj"] = t("mm.input_projection.weight")
+        params["g3_norm"] = t("mm.soft_emb_norm.weight")
     r.close()
     return cfg, params
 
@@ -163,6 +172,8 @@ def encode_image(params, cfg: ClipVisionConfig, pixels) -> jax.Array:
     x = x.reshape(b, g, P, g, P, 3).transpose(0, 1, 3, 5, 2, 4)
     x = x.reshape(b, g * g, 3 * P * P)
     x = x @ params["patch"].T                       # (B, N, D)
+    if params.get("patch_bias") is not None:
+        x = x + params["patch_bias"]
     if params["class_embd"] is not None:
         cls = jnp.broadcast_to(params["class_embd"], (b, 1, D))
         x = jnp.concatenate([cls, x], axis=1)
@@ -186,6 +197,23 @@ def encode_image(params, cfg: ClipVisionConfig, pixels) -> jax.Array:
         x = x + (r @ lyr["down"][0].T + lyr["down"][1])
 
     proj = params["proj"]
+    if cfg.projector == "gemma3":
+        # SigLIP tower (no CLS): post_ln, then average-pool the patch
+        # grid 4x4 (64x64 -> 16x16 soft tokens for gemma3-4b+), RMS-norm
+        # with soft_emb_norm, and project into the LM space
+        # (llama.cpp clip.cpp PROJECTOR_TYPE_GEMMA3)
+        if params["post_ln"] is not None:
+            x = _ln(x, params["post_ln"], cfg.norm_eps)
+        n = x.shape[1]
+        side = int(round(float(np.sqrt(n))))
+        pool = cfg.proj_scale if side % cfg.proj_scale == 0 else 1
+        gs = side // pool
+        x = x.reshape(b, gs, pool, gs, pool, D)
+        x = x.mean(axis=(2, 4)).reshape(b, gs * gs, D)
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(var + cfg.norm_eps) * params["g3_norm"]
+        return x @ params["g3_proj"].T \
+            if params["g3_proj"].shape[-1] == D else x @ params["g3_proj"]
     if cfg.projector == "mlp" and 0 in proj and 2 in proj:
         # llava: patch rows only (drop CLS), no post_ln, 2-layer MLP
         if params["class_embd"] is not None:

@@ -270,3 +270,97 @@ def test_mm_prompt_string_bos_position(tmp_path, mmproj):
     assert bos not in ids                              # image-led: none
     ids, _ = llm._prepare_prompt([7, "a", img])
     assert bos not in ids                              # id-led: none
+
+
+def test_gemma3_siglip_projector(tmp_path):
+    """gemma3 mmproj (SigLIP tower): biased patch conv, no CLS, post_ln,
+    4x4 average pooling, soft_emb RMS norm, input_projection — pinned
+    against a numpy pipeline."""
+    from gguf_tpu.gguf import GGMLType, GGUFReader as _R
+    from gguf_tpu.gguf.writer import write_gguf
+
+    rng = np.random.default_rng(13)
+    S, P, D, proj_d = 32, 4, 48, 96        # 8x8 patches -> 2x2 pooled
+    s_ = 0.5 / np.sqrt(D)
+    w = lambda *sh: (rng.standard_normal(sh) * s_).astype(np.float32)
+    nrm = lambda n: (1 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    f32 = lambda a: (GGMLType.F32, a.shape, a)
+    g = S // P
+    tensors = {
+        "v.patch_embd.weight": f32(w(D, 3, P, P) * 2),
+        "v.patch_embd.bias": f32(w(D)),
+        "v.position_embd.weight": f32(w(g * g, D)),
+        "v.post_ln.weight": f32(nrm(D)),
+        "v.post_ln.bias": f32(w(D)),
+        "mm.input_projection.weight": f32(w(proj_d, D)),
+        "mm.soft_emb_norm.weight": f32(nrm(D)),
+    }
+    for i in range(1):
+        p = f"v.blk.{i}."
+        for name, shape in (("attn_q", (D, D)), ("attn_k", (D, D)),
+                            ("attn_v", (D, D)), ("attn_out", (D, D)),
+                            ("ffn_up", (2 * D, D)), ("ffn_down", (D, 2 * D))):
+            tensors[p + name + ".weight"] = f32(w(*shape))
+            tensors[p + name + ".bias"] = f32(w(shape[0]))
+        for name in ("ln1", "ln2"):
+            tensors[p + name + ".weight"] = f32(nrm(D))
+            tensors[p + name + ".bias"] = f32(w(D))
+    md = {"general.architecture": "clip",
+          "clip.projector_type": "gemma3",
+          "clip.vision.projector.scale_factor": 4,
+          "clip.vision.image_size": S, "clip.vision.patch_size": P,
+          "clip.vision.embedding_length": D,
+          "clip.vision.block_count": 1,
+          "clip.vision.attention.head_count": 4,
+          "clip.vision.feed_forward_length": 2 * D,
+          "clip.vision.attention.layer_norm_epsilon": 1e-6,
+          "clip.vision.projection_dim": proj_d}
+    path = str(tmp_path / "g3.gguf")
+    write_gguf(path, md, tensors)
+
+    cfg, params = load_clip(path)
+    assert cfg.projector == "gemma3" and cfg.proj_scale == 4
+    px = rng.standard_normal((S, S, 3)).astype(np.float32)
+    got = np.asarray(encode_image(params, cfg, px))[0]
+    assert got.shape == ((g // 4) ** 2, proj_d)    # 4 soft tokens
+
+    # numpy pipeline
+    r = _R(path)
+    la = lambda n: r.load_array(n)
+    import math as _m
+    erf = np.vectorize(_m.erf)
+    patches = px.reshape(g, P, g, P, 3).transpose(0, 2, 4, 1, 3)
+    patches = patches.reshape(g * g, 3 * P * P)
+    x = patches @ la("v.patch_embd.weight").reshape(D, -1).T \
+        + la("v.patch_embd.bias")
+    x = x + la("v.position_embd.weight")
+
+    def ln(v, wt, bi):
+        m = v.mean(-1, keepdims=True)
+        va = ((v - m) ** 2).mean(-1, keepdims=True)
+        return (v - m) / np.sqrt(va + cfg.norm_eps) * wt + bi
+
+    p = "v.blk.0."
+    rr = ln(x, la(p + "ln1.weight"), la(p + "ln1.bias"))
+    h, hd = 4, D // 4
+    q = (rr @ la(p + "attn_q.weight").T + la(p + "attn_q.bias")).reshape(-1, h, hd)
+    k = (rr @ la(p + "attn_k.weight").T + la(p + "attn_k.bias")).reshape(-1, h, hd)
+    v = (rr @ la(p + "attn_v.weight").T + la(p + "attn_v.bias")).reshape(-1, h, hd)
+    sc = np.einsum("qhd,khd->hqk", q, k) / np.sqrt(hd)
+    pr = np.exp(sc - sc.max(-1, keepdims=True))
+    pr /= pr.sum(-1, keepdims=True)
+    att = np.einsum("hqk,khd->qhd", pr, v).reshape(-1, D)
+    x = x + att @ la(p + "attn_out.weight").T + la(p + "attn_out.bias")
+    rr = ln(x, la(p + "ln2.weight"), la(p + "ln2.bias"))
+    rr = rr @ la(p + "ffn_up.weight").T + la(p + "ffn_up.bias")
+    rr = 0.5 * rr * (1 + erf(rr / np.sqrt(2)))
+    x = x + rr @ la(p + "ffn_down.weight").T + la(p + "ffn_down.bias")
+    x = ln(x, la("v.post_ln.weight"), la("v.post_ln.bias"))
+    x = x.reshape(2, 4, 2, 4, D).mean(axis=(1, 3)).reshape(4, D)
+    x = x / np.sqrt(np.mean(x * x, -1, keepdims=True) + cfg.norm_eps) \
+        * la("mm.soft_emb_norm.weight")
+    ref = x @ la("mm.input_projection.weight").T
+    r.close()
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 1e-3, \
+        np.max(np.abs(got - ref)) / denom
