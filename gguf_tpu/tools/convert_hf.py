@@ -145,7 +145,8 @@ def tokenizer_metadata(model_dir: str) -> dict:
 _ARCHS = {"llama": "llama", "mistral": "llama", "mixtral": "llama",
           "qwen2": "qwen2", "qwen3": "qwen3", "qwen3_moe": "qwen3moe",
           "qwen2_moe": "qwen2moe",
-          "gemma": "gemma", "gemma2": "gemma2", "phi3": "phi3",
+          "gemma": "gemma", "gemma2": "gemma2",
+          "gemma3_text": "gemma3", "gemma3": "gemma3", "phi3": "phi3",
           "deepseek_v2": "deepseek2", "deepseek_v3": "deepseek2",
           "cohere": "command-r", "olmo2": "olmo2",
           "starcoder2": "starcoder2", "granite": "granite",
@@ -405,6 +406,9 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
     mt = hf.get("model_type", "llama")
+    if mt == "gemma3" and "text_config" in hf:
+        # multimodal gemma3 configs nest the LM under text_config
+        hf = {**hf["text_config"], "model_type": "gemma3"}
     if mt not in _ARCHS:
         raise ValueError(f"unsupported model_type {mt!r} "
                          f"(supported: {sorted(_ARCHS)})")
@@ -499,6 +503,9 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
                 hf["final_logit_softcapping"])
     if hf.get("sliding_window") and arch in ("gemma2", "gemma3"):
         md[f"{arch}.attention.sliding_window"] = int(hf["sliding_window"])
+    if arch == "gemma3" and hf.get("rope_local_base_freq"):
+        # sliding layers rotate at their own short-context base
+        md[f"{arch}.rope.freq_base_swa"] = float(hf["rope_local_base_freq"])
     if arch == "command-r" and hf.get("logit_scale"):
         md[f"{arch}.logit_scale"] = float(hf["logit_scale"])
     if arch == "granite":   # the four granite scalar multipliers
@@ -624,7 +631,7 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
                 get(hp + "post_attention_layernorm.weight"), GGMLType.F32)
             put(tensors, p + "post_ffw_norm.weight",
                 get(hp + "post_feedforward_layernorm.weight"), GGMLType.F32)
-        elif arch == "gemma2":
+        elif arch in ("gemma2", "gemma3"):
             put(tensors, p + "attn_norm.weight",
                 norm_w(get(hp + "input_layernorm.weight")), GGMLType.F32)
             # gemma2's four norms: post_attention is the POST-branch norm;
@@ -742,8 +749,10 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
                 weights[hp + "self_attn.o_proj.bias"], GGMLType.F32)
         for hname, gname in (("self_attn.q_norm.weight", "attn_q_norm.weight"),
                              ("self_attn.k_norm.weight", "attn_k_norm.weight")):
-            if hp + hname in weights:        # qwen3/olmo2 QK-norm
-                put(tensors, p + gname, weights[hp + hname], GGMLType.F32)
+            if hp + hname in weights:        # qwen3/olmo2/gemma3 QK-norm
+                # gemma's (1+w) convention bakes into qk-norms too
+                put(tensors, p + gname, norm_w(weights[hp + hname]),
+                    GGMLType.F32)
         if arch == "starcoder2":   # gateless biased GELU FFN (c_fc/c_proj)
             put(tensors, p + "ffn_up.weight",
                 get(hp + "mlp.c_fc.weight"), target)

@@ -1008,3 +1008,72 @@ def test_convert_t5(tmp_path):
                         sampler=SamplerConfig(temperature=0.0),
                         stop_at_eos=False)
     assert len(outs[0].token_ids) == 4
+
+
+def test_convert_gemma3(tmp_path):
+    """gemma3 (text or nested multimodal config): four-norm blocks,
+    qk-norms with the gemma +1 bake, dual rope bases, 5:1 SWA metadata —
+    and the converted model serves."""
+    rng = np.random.default_rng(91)
+    hd = 32
+    inner = {"model_type": "gemma3_text", "vocab_size": VOCAB,
+             "hidden_size": DIM, "num_hidden_layers": LAYERS,
+             "num_attention_heads": HEADS, "num_key_value_heads": KV,
+             "intermediate_size": FFN, "rms_norm_eps": 1e-6,
+             "head_dim": hd, "rope_theta": 1000000.0,
+             "rope_local_base_freq": 10000.0, "sliding_window": 16,
+             "max_position_embeddings": 64}
+    cfgj = {"model_type": "gemma3", "text_config": inner}
+    s = 0.5 / np.sqrt(DIM)
+    w = lambda *sh: (rng.standard_normal(sh) * s).astype(np.float32)
+    nrm = lambda n: (0.1 * rng.standard_normal(n)).astype(np.float32)
+    t = {"model.embed_tokens.weight": w(VOCAB, DIM),
+         "model.norm.weight": nrm(DIM)}
+    for i in range(LAYERS):
+        p = f"model.layers.{i}."
+        for n_ in ("input_layernorm", "post_attention_layernorm",
+                   "pre_feedforward_layernorm",
+                   "post_feedforward_layernorm"):
+            t[p + n_ + ".weight"] = nrm(DIM)
+        t[p + "self_attn.q_proj.weight"] = w(HEADS * hd, DIM)
+        t[p + "self_attn.k_proj.weight"] = w(KV * hd, DIM)
+        t[p + "self_attn.v_proj.weight"] = w(KV * hd, DIM)
+        t[p + "self_attn.o_proj.weight"] = w(DIM, HEADS * hd)
+        t[p + "self_attn.q_norm.weight"] = nrm(hd)
+        t[p + "self_attn.k_norm.weight"] = nrm(hd)
+        t[p + "mlp.gate_proj.weight"] = w(FFN, DIM)
+        t[p + "mlp.up_proj.weight"] = w(FFN, DIM)
+        t[p + "mlp.down_proj.weight"] = w(DIM, FFN)
+    d = tmp_path / "hf"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(cfgj))
+    (d / "tokenizer.json").write_text(json.dumps(_toy_unigram_tokenizer()))
+    _write_safetensors(str(d / "model.safetensors"), t)
+
+    out = str(tmp_path / "g3.gguf")
+    md = convert_hf(str(d), out, fmt="q8_0")
+    assert md["general.architecture"] == "gemma3"
+    assert md["gemma3.attention.sliding_window"] == 16
+    assert md["gemma3.rope.freq_base_swa"] == 10000.0
+    assert md["gemma3.rope.freq_base"] == 1000000.0
+
+    from gguf_tpu.gguf import GGUFReader
+
+    r = GGUFReader(out)
+    # +1 baked into every gemma norm, qk-norms included
+    np.testing.assert_allclose(
+        r.load_array("blk.0.attn_q_norm.weight"),
+        t["model.layers.0.self_attn.q_norm.weight"] + 1.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        r.load_array("blk.0.post_ffw_norm.weight"),
+        t["model.layers.0.post_feedforward_layernorm.weight"] + 1.0,
+        rtol=1e-6)
+    r.close()
+
+    cfg, params = load_llama(out)
+    assert cfg.swa_pattern == 6 and cfg.rope_theta_swa == 10000.0
+    cache = init_kv_cache(cfg, batch=1, max_seq=16)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 5, 9]], jnp.int32),
+                        jnp.zeros(1, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    assert np.isfinite(np.asarray(logits)).all()
