@@ -147,6 +147,7 @@ _ARCHS = {"llama": "llama", "mistral": "llama", "mixtral": "llama",
           "qwen2_moe": "qwen2moe",
           "gemma": "gemma", "gemma2": "gemma2",
           "gemma3_text": "gemma3", "gemma3": "gemma3", "phi3": "phi3",
+          "phi": "phi2",
           "deepseek_v2": "deepseek2", "deepseek_v3": "deepseek2",
           "cohere": "command-r", "olmo2": "olmo2",
           "starcoder2": "starcoder2", "granite": "granite",
@@ -417,6 +418,75 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
     if arch == "bert":    # encoder: different tensor tree + WordPiece vocab
         return _convert_bert(hf, load_hf_weights(model_dir), model_dir,
                              out_path, fmt)
+
+    if arch == "phi2":    # fused qkv + biased LayerNorms, parallel blocks
+        weights = load_hf_weights(model_dir)
+        target = GGMLType[fmt.upper()]
+
+        def get(name):
+            if name not in weights:
+                raise KeyError(f"missing HF tensor {name}")
+            return weights[name]
+
+        f32 = lambda w: (GGMLType.F32, w.shape,
+                         np.ascontiguousarray(w, np.float32))
+        q = lambda w: (target, w.shape,
+                       quantize_tensor(
+                           np.ascontiguousarray(w, np.float32), target))
+        n_heads = hf["num_attention_heads"]
+        dim = hf["hidden_size"]
+        hd = dim // n_heads
+        md = {
+            "general.architecture": "phi2",
+            "general.name": os.path.basename(os.path.abspath(model_dir)),
+            "phi2.vocab_size": hf["vocab_size"],
+            "phi2.embedding_length": dim,
+            "phi2.block_count": hf["num_hidden_layers"],
+            "phi2.attention.head_count": n_heads,
+            "phi2.attention.head_count_kv": hf.get("num_key_value_heads",
+                                                   n_heads),
+            "phi2.feed_forward_length": hf["intermediate_size"],
+            "phi2.attention.layer_norm_epsilon": float(
+                hf.get("layer_norm_eps", 1e-5)),
+            "phi2.rope.freq_base": hf.get("rope_theta", 10000.0),
+            "phi2.context_length": hf.get("max_position_embeddings", 2048),
+            # phi-2 partial rotary: 0.4 * head_dim = 32 dims rotate
+            "phi2.rope.dimension_count": int(
+                hf.get("partial_rotary_factor", 0.4) * hd),
+        }
+        md.update(tokenizer_metadata(model_dir))
+        tensors = {
+            "token_embd.weight": q(get("model.embed_tokens.weight")),
+            "output_norm.weight": f32(get("model.final_layernorm.weight")),
+            "output_norm.bias": f32(get("model.final_layernorm.bias")),
+            "output.weight": q(get("lm_head.weight")),
+            "output.bias": f32(get("lm_head.bias")),
+        }
+        for i in range(int(hf["num_hidden_layers"])):
+            hp = f"model.layers.{i}."
+            p2 = f"blk.{i}."
+            tensors[p2 + "attn_norm.weight"] = f32(
+                get(hp + "input_layernorm.weight"))
+            tensors[p2 + "attn_norm.bias"] = f32(
+                get(hp + "input_layernorm.bias"))
+            tensors[p2 + "attn_qkv.weight"] = q(np.concatenate([
+                get(hp + "self_attn.q_proj.weight"),
+                get(hp + "self_attn.k_proj.weight"),
+                get(hp + "self_attn.v_proj.weight")], axis=0))
+            tensors[p2 + "attn_qkv.bias"] = f32(np.concatenate([
+                get(hp + "self_attn.q_proj.bias"),
+                get(hp + "self_attn.k_proj.bias"),
+                get(hp + "self_attn.v_proj.bias")]))
+            tensors[p2 + "attn_output.weight"] = q(
+                get(hp + "self_attn.dense.weight"))
+            tensors[p2 + "attn_output.bias"] = f32(
+                get(hp + "self_attn.dense.bias"))
+            tensors[p2 + "ffn_up.weight"] = q(get(hp + "mlp.fc1.weight"))
+            tensors[p2 + "ffn_up.bias"] = f32(get(hp + "mlp.fc1.bias"))
+            tensors[p2 + "ffn_down.weight"] = q(get(hp + "mlp.fc2.weight"))
+            tensors[p2 + "ffn_down.bias"] = f32(get(hp + "mlp.fc2.bias"))
+        write_gguf(out_path, md, tensors)
+        return md
 
     if arch == "t5":      # encoder-decoder: enc./dec. tensor tree
         md = {"general.architecture": "t5",

@@ -1077,3 +1077,64 @@ def test_convert_gemma3(tmp_path):
                         jnp.zeros(1, jnp.int32), cache,
                         opts=MMOpts(precision="high"))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_convert_phi2(tmp_path):
+    """HF phi (phi-2) -> arch phi2: q/k/v fuse into attn_qkv (+bias),
+    dense/fc1/fc2 map with biases, biased LayerNorms, partial rotary
+    dimension — and the converted model serves."""
+    rng = np.random.default_rng(95)
+    hf = {"model_type": "phi", "vocab_size": VOCAB, "hidden_size": DIM,
+          "num_hidden_layers": LAYERS, "num_attention_heads": HEADS,
+          "intermediate_size": FFN, "layer_norm_eps": 1e-5,
+          "partial_rotary_factor": 0.5,
+          "max_position_embeddings": 64}
+    s = 0.5 / np.sqrt(DIM)
+    w = lambda *sh: (rng.standard_normal(sh) * s).astype(np.float32)
+    nrm = lambda n: (1 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    t = {"model.embed_tokens.weight": w(VOCAB, DIM),
+         "model.final_layernorm.weight": nrm(DIM),
+         "model.final_layernorm.bias": w(DIM),
+         "lm_head.weight": w(VOCAB, DIM), "lm_head.bias": w(VOCAB)}
+    for i in range(LAYERS):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = nrm(DIM)
+        t[p + "input_layernorm.bias"] = w(DIM)
+        for n_ in ("q_proj", "k_proj", "v_proj"):
+            t[p + f"self_attn.{n_}.weight"] = w(DIM, DIM)
+            t[p + f"self_attn.{n_}.bias"] = w(DIM)
+        t[p + "self_attn.dense.weight"] = w(DIM, DIM)
+        t[p + "self_attn.dense.bias"] = w(DIM)
+        t[p + "mlp.fc1.weight"] = w(FFN, DIM)
+        t[p + "mlp.fc1.bias"] = w(FFN)
+        t[p + "mlp.fc2.weight"] = w(DIM, FFN)
+        t[p + "mlp.fc2.bias"] = w(DIM)
+    d = tmp_path / "hf"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(hf))
+    (d / "tokenizer.json").write_text(json.dumps(_toy_unigram_tokenizer()))
+    _write_safetensors(str(d / "model.safetensors"), t)
+
+    out = str(tmp_path / "phi2.gguf")
+    md = convert_hf(str(d), out, fmt="q8_0")
+    assert md["general.architecture"] == "phi2"
+    assert md["phi2.rope.dimension_count"] == HD // 2
+
+    from gguf_tpu.gguf import GGUFReader
+
+    r = GGUFReader(out)
+    qkv_b = r.load_array("blk.0.attn_qkv.bias")
+    np.testing.assert_allclose(
+        qkv_b, np.concatenate([t["model.layers.0.self_attn.q_proj.bias"],
+                               t["model.layers.0.self_attn.k_proj.bias"],
+                               t["model.layers.0.self_attn.v_proj.bias"]]))
+    r.close()
+
+    cfg, params = load_llama(out)
+    assert cfg.parallel_residual and cfg.norm_type == "layer"
+    assert cfg.rope_dim == HD // 2
+    cache = init_kv_cache(cfg, batch=1, max_seq=16)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 5, 9]], jnp.int32),
+                        jnp.zeros(1, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    assert np.isfinite(np.asarray(logits)).all()
