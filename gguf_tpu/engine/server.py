@@ -378,7 +378,8 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                 "model": "gguf_tpu",
             })
 
-        def _stream_reply(self, req: _Request, chat: bool = False) -> None:
+        def _stream_reply(self, req: _Request, chat: bool = False,
+                          legacy: bool = False) -> None:
             """Server-sent events: one `data: {...}` line per token delta,
             then `data: [DONE]`. Deltas carry raw token ids and the
             incrementally decoded text. Decoding is byte-level: each token's
@@ -429,24 +430,30 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                         delta = delta[1:]
                     first_text = False
                 fin = "stop" if finished else None
-                choice = ({"delta": {"content": delta}, "token_ids": ids,
-                           "finish_reason": fin} if chat else
-                          {"text": delta, "token_ids": ids,
-                           "finish_reason": fin})
-                chunk = {"object": "chat.completion.chunk" if chat
-                         else "text_completion.chunk",
-                         "choices": [choice]}
+                if legacy:   # llama.cpp /completion stream chunk shape
+                    chunk = {"content": delta, "stop": bool(finished),
+                             "tokens": ids}
+                else:
+                    choice = ({"delta": {"content": delta},
+                               "token_ids": ids,
+                               "finish_reason": fin} if chat else
+                              {"text": delta, "token_ids": ids,
+                               "finish_reason": fin})
+                    chunk = {"object": "chat.completion.chunk" if chat
+                             else "text_completion.chunk",
+                             "choices": [choice]}
                 try:
                     self.wfile.write(b"data: " + json.dumps(chunk).encode()
                                      + b"\n\n")
                     self.wfile.flush()
                 except (BrokenPipeError, ConnectionResetError):
                     return  # client hung up; engine finishes on its own
-            try:
-                self.wfile.write(b"data: [DONE]\n\n")
-                self.wfile.flush()
-            except (BrokenPipeError, ConnectionResetError):
-                pass
+            if not legacy:   # llama.cpp clients JSON-parse every line
+                try:
+                    self.wfile.write(b"data: [DONE]\n\n")
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
 
         def do_GET(self):
             if self.path == "/health":
@@ -600,7 +607,11 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                 return
             chat = self.path in ("/v1/chat/completions", "/chat/completions")
             infill = self.path == "/infill"
-            if not chat and not infill and self.path not in (
+            # llama.cpp's native endpoint: same engine path, legacy
+            # request/response shape ({"prompt", "n_predict"} ->
+            # {"content", "stop", ...})
+            legacy = self.path == "/completion"
+            if not chat and not infill and not legacy and self.path not in (
                     "/v1/completions", "/completions"):
                 self._reply(404, {"error": "not found"})
                 return
@@ -738,7 +749,7 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
             for r_ in reqs:
                 worker.submit(r_)
             if req.stream:
-                self._stream_reply(req, chat=chat)
+                self._stream_reply(req, chat=chat, legacy=legacy)
                 return
             for r_ in reqs:
                 r_.done.wait()
@@ -747,6 +758,18 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                 self._reply(500, {"error": err})
                 return
             res = req.result
+            if legacy:   # llama.cpp /completion response shape
+                self._reply(200, {
+                    "content": res.text,
+                    "stop": True,
+                    "stopped_eos": res.finished,
+                    "stopped_limit": not res.finished,
+                    "tokens_predicted": len(res.token_ids),
+                    "tokens_evaluated": len(res.prompt_ids),
+                    "model": "gguf_tpu",
+                    "stats": res.stats,
+                })
+                return
             if infill:   # llama.cpp /infill response shape
                 self._reply(200, {
                     "content": res.text,

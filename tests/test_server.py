@@ -477,3 +477,31 @@ def test_metrics_prometheus_and_json(server):
                                 timeout=60) as r:
         data = json.loads(r.read())
     assert "requests_total" in data and "queue_depth" in data
+
+
+def test_legacy_completion_endpoint(server):
+    """llama.cpp-native /completion: n_predict request field, {content,
+    stop, tokens_predicted} response, and legacy stream chunk shape."""
+    import urllib.request
+
+    def post(payload, stream=False):
+        req = urllib.request.Request(
+            server + "/completion", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        return urllib.request.urlopen(req, timeout=300)
+
+    with post({"prompt": [1, 5, 9], "n_predict": 4,
+               "temperature": 0.0}) as r:
+        out = json.loads(r.read())
+    assert out["tokens_predicted"] <= 4
+    assert isinstance(out["content"], str)
+    assert out["stop"] is True
+    assert "stopped_eos" in out and "stopped_limit" in out
+
+    with post({"prompt": [1, 5, 9], "n_predict": 4, "temperature": 0.0,
+               "stream": True}) as r:
+        lines = [ln for ln in r.read().decode().splitlines() if ln]
+    assert all(ln.startswith("data: ") for ln in lines)
+    chunks = [json.loads(ln[6:]) for ln in lines]   # every line is JSON
+    assert chunks[-1]["stop"] is True
+    assert all("content" in c for c in chunks)
