@@ -460,6 +460,7 @@ def test_speculative_accepts_on_repetition(llm):
     assert accs[0].max() >= 1, f"no draft accepted on a looping stream: {accs[0]}"
 
 
+@pytest.mark.slow   # heaviest two; faster spec tests keep fast-loop coverage
 def test_speculative_session_greedy_exact(tmp_path):
     """ChatSession.send(speculative=k) must match the plain session stream
     (fresh engines so the pinned slots start from identical caches)."""
@@ -476,6 +477,7 @@ def test_speculative_session_greedy_exact(tmp_path):
     assert base.token_ids == spec.token_ids
 
 
+@pytest.mark.slow   # heaviest two; faster spec tests keep fast-loop coverage
 def test_draft_model_speculative_greedy_exact(tmp_path):
     """Draft-MODEL speculative decoding must reproduce the target's plain
     greedy stream regardless of draft quality: a different-weights draft
