@@ -96,6 +96,8 @@ class GenerationResult:
     token_ids: list = field(default_factory=list)
     text: str = ""
     finished: bool = False
+    # why the sequence ended: "eos" | "stop" (string/id) | "length" | ""
+    stop_reason: str = ""
     # batch-level serving stats, shared by every result of one generate()
     # call: wall_s, new_tokens, tokens_per_s — END-TO-END throughput (wall
     # time includes prefill and host scheduling, not just decode)
@@ -292,10 +294,12 @@ class ChatSession:
                     break
         if stop_at_eos and res.token_ids and res.token_ids[-1] == eos:
             res.token_ids.pop()        # EOS leaves the conversation entirely
+            res.stop_reason = "eos"
             if self._history and self._history[-1] == eos:
                 self._history.pop()
         else:
             self._pending = res.token_ids[-1] if res.token_ids else None
+            res.stop_reason = "length"
         res.finished = True
         if llm.tokenizer is not None:
             res.text = llm.tokenizer.decode(res.token_ids)
@@ -380,17 +384,26 @@ class LLM:
             from ..models.lora import merge_lora
 
             tmps = []
-            for apath in ([lora] if isinstance(lora, str) else list(lora)):
-                fd, tmp = _tempfile.mkstemp(suffix=".gguf",
-                                            prefix="gguf_tpu_lora_")
-                _os.close(fd)
-                merge_lora(path, apath, tmp, scale=lora_scale)
-                tmps.append(tmp)
-                path = tmp
             self._lora_tmp_paths = tmps   # removed after weights load
+            try:
+                for apath in ([lora] if isinstance(lora, str)
+                              else list(lora)):
+                    fd, tmp = _tempfile.mkstemp(suffix=".gguf",
+                                                prefix="gguf_tpu_lora_")
+                    _os.close(fd)
+                    tmps.append(tmp)
+                    merge_lora(path, apath, tmp, scale=lora_scale)
+                    path = tmp
+            except BaseException:
+                self._drop_lora_tmps()
+                raise
 
-        _reader = GGUFReader(path)
-        _arch = _reader.metadata.get("general.architecture", "llama")
+        try:
+            _reader = GGUFReader(path)
+            _arch = _reader.metadata.get("general.architecture", "llama")
+        except BaseException:
+            self._drop_lora_tmps()
+            raise
         if _arch == "t5":
             # encoder-decoder serving: a dedicated lockstep decode loop
             # (the continuous-batching machinery is decoder-LM specific)
@@ -422,7 +435,11 @@ class LLM:
             return
         _reader.close()
         self.t5 = False
-        self.cfg, self.params = load_llama(path)
+        try:
+            self.cfg, self.params = load_llama(path)
+        except BaseException:
+            self._drop_lora_tmps()
+            raise
         if self.cfg.ssm_inner:
             assert tp == dp == sp == ep == 1, (
                 "mamba (recurrent-state) serving is single-chip for now")
@@ -945,26 +962,39 @@ class LLM:
         stopped: dict = {}
 
         def cb(row, new_ids, finished):
+            """t5_generate hook: returns True once this row should stop
+            (stop id seen, or a stop string completed in the decoded
+            tail — overshoot tokens are trimmed so token_ids match the
+            trimmed .text)."""
             if row in stopped:
-                return
+                return True
             kept = []
             for t in new_ids:
                 if t in stop_set:
-                    stopped[row] = len(results_ids[row]) + len(kept)
+                    stopped[row] = True
                     finished = True
                     break
                 kept.append(t)
             results_ids[row].extend(kept)
             if stop and self.tokenizer is not None and kept:
-                tail = self.tokenizer.decode(
-                    results_ids[row][-(4 * max_stop + 8):])
-                for sp_ in stop:
-                    if sp_ in tail:
-                        stopped[row] = len(results_ids[row])
-                        finished = True
-                        break
+                o = results_ids[row]
+                prev = len(o) - len(kept)
+                text = self.tokenizer.decode(o)
+                cut = min((text.find(sp_) for sp_ in stop
+                           if sp_ in text), default=-1)
+                if cut >= 0:
+                    # trim overshoot past the stop string so token_ids
+                    # stay consistent with the trimmed .text
+                    end = min(cut + len(sp_) for sp_ in stop
+                              if text.find(sp_) == cut)
+                    while o and len(self.tokenizer.decode(o)) > end:
+                        o.pop()
+                    kept = o[prev:]      # survivors of this chunk only
+                    stopped[row] = True
+                    finished = True
             if on_tokens is not None:
                 on_tokens(row, kept, finished)
+            return row in stopped
 
         results_ids = [[] for _ in ids]
         max_stop = max((len(x) for x in (stop or ())), default=0)
@@ -979,8 +1009,10 @@ class LLM:
         for i in range(len(ids)):
             o = results_ids[i]
             finished = bool(hit_eos[i]) or i in stopped
+            reason = ("eos" if hit_eos[i]
+                      else "stop" if i in stopped else "length")
             r = GenerationResult(prompt_ids=ids[i], token_ids=o,
-                                 finished=finished)
+                                 finished=finished, stop_reason=reason)
             n_new += len(o)
             if self.tokenizer is not None:
                 r.text = self.tokenizer.decode(o)
@@ -1654,6 +1686,12 @@ class LLM:
             if done:
                 res = results[rid]
                 res.finished = True
+                if stop_at_eos and tok == eos:
+                    res.stop_reason = "eos"
+                elif tok in stop_id_set or hit is not None:
+                    res.stop_reason = "stop"
+                else:
+                    res.stop_reason = "length"
                 if res.token_ids and (
                         (stop_at_eos and res.token_ids[-1] == eos)
                         or res.token_ids[-1] in stop_id_set):

@@ -43,6 +43,7 @@ class _Request:
         self.session = session          # conversation id (chat sessions)
         self.embed = embed              # /v1/embeddings (prompt = inputs)
         self.grammar = grammar          # GBNF text (constrained decoding)
+        self.fanout = 1                 # OpenAI "n": choices per prompt
         # streaming: (new_token_ids, finished) tuples, then a None sentinel
         self.events: queue.Queue = queue.Queue()
         self.done = threading.Event()
@@ -234,24 +235,42 @@ class EngineWorker:
                  grammar, stop_ids), reqs in groups.items():
                 streaming = any(r.stream for r in reqs)
 
-                def on_tokens(idx, ids, finished, _reqs=reqs):
-                    r = _reqs[idx]
+                # fanout ("n"): duplicate the prompt inside ONE generate
+                # call — per-row categorical draws are independent, and a
+                # single batch avoids the identical-replay of re-seeded
+                # calls. offsets maps batch rows back to requests.
+                offsets = []
+                prompts = []
+                for r in reqs:
+                    offsets.append(len(prompts))
+                    prompts.extend([r.prompt] * r.fanout)
+
+                def on_tokens(idx, ids, finished, _reqs=reqs,
+                              _off=offsets):
+                    import bisect
+
+                    ri = bisect.bisect_right(_off, idx) - 1
+                    r = _reqs[ri]
                     if r.stream:
                         r.events.put((list(ids), finished))
 
                 t0 = time.monotonic()
                 try:
                     results = self.llm.generate(
-                        [r.prompt for r in reqs], max_new_tokens=max_tokens,
+                        prompts, max_new_tokens=max_tokens,
                         sampler=sampler, seed=seed,
                         stop=list(stop) if stop else None,
                         on_tokens=on_tokens if streaming else None,
                         logprobs=lpk, grammar=grammar,
                         stop_ids=list(stop_ids) if stop_ids else None)
-                    for r, res in zip(reqs, results):
-                        r.result = res
-                        self.metrics["prompt_tokens_total"] += len(res.prompt_ids)
-                        self.metrics["completion_tokens_total"] += len(res.token_ids)
+                    for r, off in zip(reqs, offsets):
+                        group = results[off:off + r.fanout]
+                        r.result = group[0] if r.fanout == 1 else group
+                        for res in group:
+                            self.metrics["prompt_tokens_total"] += \
+                                len(res.prompt_ids)
+                            self.metrics["completion_tokens_total"] += \
+                                len(res.token_ids)
                 except Exception as e:  # surface engine errors to the client
                     for r in reqs:
                         r.error = str(e)
@@ -459,11 +478,14 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
             if self.path == "/health":
                 self._reply(200, {"status": "ok",
                                   "model": worker.llm.cfg.__dict__})
-            elif self.path.startswith("/metrics"):
+            elif self.path.split("?", 1)[0] == "/metrics":
+                from urllib.parse import parse_qs, urlparse
+
                 m = dict(worker.metrics)
                 m["queue_depth"] = worker.queue.qsize()
                 m["prefix_cache_hit_tokens_total"] = worker.llm.prefix_cache_hits
-                if "format=json" in self.path:
+                q = parse_qs(urlparse(self.path).query)
+                if q.get("format", [""])[0] == "json":
                     self._reply(200, m)
                     return
                 # llama.cpp serves Prometheus text exposition by default
@@ -723,47 +745,48 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                         "penalties or logit_bias")
                 fim = worker.llm.fim if infill else {}
                 n_choices = int(payload.get("n", 1) or 1)
-                if not 1 <= n_choices <= 16:
-                    raise ValueError("'n' must be between 1 and 16")
+                if not 1 <= n_choices <= worker.llm.max_batch:
+                    raise ValueError(
+                        f"'n' must be between 1 and max_batch "
+                        f"({worker.llm.max_batch}) — one engine batch "
+                        "holds all choices")
                 if n_choices > 1 and (payload.get("stream") or session
                                       or infill):
                     raise ValueError(
                         "'n' > 1 is non-streaming stateless only")
-                seed0 = int(payload.get("seed", 0))
-                reqs = [
-                    _Request(prompt,
-                             int(payload.get("max_tokens",
-                                             payload.get("n_predict", 64))),
-                             sampler, seed0, stop,
-                             stream=bool(payload.get("stream", False)),
-                             logprobs=int(payload.get("logprobs", 0) or 0),
-                             session=str(session) if session else None,
-                             grammar=grammar,
-                             stop_ids=[fim[k] for k in ("eot", "pad")
-                                       if k in fim] or None)
-                    for i in range(n_choices)]
-                req = reqs[0]
+                mt = int(payload.get("max_tokens",
+                                     payload.get("n_predict", 64)))
+                if mt <= 0:   # llama.cpp n_predict=-1: decode until EOS
+                    mt = worker.llm.max_seq
+                req = _Request(prompt, mt,
+                               sampler, int(payload.get("seed", 0)), stop,
+                               stream=bool(payload.get("stream", False)),
+                               logprobs=int(payload.get("logprobs", 0) or 0),
+                               session=str(session) if session else None,
+                               grammar=grammar,
+                               stop_ids=[fim[k] for k in ("eot", "pad")
+                                         if k in fim] or None)
+                req.fanout = n_choices
             except (ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
                 return
-            for r_ in reqs:
-                worker.submit(r_)
+            worker.submit(req)
             if req.stream:
                 self._stream_reply(req, chat=chat, legacy=legacy)
                 return
-            for r_ in reqs:
-                r_.done.wait()
-            err = next((r_.error for r_ in reqs if r_.error), None)
-            if err:
-                self._reply(500, {"error": err})
+            req.done.wait()
+            if req.error:
+                self._reply(500, {"error": req.error})
                 return
-            res = req.result
+            res = (req.result[0] if isinstance(req.result, list)
+                   else req.result)
             if legacy:   # llama.cpp /completion response shape
                 self._reply(200, {
                     "content": res.text,
                     "stop": True,
-                    "stopped_eos": res.finished,
-                    "stopped_limit": not res.finished,
+                    "stopped_eos": res.stop_reason == "eos",
+                    "stopped_word": res.stop_reason == "stop",
+                    "stopped_limit": res.stop_reason == "length",
                     "tokens_predicted": len(res.token_ids),
                     "tokens_evaluated": len(res.prompt_ids),
                     "model": "gguf_tpu",
@@ -779,21 +802,21 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                     "stats": res.stats,
                 })
                 return
+            rlist = (req.result if isinstance(req.result, list)
+                     else [req.result])
             choices = []
-            for i, r_ in enumerate(reqs):
-                rr = r_.result
+            for i, rr in enumerate(rlist):
+                fin = "length" if rr.stop_reason == "length" else "stop"
                 choice = ({"message": {"role": "assistant",
                                        "content": rr.text},
                            "token_ids": rr.token_ids,
-                           "finish_reason":
-                               "stop" if rr.finished else "length"}
+                           "finish_reason": fin}
                           if chat else
                           {"text": rr.text,
                            "token_ids": rr.token_ids,
-                           "finish_reason":
-                               "stop" if rr.finished else "length"})
+                           "finish_reason": fin})
                 choice["index"] = i
-                if r_.logprobs:
+                if req.logprobs:
                     choice["logprobs"] = rr.logprobs
                 choices.append(choice)
             self._reply(200, {
@@ -802,7 +825,7 @@ def make_handler(worker: EngineWorker, slot_save_dir: str | None = None):
                 "usage": {
                     "prompt_tokens": len(res.prompt_ids),
                     "completion_tokens": sum(
-                        len(r_.result.token_ids) for r_ in reqs),
+                        len(rr.token_ids) for rr in rlist),
                 },
                 "stats": res.stats,  # micro-batch wall_s / tokens_per_s
             })

@@ -380,8 +380,10 @@ def t5_generate(params, cfg: T5Config, enc_tokens, lengths,
                 chunk: int = 8, on_tokens=None):
     """Greedy/sampled decode for a padded batch (B, S) of encoder token
     ids with real `lengths`. Decodes in jitted chunks; `on_tokens(row,
-    new_ids, finished)` streams per chunk. Returns (token lists without
-    EOS, per-row ended-by-EOS flags)."""
+    new_ids, finished)` streams per chunk — a truthy return marks the
+    row done (the engine's stop-string/stop-id hook), ending decode as
+    soon as every row is done. Returns (token lists without EOS,
+    per-row ended-by-EOS flags)."""
     b = enc_tokens.shape[0]
     lens = jnp.asarray(lengths, jnp.int32)
     enc_out = jax.jit(t5_encode, static_argnums=(1,))(
@@ -398,6 +400,7 @@ def t5_generate(params, cfg: T5Config, enc_tokens, lengths,
     out = [[] for _ in range(b)]
     hit_eos = [False] * b
     done = np.zeros(b, bool)
+    notified_done: set = set()
     pos = 0
     while pos < max_new_tokens:
         steps = min(chunk, max_new_tokens - pos)
@@ -419,11 +422,15 @@ def t5_generate(params, cfg: T5Config, enc_tokens, lengths,
         pos += steps
         if on_tokens is not None:
             for j in range(b):
-                if fresh[j] or (done[j] and not hit_eos[j]):
-                    on_tokens(j, fresh[j], bool(done[j]))
+                if fresh[j] or (done[j] and j not in notified_done):
+                    if on_tokens(j, fresh[j], bool(done[j])):
+                        done[j] = True       # caller-side stop (string/id)
+                    if done[j]:
+                        notified_done.add(j)
         if done.all():
             break
-    if on_tokens is not None:        # final finished notifications
-        for j in range(b):
-            on_tokens(j, [], True)
+    if on_tokens is not None:        # rows capped by length: one final
+        for j in range(b):           # finished notification each
+            if j not in notified_done:
+                on_tokens(j, [], True)
     return out, hit_eos

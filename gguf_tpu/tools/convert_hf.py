@@ -647,6 +647,18 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
     md.update(tokenizer_metadata(model_dir))
 
     weights = load_hf_weights(model_dir)
+    if any(k.startswith(("language_model.", "model.language_model."))
+           for k in weights):
+        # real multimodal checkpoints (gemma3 vision+text) prefix the LM
+        # weights; strip it so the text mapping below applies
+        def _strip(k):
+            if k.startswith("model.language_model."):
+                return "model." + k[len("model.language_model."):]
+            if k.startswith("language_model."):
+                return k[len("language_model."):]
+            return k
+
+        weights = {_strip(k): v for k, v in weights.items()}
     target = GGMLType[fmt.upper()]
     granule = 256 if "_k" in fmt or fmt.startswith("iq") else 32
     head_fmt = (GGMLType.Q6_K if target in (GGMLType.Q4_K, GGMLType.Q5_K)

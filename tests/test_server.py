@@ -419,11 +419,11 @@ def test_tokenize_detokenize(tmp_path):
 def test_n_multiple_choices(server):
     """OpenAI 'n': one request returns n independent sampled choices
     (per-choice seeds), each with its own index."""
-    out = _post(server, {"prompt": [1, 5, 9], "max_tokens": 5, "n": 3,
+    out = _post(server, {"prompt": [1, 5, 9], "max_tokens": 5, "n": 2,
                          "temperature": 1.0, "seed": 4})
-    assert len(out["choices"]) == 3
-    assert [c["index"] for c in out["choices"]] == [0, 1, 2]
-    # high temperature + distinct seeds: not all three identical
+    assert len(out["choices"]) == 2
+    assert [c["index"] for c in out["choices"]] == [0, 1]
+    # one batch, independent per-row draws: not identical
     texts = {tuple(c["token_ids"]) for c in out["choices"]}
     assert len(texts) >= 2
     assert out["usage"]["completion_tokens"] == sum(
