@@ -137,6 +137,9 @@ class LlamaConfig:
     # bert-family encoders (arch bert / nomic-bert): bidirectional
     # attention, no KV cache/generation — embedding models only
     causal: bool = True
+    # gpt2-family: learned absolute positions instead of rope (the
+    # loader picks up position_embd.weight; attention skips rotation)
+    learned_pos: bool = False
     pooling: str = "none"    # none | mean | cls | last | rank
                              # ({arch}.pooling_type; rank = reranker
                              # with a cls classification head)
@@ -184,8 +187,8 @@ class LlamaConfig:
                     and int(key_len) != dim // n_heads else None)
         phi2 = arch == "phi2"
         # command-r: parallel-residual LayerNorm blocks + logit multiplier;
-        # starcoder2: biased LayerNorms + gateless GELU FFN
-        layernorm_arch = arch in ("command-r", "starcoder2")
+        # starcoder2/gpt2: biased LayerNorms + gateless GELU FFN
+        layernorm_arch = arch in ("command-r", "starcoder2", "gpt2")
         rs_kind, rs_factor, rs_orig, rs_attn = _rope_scaling(g)
         rope_dim = g("rope.dimension_count")
         eps = g("attention.layer_norm_rms_epsilon")
@@ -203,6 +206,7 @@ class LlamaConfig:
             n_kv_heads=int(g("attention.head_count_kv", n_heads) or 0),
             ffn_dim=int(g("feed_forward_length") or 0),
             causal=bool(g("attention.causal", True)),
+            learned_pos=arch == "gpt2",
             pooling={0: "none", 1: "mean", 2: "cls", 3: "last",
                      4: "rank"}.get(int(g("pooling_type", 0) or 0),
                                     "none"),
@@ -218,7 +222,8 @@ class LlamaConfig:
             rope_attn_factor=rs_attn,
             max_seq_len=int(g("context_length", 2048)),
             head_dim_override=head_dim,
-            act_fn=("gelu_tanh" if (gemma or phi2 or arch == "starcoder2")
+            act_fn=("gelu_tanh"
+                    if (gemma or phi2 or arch in ("starcoder2", "gpt2"))
                     else "silu"),
             embed_scale=(float(dim) ** 0.5 if gemma
                          else float(g("embedding_scale", 1.0) or 1.0)),

@@ -410,7 +410,9 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
         tok_pos, cfg,
         theta=cfg.rope_theta_swa if (window and cfg.rope_theta_swa) else None)
     # (B, T, rd/2)
-    if rd < hd:   # partial rotary (phi2): rotate the leading rd dims only
+    if cfg.learned_pos:   # gpt2: absolute positions already in the embeds
+        pass
+    elif rd < hd:   # partial rotary (phi2): rotate the leading rd dims only
         q = jnp.concatenate([apply_rope(q[..., :rd], cos[:, :, None, :],
                                         sin[:, :, None, :], cfg.rope_neox),
                              q[..., rd:]], -1)
@@ -923,6 +925,9 @@ def forward(
         x = embed(params["token_embd"], tokens)
         if cfg.embed_scale != 1.0:   # gemma: sqrt(dim), through bf16
             x = x * jnp.bfloat16(cfg.embed_scale).astype(jnp.float32)
+        if "position_embd" in params:   # gpt2: learned absolute positions
+            pidx = pos[:, None] + jnp.arange(tokens.shape[1])[None, :]
+            x = x + params["position_embd"][pidx]
     x = x.astype(jnp.bfloat16)
     tok_pos = pos[:, None] + jnp.arange(tokens.shape[1])[None, :]
     rope = rope_for_cfg(tok_pos, cfg)

@@ -265,9 +265,14 @@ def load_llama(path: str):
                         if "output.weight" in reader.tensors
                         else params["token_embd"])
 
-    if "output_norm.bias" in reader.tensors:   # starcoder2 LayerNorm bias
+    if "output_norm.bias" in reader.tensors:   # starcoder2/gpt2 LN bias
         params["output_norm_bias"] = jnp.asarray(
             reader.load_array("output_norm.bias"), jnp.float32)
+    if "position_embd.weight" in reader.tensors:
+        # gpt2-family learned absolute positions (added to embeddings;
+        # attention skips rotation — cfg.learned_pos)
+        params["position_embd"] = jnp.asarray(
+            reader.load_array("position_embd.weight"), jnp.float32)
 
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
@@ -308,6 +313,30 @@ def load_llama(path: str):
             layer["w_uk"] = jnp.asarray(kvb[:, :nope], jnp.bfloat16)
             layer["w_uv"] = jnp.asarray(kvb[:, nope:], jnp.bfloat16)
             layer["wo"] = _load_weight(reader, p + "attn_output.weight")
+        elif p + "attn_qkv.weight" in reader.tensors:
+            # gpt2-family fused projection: slice the M dim back into
+            # q/k/v (lane slices are free in the K-major SoA layout)
+            q_d = cfg.n_heads * cfg.head_dim
+            kv_d = cfg.n_kv_heads * cfg.head_dim
+            wqkv = _load_weight(reader, p + "attn_qkv.weight")
+
+            def _slice_m(t, lo, hi):
+                if isinstance(t, jnp.ndarray):
+                    return t[lo:hi]
+                return jax.tree_util.tree_map(lambda a: a[..., lo:hi], t)
+
+            layer["wq"] = _slice_m(wqkv, 0, q_d)
+            layer["wk"] = _slice_m(wqkv, q_d, q_d + kv_d)
+            layer["wv"] = _slice_m(wqkv, q_d + kv_d, q_d + 2 * kv_d)
+            bqkv = _maybe_bias(reader, p + "attn_qkv.bias")
+            if bqkv is not None:
+                layer["bq"] = bqkv[:q_d]
+                layer["bk"] = bqkv[q_d:q_d + kv_d]
+                layer["bv"] = bqkv[q_d + kv_d:q_d + 2 * kv_d]
+            layer["wo"] = _load_weight(reader, p + "attn_output.weight")
+            bo = _maybe_bias(reader, p + "attn_output.bias")
+            if bo is not None:
+                layer["bo"] = bo
         else:
             layer.update({
                 "wq": _load_weight(reader, p + "attn_q.weight"),
@@ -596,6 +625,39 @@ def write_random_llama_gguf(
     if arch == "starcoder2":
         tensors["output_norm.weight"] = nrm(d)
         tensors["output_norm.bias"] = f32v((d,), "r")
+    if arch == "gpt2":
+        # learned positions, fused biased qkv, biased LayerNorms,
+        # gateless GELU FFN, tied head
+        tensors["position_embd.weight"] = (
+            GGMLType.F32, (cfg.max_seq_len, d),
+            (rng.standard_normal((cfg.max_seq_len, d)) * scale
+             ).astype(np.float32))
+        tensors["output_norm.weight"] = nrm(d)
+        tensors["output_norm.bias"] = f32v((d,), "r")
+        del tensors["output.weight"]        # gpt2 ties the head
+        for i in range(cfg.n_layers):
+            p = f"blk.{i}."
+            for name in ("attn_norm", "ffn_norm"):
+                tensors[p + name + ".weight"] = nrm(d)
+                tensors[p + name + ".bias"] = f32v((d,), "r")
+            tensors[p + "attn_qkv.weight"] = (
+                fmt, (q_d + 2 * kv_d, d),
+                quantize_tensor(w((q_d + 2 * kv_d, d)), fmt))
+            tensors[p + "attn_qkv.bias"] = f32v((q_d + 2 * kv_d,), "r")
+            tensors[p + "attn_output.weight"] = (
+                fmt, (d, q_d), quantize_tensor(w((d, q_d)), fmt))
+            tensors[p + "attn_output.bias"] = f32v((d,), "r")
+            tensors[p + "ffn_up.weight"] = (
+                fmt, (f, d), quantize_tensor(w((f, d)), fmt))
+            tensors[p + "ffn_up.bias"] = f32v((f,), "r")
+            tensors[p + "ffn_down.weight"] = (
+                fmt, (d, f), quantize_tensor(w((d, f)), fmt))
+            tensors[p + "ffn_down.bias"] = f32v((d,), "r")
+        md = cfg.to_gguf_metadata(arch)
+        md.update(extra_metadata or {})
+        write_gguf(path, md, tensors)
+        return
+
     if arch == "mamba":
         di, ds = cfg.ssm_inner, cfg.ssm_state
         dr, dc = cfg.ssm_dt_rank, cfg.ssm_conv

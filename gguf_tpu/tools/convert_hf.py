@@ -151,7 +151,8 @@ _ARCHS = {"llama": "llama", "mistral": "llama", "mixtral": "llama",
           "deepseek_v2": "deepseek2", "deepseek_v3": "deepseek2",
           "cohere": "command-r", "olmo2": "olmo2",
           "starcoder2": "starcoder2", "granite": "granite",
-          "mamba": "mamba", "bert": "bert", "t5": "t5"}
+          "mamba": "mamba", "bert": "bert", "t5": "t5",
+          "gpt2": "gpt2"}
 
 
 def _convert_t5(hf: dict, weights: dict, md: dict, out_path: str,
@@ -418,6 +419,72 @@ def convert_hf(model_dir: str, out_path: str, fmt: str = "q4_k") -> dict:
     if arch == "bert":    # encoder: different tensor tree + WordPiece vocab
         return _convert_bert(hf, load_hf_weights(model_dir), model_dir,
                              out_path, fmt)
+
+    if arch == "gpt2":    # learned positions; HF Conv1D stores W transposed
+        weights = load_hf_weights(model_dir)
+        if any(k.startswith("transformer.") for k in weights):
+            weights = {k[len("transformer."):] if
+                       k.startswith("transformer.") else k: v
+                       for k, v in weights.items()}
+        target = GGMLType[fmt.upper()]
+
+        def get(name):
+            if name not in weights:
+                raise KeyError(f"missing HF tensor {name}")
+            return weights[name]
+
+        f32 = lambda w: (GGMLType.F32, w.shape,
+                         np.ascontiguousarray(w, np.float32))
+
+        def q(w):
+            w = np.ascontiguousarray(w, np.float32)
+            if w.shape[-1] % 32:
+                return f32(w)
+            return (target, w.shape, quantize_tensor(w, target))
+
+        dim = hf["n_embd"]
+        md = {
+            "general.architecture": "gpt2",
+            "general.name": os.path.basename(os.path.abspath(model_dir)),
+            "gpt2.vocab_size": hf["vocab_size"],
+            "gpt2.embedding_length": dim,
+            "gpt2.block_count": hf["n_layer"],
+            "gpt2.attention.head_count": hf["n_head"],
+            "gpt2.attention.head_count_kv": hf["n_head"],
+            "gpt2.feed_forward_length": hf.get("n_inner") or 4 * dim,
+            "gpt2.attention.layer_norm_epsilon": float(
+                hf.get("layer_norm_epsilon", 1e-5)),
+            "gpt2.context_length": hf.get("n_positions", 1024),
+        }
+        md.update(tokenizer_metadata(model_dir))
+        tensors = {
+            "token_embd.weight": q(get("wte.weight")),
+            "position_embd.weight": f32(get("wpe.weight")),
+            "output_norm.weight": f32(get("ln_f.weight")),
+            "output_norm.bias": f32(get("ln_f.bias")),
+        }
+        for i in range(int(hf["n_layer"])):
+            hp = f"h.{i}."
+            p2 = f"blk.{i}."
+            tensors[p2 + "attn_norm.weight"] = f32(get(hp + "ln_1.weight"))
+            tensors[p2 + "attn_norm.bias"] = f32(get(hp + "ln_1.bias"))
+            tensors[p2 + "ffn_norm.weight"] = f32(get(hp + "ln_2.weight"))
+            tensors[p2 + "ffn_norm.bias"] = f32(get(hp + "ln_2.bias"))
+            # HF Conv1D: weight is (in, out) — transpose to (out, in)
+            tensors[p2 + "attn_qkv.weight"] = q(
+                get(hp + "attn.c_attn.weight").T)
+            tensors[p2 + "attn_qkv.bias"] = f32(get(hp + "attn.c_attn.bias"))
+            tensors[p2 + "attn_output.weight"] = q(
+                get(hp + "attn.c_proj.weight").T)
+            tensors[p2 + "attn_output.bias"] = f32(
+                get(hp + "attn.c_proj.bias"))
+            tensors[p2 + "ffn_up.weight"] = q(get(hp + "mlp.c_fc.weight").T)
+            tensors[p2 + "ffn_up.bias"] = f32(get(hp + "mlp.c_fc.bias"))
+            tensors[p2 + "ffn_down.weight"] = q(
+                get(hp + "mlp.c_proj.weight").T)
+            tensors[p2 + "ffn_down.bias"] = f32(get(hp + "mlp.c_proj.bias"))
+        write_gguf(out_path, md, tensors)
+        return md
 
     if arch == "phi2":    # fused qkv + biased LayerNorms, parallel blocks
         weights = load_hf_weights(model_dir)

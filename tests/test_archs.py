@@ -235,3 +235,87 @@ def test_olmo2_tp_whole_vector_norm(tmp_path):
     ref = np.asarray(ref)
     np.testing.assert_allclose(np.asarray(logits), ref,
                                atol=2e-2 * np.abs(ref).max())
+
+
+def test_gpt2_learned_positions(tmp_path):
+    """GPT-2 family: learned absolute positions (no rope), fused biased
+    qkv, biased LayerNorms, gateless GELU, tied head — pinned against a
+    numpy forward. A shifted decode must DIFFER from an unshifted one
+    only through the position embedding (sanity that positions apply)."""
+    cfg = LlamaConfig(**BASE, norm_type="layer", act_fn="gelu_tanh",
+                      learned_pos=True)
+    path = str(tmp_path / "gpt2.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q8_0, seed=71,
+                            arch="gpt2")
+    lcfg, params = load_llama(path)
+    assert lcfg.learned_pos and lcfg.norm_type == "layer"
+    assert "position_embd" in params
+    l0 = params["layers"][0]
+    assert "wq" in l0 and "bq" in l0 and "bo" in l0 and "gate" not in l0
+
+    # numpy reference (learned positions, no rope)
+    r = GGUFReader(path)
+    deq = lambda n: r.dequantize(n)
+    la = lambda n: r.load_array(n)
+    rng = np.random.default_rng(20)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 7)).astype(np.int32)
+    b, t = tokens.shape
+    h, hd = cfg.n_heads, cfg.head_dim
+    eps = lcfg.norm_eps
+
+    def ln(v, wt, bi):
+        m = v.mean(-1, keepdims=True)
+        va = ((v - m) ** 2).mean(-1, keepdims=True)
+        return (v - m) / np.sqrt(va + eps) * wt + bi
+
+    import math as _m
+    gelu = lambda v: 0.5 * v * (1 + np.tanh(
+        0.7978845608 * (v + 0.044715 * v ** 3)))
+    x = deq("token_embd.weight")[tokens.reshape(-1)].reshape(b, t, cfg.dim)
+    x = x + la("position_embd.weight")[None, :t]
+    qd, kvd = h * hd, cfg.n_kv_heads * hd
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        hx = ln(x, la(p + "attn_norm.weight"), la(p + "attn_norm.bias"))
+        qkv = hx @ deq(p + "attn_qkv.weight").T + la(p + "attn_qkv.bias")
+        q = qkv[..., :qd].reshape(b, t, h, hd)
+        k = qkv[..., qd:qd + kvd].reshape(b, t, cfg.n_kv_heads, hd)
+        v = qkv[..., qd + kvd:].reshape(b, t, cfg.n_kv_heads, hd)
+        rep = h // cfg.n_kv_heads
+        k, v = np.repeat(k, rep, 2), np.repeat(v, rep, 2)
+        sc = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        mask = np.tril(np.ones((t, t), bool))
+        sc = np.where(mask[None, None], sc, -np.inf)
+        pr = np.exp(sc - sc.max(-1, keepdims=True))
+        pr /= pr.sum(-1, keepdims=True)
+        att = np.einsum("bhqk,bkhd->bqhd", pr, v).reshape(b, t, -1)
+        x = x + att @ deq(p + "attn_output.weight").T \
+            + la(p + "attn_output.bias")
+        hx = ln(x, la(p + "ffn_norm.weight"), la(p + "ffn_norm.bias"))
+        u = hx @ deq(p + "ffn_up.weight").T + la(p + "ffn_up.bias")
+        x = x + gelu(u) @ deq(p + "ffn_down.weight").T \
+            + la(p + "ffn_down.bias")
+    x = ln(x, la("output_norm.weight"), la("output_norm.bias"))
+    ref = x @ deq("token_embd.weight").T
+    r.close()
+
+    cache = init_kv_cache(lcfg, batch=2, max_seq=32)
+    logits, _ = forward(params, lcfg, jnp.asarray(tokens),
+                        jnp.zeros(2, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    got = np.asarray(logits)[:, :, :cfg.vocab_size]
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 0.03, \
+        np.max(np.abs(got - ref)) / denom
+
+    # decode continuity through the cache (positions via pos arg)
+    cache = init_kv_cache(lcfg, batch=1, max_seq=32)
+    _, cache = forward(params, lcfg, jnp.asarray(tokens[:1, :6]),
+                       jnp.zeros(1, jnp.int32), cache,
+                       opts=MMOpts(precision="high"))
+    step, _ = forward(params, lcfg, jnp.asarray(tokens[:1, 6:]),
+                      jnp.asarray([6], jnp.int32), cache,
+                      opts=MMOpts(precision="high"))
+    a = got[0, -1]
+    bstep = np.asarray(step)[0, 0, :cfg.vocab_size]
+    assert np.max(np.abs(a - bstep)) / denom < 0.02

@@ -1138,3 +1138,63 @@ def test_convert_phi2(tmp_path):
                         jnp.zeros(1, jnp.int32), cache,
                         opts=MMOpts(precision="high"))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_convert_gpt2(tmp_path):
+    """HF gpt2 (Conv1D transposed weights, wte/wpe, h.N.* names) maps to
+    arch gpt2: transposition applied, positions preserved, tied head —
+    and the converted model serves."""
+    rng = np.random.default_rng(99)
+    n_embd, n_layer, n_head, n_inner = 64, 2, 4, 128
+    hf = {"model_type": "gpt2", "vocab_size": VOCAB, "n_embd": n_embd,
+          "n_layer": n_layer, "n_head": n_head, "n_inner": n_inner,
+          "layer_norm_epsilon": 1e-5, "n_positions": 64}
+    s = 0.5 / np.sqrt(n_embd)
+    w = lambda *sh: (rng.standard_normal(sh) * s).astype(np.float32)
+    nrm = lambda n: (1 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    t = {"transformer.wte.weight": w(VOCAB, n_embd),
+         "transformer.wpe.weight": w(64, n_embd),
+         "transformer.ln_f.weight": nrm(n_embd),
+         "transformer.ln_f.bias": w(n_embd)}
+    for i in range(n_layer):
+        p = f"transformer.h.{i}."
+        t[p + "ln_1.weight"] = nrm(n_embd)
+        t[p + "ln_1.bias"] = w(n_embd)
+        t[p + "ln_2.weight"] = nrm(n_embd)
+        t[p + "ln_2.bias"] = w(n_embd)
+        t[p + "attn.c_attn.weight"] = w(n_embd, 3 * n_embd)   # Conv1D!
+        t[p + "attn.c_attn.bias"] = w(3 * n_embd)
+        t[p + "attn.c_proj.weight"] = w(n_embd, n_embd)
+        t[p + "attn.c_proj.bias"] = w(n_embd)
+        t[p + "mlp.c_fc.weight"] = w(n_embd, n_inner)
+        t[p + "mlp.c_fc.bias"] = w(n_inner)
+        t[p + "mlp.c_proj.weight"] = w(n_inner, n_embd)
+        t[p + "mlp.c_proj.bias"] = w(n_embd)
+    d = tmp_path / "hf"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(hf))
+    (d / "tokenizer.json").write_text(json.dumps(_toy_unigram_tokenizer()))
+    _write_safetensors(str(d / "model.safetensors"), t)
+
+    out = str(tmp_path / "g2.gguf")
+    md = convert_hf(str(d), out, fmt="q8_0")
+    assert md["general.architecture"] == "gpt2"
+
+    from gguf_tpu.gguf import GGUFReader
+
+    r = GGUFReader(out)
+    got = r.dequantize("blk.0.attn_qkv.weight")
+    want = t["transformer.h.0.attn.c_attn.weight"].T
+    assert np.max(np.abs(got - want)) < 0.01 * np.abs(want).max() + 2e-3
+    np.testing.assert_allclose(r.load_array("position_embd.weight"),
+                               t["transformer.wpe.weight"])
+    assert "output.weight" not in r.tensors       # tied head
+    r.close()
+
+    cfg, params = load_llama(out)
+    assert cfg.learned_pos
+    cache = init_kv_cache(cfg, batch=1, max_seq=16)
+    logits, _ = forward(params, cfg, jnp.asarray([[1, 5, 9]], jnp.int32),
+                        jnp.zeros(1, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    assert np.isfinite(np.asarray(logits)).all()
