@@ -188,7 +188,8 @@ class LlamaConfig:
         phi2 = arch == "phi2"
         # command-r: parallel-residual LayerNorm blocks + logit multiplier;
         # starcoder2/gpt2: biased LayerNorms + gateless GELU FFN
-        layernorm_arch = arch in ("command-r", "starcoder2", "gpt2")
+        layernorm_arch = arch in ("command-r", "starcoder2", "gpt2",
+                                  "falcon")
         rs_kind, rs_factor, rs_orig, rs_attn = _rope_scaling(g)
         rope_dim = g("rope.dimension_count")
         eps = g("attention.layer_norm_rms_epsilon")
@@ -223,12 +224,13 @@ class LlamaConfig:
             max_seq_len=int(g("context_length", 2048)),
             head_dim_override=head_dim,
             act_fn=("gelu_tanh"
-                    if (gemma or phi2 or arch in ("starcoder2", "gpt2"))
+                    if (gemma or phi2
+                        or arch in ("starcoder2", "gpt2", "falcon"))
                     else "silu"),
             embed_scale=(float(dim) ** 0.5 if gemma
                          else float(g("embedding_scale", 1.0) or 1.0)),
             norm_type="layer" if (phi2 or layernorm_arch) else "rms",
-            parallel_residual=phi2 or arch == "command-r",
+            parallel_residual=phi2 or arch in ("command-r", "falcon"),
             logit_scale=logit_scale,
             residual_scale=float(g("residual_scale", 1.0) or 1.0),
             attn_scale=float(g("attention.scale", 0.0) or 0.0),
@@ -254,7 +256,7 @@ class LlamaConfig:
             # its rotate-half, so the stored layout is llama-style)
             rope_neox=arch in ("qwen2", "qwen2moe", "qwen3", "qwen3moe",
                                "phi2", "phi3", "gemma", "gemma2", "gemma3",
-                               "olmo2", "starcoder2"),
+                               "olmo2", "starcoder2", "falcon"),
             rope_yarn_log_mul=float(
                 g("rope.scaling.yarn_log_multiplier", 0.0) or 0.0),
             q_lora_rank=int(g("attention.q_lora_rank", 0) or 0),

@@ -989,15 +989,19 @@ def forward(
             attn_out = attn_out * jnp.float32(
                 cfg.residual_scale).astype(attn_out.dtype)
         if cfg.parallel_residual:
-            # phi2: one shared pre-norm feeds both branches
+            # phi2/command-r: one shared pre-norm feeds both branches;
+            # falcon-40b-style blocks carry a SEPARATE mlp pre-norm
+            hm = (_norm(x, layer, "ffn_norm", cfg)
+                  if "ffn_norm" in layer else h)
             if collect_sq:
-                ls["ffn_gate_up"] = ls["attn_qkv"]   # shared pre-norm input
-                mlp_out, mid = mlp(layer, h, opts, cfg.act_fn,
+                ls["ffn_gate_up"] = (sumsq(hm) if "ffn_norm" in layer
+                                     else ls["attn_qkv"])
+                mlp_out, mid = mlp(layer, hm, opts, cfg.act_fn,
                                    return_mid=True)
                 ls["ffn_down"] = sumsq(mid)
                 x = x + attn_out + mlp_out
             else:
-                x = x + attn_out + mlp(layer, h, opts, cfg.act_fn)
+                x = x + attn_out + mlp(layer, hm, opts, cfg.act_fn)
         else:
             x = x + attn_out
             h = _norm(x, layer, "ffn_norm", cfg)

@@ -625,6 +625,31 @@ def write_random_llama_gguf(
     if arch == "starcoder2":
         tensors["output_norm.weight"] = nrm(d)
         tensors["output_norm.bias"] = f32v((d,), "r")
+    if arch == "falcon":
+        # parallel-residual LayerNorm blocks: fused unbiased qkv, GELU
+        # no-gate FFN, NEOX rope; falcon-40b adds a separate mlp norm
+        tensors["output_norm.weight"] = nrm(d)
+        tensors["output_norm.bias"] = f32v((d,), "r")
+        for i in range(cfg.n_layers):
+            p = f"blk.{i}."
+            tensors[p + "attn_norm.weight"] = nrm(d)
+            tensors[p + "attn_norm.bias"] = f32v((d,), "r")
+            tensors[p + "ffn_norm.weight"] = nrm(d)       # 40b-style
+            tensors[p + "ffn_norm.bias"] = f32v((d,), "r")
+            tensors[p + "attn_qkv.weight"] = (
+                fmt, (q_d + 2 * kv_d, d),
+                quantize_tensor(w((q_d + 2 * kv_d, d)), fmt))
+            tensors[p + "attn_output.weight"] = (
+                fmt, (d, q_d), quantize_tensor(w((d, q_d)), fmt))
+            tensors[p + "ffn_up.weight"] = (
+                fmt, (f, d), quantize_tensor(w((f, d)), fmt))
+            tensors[p + "ffn_down.weight"] = (
+                fmt, (d, f), quantize_tensor(w((d, f)), fmt))
+        md = cfg.to_gguf_metadata(arch)
+        md.update(extra_metadata or {})
+        write_gguf(path, md, tensors)
+        return
+
     if arch == "gpt2":
         # learned positions, fused biased qkv, biased LayerNorms,
         # gateless GELU FFN, tied head

@@ -319,3 +319,77 @@ def test_gpt2_learned_positions(tmp_path):
     a = got[0, -1]
     bstep = np.asarray(step)[0, 0, :cfg.vocab_size]
     assert np.max(np.abs(a - bstep)) / denom < 0.02
+
+
+def test_falcon_parallel_separate_norms(tmp_path):
+    """Falcon family: parallel residual with SEPARATE attn/mlp LayerNorms
+    (40b-style), fused unbiased qkv, gateless GELU, NEOX rope — pinned
+    against a numpy forward."""
+    cfg = LlamaConfig(**BASE, norm_type="layer", parallel_residual=True,
+                      act_fn="gelu_tanh", rope_neox=True)
+    path = str(tmp_path / "falcon.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q8_0, seed=72,
+                            arch="falcon")
+    lcfg, params = load_llama(path)
+    assert lcfg.parallel_residual and lcfg.rope_neox
+    l0 = params["layers"][0]
+    assert "wq" in l0 and "bq" not in l0 and "ffn_norm" in l0
+
+    r = GGUFReader(path)
+    deq = lambda n: r.dequantize(n)
+    la = lambda n: r.load_array(n)
+    rng = np.random.default_rng(21)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 6)).astype(np.int32)
+    b, t = tokens.shape
+    h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    eps = lcfg.norm_eps
+
+    def ln(v, wt, bi):
+        m = v.mean(-1, keepdims=True)
+        va = ((v - m) ** 2).mean(-1, keepdims=True)
+        return (v - m) / np.sqrt(va + eps) * wt + bi
+
+    gelu = lambda v: 0.5 * v * (1 + np.tanh(
+        0.7978845608 * (v + 0.044715 * v ** 3)))
+    freqs = cfg.rope_theta ** (-np.arange(0, hd, 2) / hd)
+    ang = np.arange(t)[:, None] * freqs[None, :]
+    c, s_ = np.cos(ang)[None, :, None, :], np.sin(ang)[None, :, None, :]
+
+    def rope(x):   # NEOX rotate-half
+        e, o = x[..., :hd // 2], x[..., hd // 2:]
+        return np.concatenate([e * c - o * s_, e * s_ + o * c], -1)
+
+    qd, kvd = h * hd, kvh * hd
+    x = deq("token_embd.weight")[tokens.reshape(-1)].reshape(b, t, cfg.dim)
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        ha = ln(x, la(p + "attn_norm.weight"), la(p + "attn_norm.bias"))
+        hm = ln(x, la(p + "ffn_norm.weight"), la(p + "ffn_norm.bias"))
+        qkv = ha @ deq(p + "attn_qkv.weight").T
+        q = rope(qkv[..., :qd].reshape(b, t, h, hd))
+        k = rope(qkv[..., qd:qd + kvd].reshape(b, t, kvh, hd))
+        v = qkv[..., qd + kvd:].reshape(b, t, kvh, hd)
+        rep = h // kvh
+        k, v = np.repeat(k, rep, 2), np.repeat(v, rep, 2)
+        sc = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        mask = np.tril(np.ones((t, t), bool))
+        sc = np.where(mask[None, None], sc, -np.inf)
+        pr = np.exp(sc - sc.max(-1, keepdims=True))
+        pr /= pr.sum(-1, keepdims=True)
+        att = np.einsum("bhqk,bkhd->bqhd", pr, v).reshape(b, t, -1)
+        att = att @ deq(p + "attn_output.weight").T
+        u = hm @ deq(p + "ffn_up.weight").T
+        mlp_o = gelu(u) @ deq(p + "ffn_down.weight").T
+        x = x + att + mlp_o
+    x = ln(x, la("output_norm.weight"), la("output_norm.bias"))
+    ref = x @ deq("output.weight").T
+    r.close()
+
+    cache = init_kv_cache(lcfg, batch=2, max_seq=32)
+    logits, _ = forward(params, lcfg, jnp.asarray(tokens),
+                        jnp.zeros(2, jnp.int32), cache,
+                        opts=MMOpts(precision="high"))
+    got = np.asarray(logits)[:, :, :cfg.vocab_size]
+    denom = np.abs(ref).max()
+    assert np.max(np.abs(got - ref)) / denom < 0.03, \
+        np.max(np.abs(got - ref)) / denom
