@@ -38,3 +38,19 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def toy_spm_metadata(vocab_size: int) -> dict:
+    """Minimal SPM tokenizer metadata (3 specials + byte fallback +
+    padding) shared by server/stress tests."""
+    import numpy as _np
+
+    tokens = ["<unk>", "<s>", "</s>"]
+    tokens += [f"<0x{b:02X}>" for b in range(256)]
+    tokens = (tokens + [f"<p{i}>" for i in range(vocab_size)])[:vocab_size]
+    return {
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": _np.zeros(vocab_size, _np.float32),
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+    }
