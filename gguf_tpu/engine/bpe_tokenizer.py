@@ -13,6 +13,36 @@ engine picks by the tokenizer.ggml.model metadata key.
 from __future__ import annotations
 
 import functools
+import re
+
+# Pre-tokenization regexes (merges apply only WITHIN a chunk — merging
+# across word boundaries diverges from llama.cpp/HF token streams).
+# Python re lacks \p{..}: \p{L} -> [^\W\d_], \p{N} -> \d,
+# [^\s\p{L}\p{N}] -> (?:[^\s\w]|_).
+_PRE_GPT2 = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+")
+# llama-3 ("llama-bpe"): case-insensitive contractions, optional leading
+# non-letter, digits in groups of <= 3, newlines glued to punctuation
+_PRE_LLAMA3 = re.compile(
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)"
+    r"|(?:[^\r\n\w]|_)?[^\W\d_]+|\d{1,3}"
+    r"| ?(?:[^\s\w]|_)+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+")
+# qwen2/deepseek style: like llama-3 but single digits
+_PRE_QWEN2 = re.compile(
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)"
+    r"|(?:[^\r\n\w]|_)?[^\W\d_]+|\d"
+    r"| ?(?:[^\s\w]|_)+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+")
+
+_PRE_BY_NAME = {
+    "llama-bpe": _PRE_LLAMA3, "llama3": _PRE_LLAMA3,
+    "smaug-bpe": _PRE_LLAMA3,
+    "qwen2": _PRE_QWEN2, "deepseek-llm": _PRE_QWEN2,
+    "deepseek-coder": _PRE_QWEN2,
+    "gpt-2": _PRE_GPT2, "gpt2": _PRE_GPT2,
+    "falcon": _PRE_GPT2, "starcoder": _PRE_GPT2, "olmo": _PRE_GPT2,
+    "stablelm2": _PRE_QWEN2,
+}
 
 
 @functools.cache
@@ -32,11 +62,14 @@ def _byte_alphabet() -> dict[int, str]:
 class BPETokenizer:
     def __init__(self, tokens: list[str], merges: list[str],
                  bos_id: int | None = None, eos_id: int = 0,
-                 add_bos: bool = False):
+                 add_bos: bool = False, pre: str = ""):
         self.tokens = list(tokens)
         self.vocab = {t: i for i, t in enumerate(self.tokens)}
         self.ranks = {tuple(m.split(" ", 1)): r for r, m in enumerate(merges)}
         self.bos_id = bos_id
+        # pre-tokenizer (tokenizer.ggml.pre): unknown names get the
+        # gpt-2 default, like llama.cpp's warning-then-default behavior
+        self.pre = _PRE_BY_NAME.get(pre, _PRE_GPT2)
         # special/control token strings -> ids (chat-template parsing)
         self.specials: dict[str, int] = {}
         self.eos_id = eos_id
@@ -55,6 +88,7 @@ class BPETokenizer:
             bos_id=int(bos) if bos is not None else None,
             eos_id=int(md.get("tokenizer.ggml.eos_token_id", 0)),
             add_bos=bool(md.get("tokenizer.ggml.add_bos_token", False)),
+            pre=str(md.get("tokenizer.ggml.pre", "")),
         )
         tok.specials = specials_from_metadata(md)
         return tok
@@ -74,14 +108,16 @@ class BPETokenizer:
         return parts
 
     def encode(self, text: str, add_bos: bool | None = None) -> list[int]:
-        mapped = "".join(self._b2u[b] for b in text.encode("utf-8"))
         ids = []
-        for piece in self._bpe(mapped):
-            tid = self.vocab.get(piece)
-            if tid is not None:
-                ids.append(tid)
-            else:  # fall back to per-character (single-byte) tokens
-                ids.extend(self.vocab[c] for c in piece if c in self.vocab)
+        for chunk in self.pre.findall(text):
+            mapped = "".join(self._b2u[b] for b in chunk.encode("utf-8"))
+            for piece in self._bpe(mapped):
+                tid = self.vocab.get(piece)
+                if tid is not None:
+                    ids.append(tid)
+                else:  # fall back to per-character (single-byte) tokens
+                    ids.extend(self.vocab[c] for c in piece
+                               if c in self.vocab)
         add = self.add_bos if add_bos is None else add_bos
         if add and self.bos_id is not None:
             ids = [self.bos_id] + ids

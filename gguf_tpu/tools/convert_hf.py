@@ -112,6 +112,15 @@ def tokenizer_metadata(model_dir: str) -> dict:
         md["tokenizer.ggml.tokens"] = tokens
         md["tokenizer.ggml.merges"] = [
             m if isinstance(m, str) else " ".join(m) for m in merges]
+        # pre-tokenizer family from the HF regex (llama.cpp stores a
+        # name; the serving tokenizer bounds merges by it)
+        pt = json.dumps(tj.get("pre_tokenizer") or {})
+        if "{1,3}" in pt:
+            md["tokenizer.ggml.pre"] = "llama-bpe"
+        elif "\\p{N}" in pt or "\\d" in pt:
+            md["tokenizer.ggml.pre"] = "qwen2"
+        else:
+            md["tokenizer.ggml.pre"] = "gpt-2"
     else:
         return {}
 

@@ -905,3 +905,37 @@ def test_penalty_last_n_zero_disables(llm):
     [disabled] = llm.generate([prompt], max_new_tokens=3, sampler=off,
                               stop_at_eos=False)
     assert disabled.token_ids == none.token_ids
+
+
+def test_bpe_pretokenizer_bounds_merges():
+    """BPE merges must not cross pre-tokenizer chunk boundaries: with a
+    merge rule spanning 'ab', the text 'a b' (boundary between chunks
+    ' b') must NOT produce the merged token, while 'ab' must. Also: the
+    chunking is lossless (round-trips every byte) and tokenizer.ggml.pre
+    picks the llama-3 digit grouping."""
+    from gguf_tpu.engine.bpe_tokenizer import BPETokenizer
+
+    toks = ["a", "b", "ab", "Ġ", "Ġb", "1", "2", "3", "4",
+            "12", "123", "1234"]
+    merges = ["a b", "Ġ b", "1 2", "12 3", "123 4"]
+    tok = BPETokenizer(toks, merges)
+    assert tok.encode("ab") == [2]
+    # 'a b' chunks as ['a', ' b'] — the cross-boundary 'ab' merge is
+    # impossible; ' b' maps to the Ġb token
+    assert tok.encode("a b") == [0, 4]
+
+    ll3 = BPETokenizer(toks, merges, pre="llama-bpe")
+    # llama-3 groups digits <= 3: '1234' -> '123' + '4', never '1234'
+    assert ll3.encode("1234") == [10, 8]
+
+    # losslessness of the chunking across regex branches
+    import re
+
+    from gguf_tpu.engine.bpe_tokenizer import (_PRE_GPT2, _PRE_LLAMA3,
+                                               _PRE_QWEN2)
+
+    for rx in (_PRE_GPT2, _PRE_LLAMA3, _PRE_QWEN2):
+        for text in ("hello world", "it's 1234!!", "a_b __ c",
+                     "line1\n\nline2  \t x", "héllo wörld…", "日本語 123",
+                     "  leading", "trailing  "):
+            assert "".join(rx.findall(text)) == text, (rx.pattern, text)
