@@ -25,7 +25,7 @@ from ..models import (MMOpts, forward, fuse_llama_params,
                       init_kv_cache, load_llama)
 from .sampler import SamplerConfig, sample, sample_mirostat
 from .bpe_tokenizer import tokenizer_from_metadata
-from .tokenizer import SPMTokenizer, fim_tokens_from_metadata
+from .tokenizer import fim_tokens_from_metadata
 
 
 def _penalty_window(ids, n: int):
@@ -483,7 +483,7 @@ class LLM:
         # image elements in prompts (llama.cpp libmtmd lineage)
         self.clip_cfg = self.clip_params = None
         if mmproj is not None:
-            from ..models.clip import ClipVisionConfig, load_clip
+            from ..models.clip import load_clip
 
             assert tp == 1 and dp == 1 and sp == 1 and ep == 1, \
                 "multimodal serving is single-chip for now"
