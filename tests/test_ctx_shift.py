@@ -154,3 +154,42 @@ def test_ctx_shift_guards(tmp_path):
                             arch="gemma2")
     with pytest.raises(AssertionError, match="ctx_shift"):
         LLM(path, max_batch=1, max_seq=32, ctx_shift=True)
+
+
+def test_shift_with_freq_factors(tmp_path):
+    """llama-3.1-style rope_freqs per-dim divisors: the shift rotation
+    must use the DIVIDED frequencies (plain freqs would re-base moved
+    keys wrongly on 3.1-scaled checkpoints)."""
+    import dataclasses
+
+    ff = tuple(float(1.0 + (i % 4)) for i in range(CFG.head_dim // 2))
+    cfg = dataclasses.replace(CFG, rope_freq_factors=ff)
+    path = str(tmp_path / "ff.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q8_0, seed=54)
+    lcfg, params = load_llama(path)
+    assert lcfg.rope_freq_factors == ff
+
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, lcfg.vocab_size, (1, 10)).astype(np.int32)
+    cache = init_kv_cache(lcfg, batch=1, max_seq=32)
+    _, cache = forward(params, lcfg, jnp.asarray(toks),
+                       jnp.zeros(1, jnp.int32), cache,
+                       MMOpts(precision="high"))
+    shifted = shift_kv_cache(cache, lcfg, slot=0, keep=1, drop=3)
+
+    hd = lcfg.head_dim
+    freqs = lcfg.rope_theta ** (-np.arange(0, hd, 2) / hd) / np.asarray(ff)
+    ang = -3.0 * freqs
+    c, s = np.cos(ang), np.sin(ang)
+    for i in range(lcfg.n_layers):
+        orig_k = (np.asarray(cache[i]["k"][0]).astype(np.float32)
+                  * np.asarray(cache[i]["k_scale"][0])[..., None])
+        got_k = (np.asarray(shifted[i]["k"][0]).astype(np.float32)
+                 * np.asarray(shifted[i]["k_scale"][0])[..., None])
+        for j in range(1, 7):
+            src = orig_k[:, j + 3, :]
+            e, o = src[..., 0::2], src[..., 1::2]     # NORM pairs
+            exp = np.stack([e * c - o * s, e * s + o * c],
+                           -1).reshape(src.shape)
+            denom = np.abs(exp).max() + 1e-9
+            assert np.max(np.abs(got_k[:, j] - exp)) / denom < 0.03, (i, j)
