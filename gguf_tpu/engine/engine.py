@@ -506,8 +506,10 @@ class LLM:
         self.ctx_shift = ctx_shift
         if ctx_shift:
             assert not (self.cfg.ssm_inner or self.cfg.kv_lora_rank
-                        or self.cfg.sliding_window or sp > 1), (
-                "ctx_shift supports plain rope attention KV caches only")
+                        or self.cfg.sliding_window or self.cfg.learned_pos
+                        or sp > 1), (
+                "ctx_shift supports plain rope attention KV caches only "
+                "(learned-position caches cannot be re-based by rotation)")
         if self.cfg.ssm_inner:
             # recurrent state is not row-addressable: prefix reuse, slot
             # save/restore, and speculative rollback all assume KV rows

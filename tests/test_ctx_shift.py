@@ -193,3 +193,17 @@ def test_shift_with_freq_factors(tmp_path):
                            -1).reshape(src.shape)
             denom = np.abs(exp).max() + 1e-9
             assert np.max(np.abs(got_k[:, j] - exp)) / denom < 0.03, (i, j)
+
+
+def test_ctx_shift_refuses_learned_positions(tmp_path):
+    """gpt2-style learned positions are baked into K/V values — no
+    rotation can re-base them, so ctx_shift must refuse."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, norm_type="layer", act_fn="gelu_tanh",
+                              learned_pos=True)
+    path = str(tmp_path / "g2.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q8_0, seed=55,
+                            arch="gpt2")
+    with pytest.raises(AssertionError, match="learned-position"):
+        LLM(path, max_batch=1, max_seq=32, ctx_shift=True)
