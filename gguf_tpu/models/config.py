@@ -189,7 +189,7 @@ class LlamaConfig:
         # command-r: parallel-residual LayerNorm blocks + logit multiplier;
         # starcoder2/gpt2: biased LayerNorms + gateless GELU FFN
         layernorm_arch = arch in ("command-r", "starcoder2", "gpt2",
-                                  "falcon")
+                                  "falcon", "stablelm")
         rs_kind, rs_factor, rs_orig, rs_attn = _rope_scaling(g)
         rope_dim = g("rope.dimension_count")
         eps = g("attention.layer_norm_rms_epsilon")
@@ -256,7 +256,8 @@ class LlamaConfig:
             # its rotate-half, so the stored layout is llama-style)
             rope_neox=arch in ("qwen2", "qwen2moe", "qwen3", "qwen3moe",
                                "phi2", "phi3", "gemma", "gemma2", "gemma3",
-                               "olmo2", "starcoder2", "falcon"),
+                               "olmo2", "starcoder2", "falcon",
+                               "stablelm"),
             rope_yarn_log_mul=float(
                 g("rope.scaling.yarn_log_multiplier", 0.0) or 0.0),
             q_lora_rank=int(g("attention.q_lora_rank", 0) or 0),

@@ -718,9 +718,9 @@ def write_random_llama_gguf(
         p = f"blk.{i}."
         if arch == "olmo2":
             pass   # post-norm-only: no attn_norm/ffn_norm tensors
-        elif arch in ("command-r", "starcoder2"):
+        elif arch in ("command-r", "starcoder2", "stablelm"):
             tensors[p + "attn_norm.weight"] = nrm(d)   # LayerNorm weight
-            if arch == "starcoder2":
+            if arch in ("starcoder2", "stablelm"):
                 tensors[p + "attn_norm.bias"] = f32v((d,), "r")
         else:
             tensors[p + "attn_norm.weight"] = (GGMLType.F32, (d,),
@@ -752,7 +752,7 @@ def write_random_llama_gguf(
         if arch == "olmo2" or arch == "command-r":
             pass   # olmo2: post-norms only; command-r: one shared
             #        pre-norm feeds both parallel branches
-        elif arch == "starcoder2":
+        elif arch in ("starcoder2", "stablelm"):
             tensors[p + "ffn_norm.weight"] = nrm(d)
             tensors[p + "ffn_norm.bias"] = f32v((d,), "r")
         else:

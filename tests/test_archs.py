@@ -393,3 +393,37 @@ def test_falcon_parallel_separate_norms(tmp_path):
     denom = np.abs(ref).max()
     assert np.max(np.abs(got - ref)) / denom < 0.03, \
         np.max(np.abs(got - ref)) / denom
+
+
+def test_stablelm_family(tmp_path):
+    """StableLM (arch stablelm): biased LayerNorms + partial NEOX rotary
+    + SwiGLU — pure recombination of existing switches, pinned by config
+    parse + serve + decode continuity."""
+    import dataclasses
+
+    cfg = LlamaConfig(**BASE, norm_type="layer", rope_neox=True,
+                      rope_dim=16)
+    path = str(tmp_path / "slm.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q8_0, seed=73,
+                            arch="stablelm")
+    lcfg, params = load_llama(path)
+    assert lcfg.norm_type == "layer" and lcfg.rope_neox
+    assert lcfg.rope_dim == 16
+
+    rng = np.random.default_rng(22)
+    toks = rng.integers(0, cfg.vocab_size, (1, 6)).astype(np.int32)
+    cache = init_kv_cache(lcfg, batch=1, max_seq=32)
+    full, _ = forward(params, lcfg, jnp.asarray(toks),
+                      jnp.zeros(1, jnp.int32), cache,
+                      opts=MMOpts(precision="high"))
+    assert np.isfinite(np.asarray(full)).all()
+    cache = init_kv_cache(lcfg, batch=1, max_seq=32)
+    _, cache = forward(params, lcfg, jnp.asarray(toks[:, :5]),
+                       jnp.zeros(1, jnp.int32), cache,
+                       opts=MMOpts(precision="high"))
+    step, _ = forward(params, lcfg, jnp.asarray(toks[:, 5:]),
+                      jnp.asarray([5], jnp.int32), cache,
+                      opts=MMOpts(precision="high"))
+    a, b = np.asarray(full)[0, -1], np.asarray(step)[0, 0]
+    denom = np.abs(a).max()
+    assert np.max(np.abs(a - b)) / denom < 0.02
