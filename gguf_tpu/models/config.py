@@ -189,7 +189,7 @@ class LlamaConfig:
         # command-r: parallel-residual LayerNorm blocks + logit multiplier;
         # starcoder2/gpt2: biased LayerNorms + gateless GELU FFN
         layernorm_arch = arch in ("command-r", "starcoder2", "gpt2",
-                                  "falcon", "stablelm")
+                                  "falcon", "stablelm", "gptneox")
         rs_kind, rs_factor, rs_orig, rs_attn = _rope_scaling(g)
         rope_dim = g("rope.dimension_count")
         eps = g("attention.layer_norm_rms_epsilon")
@@ -225,12 +225,19 @@ class LlamaConfig:
             head_dim_override=head_dim,
             act_fn=("gelu_tanh"
                     if (gemma or phi2
-                        or arch in ("starcoder2", "gpt2", "falcon"))
+                        or arch in ("starcoder2", "gpt2", "falcon",
+                                    "gptneox"))
                     else "silu"),
             embed_scale=(float(dim) ** 0.5 if gemma
                          else float(g("embedding_scale", 1.0) or 1.0)),
             norm_type="layer" if (phi2 or layernorm_arch) else "rms",
-            parallel_residual=phi2 or arch in ("command-r", "falcon"),
+            # gptneox (Pythia-family) makes parallel residual a per-
+            # checkpoint flag (HF use_parallel_residual, default true);
+            # pythia-70m..12b all ship true, neox-style finetunes vary
+            parallel_residual=(phi2 or arch in ("command-r", "falcon")
+                               or (arch == "gptneox"
+                                   and bool(g("use_parallel_residual",
+                                              True)))),
             logit_scale=logit_scale,
             residual_scale=float(g("residual_scale", 1.0) or 1.0),
             attn_scale=float(g("attention.scale", 0.0) or 0.0),
@@ -257,7 +264,7 @@ class LlamaConfig:
             rope_neox=arch in ("qwen2", "qwen2moe", "qwen3", "qwen3moe",
                                "phi2", "phi3", "gemma", "gemma2", "gemma3",
                                "olmo2", "starcoder2", "falcon",
-                               "stablelm"),
+                               "stablelm", "gptneox"),
             rope_yarn_log_mul=float(
                 g("rope.scaling.yarn_log_multiplier", 0.0) or 0.0),
             q_lora_rank=int(g("attention.q_lora_rank", 0) or 0),
@@ -344,6 +351,8 @@ class LlamaConfig:
                if self.residual_scale != 1.0 else {}),
             **({f"{arch}.attention.scale": self.attn_scale}
                if self.attn_scale else {}),
+            **({f"{arch}.use_parallel_residual": self.parallel_residual}
+               if arch == "gptneox" else {}),
             **({f"{arch}.attention.causal": False,
                 f"{arch}.pooling_type":
                     {"none": 0, "mean": 1, "cls": 2, "last": 3,

@@ -683,6 +683,36 @@ def write_random_llama_gguf(
         write_gguf(path, md, tensors)
         return
 
+    if arch == "gptneox":
+        # Pythia/NeoX (llama.cpp LLM_ARCH_GPTNEOX): biased LayerNorms
+        # everywhere, fused biased qkv, biased gateless GELU FFN, partial
+        # NEOX rotary, untied head; use_parallel_residual picks the
+        # block topology (metadata, written by to_gguf_metadata)
+        tensors["output_norm.weight"] = nrm(d)
+        tensors["output_norm.bias"] = f32v((d,), "r")
+        for i in range(cfg.n_layers):
+            p = f"blk.{i}."
+            for name in ("attn_norm", "ffn_norm"):
+                tensors[p + name + ".weight"] = nrm(d)
+                tensors[p + name + ".bias"] = f32v((d,), "r")
+            tensors[p + "attn_qkv.weight"] = (
+                fmt, (q_d + 2 * kv_d, d),
+                quantize_tensor(w((q_d + 2 * kv_d, d)), fmt))
+            tensors[p + "attn_qkv.bias"] = f32v((q_d + 2 * kv_d,), "r")
+            tensors[p + "attn_output.weight"] = (
+                fmt, (d, q_d), quantize_tensor(w((d, q_d)), fmt))
+            tensors[p + "attn_output.bias"] = f32v((d,), "r")
+            tensors[p + "ffn_up.weight"] = (
+                fmt, (f, d), quantize_tensor(w((f, d)), fmt))
+            tensors[p + "ffn_up.bias"] = f32v((f,), "r")
+            tensors[p + "ffn_down.weight"] = (
+                fmt, (d, f), quantize_tensor(w((d, f)), fmt))
+            tensors[p + "ffn_down.bias"] = f32v((d,), "r")
+        md = cfg.to_gguf_metadata(arch)
+        md.update(extra_metadata or {})
+        write_gguf(path, md, tensors)
+        return
+
     if arch == "mamba":
         di, ds = cfg.ssm_inner, cfg.ssm_state
         dr, dc = cfg.ssm_dt_rank, cfg.ssm_conv
