@@ -186,8 +186,11 @@ class LlamaConfig:
         head_dim = (int(key_len) if key_len is not None
                     and int(key_len) != dim // n_heads else None)
         phi2 = arch == "phi2"
-        # command-r: parallel-residual LayerNorm blocks + logit multiplier;
-        # starcoder2/gpt2: biased LayerNorms + gateless GELU FFN
+        # archs whose norms are LayerNorm (mean-subtracting, usually
+        # biased) rather than RMSNorm: command-r (parallel-residual +
+        # logit multiplier), starcoder2/gpt2 (biased LN + gateless GELU
+        # FFN), falcon (parallel residual), stablelm (biased LN + partial
+        # rotary), gptneox (dual LN + parallel residual)
         layernorm_arch = arch in ("command-r", "starcoder2", "gpt2",
                                   "falcon", "stablelm", "gptneox")
         rs_kind, rs_factor, rs_orig, rs_attn = _rope_scaling(g)
@@ -287,7 +290,12 @@ class LlamaConfig:
         )
 
     def to_gguf_metadata(self, arch: str = "llama") -> dict:
-        eps_key = ("attention.layer_norm_epsilon" if arch == "phi2"
+        # LayerNorm archs store eps under layer_norm_epsilon in real
+        # llama.cpp GGUFs (it is a required read key there); RMSNorm archs
+        # use layer_norm_rms_epsilon
+        eps_key = ("attention.layer_norm_epsilon"
+                   if arch in ("phi2", "command-r", "starcoder2", "gpt2",
+                               "falcon", "stablelm", "gptneox")
                    else "attention.layer_norm_rms_epsilon")
         return {
             "general.architecture": arch,

@@ -200,7 +200,12 @@ def make_pp_decode(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
             attn_out, cache_mb = attention(layer, h, cfg_l, cache_mb,
                                            pos_mb, opts_l)
             if cfg.parallel_residual:
-                x = x + attn_out + mlp(layer, h, opts_l, cfg.act_fn)
+                # falcon-40b/gptneox blocks carry a SEPARATE mlp pre-norm;
+                # phi2/command-r share the attn pre-norm (mirrors
+                # models/llama.py parallel-residual handling)
+                hm = (_norm(x, layer, "ffn_norm", cfg_l)
+                      if "ffn_norm" in layer else h)
+                x = x + attn_out + mlp(layer, hm, opts_l, cfg.act_fn)
             else:
                 x = x + attn_out
                 h = _norm(x, layer, "ffn_norm", cfg_l)

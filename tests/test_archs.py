@@ -427,3 +427,44 @@ def test_stablelm_family(tmp_path):
     a, b = np.asarray(full)[0, -1], np.asarray(step)[0, 0]
     denom = np.abs(a).max()
     assert np.max(np.abs(a - b)) / denom < 0.02
+
+
+@pytest.mark.parametrize("parallel_residual", [True, False])
+def test_gptneox_family(tmp_path, parallel_residual):
+    """GPT-NeoX / Pythia (arch gptneox): dual biased LayerNorms per block,
+    fused biased qkv, gateless GELU FFN, partial NEOX rotary, and the
+    per-checkpoint use_parallel_residual flag that picks the block
+    topology (llama.cpp build_gptneox). Pins config parse for both
+    topologies + decode continuity."""
+    cfg = LlamaConfig(**BASE, norm_type="layer", rope_neox=True,
+                      rope_dim=8, act_fn="gelu_tanh",
+                      parallel_residual=parallel_residual)
+    path = str(tmp_path / "neox.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q8_0, seed=91,
+                            arch="gptneox")
+    lcfg, params = load_llama(path)
+    assert lcfg.norm_type == "layer"
+    assert lcfg.rope_neox and lcfg.rope_dim == 8
+    assert lcfg.act_fn == "gelu_tanh"
+    assert lcfg.parallel_residual is parallel_residual
+    # the separate mlp pre-norm must survive loading: the parallel-
+    # residual path must feed the FFN ffn_norm(x), not the attn pre-norm
+    assert "ffn_norm" in params["layers"][0]
+
+    rng = np.random.default_rng(17)
+    toks = rng.integers(0, cfg.vocab_size, (1, 6)).astype(np.int32)
+    cache = init_kv_cache(lcfg, batch=1, max_seq=32)
+    full, _ = forward(params, lcfg, jnp.asarray(toks),
+                      jnp.zeros(1, jnp.int32), cache,
+                      opts=MMOpts(precision="high"))
+    assert np.isfinite(np.asarray(full)).all()
+    cache = init_kv_cache(lcfg, batch=1, max_seq=32)
+    _, cache = forward(params, lcfg, jnp.asarray(toks[:, :5]),
+                       jnp.zeros(1, jnp.int32), cache,
+                       opts=MMOpts(precision="high"))
+    step, _ = forward(params, lcfg, jnp.asarray(toks[:, 5:]),
+                      jnp.asarray([5], jnp.int32), cache,
+                      opts=MMOpts(precision="high"))
+    a, b = np.asarray(full)[0, -1], np.asarray(step)[0, 0]
+    denom = np.abs(a).max()
+    assert np.max(np.abs(a - b)) / denom < 0.02

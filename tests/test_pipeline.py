@@ -78,3 +78,29 @@ def test_pp_stage_stacking_shapes(model):
     lf = stacked["layers"][0]["wq"].d_bits
     orig = params["layers"][0]["wq"].d_bits
     assert lf.shape == (2, *orig.shape)
+
+
+def test_pp_gptneox_parallel_residual_matches_single_device(
+        tmp_path_factory):
+    """gptneox default topology (parallel residual WITH a separate mlp
+    pre-norm) under PP must match single-device decode — pins the fix
+    where pp.py fed the FFN the attn-norm output instead of ffn_norm(x)."""
+    cfg = LlamaConfig(
+        vocab_size=128, dim=512, n_layers=4, n_heads=4, n_kv_heads=4,
+        ffn_dim=512, max_seq_len=64, norm_type="layer", rope_neox=True,
+        act_fn="gelu_tanh", parallel_residual=True,
+    )
+    path = str(tmp_path_factory.mktemp("ppneox") / "neox.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q8_0, seed=11,
+                            arch="gptneox")
+    lcfg, params = load_llama(path)
+    assert lcfg.parallel_residual and "ffn_norm" in params["layers"][0]
+
+    mesh = make_pp_mesh(pp=2, tp=1)
+    sharded, cfg_pp = shard_pp(params, lcfg, mesh)
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(0, cfg.vocab_size, 3)) for _ in range(4)]
+    got = pp_generate(sharded, cfg_pp, mesh, prompts, max_new_tokens=5,
+                      max_seq=32, opts=MMOpts(precision="high"))
+    ref = _greedy_reference(lcfg, params, prompts, 5)
+    assert got == ref, (got, ref)
