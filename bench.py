@@ -6,6 +6,22 @@ per second of kernel time. `vs_baseline` is the speedup over the
 non-quantized path — the same decode GEMM from bf16 weights via XLA's native
 matmul on the same chip (which reads 3.6x the bytes per token).
 
+Extra labeled fields (round-3, VERDICT #5/#7 — measured after the headline,
+best-effort within the budget, null if the budget ran out first):
+
+- value_act_quant: the same kernel under the REFERENCE numeric contract
+  (in-chain Q8_1 activation fake-quant + f32 MXU passes, act_quant=True,
+  precision="high") — the reference kernels always quantize activations
+  in-kernel (/root/reference/kernels/mmq_q4_k.py:202-212), so this is the
+  apples-to-apples number; `value` is the serving default (bf16 fast path).
+- e2e_tokens_per_s: decode throughput of the 2-layer flagship model at
+  batch 16 through forward() on this chip (engine-scale numbers live in
+  benchmarks/RESULTS_v5e.jsonl; this field proves the full model path runs
+  at speed on real hardware every round).
+- compile_check: how much of the kernel surface demonstrably lowered on
+  real Mosaic this run — all 12 MMQ formats at a decode shape. Attention /
+  model shape classes are covered by tests/tpu_compile_check.py.
+
 Robustness contract (round-2 hardening; round 1 timed out under the driver):
 
 - A persistent XLA compilation cache (`.jax_cache/` next to this file) makes
@@ -15,8 +31,8 @@ Robustness contract (round-2 hardening; round 1 timed out under the driver):
   line with whatever has been measured when the worker finishes OR when the
   wall-clock budget (GGUF_TPU_BENCH_BUDGET_S, default 420 s) expires —
   whichever comes first. Fields not yet measured are null.
-- The MMQ metric is measured FIRST; the bf16 baseline only afterwards, so a
-  slow baseline can never cost the headline number.
+- The MMQ metric is measured FIRST; everything else only afterwards, so a
+  slow secondary can never cost the headline number.
 - Progress goes to stderr; stdout carries exactly one JSON line.
 
 Timing methodology (this environment's TPU is behind a relay where
@@ -49,6 +65,9 @@ STATE = {
     "value": None,
     "unit": "GB/s",
     "vs_baseline": None,
+    "value_act_quant": None,
+    "e2e_tokens_per_s": None,
+    "compile_check": None,
 }
 _DONE = threading.Event()
 
@@ -99,7 +118,7 @@ def work():
     log("weights quantized + on device")
 
     # Fixed lo/hi spans sized so the hi-lo delta clears relay jitter
-    # (~22 us/iter * 1200 = ~26 ms): exactly two programs to compile,
+    # (~20 us/iter * 1200 = ~24 ms): exactly two programs to compile,
     # no auto-extend re-jits.
     t_mmq = slope_time(
         mmq_loop(lambda w_, x_: mmq_q4_k(w_, x_, precision="fast",
@@ -109,7 +128,21 @@ def work():
     log(f"mmq_q4_k: {t_mmq * 1e6:.1f} us/iter -> {STATE['value']} GB/s")
 
     if time.time() > deadline() - 30:
-        log("budget exhausted before baseline; vs_baseline stays null")
+        log("budget exhausted; remaining fields stay null")
+        return
+
+    # The reference numeric contract: Q8_1 activation fake-quant in-chain
+    # + f32 MXU passes (reference mmq_q4_k.py:202-212 always int8-quantizes
+    # activations in-kernel).
+    t_aq = slope_time(
+        mmq_loop(lambda w_, x_: mmq_q4_k(w_, x_, precision="high",
+                                         act_quant=True), n, m, x0),
+        (w, x0), lo=50, hi=650, deadline=deadline())
+    STATE["value_act_quant"] = round(wbytes / t_aq / 1e9, 2)
+    log(f"mmq_q4_k act_quant+high: {t_aq * 1e6:.1f} us/iter -> "
+        f"{STATE['value_act_quant']} GB/s")
+
+    if time.time() > deadline() - 30:
         return
 
     # Baseline: the same decode GEMM from bf16 weights (what a non-quantized
@@ -132,6 +165,73 @@ def work():
     STATE["vs_baseline"] = round(t_ref / t_mmq, 3)
     log(f"bf16 baseline: {t_ref * 1e6:.1f} us/iter -> "
         f"vs_baseline {STATE['vs_baseline']}")
+
+    if time.time() > deadline() - 40:
+        return
+
+    # End-to-end: 2-layer flagship decode at batch 16 through forward().
+    try:
+        from __graft_entry__ import _flagship
+
+        from gguf_tpu.models import (MMOpts, forward, fuse_llama_params,
+                                     init_kv_cache)
+
+        cfg, params = _flagship()
+        params = fuse_llama_params(params)
+        batch = 16
+        cache = init_kv_cache(cfg, batch=batch, max_seq=128)
+        opts = MMOpts(precision="fast")
+        tokens0 = jnp.zeros((batch, 1), jnp.int32)
+        pos0 = jnp.zeros(batch, jnp.int32)
+
+        def mk_step(iters):
+            def many(params, tokens, pos, cache):
+                def body(i, carry):
+                    toks, pos, cache = carry
+                    logits, cache = forward(params, cfg, toks, pos, cache,
+                                            opts, span=64)
+                    nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                    return nxt[:, None], pos + 1, cache
+                toks, pos, _ = jax.lax.fori_loop(
+                    0, iters, body, (tokens, pos, cache))
+                return toks.sum() + pos.sum()
+            return many
+
+        t_step = slope_time(mk_step, (params, tokens0, pos0, cache),
+                            lo=10, hi=50, reps=3, deadline=deadline())
+        STATE["e2e_tokens_per_s"] = round(batch / t_step, 1)
+        log(f"flagship-2L decode: {t_step * 1e6:.1f} us/step -> "
+            f"{STATE['e2e_tokens_per_s']} tokens/s @ batch {batch}")
+    except Exception as e:  # noqa: BLE001
+        log(f"e2e skipped: {type(e).__name__}: {e}")
+
+    # Compile coverage: every MMQ format lowers on real Mosaic (VERDICT #7).
+    from gguf_tpu.ops import MMQ
+    from gguf_tpu import quant as Q
+
+    quants = {"q8_0": Q.quantize_q8_0, "q2_k": Q.quantize_q2_k,
+              "q3_k": Q.quantize_q3_k, "q4_k": Q.quantize_q4_k,
+              "q5_k": Q.quantize_q5_k, "q6_k": Q.quantize_q6_k,
+              "q4_0": Q.quantize_q4_0, "q4_1": Q.quantize_q4_1,
+              "q5_0": Q.quantize_q5_0, "q5_1": Q.quantize_q5_1,
+              "iq4_nl": Q.quantize_iq4_nl, "iq4_xs": Q.quantize_iq4_xs}
+    ok, total = 0, len(quants)
+    sm, sk = 512, 1024
+    xa = rng.standard_normal((sm, sk)).astype(np.float16)
+    xs = jnp.asarray(rng.standard_normal((4, sk)).astype(np.float32))
+    for fmt, qf in quants.items():
+        if time.time() > deadline() - 15:
+            log(f"compile check truncated at {ok}/{total}")
+            break
+        try:
+            wq = jax.device_put(to_soa(fmt, qf(xa), sm, sk))
+            out = MMQ[fmt](wq, xs, precision="fast", act_quant=False)
+            np.asarray(out[0, 0])
+            ok += 1
+        except Exception as e:  # noqa: BLE001
+            log(f"compile check {fmt} FAILED: {type(e).__name__}: {e}")
+    STATE["compile_check"] = f"{ok}/{total} mmq formats lower on Mosaic"
+    log(f"compile check: {STATE['compile_check']}")
 
 
 def main():

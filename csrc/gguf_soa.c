@@ -17,12 +17,14 @@
  *   q8_0:  34B block [d:u16][qs:32xi8]; d (K/32, M) u16, qs (K, M) i8
  *   q4_k: 144B block [d][dmin][scales:12B][qs:128B];
  *         d/dmin (SB, M) u16, sc/mn (SB*8, M) u8 (get_scale_min_k4),
- *         qs (K/2, M) u8 with byte j = elem j | elem j+128 << 4
+ *         qs (K/2, M) u8 in PLANE order: byte row j packs elements
+ *         (block j%8, pos j/8) and (block j%8, pos j/8 + 16)
  *   q5_k: 176B block [d][dmin][scales:12B][qh:32B][qs:128B];
- *         like q4_k plus qh (K/8, M): byte j bit b = hi-bit of elem 32b+j
+ *         qs (K/2, M) u8 with byte j = elem j | elem j+128 << 4,
+ *         plus qh (K/8, M): byte j bit b = hi-bit of elem 32b+j
  *   q6_k: 210B block [ql:128B][qh:64B][scales:16xi8][d:u16];
  *         d (SB, M) u16, sc (SB*16, M) i8,
- *         ql (K/2, M) like q4_k's qs, qh (K/4, M): byte j =
+ *         ql (K/2, M) like q5_k's qs, qh (K/4, M): byte j =
  *         hi2(elem j) | hi2(elem j+64)<<2 | hi2(j+128)<<4 | hi2(j+192)<<6
  *   q2_k:  84B block [scales:16B][qs:64B][d:u16][dmin:u16];
  *         d/dmin (SB, M) u16, sc/mn (SB*16, M) u8 (4-bit split), qs (K/4, M):
@@ -113,9 +115,14 @@ void q4_k_to_soa_c(const uint8_t *src, int64_t m, int64_t sb,
                     mnt[j][t] = mn8[j];
                 }
                 const uint8_t *qs = b + 16;
-                for (int j = 0; j < 128; j++)
-                    qst[j][t] = (uint8_t)(q4k_elem(qs, j)
-                                          | (q4k_elem(qs, j + 128) << 4));
+                /* plane order: byte row j packs (block j%8, pos j/8) and
+                 * (block j%8, pos j/8 + 16) — see quant/layouts.py
+                 * _repack_nibbles_plane */
+                for (int j = 0; j < 128; j++) {
+                    int e = (j & 7) * 32 + (j >> 3);
+                    qst[j][t] = (uint8_t)(q4k_elem(qs, e)
+                                          | (q4k_elem(qs, e + 16) << 4));
+                }
             }
             memcpy(d_out + si * m + mi0, dt, tw * sizeof(uint16_t));
             memcpy(dmin_out + si * m + mi0, dmt, tw * sizeof(uint16_t));

@@ -150,13 +150,38 @@ def write_gguf(
         f.truncate(data_start + offset)
 
 
+_SUPERBLOCK_TYPES = (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+                     GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.IQ4_XS)
+
+
+def effective_quant_type(ggml_type: GGMLType, row_len: int) -> GGMLType:
+    """llama.cpp's fallback rule (llama_tensor_get_type): a tensor whose
+    row length doesn't divide the format's block can't be stored at that
+    type — superblock formats need row % 256 == 0, 32-block formats
+    row % 32 == 0. Fall back to Q8_0, then F16."""
+    if ggml_type in _SUPERBLOCK_TYPES and row_len % 256 != 0:
+        ggml_type = GGMLType.Q8_0
+    if ggml_type not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16) \
+            and row_len % 32 != 0:
+        ggml_type = GGMLType.F16
+    return ggml_type
+
+
 def quantize_tensor(x: np.ndarray, ggml_type: GGMLType,
                     qw: np.ndarray | None = None):
     """Quantize a float array to GGUF block bytes for the given type.
     `qw` (per-column importance weights, imatrix values/ncall) switches to
     the activation-weighted quantizers where implemented
     (quant/weighted.py); formats without a weighted variant fall back to
-    plain quantization, like llama.cpp for missing imatrix entries."""
+    plain quantization, like llama.cpp for missing imatrix entries.
+
+    Rejects rows the format cannot represent (use effective_quant_type to
+    pick the llama.cpp fallback first) — flat-quantizing across row
+    boundaries would corrupt the block layout silently."""
+    if ggml_type not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+        assert effective_quant_type(ggml_type, x.shape[-1]) == ggml_type, (
+            f"{ggml_type.name} cannot store rows of {x.shape[-1]} elements "
+            f"(use effective_quant_type for the llama.cpp fallback)")
     from ..quant import (quantize_q8_0, quantize_q2_k, quantize_q3_k,
                          quantize_q4_k, quantize_q5_k, quantize_q6_k,
                          quantize_q4_0, quantize_q4_1, quantize_q5_0,

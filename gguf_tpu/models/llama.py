@@ -426,13 +426,9 @@ def attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
                        cfg.rope_neox)
 
     if opts.seq_axis:
-        if window or cfg.attn_softcap:
-            raise NotImplementedError(
-                "sliding-window / softcap attention is not supported with "
-                "context parallelism yet")
         assert not return_pre_proj, "imatrix collection is single-chip"
         return _cp_attention(layer, x, cfg, cache_l, q, k, v, tok_pos, pos,
-                             opts)
+                             opts, window=window)
 
     s_cache = cache_l["k"].shape[2]
     span_eff = s_cache if span is None else min(span, s_cache)
@@ -653,7 +649,7 @@ def mla_attention(layer, x, cfg: LlamaConfig, cache_l, pos, opts: MMOpts,
 
 
 def _cp_attention(layer, x, cfg: LlamaConfig, cache_l, q, k, v, tok_pos,
-                  pos, opts: MMOpts):
+                  pos, opts: MMOpts, window: int = 0):
     """Sequence-parallel (context-parallel) attention: the cache's sequence
     dim is sharded contiguously over mesh axis `opts.seq_axis`, so each
     device holds S/sp rows of every sequence and the full query. The TPU
@@ -669,7 +665,14 @@ def _cp_attention(layer, x, cfg: LlamaConfig, cache_l, q, k, v, tok_pos,
     Pallas insert no-ops those (ops/attention.py:kv_cache_insert). Chunks
     longer than the 32-row insert window are split into repeated calls.
     `span` bounding is skipped — each shard attends its whole (already
-    1/sp-sized) slice and the global causal mask zeroes the rest."""
+    1/sp-sized) slice and the global causal mask zeroes the rest.
+
+    Sliding-window layers (gemma2/3) compose naturally with CP: the window
+    is one extra global-row compare in the mask — shards holding only
+    out-of-window rows contribute zero probability mass and drop out of
+    the psums (their m_loc is -inf but the pmax stays finite because the
+    shard holding the query's own position always has a valid row).
+    Softcap is the same pre-mask cap*tanh as the single-chip kernels."""
     b, t, _ = x.shape
     hd, h, kvh = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     sp = opts.seq_axis
@@ -696,8 +699,13 @@ def _cp_attention(layer, x, cfg: LlamaConfig, cache_l, q, k, v, tok_pos,
     qg = q.transpose(0, 2, 1, 3).reshape(b, kvh, g * t, hd)
     scores = jnp.einsum("bgqd,bgsd->bgqs", qg.astype(jnp.float32), k_all)
     scores = scores.reshape(b, kvh, g, t, s_loc) / jnp.sqrt(hd).astype(jnp.float32)
+    if cfg.attn_softcap:   # gemma2: cap * tanh(score / cap), pre-mask
+        cap = jnp.float32(cfg.attn_softcap)
+        scores = cap * jnp.tanh(scores / cap)
     rows = lo + jnp.arange(s_loc)                          # global row ids
     valid = rows[None, None, :] <= tok_pos[:, :, None]     # (B, T, S_loc)
+    if window:   # sliding-window: keys older than the window drop out
+        valid &= rows[None, None, :] > tok_pos[:, :, None] - window
     scores = jnp.where(valid[:, None, None, :, :], scores, -jnp.inf)
 
     # flash combine: m = global max, l = global sum-exp, o = Σ p·V

@@ -10,7 +10,7 @@ import dataclasses
 import jax
 
 from ..gguf import GGMLType, GGUFReader
-from ..gguf.writer import quantize_tensor, write_gguf
+from ..gguf.writer import (effective_quant_type, quantize_tensor, write_gguf)
 from .config import LlamaConfig
 
 
@@ -796,9 +796,12 @@ def write_random_llama_gguf(
                 tensors[p + "attn_q_a.weight"] = (
                     fmt, (ql, d), quantize_tensor(w((ql, d)), fmt))
                 tensors[p + "attn_q_a_norm.weight"] = f32v((ql,), "r")
+                # low-rank K (q_lora_rank) may not divide the superblock;
+                # llama.cpp stores such tensors at the fallback type
+                qb_fmt = effective_quant_type(fmt, ql)
                 tensors[p + "attn_q_b.weight"] = (
-                    fmt, (h * (nope + rd), ql),
-                    quantize_tensor(w((h * (nope + rd), ql)), fmt))
+                    qb_fmt, (h * (nope + rd), ql),
+                    quantize_tensor(w((h * (nope + rd), ql)), qb_fmt))
             else:
                 tensors[p + "attn_q.weight"] = (
                     fmt, (h * (nope + rd), d),
@@ -808,9 +811,10 @@ def write_random_llama_gguf(
             tensors[p + "attn_kv_a_norm.weight"] = (
                 GGMLType.F32, (r,),
                 (1.0 + 0.1 * rng.standard_normal(r)).astype(np.float32))
+            kvb_fmt = effective_quant_type(fmt, r)
             tensors[p + "attn_kv_b.weight"] = (
-                fmt, (h * (nope + vd), r),
-                quantize_tensor(w((h * (nope + vd), r)), fmt))
+                kvb_fmt, (h * (nope + vd), r),
+                quantize_tensor(w((h * (nope + vd), r)), kvb_fmt))
             tensors[p + "attn_output.weight"] = (
                 fmt, (d, h * vd), quantize_tensor(w((d, h * vd)), fmt))
             if cfg.n_experts and i >= cfg.leading_dense_layers:

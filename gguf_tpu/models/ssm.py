@@ -73,6 +73,8 @@ def mamba_block(layer, h, cfg: LlamaConfig, cache_l, pos, opts,
     x = jax.nn.silu(conv)
 
     dbc = linear(layer["ssm_x"], x.reshape(b * t, di), opts)
+    if opts.axis_name:   # row-parallel ssm_x over sharded channels
+        dbc = jax.lax.psum(dbc, opts.axis_name)
     dbc = dbc.astype(jnp.float32)
     dt_lo, B_, C_ = dbc[:, :dr], dbc[:, dr:dr + ds], dbc[:, dr + ds:]
     dt = linear(layer["dt_w"], dt_lo, opts).astype(jnp.float32)

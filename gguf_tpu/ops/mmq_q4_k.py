@@ -10,13 +10,24 @@ TPU-first design — not a translation of the CUDA/Triton kernel:
   arithmetic and decodes the 6-bit scale packing with masked byte loads
   (reference :31-80). Here the GGUF loader has already split the superblocks
   into K-major SoA arrays (quant/layouts.py) so every input is a whole VMEM
-  tile with M on the 128-aligned lane dimension; nibble unpack is int32
-  shift/mask plus a sublane concat that lands elements in order.
+  tile with M on the 128-aligned lane dimension.
+* qs is stored in PLANE order (byte row rb of a superblock packs the two
+  elements (block rb%8, pos rb//8) and (_, pos+16), layouts.py
+  _repack_nibbles_plane), so the per-32-block scale multiply is a tiled
+  pattern — `pltpu.repeat(scales, 16)`, a cheap copy-tile — applied to each
+  128-row unpack plane before the sublane concat. The previous element-order
+  layout needed a 3D reshape-broadcast multiply whose Mosaic lowering cost
+  ~14% of the kernel (on-chip A/B: benchmarks/probe_q4k_ab.py, 428 vs 487
+  GB/s at 4096x4096 n=16). The matching activation-column permutation is one
+  XLA transpose on the (N, K) side — 128x smaller than the weight side.
 * The Triton kernel does per-32-block int8 `tl.dot`s with 2x2 output tiles.
-  The MXU wants large contractions: per-32-block scales are applied as
-  sublane-broadcast multiplies over (blocks, 32, TM) views (never
-  materialized row-expanded), the tile is dequantized in VMEM, and one
-  (TN, TK) x (TK, TM) dot runs per grid step with f32 accumulation.
+  The MXU wants large contractions: the scaled tile is dequantized in VMEM
+  and one (TN, TK) x (TK, TM) dot runs per grid step with f32 accumulation.
+  (An int8-MXU formulation — dot raw codes, rescale per-32-block partials —
+  was costed and rejected: at decode N=16 the per-block partial tensor is
+  half the weight tile, so its scale-combine costs more VPU work than the
+  in-tile multiply it replaces, and 32-deep batched dots starve the MXU;
+  see docs/DESIGN.md §2a.)
 * The min-correction term never touches the K dimension: since
   sum_k min[m,blk(k)]*b[n,k] = sum_blk min32[blk,m] * bsum[blk,n], it is a
   single (NBt, N) x (NBt, TM) matmul against per-32-block activation sums
@@ -48,10 +59,19 @@ from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
 from .common import (
     choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
-    regroup_rows, round_up, running_interpreted, unpack_nibbles_tile,
+    regroup_rows, round_up, running_interpreted,
 )
 
 QK_K = 256
+
+
+def permute_acts_q4k(b: jax.Array) -> jax.Array:
+    """Reorder activation columns to match the Q4_K plane qs layout: within
+    each superblock, element (g*32 + h*16 + p') moves to column
+    (h*128 + p'*8 + g). One XLA transpose on the small (N, K) side."""
+    n, k = b.shape
+    return b.reshape(n, k // QK_K, 8, 2, 16).transpose(0, 1, 3, 4, 2) \
+            .reshape(n, k)
 
 
 def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
@@ -75,8 +95,17 @@ def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
     scale32 = (d[:, None, :] * sc.reshape(sbt, 8, tm)).reshape(sbt * 8, tm)
     min32 = (dmin[:, None, :] * mn.reshape(sbt, 8, tm)).reshape(sbt * 8, tm)
 
-    q = unpack_nibbles_tile(qs_ref[:], sbt).astype(jnp.float32)  # (TK, TM)
-    w = (q.reshape(sbt * 8, 32, tm) * scale32[:, None, :]).reshape(sbt * 256, tm)
+    # plane unpack + scale: rows of each 128-row plane carry block (row % 8),
+    # so the per-32-block scale is the 16x copy-tile of the superblock's 8
+    # scale rows — a pltpu.repeat, not a reshape-broadcast
+    vi = qs_ref[:].astype(jnp.int32)
+    parts = []
+    for s in range(sbt):
+        sl = vi[s * 128:(s + 1) * 128, :]
+        se = pltpu.repeat(scale32[s * 8:(s + 1) * 8, :], 16, axis=0)
+        parts.append((sl & 0xF).astype(jnp.float32) * se)
+        parts.append((sl >> 4).astype(jnp.float32) * se)
+    w = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
@@ -126,8 +155,11 @@ def mmq_q4_k(
         b = fake_quantize_q8_1(b)
     b = b.astype(jnp.float32)
     # per-32-block activation sums for the min term (exact: fake-quantized
-    # values are d*q, so the block sum equals Q8_1's s = d*sum(q))
+    # values are d*q, so the block sum equals Q8_1's s = d*sum(q)) —
+    # computed BEFORE the plane permutation (block sums are order-invariant
+    # but the 32-column grouping must be the natural one)
     bsum = jnp.sum(b.reshape(n, k // 32, 32), axis=-1)
+    b = permute_acts_q4k(b)
     fast = precision == "fast"
     if fast:
         b = b.astype(jnp.bfloat16)

@@ -61,12 +61,24 @@ def _qt_spec(kind: str) -> P:
             # usual K-major SoA col/row sharding per expert
             "ep_col": P("ep", None, "tp"), "ep_row": P("ep", "tp", None),
             # deepseek2 MLA absorption matrices (H, d, r): heads over tp
-            "heads0": P("tp", None, None)}[kind]
+            "heads0": P("tp", None, None),
+            # mamba per-channel tensors (channels, ...): shard channels
+            "ch0": P("tp", None)}[kind]
 
 
 def _leaf_specs(tree, kind: str):
-    """A pytree of PartitionSpecs matching `tree` (QuantTensor or array)."""
-    return jax.tree_util.tree_map(lambda _: _qt_spec(kind), tree)
+    """A pytree of PartitionSpecs matching `tree` (QuantTensor or array).
+
+    QuantTensor SoA arrays are K-major (K-blocks first, M on the last
+    axis); plain float matmul weights are (M, K) — so COL/ROW invert
+    between the two layouts."""
+    if isinstance(tree, QuantTensor):
+        return jax.tree_util.tree_map(lambda _: _qt_spec(kind), tree)
+    if kind == COL and getattr(tree, "ndim", 0) == 2:
+        return P("tp", None)
+    if kind == ROW and getattr(tree, "ndim", 0) == 2:
+        return P(None, "tp")
+    return _qt_spec(kind)
 
 
 LAYER_KINDS = {
@@ -108,6 +120,14 @@ LAYER_KINDS = {
     # the V3 selection bias rides the replicated router
     "gate_shexp": COL, "up_shexp": COL, "down_shexp": ROW,
     "gate_inp_b": REP, "gate_inp_shexp": REP,
+    # mamba selective-SSM mixer (Megatron over the inner channel dim):
+    # ssm_in column-parallel with per-shard-interleaved [x; z] halves
+    # (_interleave_mamba_in), per-channel tensors (conv, A, D, dt bias)
+    # sharded with their channels, ssm_x/ssm_out row-parallel (one psum
+    # each per layer), dt_w column-parallel back to local channels
+    "ssm_in": COL, "ssm_x": ROW, "dt_w": COL, "ssm_out": ROW,
+    "conv_w": "ch0", "A_log": "ch0",
+    "conv_b": "col1d", "dt_b": "col1d", "ssm_d": "col1d",
 }
 
 
@@ -137,7 +157,8 @@ def param_specs(params: dict) -> dict:
 
 def cache_specs(n_layers: int, batch_axis: str | None = "dp",
                 seq_axis: str | None = None,
-                head_axis: str | None = "tp") -> list:
+                head_axis: str | None = "tp",
+                mamba: bool = False) -> list:
     """KV cache sharding: kv heads over `head_axis` (None for MLA's
     single shared latent row, which replicates over tp), batch over
     `batch_axis`, and — for context parallelism — the sequence dim
@@ -145,6 +166,13 @@ def cache_specs(n_layers: int, batch_axis: str | None = "dp",
     matching models.llama.init_kv_cache). batch_axis=None replicates the
     batch dim — used for single-request prefill, whose batch of 1 cannot
     shard over dp."""
+    if mamba:   # recurrent state: conv tail (B, dc-1, di), ssm (B, di, ds)
+        assert seq_axis is None, "mamba recurrence cannot sequence-shard"
+        layer = {
+            "conv": P(batch_axis, None, head_axis),
+            "ssm": P(batch_axis, head_axis, None),
+        }
+        return [dict(layer) for _ in range(n_layers)]
     layer = {
         "k": P(batch_axis, head_axis, seq_axis, None),
         "v": P(batch_axis, head_axis, seq_axis, None),
@@ -161,11 +189,23 @@ def shard_llama(params: dict, cfg: LlamaConfig, mesh: Mesh,
     path gets the same one-launch projections as single-chip serving."""
     from ..models.llama import fuse_llama_params
 
-    if cfg.ssm_inner:
-        raise NotImplementedError(
-            "mamba (recurrent-state) models are single-chip for now — "
-            "their conv/ssm state has no head axis to shard")
     tp = mesh.shape["tp"]
+    if cfg.ssm_inner:
+        # mamba: conv/ssm state shards over batch (dp) and the inner
+        # channel dim (tp); sequence parallelism is meaningless for a
+        # recurrence
+        assert mesh.shape.get("sp", 1) == 1, (
+            "mamba recurrence cannot sequence-shard (sp must be 1)")
+        assert cfg.ssm_inner % (256 * tp) == 0, (
+            f"row-parallel ssm_x/ssm_out need ssm_inner ({cfg.ssm_inner}) "
+            f"% 256*tp ({256 * tp}) == 0")
+        if tp > 1:
+            params = _interleave_mamba_in(params, cfg, tp)
+        specs = param_specs(params)
+        sharded = jax.tree_util.tree_map(
+            lambda a, sp_: jax.device_put(a, NamedSharding(mesh, sp_)),
+            params, specs, is_leaf=lambda x: isinstance(x, P))
+        return sharded, cfg
     ep = mesh.shape.get("ep", 1)
     assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, (
         f"heads ({cfg.n_heads}/{cfg.n_kv_heads}) must divide tp={tp}")
@@ -189,13 +229,34 @@ def shard_llama(params: dict, cfg: LlamaConfig, mesh: Mesh,
     return sharded, cfg
 
 
+def _interleave_mamba_in(params: dict, cfg: LlamaConfig, tp: int) -> dict:
+    """Reorder ssm_in's output columns [x(di); z(di)] to per-shard
+    interleave [x_0 z_0 | x_1 z_1 | ...] so a plain P(None, "tp") column
+    shard hands each device a locally contiguous [x_loc; z_loc] and the
+    in-block split at the LOCAL di stays correct (the mamba analog of
+    fuse_llama_params' tp interleave)."""
+    di = cfg.ssm_inner
+    dloc = di // tp
+    ids = np.concatenate([
+        np.r_[s * dloc:(s + 1) * dloc, di + s * dloc:di + (s + 1) * dloc]
+        for s in range(tp)])
+    layers = []
+    for layer in params["layers"]:
+        layer = dict(layer)
+        layer["ssm_in"] = jax.tree_util.tree_map(
+            lambda a: a[:, ids], layer["ssm_in"])
+        layers.append(layer)
+    return {**params, "layers": layers}
+
+
 def local_cfg(cfg: LlamaConfig, tp: int) -> LlamaConfig:
     """The per-device view of the model inside shard_map."""
     return dataclasses.replace(
         cfg,
         n_heads=cfg.n_heads // tp,
         n_kv_heads=cfg.n_kv_heads // tp,
-        head_dim_override=cfg.head_dim,
+        head_dim_override=cfg.head_dim if cfg.n_heads else None,
+        ssm_inner=cfg.ssm_inner // tp if cfg.ssm_inner else 0,
     )
 
 
@@ -224,7 +285,8 @@ def tp_forward_fn(cfg: LlamaConfig, mesh: Mesh, opts: MMOpts = MMOpts()):
                            span=None if seq_axis else span)
 
         cspecs = cache_specs(cfg.n_layers, batch_axis, seq_axis,
-                             head_axis=None if cfg.kv_lora_rank else "tp")
+                             head_axis=None if cfg.kv_lora_rank else "tp",
+                             mamba=bool(cfg.ssm_inner))
         return jax.shard_map(
             fn,
             mesh=mesh,
@@ -255,5 +317,6 @@ def init_sharded_cache(cfg: LlamaConfig, mesh: Mesh, batch: int, max_seq: int):
     return jax.tree_util.tree_map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
         cache, cache_specs(cfg.n_layers, seq_axis="sp" if sp > 1 else None,
-                           head_axis=None if cfg.kv_lora_rank else "tp"),
+                           head_axis=None if cfg.kv_lora_rank else "tp",
+                           mamba=bool(cfg.ssm_inner)),
         is_leaf=lambda x: isinstance(x, P))

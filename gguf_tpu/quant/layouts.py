@@ -238,6 +238,33 @@ def _repack_nibbles(codes: np.ndarray) -> np.ndarray:
     return lo | (hi << 4)
 
 
+# Q4_K "plane" packing: byte row rb of a superblock packs the two elements
+# (block g = rb % 8, positions p = rb // 8 and p + 16), so the kernel's
+# fixed [lo(0:128); hi(128:256)] unpack lands rows whose 32-block id is
+# (row % 8) for BOTH halves. The per-32-block scale multiply then becomes a
+# plain tiled pattern (pltpu.repeat(scales, 16) — a copy-tile, the cheap
+# Mosaic op) instead of a 3D reshape-broadcast, which on-chip A/B measured
+# ~14% faster at 4096x4096 n=16 (benchmarks/probe_q4k_ab.py). The matching
+# activation-column permutation is one XLA transpose in the mmq wrapper
+# (ops/mmq_q4_k.py: per superblock (g:8, h:2, p':16) -> (h, p', g)).
+_Q4K_PLANE_LO = ((np.arange(128) % 8) * 32 + np.arange(128) // 8)
+
+
+def _repack_nibbles_plane(codes: np.ndarray) -> np.ndarray:
+    """(nb, 256) 4-bit codes -> (nb, 128) bytes in Q4_K plane order."""
+    lo = codes[:, _Q4K_PLANE_LO].astype(np.uint8)
+    hi = codes[:, _Q4K_PLANE_LO + 16].astype(np.uint8)
+    return lo | (hi << 4)
+
+
+def _unpack_nibbles_plane(packed: np.ndarray) -> np.ndarray:
+    """(nb, 128) plane bytes -> (nb, 256) codes, inverting the above."""
+    codes = np.empty((packed.shape[0], QK_K), np.uint8)
+    codes[:, _Q4K_PLANE_LO] = packed & 0x0F
+    codes[:, _Q4K_PLANE_LO + 16] = packed >> 4
+    return codes
+
+
 def _repack_crumbs(codes: np.ndarray) -> np.ndarray:
     """(nb, 256) 2-bit codes -> (nb, 64) bytes: byte j holds elems j, j+64,
     j+128, j+192 at bits 0, 2, 4, 6 (concat of 4 shift/masks unpacks in
@@ -355,7 +382,7 @@ def q4_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     # on-disk nibble order: per 64-group g, byte 32g+l = elem 64g+l | 64g+32+l<<4
     qv = blocks[:, 16:].reshape(-1, 4, 32)
     codes = np.stack([qv & 0x0F, qv >> 4], axis=2).reshape(-1, QK_K)
-    qs = _repack_nibbles(codes).reshape(m, k // 2)
+    qs = _repack_nibbles_plane(codes).reshape(m, k // 2)
     t = lambda a: jnp.asarray(np.ascontiguousarray(a.T))
     return QuantTensor(
         fmt="q4_k",
@@ -370,9 +397,7 @@ def soa_to_q4_k(t: QuantTensor) -> np.ndarray:
     sb = k // QK_K
     nb = m * sb
     packed = np.asarray(t.qs).T.reshape(nb, 128)
-    codes = np.empty((nb, QK_K), dtype=np.uint8)
-    codes[:, :128] = packed & 0x0F
-    codes[:, 128:] = packed >> 4
+    codes = _unpack_nibbles_plane(packed)
     qv = codes.reshape(nb, 4, 2, 32)  # invert the stack in q4_k_to_soa
     disk_qs = (qv[:, :, 0, :] | (qv[:, :, 1, :] << 4)).reshape(nb, 128)
 
@@ -709,7 +734,13 @@ def _dequant_q4_k(t: QuantTensor) -> jax.Array:
     dmin = fp16_bits_to_f32(t.dmin_bits.T)
     scale32 = _expand_scales(d, 8) * t.sc.T.astype(jnp.float32)   # (M, SB*8)
     min32 = _expand_scales(dmin, 8) * t.mn.T.astype(jnp.float32)
-    q = _unpack_nibbles_jnp(t.qs, sb).astype(jnp.float32)
+    # invert the plane packing: row r of [lo;hi] holds element elem_of(r)
+    elem_of = np.concatenate([_Q4K_PLANE_LO, _Q4K_PLANE_LO + 16])
+    inv = np.argsort(elem_of)
+    v = t.qs.T.reshape(m, sb, 128)
+    planes = jnp.concatenate([v & jnp.uint8(0x0F), v >> 4], axis=-1)
+    q = jnp.take(planes, jnp.asarray(inv), axis=-1).reshape(
+        m, k).astype(jnp.float32)
     return _expand_scales(scale32, 32) * q - _expand_scales(min32, 32)
 
 

@@ -15,9 +15,10 @@ re-expresses those search loops as vectorized numpy:
 
 The byte layouts produced are identical to the unweighted codecs (same
 parsers/kernels serve the result); only the chosen codes/scales differ.
-Formats not covered here (q2_k/q3_k/q8_0) fall back to their unweighted
-quantizers — same behavior as llama.cpp for tensors missing from an
-imatrix file.
+Covered: q4_0/q5_0/q4_1/q5_1, all five K-quants (q2_k's mean-abs-deviation
+affine search and q3_k's nmax-4 symmetric fit included), and iq4_nl —
+see WEIGHTED_QUANTIZERS. Only q8_0/q8_1 (which llama.cpp also never
+weights) and iq4_xs fall back to unweighted quantization.
 """
 
 from __future__ import annotations

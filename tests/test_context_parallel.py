@@ -137,3 +137,30 @@ def test_cp_cache_rows_land_on_owner_shards(model):
     assert (np.abs(s0) > 0).all(), "shard 0 should own rows 0..31, all written"
     assert (np.abs(s1[:, :8]) > 0).all(), "shard 1 rows 0..7 written"
     assert (s1[:, 8:] == 0).all(), "shard 1 rows 8..31 untouched"
+
+
+def test_cp_sliding_window_softcap_gemma2(rng, tmp_path):
+    """Gemma-2-shaped model (sliding window + attn softcap, alternating
+    layers) under sp=2 must reproduce single-device logits — the window is
+    one extra global-row compare in _cp_attention's mask; shards holding
+    only out-of-window rows drop out of the flash psums."""
+    cfg = LlamaConfig(
+        vocab_size=64, dim=512, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=768, max_seq_len=64, sliding_window=16, swa_pattern=2,
+        attn_softcap=50.0,
+    )
+    path = str(tmp_path / "g2.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q4_K, seed=13,
+                            arch="gemma2")
+    lcfg, params = load_llama(path)
+    assert lcfg.sliding_window == 16 and lcfg.attn_softcap == 50.0
+
+    # 40-token prefill crosses the sp=2 shard boundary AND exceeds the
+    # window, so shard 0 contributes zero mass for late queries
+    stream = _stream(rng, batch=1, chunks=[40, 1, 1])
+    ref = _reference_stream(lcfg, params, stream, batch=1)
+    got = _sharded_stream(lcfg, params, stream, batch=1, tp=1, sp=2)
+    for step, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            g, r, rtol=0, atol=2e-2 * np.abs(r).max(),
+            err_msg=f"step {step}")

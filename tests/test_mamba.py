@@ -201,3 +201,54 @@ def test_mamba_engine_prefill_padding_masked(model):
         np.testing.assert_allclose(
             np.asarray(llm.cache[i]["conv"][0]),
             np.asarray(cache[i]["conv"][0]), rtol=0, atol=2e-2)
+
+
+@pytest.mark.parametrize("tp,dp", [(2, 1), (2, 2)])
+def test_mamba_sharded_matches_single_device(tmp_path_factory, tp, dp):
+    """Mamba under tp/dp on the virtual mesh: ssm_in column-parallel with
+    per-shard [x; z] interleave, conv/A/D/dt per-channel shards, ssm_x and
+    ssm_out row-parallel (one psum each), recurrent state sharded over
+    (batch, channels). Must reproduce single-device logits across a
+    prefill + decode stream."""
+    import jax
+    from gguf_tpu.parallel import (init_sharded_cache, make_mesh,
+                                   make_tp_forward, shard_llama)
+
+    cfg = LlamaConfig(vocab_size=256, dim=128, n_layers=2, n_heads=0,
+                      n_kv_heads=0, ffn_dim=0, max_seq_len=64,
+                      ssm_inner=512, ssm_state=16, ssm_conv=4,
+                      ssm_dt_rank=8)
+    path = str(tmp_path_factory.mktemp("mamba_tp") / "m.gguf")
+    write_random_llama_gguf(path, cfg, fmt=GGMLType.Q8_0, seed=29,
+                            arch="mamba")
+    lcfg, params = load_llama(path)
+
+    batch = 2
+    rng = np.random.default_rng(5)
+    chunks = [rng.integers(0, cfg.vocab_size, (batch, t)).astype(np.int32)
+              for t in (8, 1, 1)]
+
+    cache = init_kv_cache(lcfg, batch=batch)
+    pos = np.zeros(batch, np.int32)
+    ref = []
+    for toks in chunks:
+        logits, cache = forward(params, lcfg, jnp.asarray(toks),
+                                jnp.asarray(pos), cache,
+                                MMOpts(precision="high"))
+        ref.append(np.asarray(logits[:, -1]))
+        pos += toks.shape[1]
+
+    mesh = make_mesh(tp=tp, dp=dp)
+    params_s, cfg_s = shard_llama(params, lcfg, mesh)
+    fwd = make_tp_forward(cfg_s, mesh, MMOpts(precision="high"))
+    cache_s = init_sharded_cache(cfg_s, mesh, batch=batch, max_seq=64)
+    pos = np.zeros(batch, np.int32)
+    for step, toks in enumerate(chunks):
+        logits, cache_s = fwd(params_s, jnp.asarray(toks),
+                              jnp.asarray(pos), cache_s,
+                              batch_axis=None if batch < dp else "dp")
+        got = np.asarray(logits[:, -1])
+        np.testing.assert_allclose(
+            got, ref[step], rtol=0, atol=2e-2 * np.abs(ref[step]).max(),
+            err_msg=f"step {step} tp={tp} dp={dp}")
+        pos += toks.shape[1]

@@ -243,13 +243,18 @@ def test_moe_top2_forward_runs(tmp_path):
 
 def test_moe_engine_serving(model):
     """The continuous-batching engine serves an MoE checkpoint: single-chip
-    and ep x tp sharded greedy decode must produce identical tokens."""
+    and ep x tp sharded greedy decode must produce identical tokens.
+    precision='high' keeps the MXU passes f32 — at 'fast' the tp split of
+    the K sum reorders bf16 accumulation enough to flip greedy near-ties
+    on a random 128-vocab model, which is rounding noise, not a parity
+    bug (the logits-level check is test_moe_ep_sharding_...)."""
     from gguf_tpu.engine import LLM
 
     path, _, _ = model
-    llm1 = LLM(path, max_batch=2, max_seq=64)
+    opts = MMOpts(precision="high")
+    llm1 = LLM(path, max_batch=2, max_seq=64, opts=opts)
     r1 = llm1.generate([[1, 5, 9]], max_new_tokens=6)
-    llm = LLM(path, max_batch=2, max_seq=64, ep=2, tp=2)
+    llm = LLM(path, max_batch=2, max_seq=64, ep=2, tp=2, opts=opts)
     r = llm.generate([[1, 5, 9], [2, 7]], max_new_tokens=6)
     assert all(len(x.token_ids) == 6 for x in r)
     assert r[0].token_ids == r1[0].token_ids
