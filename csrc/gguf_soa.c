@@ -171,13 +171,23 @@ void q5_k_to_soa_c(const uint8_t *src, int64_t m, int64_t sb,
                 uint8_t code[256];
                 for (int e = 0; e < 256; e++)
                     code[e] = q5k_elem(qh, qv, e);
-                for (int j = 0; j < 128; j++)
-                    qst[j][t] = (uint8_t)((code[j] & 0x0F)
-                                          | ((code[j + 128] & 0x0F) << 4));
+                /* plane order (layouts.py _Q4K_PLANE_LO): qs byte row j
+                 * packs (block j%8, pos j/8 and +16); qh byte row j packs
+                 * the 5th bits of the elements at unpack rows b*32 + j */
+                for (int j = 0; j < 128; j++) {
+                    int e = (j & 7) * 32 + (j >> 3);
+                    qst[j][t] = (uint8_t)((code[e] & 0x0F)
+                                          | ((code[e + 16] & 0x0F) << 4));
+                }
                 for (int j = 0; j < 32; j++) {
                     uint8_t v = 0;
-                    for (int bb = 0; bb < 8; bb++)
-                        v |= (uint8_t)((code[32 * bb + j] >> 4) << bb);
+                    for (int bb = 0; bb < 8; bb++) {
+                        int r = 32 * bb + j;
+                        int e = r < 128
+                            ? (r & 7) * 32 + (r >> 3)
+                            : ((r - 128) & 7) * 32 + 16 + ((r - 128) >> 3);
+                        v |= (uint8_t)((code[e] >> 4) << bb);
+                    }
                     qht[j][t] = v;
                 }
             }
@@ -317,14 +327,26 @@ void q6_k_to_soa_c(const uint8_t *src, int64_t m, int64_t sb,
                 uint8_t code[256];
                 for (int e = 0; e < 256; e++)
                     code[e] = q6k_elem(ql, qh, e);
-                for (int j = 0; j < 128; j++)
-                    qlt[j][t] = (uint8_t)((code[j] & 0x0F)
-                                          | ((code[j + 128] & 0x0F) << 4));
-                for (int j = 0; j < 64; j++)
-                    qht[j][t] = (uint8_t)((code[j] >> 4)
-                                          | ((code[j + 64] >> 4) << 2)
-                                          | ((code[j + 128] >> 4) << 4)
-                                          | ((code[j + 192] >> 4) << 6));
+                /* plane order (layouts.py _Q6K_PLANE_LO / _Q6K_ELEM_AT_ROW):
+                 * ql byte row j packs (block j%16, pos j/16 and +8); qh
+                 * byte row j packs hi-2-bits of the elements landing at
+                 * unpack rows {j, 64+j, 128+j, 192+j} at bit pairs 0..6 */
+                for (int j = 0; j < 128; j++) {
+                    int e = (j & 15) * 16 + (j >> 4);
+                    qlt[j][t] = (uint8_t)((code[e] & 0x0F)
+                                          | ((code[e + 8] & 0x0F) << 4));
+                }
+                for (int j = 0; j < 64; j++) {
+                    uint8_t v = 0;
+                    for (int p = 0; p < 4; p++) {
+                        int r = p * 64 + j;
+                        int e = r < 128
+                            ? (r & 15) * 16 + (r >> 4)
+                            : (r & 15) * 16 + 8 + ((r - 128) >> 4);
+                        v |= (uint8_t)((code[e] >> 4) << (2 * p));
+                    }
+                    qht[j][t] = v;
+                }
             }
             memcpy(d_out + si * m + mi0, dt, tw * sizeof(uint16_t));
             for (int j = 0; j < 16; j++)

@@ -234,7 +234,11 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
 # one batch element's span-prefix K/V cache elements that still fit the
 # fused Pallas attention kernel's VMEM working set (int8 + bf16 copies);
 # larger spans fall back to the XLA einsum path in attention()
-PALLAS_ATTN_MAX_ELEMS = 2 ** 21
+# single-tile attention VMEM envelope — the authoritative constant lives
+# with the kernels (ops/attention.py); decode_attention itself now
+# delegates past-envelope single-token calls to the tiled kernel, this
+# module keys prefill-vs-decode dispatch off the same number
+from ..ops.attention import PALLAS_ATTN_MAX_ELEMS  # noqa: E402
 
 
 # --------------------------------------------------------- INT8 KV cache ---

@@ -2,9 +2,18 @@
 
 The XLA formulation of GQA decode attention — dequantize the whole cache to
 f32 in HBM, then batched einsums of (h/kvh*t, hd) x (hd, S) per (batch,
-kv-head) pair — costs ~100us/layer at batch 16, S 256 on v5e: the
-dequantized cache (4x the int8 bytes) round-trips through HBM every step
-and the per-pair matmuls are too small for the MXU's weight-load pipeline.
+kv-head) pair — pays a dequantized-cache HBM round-trip (4x the int8
+bytes) every step, and the per-pair matmuls are too small for the MXU's
+weight-load pipeline. Measured us-vs-span, insert+attend pair vs that XLA
+formulation, interleaved in one session (benchmarks/bench_attention.py;
+archived in RESULTS_v5e.jsonl, session r3-attn-interleaved):
+
+  tinyllama shape (b16 h32 kvh4 hd64):  span 128/256/512/1024 ->
+    Pallas 19.6/20.7/23.8/29.8 us vs XLA 167/195/230/298 us (8.5-10x)
+  llama2-7b shape (b16 h32 kvh32 hd128): span 128/256/512 ->
+    Pallas 64/84/137 us vs XLA 278/352/499 us (3.6-4.3x); span 1024
+    rides the flash-decoding tiled kernel at 218 us = 636 GB/s of KV
+    reads, ~85% of the measured ~740-760 GB/s HBM stream roofline.
 
 Two kernels, composed by `decode_attention_update`:
 
@@ -300,6 +309,16 @@ def decode_attention(
     _, kvh, s, _ = k.shape
     g = h // kvh
     span = s if span is None else min(span, s)
+    # single-tile envelope: the kernel holds one batch element's span-
+    # prefix K/V (int8 + working copies) in VMEM; past ~2M cache elements
+    # per program it cannot fit and the Mosaic compile aborts opaquely —
+    # delegate single-token calls to the flash-decoding tiled kernel
+    # (models/llama.py keys its dispatch off the same constant)
+    if t == 1 and kvh * span * hd > PALLAS_ATTN_MAX_ELEMS \
+            and span % 256 == 0:
+        return decode_attention_tiled(
+            q, k, k_scale, v, v_scale, pos, precision=precision,
+            span=span, window=window, softcap=softcap)
     # prefix reads block the scale arrays' LANE dim at `span`; Mosaic only
     # lowers lane-dim blocks at 128-multiples (span == s reads whole rows)
     assert span % 128 == 0 or span == s, (
@@ -340,6 +359,11 @@ def decode_attention(
 
 
 # ------------------------------------------------- tiled (long-span) form ---
+
+
+# single-tile VMEM envelope (cache elems per program) — shared contract
+# with models/llama.py's dispatch
+PALLAS_ATTN_MAX_ELEMS = 2 ** 21
 
 
 def _attn_tiled_kernel(kvh, g, ts, scale, fast, window, softcap,

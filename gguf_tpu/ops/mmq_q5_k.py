@@ -5,12 +5,13 @@ extends the same TPU-first kernel family (see mmq_q4_k.py for the design
 notes) to llama.cpp's Q5_K, completing Q5_K_M checkpoint support.
 
 Identical structure to mmq_q4_k — Q5_K shares Q4_K's affine sub-block math
-x = d*sc*q - dmin*mn and 6-bit scale packing, so the bsum min-term trick and
-the scale broadcasting carry over unchanged. The only addition is the 5th
-code bit: the SoA layout (quant/layouts.py) packs it so byte row j of a
-superblock's qh tile holds the high bit of elements {32b + j} at bit b,
-making the in-kernel extraction a whole-slab shift/mask whose 8 parts
-concatenate in element order, exactly like the low nibbles.
+x = d*sc*q - dmin*mn, 6-bit scale packing, the bsum min-term trick, AND the
+plane qs layout (quant/layouts.py _repack_nibbles_plane) with its
+pltpu.repeat tiled scale multiply and activation permutation
+(permute_acts_q4k — same nibble structure, same transpose). The only
+addition is the 5th code bit: qh byte row j holds, at bit b, the 5th bit
+of the element landing at unpack row b*32 + j, so the 8-way bitplane
+shift/mask concatenates in the SAME plane-row order as the nibbles.
 """
 
 from __future__ import annotations
@@ -24,11 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
-from .common import (  # noqa: F401
-    unpack_bitplanes_tile,
+from .common import (
     choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
-    regroup_rows, round_up, running_interpreted, unpack_nibbles_tile,
+    regroup_rows, round_up, running_interpreted,
 )
+from .mmq_q4_k import permute_acts_q4k
 
 QK_K = 256
 
@@ -49,13 +50,22 @@ def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qh_ref,
     scale32 = (d[:, None, :] * sc.reshape(sbt, 8, tm)).reshape(sbt * 8, tm)
     min32 = (dmin[:, None, :] * mn.reshape(sbt, 8, tm)).reshape(sbt * 8, tm)
 
-    low4 = unpack_nibbles_tile(qs_ref[:], sbt)               # (TK, TM) i32
-
-    # 5th bit plane (shared slab unpack, common.unpack_bitplanes_tile)
-    hib = unpack_bitplanes_tile(qh_ref[:], sbt)              # (SBt*256, TM)
-
-    q = (low4 | (hib << 4)).astype(jnp.float32)              # codes in [0, 32)
-    w = (q.reshape(sbt * 8, 32, tm) * scale32[:, None, :]).reshape(sbt * 256, tm)
+    # plane unpack + scale (same structure as mmq_q4_k): every row's
+    # 32-block id is (row % 8), so the per-32 scale is a copy-tile
+    lo_i = qs_ref[:].astype(jnp.int32)                       # (SBt*128, TM)
+    hi_i = qh_ref[:].astype(jnp.int32)                       # (SBt*32, TM)
+    parts = []
+    for s in range(sbt):
+        sl = lo_i[s * 128:(s + 1) * 128, :]
+        hs = hi_i[s * 32:(s + 1) * 32, :]
+        se = pltpu.repeat(scale32[s * 8:(s + 1) * 8, :], 16, axis=0)
+        f_lo = jnp.concatenate([(hs >> b) & 1 for b in range(4)], axis=0)
+        f_hi = jnp.concatenate([(hs >> b) & 1 for b in range(4, 8)], axis=0)
+        q_lo = (sl & 0xF) | (f_lo << 4)
+        q_hi = (sl >> 4) | (f_hi << 4)
+        parts.append(q_lo.astype(jnp.float32) * se)
+        parts.append(q_hi.astype(jnp.float32) * se)
+    w = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
@@ -99,6 +109,7 @@ def mmq_q5_k(
         b = fake_quantize_q8_1(b)
     b = b.astype(jnp.float32)
     bsum = jnp.sum(b.reshape(n, k // 32, 32), axis=-1)
+    b = permute_acts_q4k(b)      # plane qs layout, same pattern as q4_k
     fast = precision == "fast"
     if fast:
         b = b.astype(jnp.bfloat16)

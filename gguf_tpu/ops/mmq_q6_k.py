@@ -10,8 +10,15 @@ sentinel byte 0b10101010 so masked lanes decode to zero weight (reference
 :63-66). Here out-of-bounds never happens (tiles are superblock-aligned and
 M is zero-padded: d = 0 makes padded columns contribute nothing), and the
 6-bit reconstruction is whole-tile int32 shift/mask/concat ops:
-q = (ql_nibble | qh_2bit << 4) - 32, with the K-major SoA bit layout
-documented in quant/layouts.py.
+q = (ql_nibble | qh_2bit << 4) - 32.
+
+ql/qh are stored in PLANE order (quant/layouts.py _Q6K_PLANE_LO /
+_Q6K_ELEM_AT_ROW) so every unpack row's 16-block id is (row % 16) and the
+per-16-block scale multiply is a pltpu.repeat copy-tile per 128-row plane
+instead of a 3D reshape-broadcast — the same ~14%-of-kernel Mosaic
+lowering win measured for Q4_K (benchmarks/probe_q4k_ab.py). The matching
+activation permutation (permute_acts_q6k) is one XLA transpose on the
+small (N, K) side.
 """
 
 from __future__ import annotations
@@ -27,10 +34,19 @@ from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
 from .common import (
     choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
-    regroup_rows, round_up, running_interpreted, unpack_nibbles_tile,
+    regroup_rows, round_up, running_interpreted,
 )
 
 QK_K = 256
+
+
+def permute_acts_q6k(b: jax.Array) -> jax.Array:
+    """Reorder activation columns to match the Q6_K plane layout: within
+    each superblock, element (blk*16 + h*8 + p) moves to column
+    (h*128 + p*16 + blk)."""
+    n, k = b.shape
+    return b.reshape(n, k // QK_K, 16, 2, 8).transpose(0, 1, 3, 4, 2) \
+            .reshape(n, k)
 
 
 def _kernel(fast, sbt, d_ref, sc_ref, ql_ref, qh_ref, b_ref, out_ref, acc_ref):
@@ -47,19 +63,22 @@ def _kernel(fast, sbt, d_ref, sc_ref, ql_ref, qh_ref, b_ref, out_ref, acc_ref):
     sc16 = sc_ref[:].astype(jnp.float32)                     # (SBt*16, TM)
     scale16 = (d[:, None, :] * sc16.reshape(sbt, 16, tm)).reshape(sbt * 16, tm)
 
-    low4 = unpack_nibbles_tile(ql_ref[:], sbt)               # (TK, TM) i32
-
-    # high 2 bits: qh byte j of a superblock holds elems j, j+64, j+128,
-    # j+192 at bit positions 0, 2, 4, 6 (see quant/layouts.py)
-    hi = qh_ref[:].astype(jnp.int32)                         # (SBt*64, TM)
+    # plane unpack + scale: every row's 16-block id is (row % 16), so the
+    # per-16 scale is the 8x copy-tile of the superblock's 16 scale rows
+    lo_i = ql_ref[:].astype(jnp.int32)                       # (SBt*128, TM)
+    hi_i = qh_ref[:].astype(jnp.int32)                       # (SBt*64, TM)
     parts = []
     for s in range(sbt):
-        sl = hi[s * 64:(s + 1) * 64, :]
-        parts.extend((sl >> sh) & 3 for sh in (0, 2, 4, 6))
-    hi2 = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-
-    q = ((low4 | (hi2 << 4)) - 32).astype(jnp.float32)       # codes in [-32, 32)
-    w = (q.reshape(sbt * 16, 16, tm) * scale16[:, None, :]).reshape(sbt * 256, tm)
+        sl = lo_i[s * 128:(s + 1) * 128, :]
+        hs = hi_i[s * 64:(s + 1) * 64, :]
+        se = pltpu.repeat(scale16[s * 16:(s + 1) * 16, :], 8, axis=0)
+        h01 = jnp.concatenate([hs & 3, (hs >> 2) & 3], axis=0)   # rows 0..127
+        h23 = jnp.concatenate([(hs >> 4) & 3, (hs >> 6) & 3], axis=0)
+        q_lo = ((sl & 0xF) | (h01 << 4)) - 32
+        q_hi = ((sl >> 4) | (h23 << 4)) - 32
+        parts.append(q_lo.astype(jnp.float32) * se)
+        parts.append(q_hi.astype(jnp.float32) * se)
+    w = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
@@ -97,8 +116,10 @@ def mmq_q6_k(
 
     if act_quant:
         b = fake_quantize_q8_1(b)
+    b = permute_acts_q6k(b.astype(jnp.float32))
     fast = precision == "fast"
-    b = b.astype(jnp.bfloat16 if fast else jnp.float32)
+    if fast:
+        b = b.astype(jnp.bfloat16)
 
     # N-tiling: prefill (large B*T) must be tiled or the accumulator and
     # dequant intermediates overflow the ~16MB VMEM budget

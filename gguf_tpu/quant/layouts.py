@@ -265,6 +265,20 @@ def _unpack_nibbles_plane(packed: np.ndarray) -> np.ndarray:
     return codes
 
 
+# Q6_K plane packing: 16 sub-blocks of 16 elements. ql byte row rb packs
+# (block rb%16, positions rb//16 and +8); qh byte row rh packs the hi-2-bits
+# of the elements landing at unpack rows {rh, 64+rh, 128+rh, 192+rh} at bit
+# pairs 0/2/4/6 — the kernel's fixed [lo;hi] nibble unpack and 4-way crumb
+# unpack then agree row-for-row, and every row's 16-block id is (row % 16),
+# so the per-16 scale multiply is pltpu.repeat(scales, 8) per plane.
+_Q6K_PLANE_LO = ((np.arange(128) % 16) * 16 + np.arange(128) // 16)
+_Q6K_ROW = np.arange(256)
+_Q6K_ELEM_AT_ROW = np.where(
+    _Q6K_ROW < 128,
+    (_Q6K_ROW % 16) * 16 + _Q6K_ROW // 16,
+    (_Q6K_ROW % 16) * 16 + 8 + (_Q6K_ROW - 128) // 16)
+
+
 def _repack_crumbs(codes: np.ndarray) -> np.ndarray:
     """(nb, 256) 2-bit codes -> (nb, 64) bytes: byte j holds elems j, j+64,
     j+128, j+192 at bits 0, 2, 4, 6 (concat of 4 shift/masks unpacks in
@@ -424,9 +438,13 @@ def q5_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     dmin_bits = blocks[:, 2:4].copy().view(np.uint16).reshape(m, sb)
     sc, mn = unpack_scale_min(blocks[:, 4:16])
     codes = parse_q5_k_codes(qbytes)               # (nb, 256) in [0, 32)
-    qs = _repack_nibbles(codes & 0x0F).reshape(m, k // 2)
-    hib = (codes >> 4).astype(np.uint8)            # (nb, 256) in {0, 1}
-    g = hib.reshape(-1, 8, 32)                     # [sub-block b, j]
+    qs = _repack_nibbles_plane(codes & 0x0F).reshape(m, k // 2)
+    # 5th bit in the same plane-row order as the nibbles: the kernel's
+    # 8-way bitplane unpack (row b*32 + rh) must agree row-for-row with
+    # the [lo; hi] nibble unpack
+    elem_at_row = np.concatenate([_Q4K_PLANE_LO, _Q4K_PLANE_LO + 16])
+    hib = (codes >> 4).astype(np.uint8)[:, elem_at_row]   # plane-row order
+    g = hib.reshape(-1, 8, 32)                     # [plane b, rh]
     qh = np.zeros((g.shape[0], 32), np.uint8)
     for bb in range(8):
         qh |= (g[:, bb, :] << bb).astype(np.uint8)
@@ -444,13 +462,14 @@ def soa_to_q5_k(t: QuantTensor) -> np.ndarray:
     sb = k // QK_K
     nb = m * sb
     packed = np.asarray(t.qs).T.reshape(nb, 128)
-    low = np.empty((nb, QK_K), dtype=np.uint8)
-    low[:, :128] = packed & 0x0F
-    low[:, 128:] = packed >> 4
+    low = _unpack_nibbles_plane(packed)            # element order
     qh_rows = np.asarray(t.qh).T.reshape(nb, 32)
-    hib = np.empty((nb, QK_K), dtype=np.uint8)
+    hib_rows = np.empty((nb, QK_K), dtype=np.uint8)
     for bb in range(8):
-        hib[:, 32 * bb:32 * (bb + 1)] = (qh_rows >> bb) & 1
+        hib_rows[:, 32 * bb:32 * (bb + 1)] = (qh_rows >> bb) & 1
+    elem_at_row = np.concatenate([_Q4K_PLANE_LO, _Q4K_PLANE_LO + 16])
+    hib = np.empty_like(hib_rows)
+    hib[:, elem_at_row] = hib_rows                 # back to element order
     codes = low | (hib << 4)
     disk_qh, disk_qs = pack_q5_k_codes(codes)
 
@@ -473,10 +492,12 @@ def q6_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     d_bits = blocks[:, 208:210].copy().view(np.uint16).reshape(m, sb)
     _, scales, q = parse_q6_k(qbytes)  # q: (nb, 256) int8, offset -32 applied
     codes = (q.astype(np.int16) + 32).astype(np.uint8)  # back to [0, 64)
-    ql = _repack_nibbles(codes & 0x0F).reshape(m, k // 2)
-    hi2 = codes >> 4  # (nb, 256) values in [0, 4)
-    qh = (hi2[:, 0:64] | (hi2[:, 64:128] << 2) | (hi2[:, 128:192] << 4)
-          | (hi2[:, 192:256] << 6)).astype(np.uint8).reshape(m, k // 4)
+    lo = (codes[:, _Q6K_PLANE_LO] & 0x0F)
+    hi = (codes[:, _Q6K_PLANE_LO + 8] & 0x0F)
+    ql = (lo | (hi << 4)).reshape(m, k // 2)
+    h = (codes[:, _Q6K_ELEM_AT_ROW] >> 4)   # (nb, 256) plane-row order
+    qh = (h[:, 0:64] | (h[:, 64:128] << 2) | (h[:, 128:192] << 4)
+          | (h[:, 192:256] << 6)).astype(np.uint8).reshape(m, k // 4)
     t = lambda a: jnp.asarray(np.ascontiguousarray(a.T))
     return QuantTensor(
         fmt="q6_k",
@@ -492,10 +513,12 @@ def soa_to_q6_k(t: QuantTensor) -> np.ndarray:
     nb = m * sb
     pl_ = np.asarray(t.ql).T.reshape(nb, 128)
     ph = np.asarray(t.qh).T.reshape(nb, 64)
-    low4 = np.concatenate([pl_ & 0x0F, pl_ >> 4], axis=1)  # (nb, 256)
+    low4 = np.concatenate([pl_ & 0x0F, pl_ >> 4], axis=1)  # (nb, 256) rows
     shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
     hi2 = np.concatenate([(ph >> s) & 0x03 for s in shifts], axis=1)
-    codes = low4 | (hi2 << 4)  # (nb, 256) in [0, 64)
+    code_rows = low4 | (hi2 << 4)            # plane-row order
+    codes = np.empty_like(code_rows)
+    codes[:, _Q6K_ELEM_AT_ROW] = code_rows   # back to element order
 
     out = np.empty((nb, Q6K_BYTES), dtype=np.uint8)
     # GGUF on-disk packing, per 128-element half (see quant/q6_k.py docstring)
@@ -751,11 +774,16 @@ def _dequant_q5_k(t: QuantTensor) -> jax.Array:
     dmin = fp16_bits_to_f32(t.dmin_bits.T)
     scale32 = _expand_scales(d, 8) * t.sc.T.astype(jnp.float32)
     min32 = _expand_scales(dmin, 8) * t.mn.T.astype(jnp.float32)
-    low4 = _unpack_nibbles_jnp(t.qs, sb)                # (M, K) in [0,16)
+    v = t.qs.T.reshape(m, sb, 128)
+    low4 = jnp.concatenate([v & jnp.uint8(0x0F), v >> 4], axis=-1)
     h = t.qh.T.reshape(m, sb, 32)
     hib = jnp.concatenate(
-        [(h >> b) & jnp.uint8(1) for b in range(8)], axis=-1).reshape(m, k)
-    q = (low4 | (hib << 4)).astype(jnp.float32)
+        [(h >> b) & jnp.uint8(1) for b in range(8)], axis=-1)
+    rows = low4 | (hib << 4)                            # plane-row order
+    elem_at_row = np.concatenate([_Q4K_PLANE_LO, _Q4K_PLANE_LO + 16])
+    inv = np.argsort(elem_at_row)
+    q = jnp.take(rows, jnp.asarray(inv), axis=-1).reshape(
+        m, k).astype(jnp.float32)
     return _expand_scales(scale32, 32) * q - _expand_scales(min32, 32)
 
 
@@ -764,12 +792,15 @@ def _dequant_q6_k(t: QuantTensor) -> jax.Array:
     sb = k // QK_K
     d = fp16_bits_to_f32(t.d_bits.T)                    # (M, SB)
     scale16 = _expand_scales(d, 16) * t.sc.T.astype(jnp.float32)  # (M, SB*16)
-    low4 = _unpack_nibbles_jnp(t.ql, sb)                # (M, K) in [0,16)
+    v = t.ql.T.reshape(m, sb, 128)
+    low4 = jnp.concatenate([v & jnp.uint8(0x0F), v >> 4], axis=-1)
     h = t.qh.T.reshape(m, sb, 64)
     hi2 = jnp.concatenate(
-        [(h >> s) & jnp.uint8(0x03) for s in (0, 2, 4, 6)], axis=-1
-    ).reshape(m, k)
-    q = (low4 | (hi2 << 4)).astype(jnp.int8) - jnp.int8(32)
+        [(h >> s) & jnp.uint8(0x03) for s in (0, 2, 4, 6)], axis=-1)
+    rows = (low4 | (hi2 << 4))                          # plane-row order
+    inv = np.argsort(_Q6K_ELEM_AT_ROW)
+    q = jnp.take(rows, jnp.asarray(inv), axis=-1).reshape(
+        m, k).astype(jnp.int8) - jnp.int8(32)
     return _expand_scales(scale16, 16) * q.astype(jnp.float32)
 
 
