@@ -247,9 +247,76 @@ def minfused_op(w, d, dm, sc, mn, bx):
                  w, d, dm, sc, mn, bx)
 
 
+# ------------------------------------------------------------ nocat_scratch
+# jnp.concatenate of the 8 scaled planes costs a full (BK, BM) copy pass;
+# write each scaled plane into a bf16 VMEM scratch slice instead (the bf16
+# convert rides the same write), then one dot from the scratch.
+def nocat_kern(w_ref, s_ref, b_ref, o_ref, acc_ref, w_scr):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+    vi = w_ref[:].astype(jnp.int32)
+    for s in range(SBT):
+        sl = vi[s * 128:(s + 1) * 128, :]
+        se = pltpu.repeat(s_ref[s * 8:(s + 1) * 8, :], 16, axis=0)
+        lo = (sl & 0xF).astype(jnp.float32) * se
+        hi = (sl >> 4).astype(jnp.float32) * se
+        w_scr[2 * s * 128:(2 * s + 1) * 128, :] = lo.astype(jnp.bfloat16)
+        w_scr[(2 * s + 1) * 128:(2 * s + 2) * 128, :] = hi.astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(b_ref[:], w_scr[:],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(i == STEPS - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def nocat_op(w, s, b):
+    return pl.pallas_call(
+        nocat_kern, grid=(STEPS,), in_specs=[w_spec, s_spec, b_spec],
+        out_specs=o_spec, out_shape=o_shape,
+        scratch_shapes=[pltpu.VMEM((N, BM), jnp.float32),
+                        pltpu.VMEM((BK, BM), jnp.bfloat16)],
+    )(w, s, b)
+
+
+# ----------------------------------------------------------------- dots8
+# no concat at all: one (N, 256) x (256, BM) dot per superblock pair of
+# planes, accumulated — trades the copy pass for 4x more (shorter) MXU ops
+def dots8_kern(w_ref, s_ref, b_ref, o_ref, acc_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+    vi = w_ref[:].astype(jnp.int32)
+    for s in range(SBT):
+        sl = vi[s * 128:(s + 1) * 128, :]
+        se = pltpu.repeat(s_ref[s * 8:(s + 1) * 8, :], 16, axis=0)
+        lo = ((sl & 0xF).astype(jnp.float32) * se).astype(jnp.bfloat16)
+        hi = ((sl >> 4).astype(jnp.float32) * se).astype(jnp.bfloat16)
+        wpair = jnp.concatenate([lo, hi], 0)          # (256, BM)
+        acc_ref[:] += jnp.dot(b_ref[:, s * 256:(s + 1) * 256], wpair,
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(i == STEPS - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def dots8_op(w, s, b):
+    return pcall(dots8_kern, [w_spec, s_spec, b_spec], w, s, b)
+
+
 if __name__ == "__main__":
     _time(base_op, (w_u8, s32f, b_bf), "base")
     log("base done")
+    _time(nocat_op, (w_u8, s32f, b_bf), "nocat_scratch")
+    log("nocat done")
+    _time(dots8_op, (w_u8, s32f, b_bf), "dots8")
+    log("dots8 done")
     _time(prep_op, (w_u8, d16, dm16, sc_u8, mn_u8, b_bf), "+prep")
     log("+prep done")
     _time(minsep_op, (w_u8, d16, dm16, sc_u8, mn_u8, bsum_f, b_bf),

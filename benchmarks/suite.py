@@ -151,6 +151,24 @@ def bench_mmq(ns, quick=False):
                  unit="GB/s weights", time_us=round(t * 1e6, 1),
                  tokens_per_s_equiv=round(n / t, 0))
             log(f"  mmq_{fmt} n={n:>2}: {t*1e6:7.1f}us  {gbps:6.1f} GB/s")
+        # the REFERENCE numeric contract (the reference kernels always
+        # Q8_1-quantize activations in-kernel and keep full precision,
+        # /root/reference/kernels/mmq_q4_k.py:202-212) — measured at the
+        # decode shape so both modes are archived per format (VERDICT #5)
+        n = 16
+        x0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+
+        def op_c(w_, x_, _f=MMQ[fmt]):
+            return _f(w_, x_, precision="high", act_quant=True)
+
+        t = slope_time(mmq_loop(op_c, n, m, x0), (w, x0))
+        gbps = wbytes / t / 1e9
+        emit(metric=f"mmq_{fmt} {m}x{k} @ n={n} act_quant=q8_1 "
+                    f"precision=high", value=round(gbps, 1),
+             unit="GB/s weights", time_us=round(t * 1e6, 1),
+             tokens_per_s_equiv=round(n / t, 0))
+        log(f"  mmq_{fmt} n={n:>2} (contract): {t*1e6:7.1f}us  "
+            f"{gbps:6.1f} GB/s")
 
 
 def bench_decode(quick=False, model="tinyllama", batch=16):
