@@ -51,7 +51,11 @@ static inline uint16_t rd16(const uint8_t *p) {
 
 void q8_0_to_soa_c(const uint8_t *src, int64_t m, int64_t nbk,
                    uint16_t *d_out, int8_t *qs_out) {
-    /* nbk = K/32 blocks per row; block (mi, bi) at src + (mi*nbk + bi)*34 */
+    /* nbk = K/32 blocks per row; block (mi, bi) at src + (mi*nbk + bi)*34.
+       When K %% 256 == 0 (nbk %% 8 == 0) qs rows are written in PLANE
+       order — element (bi*32 + j) at row (bi/8)*256 + j*8 + (bi%%8) — the
+       same deterministic rule as quant/layouts.py q8_0_plane. */
+    int plane = (nbk % 8) == 0;
 #ifdef _OPENMP
     #pragma omp parallel for schedule(static)
 #endif
@@ -67,8 +71,11 @@ void q8_0_to_soa_c(const uint8_t *src, int64_t m, int64_t nbk,
                     qt[j][t] = (int8_t)b[2 + j];
             }
             memcpy(d_out + bi * m + mi0, dt, tw * sizeof(uint16_t));
-            for (int j = 0; j < 32; j++)
-                memcpy(qs_out + (bi * 32 + j) * m + mi0, qt[j], tw);
+            for (int j = 0; j < 32; j++) {
+                int64_t row = plane ? (bi / 8) * 256 + j * 8 + (bi % 8)
+                                    : bi * 32 + j;
+                memcpy(qs_out + row * m + mi0, qt[j], tw);
+            }
         }
     }
 }

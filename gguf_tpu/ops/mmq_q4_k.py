@@ -37,6 +37,18 @@ TPU-first design — not a translation of the CUDA/Triton kernel:
   instead of being redone per M-tile as the CUDA grid must (reference
   :202-207): `act_quant=True` reproduces the reference numeric contract;
   False skips the fake-quant for pure bf16/f32 serving.
+* At decode widths (n <= 64) the per-call XLA glue — the (N, K) plane
+  permute, the per-32-block activation sums for the min term, and the bf16
+  cast — moves INSIDE the kernel: the permute is a per-superblock
+  (N, 256) x (256, 256) permutation-matrix matmul (exact on the MXU; 0/1
+  entries are exact in bf16 and every output selects one addend), bsum is
+  an (N, bk) x (bk, bk/32) dot against an iota-built 0/1 block-sum matrix
+  (Mosaic rejects 3D lane reshapes; the MXU does this for free at decode
+  widths). Measured interleaved on-chip: the XLA glue cost 7.1 us/call on
+  a 4096x4096 GEMM where the kernel itself took 11.3 us; in-kernel it is
+  +0.5 us (benchmarks/probe_q4k_glue.py, RESULTS session r3b-glue).
+  Prefill keeps the XLA-side glue: at large N the MXU is FLOP-bound and
+  the +K/8 permute FLOPs would cost more than the amortized glue.
 
 Grid: (N/TN, M/TM, K/TK), K innermost; f32 accumulator in VMEM scratch,
 output tile written once on the last K step. N-tiling keeps prefill-sized
@@ -64,6 +76,9 @@ from .common import (
 
 QK_K = 256
 
+# decode-width ceiling for the in-kernel glue path (see module docstring)
+INK_GLUE_MAX_N = 64
+
 
 def permute_acts_q4k(b: jax.Array) -> jax.Array:
     """Reorder activation columns to match the Q4_K plane qs layout: within
@@ -74,6 +89,47 @@ def permute_acts_q4k(b: jax.Array) -> jax.Array:
             .reshape(n, k)
 
 
+def _plane_perm_matrix() -> jax.Array:
+    """(256, 256) 0/1 matrix P with b_plane = b_natural @ P per superblock
+    (the permute_acts_q4k column map as an MXU op for the in-kernel path)."""
+    import numpy as np
+
+    p = np.zeros((QK_K, QK_K), np.float32)
+    g, h, pp = np.meshgrid(np.arange(8), np.arange(2), np.arange(16),
+                           indexing="ij")
+    p[(g * 32 + h * 16 + pp).ravel(), (h * 128 + pp * 8 + g).ravel()] = 1.0
+    return jnp.asarray(p, jnp.bfloat16)
+
+
+def _scale_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref):
+    """Per-32-block affine params for this K-step, f32: scale = d*sc,
+    min = dmin*mn — broadcast multiplies, never row-expanded copies. The
+    d/dmin refs are this step's 8-row-padded superblock rows (Mosaic
+    rejects non-8-aligned dynamic sublane slices)."""
+    d = fp16_bits_to_f32(d_ref[:sbt, :])                     # (SBt, TM)
+    dmin = fp16_bits_to_f32(dmin_ref[:sbt, :])
+    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)     # (SBt*8, TM)
+    mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+    tm = sc.shape[-1]
+    scale32 = (d[:, None, :] * sc.reshape(sbt, 8, tm)).reshape(sbt * 8, tm)
+    min32 = (dmin[:, None, :] * mn.reshape(sbt, 8, tm)).reshape(sbt * 8, tm)
+    return scale32, min32
+
+
+def _unpack_scaled(sbt, qs_ref, scale32):
+    """Plane unpack + scale: rows of each 128-row plane carry block
+    (row % 8), so the per-32-block scale is the 16x copy-tile of the
+    superblock's 8 scale rows — a pltpu.repeat, not a reshape-broadcast."""
+    vi = qs_ref[:].astype(jnp.int32)
+    parts = []
+    for s in range(sbt):
+        sl = vi[s * 128:(s + 1) * 128, :]
+        se = pltpu.repeat(scale32[s * 8:(s + 1) * 8, :], 16, axis=0)
+        parts.append((sl & 0xF).astype(jnp.float32) * se)
+        parts.append((sl >> 4).astype(jnp.float32) * se)
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
 def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
             bsum_ref, out_ref, acc_ref):
     k_idx = pl.program_id(2)
@@ -82,30 +138,8 @@ def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # per-superblock fp16 scales: this K-step's row group (8-row padded by
-    # the wrapper — Mosaic rejects non-8-aligned dynamic sublane slices)
-    d = fp16_bits_to_f32(d_ref[:sbt, :])                     # (SBt, TM)
-    dmin = fp16_bits_to_f32(dmin_ref[:sbt, :])
-
-    # per-32-block affine params, f32: scale = d*sc, min = dmin*mn;
-    # broadcast multiplies (never materialized row-expanded copies)
-    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)     # (SBt*8, TM)
-    mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
-    tm = sc.shape[-1]
-    scale32 = (d[:, None, :] * sc.reshape(sbt, 8, tm)).reshape(sbt * 8, tm)
-    min32 = (dmin[:, None, :] * mn.reshape(sbt, 8, tm)).reshape(sbt * 8, tm)
-
-    # plane unpack + scale: rows of each 128-row plane carry block (row % 8),
-    # so the per-32-block scale is the 16x copy-tile of the superblock's 8
-    # scale rows — a pltpu.repeat, not a reshape-broadcast
-    vi = qs_ref[:].astype(jnp.int32)
-    parts = []
-    for s in range(sbt):
-        sl = vi[s * 128:(s + 1) * 128, :]
-        se = pltpu.repeat(scale32[s * 8:(s + 1) * 8, :], 16, axis=0)
-        parts.append((sl & 0xF).astype(jnp.float32) * se)
-        parts.append((sl >> 4).astype(jnp.float32) * se)
-    w = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    scale32, min32 = _scale_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref)
+    w = _unpack_scaled(sbt, qs_ref, scale32)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
@@ -116,6 +150,66 @@ def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
     # min term: bsum (SBt*8, N) x min32 (SBt*8, TM) -> (N, TM)
     acc_ref[:] -= jax.lax.dot_general(
         bsum_ref[:], min32, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _ink_b_prep(fast, sbt, b_ref, p_ref):
+    """In-kernel activation glue for the decode path: from a NATURAL-order
+    f32 b tile, produce (bp, bsum) — the plane-permuted dot operand and the
+    per-32-block sums for the min term. bsum is an MXU dot against an
+    iota-built 0/1 matrix (Mosaic rejects 3D lane reshapes) at HIGHEST so
+    the correction stays f32-exact in both precision modes; the permute is
+    a per-superblock (BN, 256) x (256, 256) 0/1 matmul — exact selection
+    (the bf16 operand is pre-rounded in fast mode)."""
+    bt = b_ref[:]                                  # (BN, BK) f32, natural
+    bk = bt.shape[1]
+    kk = jax.lax.broadcasted_iota(jnp.int32, (bk, sbt * 8), 0)
+    bb_i = jax.lax.broadcasted_iota(jnp.int32, (bk, sbt * 8), 1)
+    smat = ((kk >> 5) == bb_i).astype(jnp.float32)
+    bsum = jax.lax.dot_general(
+        bt, smat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)       # (BN, SBt*8)
+
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    bc = bt.astype(jnp.bfloat16) if fast else bt
+    pm = p_ref[:].astype(bc.dtype)
+    bp = jnp.concatenate(
+        [jax.lax.dot_general(
+            bc[:, s * QK_K:(s + 1) * QK_K], pm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+         for s in range(sbt)], axis=1)
+    return bp, bsum
+
+
+def _kernel_ink(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
+                p_ref, out_ref, acc_ref):
+    """Decode-width variant: b arrives in NATURAL column order (f32); the
+    plane permute, per-32-block sums, and bf16 cast run in-kernel (see
+    module docstring — saves ~7 us/call of XLA glue at 4096^2)."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    scale32, min32 = _scale_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref)
+    w = _unpack_scaled(sbt, qs_ref, scale32)
+    bp, bsum = _ink_b_prep(fast, sbt, b_ref, p_ref)
+
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    wd = w.astype(jnp.bfloat16) if fast else w
+    acc_ref[:] += jax.lax.dot_general(
+        bp.astype(wd.dtype), wd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    acc_ref[:] -= jax.lax.dot_general(
+        bsum, min32, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
 
@@ -154,23 +248,29 @@ def mmq_q4_k(
     if act_quant:
         b = fake_quantize_q8_1(b)
     b = b.astype(jnp.float32)
-    # per-32-block activation sums for the min term (exact: fake-quantized
-    # values are d*q, so the block sum equals Q8_1's s = d*sum(q)) —
-    # computed BEFORE the plane permutation (block sums are order-invariant
-    # but the 32-column grouping must be the natural one)
-    bsum = jnp.sum(b.reshape(n, k // 32, 32), axis=-1)
-    b = permute_acts_q4k(b)
     fast = precision == "fast"
-    if fast:
-        b = b.astype(jnp.bfloat16)
-
     # N-tiling: decode fits one tile; prefill (large B*T) must be tiled or
     # the dequant intermediates + accumulator overflow the ~16MB VMEM budget
     n_pad = max(8, round_up(n, 8))
     bn = min(n_pad, 256)
     n_pad = round_up(n_pad, bn)
-    b = pad_rows(b, n_pad)
-    bsum_t = pad_rows(bsum, n_pad).T                         # (K/32, n_pad)
+    ink = n_pad <= INK_GLUE_MAX_N
+    if ink:
+        # decode path: b stays natural-order f32; permute/bsum/bf16 cast
+        # all happen in-kernel (module docstring)
+        b = pad_rows(b, n_pad)
+        bsum_t = None
+    else:
+        # per-32-block activation sums for the min term (exact:
+        # fake-quantized values are d*q, so the block sum equals Q8_1's
+        # s = d*sum(q)) — computed BEFORE the plane permutation (block sums
+        # are order-invariant but the 32-grouping must be the natural one)
+        bsum = jnp.sum(b.reshape(n, k // 32, 32), axis=-1)
+        b = permute_acts_q4k(b)
+        if fast:
+            b = b.astype(jnp.bfloat16)
+        b = pad_rows(b, n_pad)
+        bsum_t = pad_rows(bsum, n_pad).T                     # (K/32, n_pad)
 
     bm = choose_bm(w.qs.shape[-1], block_m)
     m_pad = round_up(max(m, w.qs.shape[-1]), bm)
@@ -188,19 +288,30 @@ def mmq_q4_k(
 
     grid = (n_pad // bn, m_pad // bm, k // bk)
 
+    specs = [
+        # d/dmin: this K-step's (8-row padded) superblock scales
+        pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sbt * 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sbt * 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk // 2, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j), memory_space=pltpu.VMEM),
+    ]
+    if ink:
+        kern = functools.partial(_kernel_ink, fast, sbt)
+        specs.append(pl.BlockSpec((QK_K, QK_K), lambda ni, i, j: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        tail = (_plane_perm_matrix(),)
+    else:
+        kern = functools.partial(_kernel, fast, sbt)
+        specs.append(pl.BlockSpec((sbt * 8, bn), lambda ni, i, j: (j, ni),
+                                  memory_space=pltpu.VMEM))
+        tail = (bsum_t,)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, fast, sbt),
+        kern,
         grid=grid,
-        in_specs=[
-            # d/dmin: this K-step's (8-row padded) superblock scales
-            pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sbt * 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sbt * 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 2, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sbt * 8, bn), lambda ni, i, j: (j, ni), memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((bn, bm), lambda ni, i, j: (ni, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), out_dtype),
         scratch_shapes=[pltpu.VMEM((bn, bm), jnp.float32)],
@@ -213,6 +324,6 @@ def mmq_q4_k(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=running_interpreted(),
-    )(d_bits, dmin_bits, sc, mn, qs, b, bsum_t)
+    )(d_bits, dmin_bits, sc, mn, qs, b, *tail)
 
     return out[:n, :m]

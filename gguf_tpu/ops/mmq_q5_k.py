@@ -26,32 +26,21 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
 from .common import (
-    choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
+    choose_bm, pad_cols, pad_rows, pick_block,
     regroup_rows, round_up, running_interpreted,
 )
-from .mmq_q4_k import permute_acts_q4k
+from .mmq_q4_k import (
+    INK_GLUE_MAX_N, _ink_b_prep, _plane_perm_matrix, _scale_prep,
+    permute_acts_q4k,
+)
 
 QK_K = 256
 
 
-def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qh_ref,
-            b_ref, bsum_ref, out_ref, acc_ref):
-    k_idx = pl.program_id(2)
-
-    @pl.when(k_idx == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    d = fp16_bits_to_f32(d_ref[:sbt, :])                     # (SBt, TM)
-    dmin = fp16_bits_to_f32(dmin_ref[:sbt, :])
-    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)     # (SBt*8, TM)
-    mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
-    tm = sc.shape[-1]
-    scale32 = (d[:, None, :] * sc.reshape(sbt, 8, tm)).reshape(sbt * 8, tm)
-    min32 = (dmin[:, None, :] * mn.reshape(sbt, 8, tm)).reshape(sbt * 8, tm)
-
-    # plane unpack + scale (same structure as mmq_q4_k): every row's
-    # 32-block id is (row % 8), so the per-32 scale is a copy-tile
+def _unpack_scaled_q5(sbt, qs_ref, qh_ref, scale32):
+    """Plane unpack + scale (same structure as mmq_q4_k): every row's
+    32-block id is (row % 8), so the per-32 scale is a copy-tile; the 5th
+    bit comes from qh's 8-way bitplane in the same plane-row order."""
     lo_i = qs_ref[:].astype(jnp.int32)                       # (SBt*128, TM)
     hi_i = qh_ref[:].astype(jnp.int32)                       # (SBt*32, TM)
     parts = []
@@ -65,7 +54,19 @@ def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qh_ref,
         q_hi = (sl >> 4) | (f_hi << 4)
         parts.append(q_lo.astype(jnp.float32) * se)
         parts.append(q_hi.astype(jnp.float32) * se)
-    w = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qh_ref,
+            b_ref, bsum_ref, out_ref, acc_ref):
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    scale32, min32 = _scale_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref)
+    w = _unpack_scaled_q5(sbt, qs_ref, qh_ref, scale32)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
@@ -75,6 +76,36 @@ def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qh_ref,
     )
     acc_ref[:] -= jax.lax.dot_general(
         bsum_ref[:], min32, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _kernel_ink(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qh_ref,
+                b_ref, p_ref, out_ref, acc_ref):
+    """Decode-width variant: natural-order f32 b; plane permute + bsum +
+    bf16 cast in-kernel (mmq_q4_k.py module docstring)."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    scale32, min32 = _scale_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref)
+    w = _unpack_scaled_q5(sbt, qs_ref, qh_ref, scale32)
+    bp, bsum = _ink_b_prep(fast, sbt, b_ref, p_ref)
+
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    wd = w.astype(jnp.bfloat16) if fast else w
+    acc_ref[:] += jax.lax.dot_general(
+        bp.astype(wd.dtype), wd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    acc_ref[:] -= jax.lax.dot_general(
+        bsum, min32, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
 
@@ -108,19 +139,23 @@ def mmq_q5_k(
     if act_quant:
         b = fake_quantize_q8_1(b)
     b = b.astype(jnp.float32)
-    bsum = jnp.sum(b.reshape(n, k // 32, 32), axis=-1)
-    b = permute_acts_q4k(b)      # plane qs layout, same pattern as q4_k
     fast = precision == "fast"
-    if fast:
-        b = b.astype(jnp.bfloat16)
-
     # N-tiling: decode fits one tile; prefill (large B*T) must be tiled or
     # the dequant intermediates + accumulator overflow the ~16MB VMEM budget
     n_pad = max(8, round_up(n, 8))
     bn = min(n_pad, 256)
     n_pad = round_up(n_pad, bn)
-    b = pad_rows(b, n_pad)
-    bsum_t = pad_rows(bsum, n_pad).T
+    ink = n_pad <= INK_GLUE_MAX_N
+    if ink:
+        b = pad_rows(b, n_pad)
+        bsum_t = None
+    else:
+        bsum = jnp.sum(b.reshape(n, k // 32, 32), axis=-1)
+        b = permute_acts_q4k(b)  # plane qs layout, same pattern as q4_k
+        if fast:
+            b = b.astype(jnp.bfloat16)
+        b = pad_rows(b, n_pad)
+        bsum_t = pad_rows(bsum, n_pad).T
 
     bm = choose_bm(w.qs.shape[-1], block_m)
     m_pad = round_up(max(m, w.qs.shape[-1]), bm)
@@ -139,19 +174,30 @@ def mmq_q5_k(
 
     grid = (n_pad // bn, m_pad // bm, k // bk)
 
+    specs = [
+        pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sbt * 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sbt * 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk // 2, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk // 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j), memory_space=pltpu.VMEM),
+    ]
+    if ink:
+        kern = functools.partial(_kernel_ink, fast, sbt)
+        specs.append(pl.BlockSpec((QK_K, QK_K), lambda ni, i, j: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        tail = (_plane_perm_matrix(),)
+    else:
+        kern = functools.partial(_kernel, fast, sbt)
+        specs.append(pl.BlockSpec((sbt * 8, bn), lambda ni, i, j: (j, ni),
+                                  memory_space=pltpu.VMEM))
+        tail = (bsum_t,)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, fast, sbt),
+        kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sbt * 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sbt * 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 2, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sbt * 8, bn), lambda ni, i, j: (j, ni), memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((bn, bm), lambda ni, i, j: (ni, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), out_dtype),
         scratch_shapes=[pltpu.VMEM((bn, bm), jnp.float32)],
@@ -164,6 +210,6 @@ def mmq_q5_k(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=running_interpreted(),
-    )(d_bits, dmin_bits, sc, mn, qs, qh, b, bsum_t)
+    )(d_bits, dmin_bits, sc, mn, qs, qh, b, *tail)
 
     return out[:n, :m]

@@ -36,6 +36,7 @@ from .common import (
     choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
     regroup_rows, round_up, running_interpreted,
 )
+from .mmq_q4_k import INK_GLUE_MAX_N
 
 QK_K = 256
 
@@ -47,6 +48,19 @@ def permute_acts_q6k(b: jax.Array) -> jax.Array:
     n, k = b.shape
     return b.reshape(n, k // QK_K, 16, 2, 8).transpose(0, 1, 3, 4, 2) \
             .reshape(n, k)
+
+
+def _plane_perm_matrix_q6k() -> jax.Array:
+    """(256, 256) 0/1 matrix P with b_plane = b_natural @ P per superblock
+    (the permute_acts_q6k column map as an MXU op for the in-kernel decode
+    path — see mmq_q4_k.py module docstring for the measured rationale)."""
+    import numpy as np
+
+    p = np.zeros((QK_K, QK_K), np.float32)
+    blk, h, pp = np.meshgrid(np.arange(16), np.arange(2), np.arange(8),
+                             indexing="ij")
+    p[(blk * 16 + h * 8 + pp).ravel(), (h * 128 + pp * 16 + blk).ravel()] = 1.0
+    return jnp.asarray(p, jnp.bfloat16)
 
 
 def _kernel(fast, sbt, d_ref, sc_ref, ql_ref, qh_ref, b_ref, out_ref, acc_ref):
@@ -92,6 +106,57 @@ def _kernel(fast, sbt, d_ref, sc_ref, ql_ref, qh_ref, b_ref, out_ref, acc_ref):
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _kernel_ink(fast, sbt, d_ref, sc_ref, ql_ref, qh_ref, b_ref, p_ref,
+                out_ref, acc_ref):
+    """Decode-width variant: b arrives in NATURAL column order (f32); the
+    plane permute + bf16 cast run in-kernel as per-superblock 0/1-matrix
+    matmuls (no bsum — Q6_K is symmetric). See mmq_q4_k.py docstring."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    d = fp16_bits_to_f32(d_ref[:sbt, :])
+    tm = d.shape[-1]
+    sc16 = sc_ref[:].astype(jnp.float32)
+    scale16 = (d[:, None, :] * sc16.reshape(sbt, 16, tm)).reshape(sbt * 16, tm)
+
+    lo_i = ql_ref[:].astype(jnp.int32)
+    hi_i = qh_ref[:].astype(jnp.int32)
+    parts = []
+    for s in range(sbt):
+        sl = lo_i[s * 128:(s + 1) * 128, :]
+        hs = hi_i[s * 64:(s + 1) * 64, :]
+        se = pltpu.repeat(scale16[s * 16:(s + 1) * 16, :], 8, axis=0)
+        h01 = jnp.concatenate([hs & 3, (hs >> 2) & 3], axis=0)
+        h23 = jnp.concatenate([(hs >> 4) & 3, (hs >> 6) & 3], axis=0)
+        q_lo = ((sl & 0xF) | (h01 << 4)) - 32
+        q_hi = ((sl >> 4) | (h23 << 4)) - 32
+        parts.append(q_lo.astype(jnp.float32) * se)
+        parts.append(q_hi.astype(jnp.float32) * se)
+    w = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    bt = b_ref[:]                                  # (BN, BK) f32, natural
+    bc = bt.astype(jnp.bfloat16) if fast else bt
+    pm = p_ref[:].astype(bc.dtype)
+    bp = jnp.concatenate(
+        [jax.lax.dot_general(
+            bc[:, s * QK_K:(s + 1) * QK_K], pm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+         for s in range(sbt)], axis=1)
+    wd = w.astype(jnp.bfloat16) if fast else w
+    acc_ref[:] += jax.lax.dot_general(
+        bp.astype(wd.dtype), wd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("act_quant", "block_m", "block_k", "out_dtype", "precision"),
@@ -116,16 +181,18 @@ def mmq_q6_k(
 
     if act_quant:
         b = fake_quantize_q8_1(b)
-    b = permute_acts_q6k(b.astype(jnp.float32))
+    b = b.astype(jnp.float32)
     fast = precision == "fast"
-    if fast:
-        b = b.astype(jnp.bfloat16)
-
     # N-tiling: prefill (large B*T) must be tiled or the accumulator and
     # dequant intermediates overflow the ~16MB VMEM budget
     n_pad = max(8, round_up(n, 8))
     bn = min(n_pad, 256)
     n_pad = round_up(n_pad, bn)
+    ink = n_pad <= INK_GLUE_MAX_N
+    if not ink:
+        b = permute_acts_q6k(b)
+        if fast:
+            b = b.astype(jnp.bfloat16)
     b = pad_rows(b, n_pad)
     bm = choose_bm(w.ql.shape[-1], block_m)
     m_pad = round_up(max(m, w.ql.shape[-1]), bm)
@@ -142,17 +209,27 @@ def mmq_q6_k(
 
     grid = (n_pad // bn, m_pad // bm, k // bk)
 
+    specs = [
+        # d: this K-step's (8-row padded) superblock scales
+        pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sbt * 16, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk // 2, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk // 4, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j), memory_space=pltpu.VMEM),
+    ]
+    if ink:
+        kern = functools.partial(_kernel_ink, fast, sbt)
+        specs.append(pl.BlockSpec((QK_K, QK_K), lambda ni, i, j: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        tail = (_plane_perm_matrix_q6k(),)
+    else:
+        kern = functools.partial(_kernel, fast, sbt)
+        tail = ()
+
     out = pl.pallas_call(
-        functools.partial(_kernel, fast, sbt),
+        kern,
         grid=grid,
-        in_specs=[
-            # d: this K-step's (8-row padded) superblock scales
-            pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sbt * 16, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 2, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 4, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((bn, bm), lambda ni, i, j: (ni, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), out_dtype),
         scratch_shapes=[pltpu.VMEM((bn, bm), jnp.float32)],
@@ -165,6 +242,6 @@ def mmq_q6_k(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=running_interpreted(),
-    )(d_bits, sc, ql, qh, b)
+    )(d_bits, sc, ql, qh, b, *tail)
 
     return out[:n, :m]

@@ -6,9 +6,20 @@ output (N, M). K must be a multiple of 32 (reference :124).
 
 Same TPU-first structure as mmq_q4_k.py (see design notes there): K-major SoA
 weight tiles via BlockSpecs, per-32-block fp16 scales widened to f32 in
-integer ops and expanded bit-exactly with the bf16x3 selector matmul, one
-large MXU contraction per grid step with an f32 VMEM accumulator, activation
-quantization hoisted out of the kernel.
+integer ops, one large MXU contraction per grid step with an f32 VMEM
+accumulator, activation quantization hoisted out of the kernel.
+
+When K is a multiple of 256 the loader stores qs in PLANE order (256-row
+groups with block id = row % 8, quant/layouts.py q8_0_to_soa) so the per-32
+scale multiply is a pltpu.repeat copy-tile instead of a 3D reshape-broadcast
+— the same ~14% Mosaic lowering win measured for the K-quant plane layouts
+(benchmarks/probe_q4k_ab.py). At decode widths (n <= mmq_q4_k.INK_GLUE_MAX_N)
+the matching activation permute and the bf16 cast run in-kernel as
+per-group 0/1-matrix MXU matmuls (mmq_q4_k.py module docstring has the
+measured rationale: the XLA glue cost ~7 us/call at 4096^2 where the kernel
+itself took ~11 us); prefill keeps the XLA-side permute. K not divisible by
+256 (the reference's K=32..128 sweep) rides the element-order kernel
+unchanged.
 """
 
 from __future__ import annotations
@@ -26,11 +37,31 @@ from .common import (
     choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
     round_up, running_interpreted,
 )
+from .mmq_q4_k import INK_GLUE_MAX_N
 
 BLOCK = 32
+QK_G = 256   # plane group: 8 blocks
+
+
+def permute_acts_q8_0(b: jax.Array) -> jax.Array:
+    """Reorder activation columns to match the Q8_0 plane layout: within
+    each 256-group, element (g*32 + p) moves to column (p*8 + g)."""
+    n, k = b.shape
+    return b.reshape(n, k // QK_G, 8, 32).transpose(0, 1, 3, 2).reshape(n, k)
+
+
+def _plane_perm_matrix_q8() -> jax.Array:
+    """(256, 256) 0/1 matrix P with b_plane = b_natural @ P per 256-group."""
+    import numpy as np
+
+    p = np.zeros((QK_G, QK_G), np.float32)
+    g, pp = np.meshgrid(np.arange(8), np.arange(32), indexing="ij")
+    p[(g * 32 + pp).ravel(), (pp * 8 + g).ravel()] = 1.0
+    return jnp.asarray(p, jnp.bfloat16)
 
 
 def _kernel(fast, d_ref, qs_ref, b_ref, out_ref, acc_ref):
+    """Element-order kernel (K % 256 != 0): 3D reshape-broadcast scale."""
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -46,6 +77,69 @@ def _kernel(fast, d_ref, qs_ref, b_ref, out_ref, acc_ref):
     wd = w.astype(jnp.bfloat16) if fast else w
     acc_ref[:] += jax.lax.dot_general(
         b_ref[:], wd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _unpack_scaled_q8(sbt, d_ref, qs_ref):
+    """Plane scale multiply: every row's 32-block id is (row % 8), so the
+    per-32 scale is the 32x copy-tile of the group's 8 scale rows."""
+    d = fp16_bits_to_f32(d_ref[:])                  # (sbt*8, TM)
+    q = qs_ref[:].astype(jnp.float32)               # (sbt*256, TM)
+    parts = []
+    for s in range(sbt):
+        se = pltpu.repeat(d[s * 8:(s + 1) * 8, :], 32, axis=0)
+        parts.append(q[s * QK_G:(s + 1) * QK_G, :] * se)
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _kernel_plane(fast, sbt, d_ref, qs_ref, b_ref, out_ref, acc_ref):
+    """Plane-order kernel: b arrives PRE-permuted (prefill path)."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _unpack_scaled_q8(sbt, d_ref, qs_ref)
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    wd = w.astype(jnp.bfloat16) if fast else w
+    acc_ref[:] += jax.lax.dot_general(
+        b_ref[:], wd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _kernel_ink(fast, sbt, d_ref, qs_ref, b_ref, p_ref, out_ref, acc_ref):
+    """Plane decode kernel: natural-order f32 b; permute + bf16 cast run
+    in-kernel as per-group 0/1-matrix matmuls."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = _unpack_scaled_q8(sbt, d_ref, qs_ref)
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    bt = b_ref[:]                                   # (BN, BK) f32, natural
+    bc = bt.astype(jnp.bfloat16) if fast else bt
+    pm = p_ref[:].astype(bc.dtype)
+    bp = jnp.concatenate(
+        [jax.lax.dot_general(
+            bc[:, s * QK_G:(s + 1) * QK_G], pm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+         for s in range(sbt)], axis=1)
+    wd = w.astype(jnp.bfloat16) if fast else w
+    acc_ref[:] += jax.lax.dot_general(
+        bp.astype(wd.dtype), wd, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
 
@@ -79,32 +173,52 @@ def mmq_q8_0(
     if act_quant:
         b = fake_quantize_q8_1(b)
     fast = precision == "fast"
-    b = b.astype(jnp.bfloat16 if fast else jnp.float32)
 
     # N-tiling: prefill (large B*T) must be tiled or the accumulator and
     # dequant intermediates overflow the ~16MB VMEM budget
     n_pad = max(8, round_up(n, 8))
     bn = min(n_pad, 256)
     n_pad = round_up(n_pad, bn)
+    plane = w.q8_plane   # stored flag, NOT a shape rule (layouts.py)
+    ink = plane and n_pad <= INK_GLUE_MAX_N
+    b = b.astype(jnp.float32)
+    if plane and not ink:
+        b = permute_acts_q8_0(b)
+    if fast and not ink:
+        b = b.astype(jnp.bfloat16)
     b = pad_rows(b, n_pad)
     bm = choose_bm(w.qs.shape[-1], block_m)
     m_pad = round_up(max(m, w.qs.shape[-1]), bm)
     # the d tile needs >= 8 sublanes (bk/32 >= 8) unless it spans the full K
-    bk = pick_block(k, block_k, 256) if k % 256 == 0 and k >= 256 else k
+    bk = pick_block(k, block_k, QK_G) if plane and k >= QK_G else k
+    sbt = bk // QK_G
 
     d_bits = pad_cols(w.d_bits, m_pad)
     qs = pad_cols(w.qs, m_pad)
 
     grid = (n_pad // bn, m_pad // bm, k // bk)
 
+    specs = [
+        pl.BlockSpec((bk // BLOCK, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j), memory_space=pltpu.VMEM),
+    ]
+    if ink:
+        kern = functools.partial(_kernel_ink, fast, sbt)
+        specs.append(pl.BlockSpec((QK_G, QK_G), lambda ni, i, j: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        tail = (_plane_perm_matrix_q8(),)
+    elif plane:
+        kern = functools.partial(_kernel_plane, fast, sbt)
+        tail = ()
+    else:
+        kern = functools.partial(_kernel, fast)
+        tail = ()
+
     out = pl.pallas_call(
-        functools.partial(_kernel, fast),
+        kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bk // BLOCK, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((bn, bm), lambda ni, i, j: (ni, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), out_dtype),
         scratch_shapes=[pltpu.VMEM((bn, bm), jnp.float32)],
@@ -117,6 +231,6 @@ def mmq_q8_0(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=running_interpreted(),
-    )(d_bits, qs, b)
+    )(d_bits, qs, b, *tail)
 
     return out[:n, :m]

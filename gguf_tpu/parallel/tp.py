@@ -222,11 +222,34 @@ def shard_llama(params: dict, cfg: LlamaConfig, mesh: Mesh,
     params, cfg = pad_ffn_for_tp(params, cfg, tp)
     if fuse:
         params = fuse_llama_params(params, tp=tp)
+    params = _unplane_row_sharded(params, tp)
     specs = param_specs(params)
     sharded = jax.tree_util.tree_map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs,
         is_leaf=lambda x: isinstance(x, P))
     return sharded, cfg
+
+
+def _unplane_row_sharded(params: dict, tp: int) -> dict:
+    """q8_0 plane tensors are only K-shardable at 256-row plane-group
+    granularity; a ROW-kind weight whose K/tp is not a 256-multiple (e.g.
+    MLA wo with K = n_heads*v_head_dim = 256 at tp=2) is repacked to
+    element order before sharding (quant/layouts.py q8_0_unplane)."""
+    from ..quant.layouts import QuantTensor, q8_0_unplane
+
+    if tp <= 1:
+        return params
+
+    def fix(t, kind):
+        if (kind == ROW and isinstance(t, QuantTensor) and t.fmt == "q8_0"
+                and t.q8_plane
+                and (t.qs.shape[-2] // tp) % 256 != 0):
+            return q8_0_unplane(t)
+        return t
+
+    layers = [{k: fix(v, LAYER_KINDS.get(k, REP)) for k, v in layer.items()}
+              for layer in params["layers"]]
+    return {**params, "layers": layers}
 
 
 def _interleave_mamba_in(params: dict, cfg: LlamaConfig, tp: int) -> dict:

@@ -61,13 +61,19 @@ QK_K = 256
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["d_bits", "dmin_bits", "sc", "mn", "qs", "ql", "qh"],
-         meta_fields=["fmt"])
+         meta_fields=["fmt", "q8_plane"])
 @dataclass
 class QuantTensor:
     """A quantized (M, K) matrix in SoA device layout (a JAX pytree).
 
     The logical shape is DERIVED from the array shapes, so sliced or
-    shard_map-local views automatically report their local (M, K)."""
+    shard_map-local views automatically report their local (M, K).
+
+    q8_plane records whether a q8_0 tensor's qs rows are in PLANE order
+    (see q8_0_to_soa). It must be a stored flag, not a shape rule: the
+    loader zero-pads K for MoE/tp alignment (loader._pad_k_to), which can
+    give an element-order tensor a plane-eligible padded K. Meta fields
+    survive every tree_map (pad/slice/stack), so the flag follows views."""
 
     fmt: str   # q8_0 | q2_k | q3_k | q4_k | q5_k | q6_k | q4_0 | q4_1 | q5_0 | q5_1 | iq4_nl | iq4_xs
     d_bits: jax.Array           # fp16 scale bits, u16
@@ -77,6 +83,7 @@ class QuantTensor:
     qs: Optional[jax.Array] = None
     ql: Optional[jax.Array] = None
     qh: Optional[jax.Array] = None
+    q8_plane: bool = False
 
     @property
     def shape(self) -> tuple:
@@ -211,12 +218,45 @@ def fp16_round(x: jax.Array) -> jax.Array:
 # -------------------------------------------------------- bytes -> SoA ---
 
 
+# Q8_0 "plane" packing (chosen at load when k % 256 == 0, RECORDED in
+# QuantTensor.q8_plane): within each 256-row group, row r holds element
+# (r % 8)*32 + r // 8 — every row's 32-block id is (row % 8), so the
+# kernel's per-32-block scale multiply is a pltpu.repeat copy-tile (the
+# same ~14% Mosaic lowering win as the K-quant plane layouts). K not
+# divisible by 256 (the reference's K=32..128 sweep) keeps element order.
+_Q8_PLANE_ELEM = ((np.arange(256) % 8) * 32 + np.arange(256) // 8)
+_Q8_PLANE_INV = np.argsort(_Q8_PLANE_ELEM)
+
+
+def q8_0_plane(k: int) -> bool:
+    return k % 256 == 0
+
+
+def q8_0_unplane(t: "QuantTensor") -> "QuantTensor":
+    """Repack a plane-order q8_0 tensor (or stacked expert tensor) back to
+    element order. Host-side, used by the tp shard path when a K shard
+    would not land on a 256-row plane-group boundary — plane groups are
+    only self-contained at 256-row granularity."""
+    import dataclasses
+
+    if not t.q8_plane:
+        return t
+    qs = np.asarray(t.qs)                        # (..., K, M)
+    kk, m = qs.shape[-2], qs.shape[-1]
+    qs = qs.reshape(*qs.shape[:-2], kk // 256, 256, m)[..., _Q8_PLANE_INV, :]
+    return dataclasses.replace(
+        t, qs=jnp.asarray(qs.reshape(*qs.shape[:-3], kk, m)),
+        q8_plane=False)
+
+
 def q8_0_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     b = np.asarray(qbytes).reshape(-1).view(np.uint8)
     blocks = b.reshape(m * (k // 32), Q8_0_BYTES)
     d_bits = blocks[:, :2].copy().view(np.uint16).reshape(m, k // 32)
     qs = blocks[:, 2:].view(np.int8).reshape(m, k)
-    return QuantTensor(fmt="q8_0",
+    if q8_0_plane(k):
+        qs = qs.reshape(m, k // 256, 256)[:, :, _Q8_PLANE_ELEM].reshape(m, k)
+    return QuantTensor(fmt="q8_0", q8_plane=q8_0_plane(k),
                        d_bits=jnp.asarray(np.ascontiguousarray(d_bits.T)),
                        qs=jnp.asarray(np.ascontiguousarray(qs.T)))
 
@@ -224,7 +264,10 @@ def q8_0_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
 def soa_to_q8_0(t: QuantTensor) -> np.ndarray:
     m, k = t.shape
     d_bits = np.ascontiguousarray(np.asarray(t.d_bits).T.reshape(-1))
-    qs = np.ascontiguousarray(np.asarray(t.qs).T.reshape(-1, 32))
+    qs = np.ascontiguousarray(np.asarray(t.qs).T)
+    if t.q8_plane:
+        qs = qs.reshape(m, k // 256, 256)[:, :, _Q8_PLANE_INV].reshape(m, k)
+    qs = np.ascontiguousarray(qs.reshape(-1, 32))
     out = np.empty((d_bits.size, Q8_0_BYTES), dtype=np.uint8)
     out[:, :2] = d_bits.view(np.uint8).reshape(-1, 2)
     out[:, 2:] = qs.view(np.uint8)
@@ -714,6 +757,7 @@ def to_soa(fmt: str, qbytes: np.ndarray, m: int, k: int,
 
             arrs = soa_arrays(fmt, qbytes, m, k)
             return QuantTensor(fmt=fmt,
+                               q8_plane=(fmt == "q8_0" and q8_0_plane(k)),
                                **{f: jnp.asarray(a) for f, a in arrs.items()})
         except (OSError, ImportError):   # no toolchain: numpy fallback
             pass
@@ -737,7 +781,11 @@ def _expand_scales(s: jax.Array, factor: int) -> jax.Array:
 def _dequant_q8_0(t: QuantTensor) -> jax.Array:
     m, k = t.shape
     d = fp16_bits_to_f32(t.d_bits.T)                    # (M, K/32)
-    return _expand_scales(d, 32) * t.qs.T.astype(jnp.float32)
+    qs = t.qs.T
+    if t.q8_plane:   # invert the plane row order (see q8_0_to_soa)
+        qs = qs.reshape(m, k // 256, 256)[:, :, jnp.asarray(_Q8_PLANE_INV)] \
+               .reshape(m, k)
+    return _expand_scales(d, 32) * qs.astype(jnp.float32)
 
 
 def _unpack_nibbles_jnp(packed_t: jax.Array, sb: int) -> jax.Array:
