@@ -133,3 +133,19 @@ def choose_bm(m_arr: int, preferred: int) -> int:
         if mr % bm == 0:
             return bm
     return preferred
+
+
+def ink_block_sums(bt: jax.Array, nblk: int, log2_blk: int) -> jax.Array:
+    """Per-2^log2_blk-column sums of a natural-order (BN, BK) VMEM tile as
+    an MXU dot against an iota-built 0/1 matrix — Mosaic rejects the 3D
+    lane reshape a plain segment-sum would need, and the MXU does this for
+    free at decode widths. HIGHEST keeps the sums f32-exact in both
+    precision modes (they feed the min/offset correction terms)."""
+    bk = bt.shape[1]
+    kk = jax.lax.broadcasted_iota(jnp.int32, (bk, nblk), 0)
+    bb = jax.lax.broadcasted_iota(jnp.int32, (bk, nblk), 1)
+    smat = ((kk >> log2_blk) == bb).astype(jnp.float32)
+    return jax.lax.dot_general(
+        bt, smat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)           # (BN, nblk)

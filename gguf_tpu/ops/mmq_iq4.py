@@ -26,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.layouts import QuantTensor, iq4_lookup
 from .activation import fake_quantize_q8_1
+from .mmq_q4_k import INK_GLUE_MAX_N
 from .common import (
     choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
     regroup_rows, round_up, running_interpreted, unpack_nibbles_tile,
@@ -35,7 +36,7 @@ QK_K = 256
 BLOCK = 32
 
 
-def _kernel(fast, sbt, xs, *refs):
+def _kernel(fast, ink, sbt, xs, *refs):
     refs = list(refs)
     d_ref = refs.pop(0)
     sc_ref = refs.pop(0) if xs else None
@@ -65,8 +66,10 @@ def _kernel(fast, sbt, xs, *refs):
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
+    # ink (decode): b arrives f32 and the bf16 cast rides the VMEM tile
+    bb = b_ref[:].astype(wd.dtype) if ink else b_ref[:]
     acc_ref[:] += jax.lax.dot_general(
-        b_ref[:], wd, (((1,), (0,)), ((), ())),
+        bb, wd, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
 
@@ -106,12 +109,12 @@ def _mmq_iq4(
         b = fake_quantize_q8_1(b)
     b = b.astype(jnp.float32)
     fast = precision == "fast"
-    if fast:
-        b = b.astype(jnp.bfloat16)
-
     n_pad = max(8, round_up(n, 8))
     bn = min(n_pad, 256)
     n_pad = round_up(n_pad, bn)
+    ink = fast and n_pad <= INK_GLUE_MAX_N
+    if fast and not ink:
+        b = b.astype(jnp.bfloat16)
     b = pad_rows(b, n_pad)
 
     bm = choose_bm(w.qs.shape[-1], block_m)
@@ -147,7 +150,7 @@ def _mmq_iq4(
     bytes_per_row = w.packed_bytes_per_row()
 
     out = pl.pallas_call(
-        functools.partial(_kernel, fast, sbt, xs),
+        functools.partial(_kernel, fast, ink, sbt, xs),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bn, bm), lambda ni, i, j: (ni, i),

@@ -29,21 +29,27 @@ from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
 from .common import (  # noqa: F401
     unpack_bitplanes_tile,
-    choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
-    round_up, running_interpreted, unpack_nibbles_tile,
+    choose_bm, fp16_bits_to_f32, ink_block_sums, pad_cols, pad_rows,
+    pick_block, round_up, running_interpreted, unpack_nibbles_tile,
 )
+from .mmq_q4_k import INK_GLUE_MAX_N
 
 QK_K = 256
 BLOCK = 32
 
 
-def _kernel(fast, sbt, five_bit, affine, offset, *refs):
+def _kernel(fast, ink, fp16_bsum, sbt, five_bit, affine, offset, *refs):
     refs = list(refs)
     d_ref = refs.pop(0)
     mn_ref = refs.pop(0) if affine else None
     qs_ref = refs.pop(0)
     qh_ref = refs.pop(0) if five_bit else None
-    b_ref, bsum_ref, out_ref, acc_ref = refs
+    if ink:   # decode path: bsum + bf16 cast in-kernel (element order —
+        # the legacy formats have no activation permute)
+        b_ref, out_ref, acc_ref = refs
+        bsum_ref = None
+    else:
+        b_ref, bsum_ref, out_ref, acc_ref = refs
 
     k_idx = pl.program_id(2)
 
@@ -64,15 +70,28 @@ def _kernel(fast, sbt, five_bit, affine, offset, *refs):
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
+    corr = (fp16_bits_to_f32(mn_ref[:]) if affine
+            else d32 * jnp.float32(-offset))
+    if ink:
+        from ..quant.layouts import fp16_round
+
+        bt = b_ref[:]                                       # (BN, BK) f32
+        bsum = ink_block_sums(bt, nb, 5)                    # (BN, TK/32)
+        if fp16_bsum:   # the Q8_1 `s` field is fp16 — match its rounding
+            bsum = fp16_round(bsum)
+        bb = bt.astype(wd.dtype)
+        corr_dims = (((1,), (0,)), ((), ()))
+    else:
+        bb = b_ref[:]
+        bsum = bsum_ref[:]
+        corr_dims = (((0,), (0,)), ((), ()))
     acc_ref[:] += jax.lax.dot_general(
-        b_ref[:], wd, (((1,), (0,)), ((), ())),
+        bb, wd, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
     # affine/offset term: one small matmul against per-32-block act sums
-    corr = (fp16_bits_to_f32(mn_ref[:]) if affine
-            else d32 * jnp.float32(-offset))
     acc_ref[:] += jax.lax.dot_general(
-        bsum_ref[:], corr, (((0,), (0,)), ((), ())),
+        bsum, corr, corr_dims,
         preferred_element_type=jnp.float32, precision=precision,
     )
 
@@ -114,23 +133,26 @@ def _mmq_legacy(
     if act_quant:
         b = fake_quantize_q8_1(b)
     b = b.astype(jnp.float32)
-    bsum = jnp.sum(b.reshape(n, k // 32, 32), axis=-1)
-    if act_quant:
-        # llama.cpp's vec_dot_q4_1_q8_1 consumes Q8_1's s = fp16(d8*sum q8);
-        # rounding the block sums through fp16 reproduces that contract
-        # exactly (the affine/offset term otherwise drifts ~1e-2 under
-        # cancellation vs the byte goldens)
-        from ..quant.layouts import f32_to_fp16_bits, fp16_bits_to_f32 as _u
-        bsum = _u(f32_to_fp16_bits(bsum))
     fast = precision == "fast"
-    if fast:
-        b = b.astype(jnp.bfloat16)
-
     n_pad = max(8, round_up(n, 8))
     bn = min(n_pad, 256)
     n_pad = round_up(n_pad, bn)
+    ink = n_pad <= INK_GLUE_MAX_N
+    if ink:
+        bsum_t = None
+    else:
+        bsum = jnp.sum(b.reshape(n, k // 32, 32), axis=-1)
+        if act_quant:
+            # llama.cpp's vec_dot_q4_1_q8_1 consumes Q8_1's s =
+            # fp16(d8*sum q8); rounding the block sums through fp16
+            # reproduces that contract exactly (the affine/offset term
+            # otherwise drifts ~1e-2 under cancellation vs byte goldens)
+            from ..quant.layouts import f32_to_fp16_bits, fp16_bits_to_f32 as _u
+            bsum = _u(f32_to_fp16_bits(bsum))
+        if fast:
+            b = b.astype(jnp.bfloat16)
+        bsum_t = pad_rows(bsum, n_pad).T                    # (K/32, n_pad)
     b = pad_rows(b, n_pad)
-    bsum_t = pad_rows(bsum, n_pad).T                        # (K/32, n_pad)
 
     bm = choose_bm(w.qs.shape[-1], block_m)
     m_pad = round_up(max(m, w.qs.shape[-1]), bm)
@@ -153,19 +175,20 @@ def _mmq_legacy(
         operands.append(pad_cols(w.qh, m_pad))
         in_specs.append(pl.BlockSpec((bk // 8, bm), lambda ni, i, j: (j, i),
                                      memory_space=pltpu.VMEM))
-    operands += [b, bsum_t]
-    in_specs += [
-        pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((bk // 32, bn), lambda ni, i, j: (j, ni),
-                     memory_space=pltpu.VMEM),
-    ]
+    operands.append(b)
+    in_specs.append(pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j),
+                                 memory_space=pltpu.VMEM))
+    if not ink:
+        operands.append(bsum_t)
+        in_specs.append(pl.BlockSpec((bk // 32, bn), lambda ni, i, j: (j, ni),
+                                     memory_space=pltpu.VMEM))
 
     grid = (n_pad // bn, m_pad // bm, k // bk)
     bytes_per_row = w.packed_bytes_per_row()
 
     out = pl.pallas_call(
-        functools.partial(_kernel, fast, sbt, five_bit, affine, offset),
+        functools.partial(_kernel, fast, ink, act_quant, sbt, five_bit,
+                          affine, offset),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bn, bm), lambda ni, i, j: (ni, i),

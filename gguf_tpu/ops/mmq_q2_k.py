@@ -26,44 +26,64 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
 from .common import (
-    choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
-    regroup_rows, round_up, running_interpreted, unpack_crumbs_tile,
+    choose_bm, fp16_bits_to_f32, ink_block_sums, pad_cols, pad_rows,
+    pick_block, regroup_rows, round_up, running_interpreted,
+    unpack_crumbs_tile,
 )
+from .mmq_q4_k import INK_GLUE_MAX_N
 
 QK_K = 256
 
 
-def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
-            bsum_ref, out_ref, acc_ref):
+def _affine16_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref):
+    """Per-16-block affine params, f32: scale = d*sc, min = dmin*mn (the
+    per-superblock fp16 d/dmin rows come 8-row padded per K-step)."""
+    d = fp16_bits_to_f32(d_ref[:sbt, :])                     # (SBt, TM)
+    dmin = fp16_bits_to_f32(dmin_ref[:sbt, :])
+    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)     # (SBt*16, TM)
+    mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+    tm = sc.shape[-1]
+    scale16 = (d[:, None, :] * sc.reshape(sbt, 16, tm)).reshape(sbt * 16, tm)
+    min16 = (dmin[:, None, :] * mn.reshape(sbt, 16, tm)).reshape(sbt * 16, tm)
+    return scale16, min16
+
+
+def _kernel(fast, ink, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
+            *rest):
+    # rest = (bsum_ref, out_ref, acc_ref) in glue mode / (out_ref, acc_ref)
+    # in ink mode (bsum computed in-kernel from the natural-order b tile)
+    bsum_ref = None if ink else rest[0]
+    out_ref, acc_ref = rest[-2], rest[-1]
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # per-superblock fp16 scales (8-row padded per K-step by the wrapper)
-    d = fp16_bits_to_f32(d_ref[:sbt, :])                     # (SBt, TM)
-    dmin = fp16_bits_to_f32(dmin_ref[:sbt, :])
-
-    # per-16-block affine params, f32: scale = d*sc, min = dmin*mn
-    sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)     # (SBt*16, TM)
-    mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
-    tm = sc.shape[-1]
-    scale16 = (d[:, None, :] * sc.reshape(sbt, 16, tm)).reshape(sbt * 16, tm)
-    min16 = (dmin[:, None, :] * mn.reshape(sbt, 16, tm)).reshape(sbt * 16, tm)
-
+    scale16, min16 = _affine16_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref)
+    tm = scale16.shape[-1]
     q = unpack_crumbs_tile(qs_ref[:], sbt).astype(jnp.float32)   # (TK, TM)
     w = (q.reshape(sbt * 16, 16, tm) * scale16[:, None, :]).reshape(sbt * 256, tm)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
+    if ink:   # decode path: bsum + bf16 cast in-kernel (q2_k has no
+        # activation permute — its unpack lands in element order)
+        bt = b_ref[:]                                        # (BN, BK) f32
+        bsum = ink_block_sums(bt, sbt * 16, 4)               # (BN, SBt*16)
+        bb = bt.astype(wd.dtype)
+        min_dims = (((1,), (0,)), ((), ()))
+    else:
+        bb = b_ref[:]
+        bsum = bsum_ref[:]
+        min_dims = (((0,), (0,)), ((), ()))
     acc_ref[:] += jax.lax.dot_general(
-        b_ref[:], wd, (((1,), (0,)), ((), ())),
+        bb, wd, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
-    # min term: bsum (SBt*16, N) x min16 (SBt*16, TM) -> (N, TM)
+    # min term: bsum x min16 -> (N, TM)
     acc_ref[:] -= jax.lax.dot_general(
-        bsum_ref[:], min16, (((0,), (0,)), ((), ())),
+        bsum, min16, min_dims,
         preferred_element_type=jnp.float32, precision=precision,
     )
 
@@ -101,18 +121,21 @@ def mmq_q2_k(
     if act_quant:
         b = fake_quantize_q8_1(b)
     b = b.astype(jnp.float32)
-    # per-16-block activation sums for the min term (exact: fake-quantized
-    # values are d*q, so the half-block sum equals dB*sum_16(qb))
-    bsum = jnp.sum(b.reshape(n, k // 16, 16), axis=-1)
     fast = precision == "fast"
-    if fast:
-        b = b.astype(jnp.bfloat16)
-
     n_pad = max(8, round_up(n, 8))
     bn = min(n_pad, 256)
     n_pad = round_up(n_pad, bn)
+    ink = n_pad <= INK_GLUE_MAX_N
+    if ink:
+        bsum_t = None
+    else:
+        # per-16-block activation sums for the min term (exact: fake-
+        # quantized values are d*q, so the half-block sum = dB*sum_16(qb))
+        bsum = jnp.sum(b.reshape(n, k // 16, 16), axis=-1)
+        if fast:
+            b = b.astype(jnp.bfloat16)
+        bsum_t = pad_rows(bsum, n_pad).T                     # (K/16, n_pad)
     b = pad_rows(b, n_pad)
-    bsum_t = pad_rows(bsum, n_pad).T                         # (K/16, n_pad)
 
     bm = choose_bm(w.qs.shape[-1], block_m)
     m_pad = round_up(max(m, w.qs.shape[-1]), bm)
@@ -130,18 +153,24 @@ def mmq_q2_k(
 
     grid = (n_pad // bn, m_pad // bm, k // bk)
 
+    specs = [
+        pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sbt * 16, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sbt * 16, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk // 4, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j), memory_space=pltpu.VMEM),
+    ]
+    tail = ()
+    if not ink:
+        specs.append(pl.BlockSpec((sbt * 16, bn), lambda ni, i, j: (j, ni),
+                                  memory_space=pltpu.VMEM))
+        tail = (bsum_t,)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, fast, sbt),
+        functools.partial(_kernel, fast, ink, sbt),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sbt * 16, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sbt * 16, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 4, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sbt * 16, bn), lambda ni, i, j: (j, ni), memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((bn, bm), lambda ni, i, j: (ni, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), out_dtype),
         scratch_shapes=[pltpu.VMEM((bn, bm), jnp.float32)],
@@ -154,6 +183,6 @@ def mmq_q2_k(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=running_interpreted(),
-    )(d_bits, dmin_bits, sc, mn, qs, b, bsum_t)
+    )(d_bits, dmin_bits, sc, mn, qs, b, *tail)
 
     return out[:n, :m]

@@ -24,6 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
+from .mmq_q4_k import INK_GLUE_MAX_N
 from .common import (  # noqa: F401
     unpack_bitplanes_tile,
     choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
@@ -33,7 +34,8 @@ from .common import (  # noqa: F401
 QK_K = 256
 
 
-def _kernel(fast, sbt, d_ref, sc_ref, qs_ref, qh_ref, b_ref, out_ref, acc_ref):
+def _kernel(fast, ink, sbt, d_ref, sc_ref, qs_ref, qh_ref, b_ref, out_ref,
+            acc_ref):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -56,8 +58,10 @@ def _kernel(fast, sbt, d_ref, sc_ref, qs_ref, qh_ref, b_ref, out_ref, acc_ref):
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
+    # ink (decode): b arrives f32 and the bf16 cast rides the VMEM tile
+    bb = b_ref[:].astype(wd.dtype) if ink else b_ref[:]
     acc_ref[:] += jax.lax.dot_general(
-        b_ref[:], wd, (((1,), (0,)), ((), ())),
+        bb, wd, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
 
@@ -91,11 +95,13 @@ def mmq_q3_k(
     if act_quant:
         b = fake_quantize_q8_1(b)
     fast = precision == "fast"
-    b = b.astype(jnp.bfloat16 if fast else jnp.float32)
-
+    b = b.astype(jnp.float32)
     n_pad = max(8, round_up(n, 8))
     bn = min(n_pad, 256)
     n_pad = round_up(n_pad, bn)
+    ink = fast and n_pad <= INK_GLUE_MAX_N
+    if fast and not ink:
+        b = b.astype(jnp.bfloat16)
     b = pad_rows(b, n_pad)
     bm = choose_bm(w.qs.shape[-1], block_m)
     m_pad = round_up(max(m, w.qs.shape[-1]), bm)
@@ -113,7 +119,7 @@ def mmq_q3_k(
     grid = (n_pad // bn, m_pad // bm, k // bk)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, fast, sbt),
+        functools.partial(_kernel, fast, ink, sbt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((g8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),

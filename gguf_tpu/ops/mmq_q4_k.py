@@ -70,8 +70,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
 from .common import (
-    choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
-    regroup_rows, round_up, running_interpreted,
+    choose_bm, fp16_bits_to_f32, ink_block_sums, pad_cols, pad_rows,
+    pick_block, regroup_rows, round_up, running_interpreted,
 )
 
 QK_K = 256
@@ -167,14 +167,7 @@ def _ink_b_prep(fast, sbt, b_ref, p_ref):
     a per-superblock (BN, 256) x (256, 256) 0/1 matmul — exact selection
     (the bf16 operand is pre-rounded in fast mode)."""
     bt = b_ref[:]                                  # (BN, BK) f32, natural
-    bk = bt.shape[1]
-    kk = jax.lax.broadcasted_iota(jnp.int32, (bk, sbt * 8), 0)
-    bb_i = jax.lax.broadcasted_iota(jnp.int32, (bk, sbt * 8), 1)
-    smat = ((kk >> 5) == bb_i).astype(jnp.float32)
-    bsum = jax.lax.dot_general(
-        bt, smat, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)       # (BN, SBt*8)
+    bsum = ink_block_sums(bt, sbt * 8, 5)          # (BN, SBt*8)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     bc = bt.astype(jnp.bfloat16) if fast else bt

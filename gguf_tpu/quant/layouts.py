@@ -189,8 +189,11 @@ def f32_to_fp16_bits(x: jax.Array) -> jax.Array:
 
     f32_infty = jnp.uint32(255 << 23)
     f16_max = jnp.uint32((127 + 16) << 23)
-    denorm_magic_bits = jnp.uint32(126 << 23)  # 0.5f
-    denorm_magic = jax.lax.bitcast_convert_type(denorm_magic_bits, jnp.float32)
+    denorm_magic_bits = jnp.uint32(126 << 23)  # the bits of 0.5f
+    # written as the float literal, not a bitcast of the scalar constant:
+    # Mosaic's tpu.bitcast only accepts vectors, so a scalar bitcast aborts
+    # kernel lowering (hit when fp16_round moved inside mmq_legacy)
+    denorm_magic = jnp.float32(0.5)
 
     # large: inf (0x7C00) or NaN (0x7E00)
     big = jnp.where(f > f32_infty, jnp.uint32(0x7E00), jnp.uint32(0x7C00))
