@@ -188,8 +188,10 @@ def work():
             def many(params, tokens, pos, cache):
                 def body(i, carry):
                     toks, pos, cache = carry
+                    # span must be a 128-multiple (the engine's bucket
+                    # granularity; the attention kernels assert it)
                     logits, cache = forward(params, cfg, toks, pos, cache,
-                                            opts, span=64)
+                                            opts, span=128)
                     nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
                     return nxt[:, None], pos + 1, cache
                 toks, pos, _ = jax.lax.fori_loop(
