@@ -14,10 +14,12 @@ best-effort within the budget, null if the budget ran out first):
   precision="high") — the reference kernels always quantize activations
   in-kernel (/root/reference/kernels/mmq_q4_k.py:202-212), so this is the
   apples-to-apples number; `value` is the serving default (bf16 fast path).
-- e2e_tokens_per_s: decode throughput of the 2-layer flagship model at
-  batch 16 through forward() on this chip (engine-scale numbers live in
-  benchmarks/RESULTS_v5e.jsonl; this field proves the full model path runs
-  at speed on real hardware every round).
+- e2e_2layer_tokens_per_s: decode throughput of the 2-LAYER TOY flagship
+  model (vocab 4096, dim 2048 — NOT a real checkpoint; named so the field
+  cannot be mistaken for full-model throughput, VERDICT r3 weak #3) at
+  batch 16 through forward() on this chip. Real-model engine numbers live
+  in benchmarks/RESULTS_v5e.jsonl (llama2-7b decode batch=16); this field
+  proves the full model path runs at speed on real hardware every round.
 - compile_check: how much of the kernel surface demonstrably lowered on
   real Mosaic this run — all 12 MMQ formats at a decode shape. Attention /
   model shape classes are covered by tests/tpu_compile_check.py.
@@ -66,7 +68,7 @@ STATE = {
     "unit": "GB/s",
     "vs_baseline": None,
     "value_act_quant": None,
-    "e2e_tokens_per_s": None,
+    "e2e_2layer_tokens_per_s": None,
     "compile_check": None,
 }
 _DONE = threading.Event()
@@ -201,9 +203,9 @@ def work():
 
         t_step = slope_time(mk_step, (params, tokens0, pos0, cache),
                             lo=10, hi=50, reps=3, deadline=deadline())
-        STATE["e2e_tokens_per_s"] = round(batch / t_step, 1)
+        STATE["e2e_2layer_tokens_per_s"] = round(batch / t_step, 1)
         log(f"flagship-2L decode: {t_step * 1e6:.1f} us/step -> "
-            f"{STATE['e2e_tokens_per_s']} tokens/s @ batch {batch}")
+            f"{STATE['e2e_2layer_tokens_per_s']} tokens/s @ batch {batch}")
     except Exception as e:  # noqa: BLE001
         log(f"e2e skipped: {type(e).__name__}: {e}")
 

@@ -85,8 +85,12 @@ def _time(op, args, label, glue=None):
 rng = np.random.default_rng(1)
 b_nat = jnp.asarray(rng.standard_normal((N, STEPS * BK)), jnp.float32)
 w_u8 = jnp.asarray(rng.integers(0, 255, (STEPS * BK // 2, BM)), jnp.uint8)
-d16 = jnp.asarray(rng.integers(0, 2**15, (STEPS * 8, BM)), jnp.uint16)
-dm16 = jnp.asarray(rng.integers(0, 2**15, (STEPS * 8, BM)), jnp.uint16)
+# fp16 bit patterns restricted to finite normals (0x2000-0x3FFF): the r3 run
+# drew from [0, 2**15) which includes inf/NaN encodings (>= 0x7C00) — both
+# the ref op and the kernel then computed NaN and the archived max_rel_err
+# line was NaN (RESULTS line 79, superseded by the r4 re-run).
+d16 = jnp.asarray(rng.integers(2**13, 2**14, (STEPS * 8, BM)), jnp.uint16)
+dm16 = jnp.asarray(rng.integers(2**13, 2**14, (STEPS * 8, BM)), jnp.uint16)
 sc_u8 = jnp.asarray(rng.integers(0, 63, (STEPS * NBLK, BM)), jnp.uint8)
 mn_u8 = jnp.asarray(rng.integers(0, 63, (STEPS * NBLK, BM)), jnp.uint8)
 
@@ -239,12 +243,15 @@ if __name__ == "__main__":
             got = op(w_u8, d16, dm16, sc_u8, mn_u8, b_nat)
             err = float(jnp.max(jnp.abs(got - ref))
                         / (jnp.max(jnp.abs(ref)) + 1e-9))
-            emit({"probe": f"q4k_glue {name} max_rel_err", "err": err})
+            emit({"probe": f"q4k_glue {name} max_rel_err", "err": err,
+                  "ref_finite": bool(jnp.isfinite(ref).all())})
             ok.append((name, op))
         except Exception as e:  # noqa: BLE001
             emit({"probe": f"q4k_glue {name} FAILED",
                   "error": repr(e)[:200]})
     log("correctness done")
+    if len(sys.argv) > 1 and sys.argv[1] == "check":
+        sys.exit(0)
 
     bp0, bs0 = xla_glue(b_nat)
     _time(lambda w, d, dm, sc, mn, bs, bp: minsep_op(w, d, dm, sc, mn, bs,

@@ -27,17 +27,23 @@ import numpy as np
 def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None,
-                     health_check: bool = True) -> dict:
+                     health_check: bool = True,
+                     initialization_timeout: int = 300) -> dict:
     """Initialize the multi-host runtime and (optionally) run a whole-slice
     health check. Returns a summary dict. Safe to call single-host (no-op
-    when jax.process_count() stays 1 and no coordinator is given)."""
+    when jax.process_count() stays 1 and no coordinator is given).
+
+    initialization_timeout bounds how long ranks wait for missing peers at
+    bring-up (passed through to jax.distributed.initialize); a dead host is
+    a RuntimeError here, not an indefinite hang at the first collective."""
     # env check first: jax.process_count() would initialize the XLA backend
     # and make jax.distributed.initialize() unusable afterwards
     if coordinator_address or num_processes or _looks_multihost():
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
-            process_id=process_id)
+            process_id=process_id,
+            initialization_timeout=initialization_timeout)
 
     info = {
         "process_id": jax.process_index(),

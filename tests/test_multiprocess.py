@@ -84,6 +84,39 @@ def _free_port() -> int:
     return port
 
 
+def _run_ranks(tmp_path, worker_src, n_ranks=2, timeout=600, env_extra=None,
+               check=True):
+    """Spawn n_ranks workers of worker_src (formatted with repo=REPO) joined
+    on a fresh coordinator port; returns (procs' outputs, return codes)."""
+    script = tmp_path / "worker.py"
+    script.write_text(worker_src.format(repo=REPO))
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    if env_extra:
+        env.update(env_extra)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(port), str(rank)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=str(tmp_path))
+        for rank in range(n_ranks)
+    ]
+    outs, codes = [], []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        codes.append(p.returncode)
+        if check:
+            assert p.returncode == 0, f"rank failed:\n{out}"
+    return outs, codes
+
+
 def test_two_process_tp2_forward(tmp_path):
     """Spawn 2 ranks; assert health check + identical cross-rank logits."""
     script = tmp_path / "worker.py"
@@ -120,3 +153,176 @@ def test_two_process_tp2_forward(tmp_path):
     assert set(logits) == {0, 1}, outs
     # the logits all-gather must leave every rank with the same values
     assert logits[0] == logits[1], logits
+
+
+# ---------------------------------------------------------------------------
+# Failure-path coverage (VERDICT r3 #8): the 2-host BASELINE target leans on
+# this bootstrap and nothing else in the environment can exercise it.
+# ---------------------------------------------------------------------------
+
+PEER_MISSING = textwrap.dedent("""
+    import sys
+    port, pid = sys.argv[1], int(sys.argv[2])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+    from gguf_tpu.parallel.distributed import init_distributed
+
+    # claim 2 processes but only rank 0 ever starts: bring-up must FAIL
+    # within the timeout, not hang at the first collective. The JAX
+    # distributed client LOG(FATAL)s on RegisterTask DEADLINE_EXCEEDED
+    # (it does NOT raise a Python exception), so detection = nonzero exit
+    # + the deadline message — what a supervisor actually observes.
+    init_distributed(coordinator_address=f"localhost:{{port}}",
+                     num_processes=2, process_id=0,
+                     initialization_timeout=15)
+    print("UNEXPECTED_SUCCESS", flush=True)
+""")
+
+
+def test_peer_missing_times_out(tmp_path):
+    """A dead host at bring-up is a bounded, loud failure (fatal exit within
+    the initialization_timeout), not an indefinite hang."""
+    outs, codes = _run_ranks(tmp_path, PEER_MISSING, n_ranks=1, timeout=180,
+                             check=False)
+    assert codes[0] != 0, outs[0]
+    assert "UNEXPECTED_SUCCESS" not in outs[0], outs[0]
+    assert "DEADLINE_EXCEEDED" in outs[0] or "Deadline Exceeded" in outs[0], \
+        outs[0]
+
+
+MESH_MISMATCH = textwrap.dedent("""
+    import sys
+    port, pid = sys.argv[1], int(sys.argv[2])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+    from gguf_tpu.parallel.distributed import init_distributed
+    from gguf_tpu.parallel.tp import make_mesh
+
+    info = init_distributed(coordinator_address=f"localhost:{{port}}",
+                            num_processes=2, process_id=pid)
+    assert info["psum_ok"] is True, info
+    # the slice has 2 global devices; tp=4 must be rejected loudly at mesh
+    # construction, BEFORE any weight is sharded
+    try:
+        make_mesh(tp=4)
+    except AssertionError:
+        print(f"MESH_MISMATCH_REJECTED rank={{pid}}", flush=True)
+    else:
+        print("UNEXPECTED_MESH_OK", flush=True)
+        sys.exit(1)
+    # and the correctly-sized mesh still works after the failed attempt
+    mesh = make_mesh(tp=2)
+    assert mesh.devices.size == 2
+    print(f"MESH_OK rank={{pid}}", flush=True)
+""")
+
+
+def test_mesh_mismatch_rejected(tmp_path):
+    outs, _ = _run_ranks(tmp_path, MESH_MISMATCH)
+    for rank, out in enumerate(outs):
+        assert f"MESH_MISMATCH_REJECTED rank={rank}" in out, out
+        assert f"MESH_OK rank={rank}" in out, out
+
+
+MID_RUN_ABORT = textwrap.dedent("""
+    import os, sys, threading, time
+    port, pid = sys.argv[1], int(sys.argv[2])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+    from gguf_tpu.parallel.distributed import init_distributed, \\
+        _psum_health_check
+
+    info = init_distributed(coordinator_address=f"localhost:{{port}}",
+                            num_processes=2, process_id=pid)
+    assert info["psum_ok"] is True, info
+    print(f"INIT_OK rank={{pid}}", flush=True)
+    if pid == 1:
+        os._exit(0)   # simulated mid-run host death, after healthy bring-up
+
+    # rank 0: a post-mortem collective must NOT succeed. Accept either an
+    # exception or a hang (watchdog converts the hang into exit code 3) —
+    # the failure mode a health-checking supervisor must handle.
+    def watchdog():
+        time.sleep(60)
+        print("ABORT_HUNG", flush=True)
+        os._exit(3)
+    threading.Thread(target=watchdog, daemon=True).start()
+    time.sleep(2.0)   # let rank 1's death propagate
+    try:
+        ok = _psum_health_check()
+    except Exception as e:
+        print(f"ABORT_DETECTED {{type(e).__name__}}", flush=True)
+        os._exit(0)
+    if ok:
+        print("UNEXPECTED_PSUM_OK", flush=True)
+        os._exit(1)
+    print("ABORT_DETECTED bad_sum", flush=True)
+    os._exit(0)
+""")
+
+
+def test_mid_run_abort_detected(tmp_path):
+    """After a peer dies mid-run, a collective on the survivor must not
+    silently return success."""
+    outs, codes = _run_ranks(tmp_path, MID_RUN_ABORT, timeout=300,
+                             check=False)
+    assert codes[1] == 0, outs[1]
+    assert "INIT_OK rank=0" in outs[0], outs[0]
+    assert "UNEXPECTED_PSUM_OK" not in outs[0], outs[0]
+    assert codes[0] in (0, 3), (codes, outs[0])
+    assert ("ABORT_DETECTED" in outs[0]) or ("ABORT_HUNG" in outs[0]), \
+        outs[0]
+
+
+TWO_BY_FOUR = textwrap.dedent("""
+    import sys
+    port, pid = sys.argv[1], int(sys.argv[2])
+    import os
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from gguf_tpu.parallel.distributed import init_distributed
+    from gguf_tpu.parallel.tp import make_mesh
+
+    info = init_distributed(coordinator_address=f"localhost:{{port}}",
+                            num_processes=2, process_id=pid)
+    assert info["num_processes"] == 2, info
+    assert info["local_devices"] == 4, info
+    assert info["global_devices"] == 8, info
+    assert info["psum_ok"] is True, info
+    print(f"PSUM8_OK rank={{pid}}", flush=True)
+
+    # dp spans the DCN (process) boundary, tp the 4 process-local devices —
+    # the exact axis split the 2-host BASELINE config uses
+    mesh = make_mesh(tp=4, dp=2)
+    x = jax.make_array_from_process_local_data(
+        jax.NamedSharding(mesh, P(("dp",), ("tp",))),
+        np.full((1, 4), pid + 1, np.float32), (2, 4))
+
+    def f(x):
+        tp_sum = jax.lax.psum(x, "tp")       # ICI-local collective
+        dp_sum = jax.lax.psum(tp_sum, "dp")  # DCN-crossing collective
+        return dp_sum
+
+    got = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=P(("dp",), ("tp",)), out_specs=P()))(x)
+    v = float(np.asarray(jax.device_get(got))[0, 0])
+    assert v == (1 + 2) * 4, v   # sum over dp ranks of 4*rank_value
+    print(f"TP4DP2_OK rank={{pid}} {{v}}", flush=True)
+""")
+
+
+def test_two_process_four_virtual_devices(tmp_path):
+    """DCN bootstrap composed with a 4-wide process-local mesh axis: the
+    dp(x-host) x tp(local) split of the 2-host BASELINE config."""
+    outs, _ = _run_ranks(tmp_path, TWO_BY_FOUR)
+    for rank, out in enumerate(outs):
+        assert f"PSUM8_OK rank={rank}" in out, out
+        assert f"TP4DP2_OK rank={rank}" in out, out
