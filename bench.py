@@ -101,6 +101,7 @@ def work():
 
     from gguf_tpu.utils.benchmark import mmq_loop, slope_time
     from gguf_tpu.ops import mmq_q4_k
+    from gguf_tpu.ops.common import pick_tiles
     from gguf_tpu.quant import quantize_q4_k
     from gguf_tpu.quant.layouts import to_soa
 
@@ -122,9 +123,13 @@ def work():
     # Fixed lo/hi spans sized so the hi-lo delta clears relay jitter
     # (~20 us/iter * 1200 = ~24 ms): exactly two programs to compile,
     # no auto-extend re-jits.
+    # tile sizes = exactly what the serving path picks for this shape
+    # (ops/common.py pick_tiles; r4-tiles sweep)
+    bm, bk = pick_tiles(m, k, 2048, 1024, n)
     t_mmq = slope_time(
         mmq_loop(lambda w_, x_: mmq_q4_k(w_, x_, precision="fast",
-                                         act_quant=False), n, m, x0),
+                                         act_quant=False, block_m=bm,
+                                         block_k=bk), n, m, x0),
         (w, x0), lo=50, hi=1250, deadline=deadline())
     STATE["value"] = round(wbytes / t_mmq / 1e9, 2)
     log(f"mmq_q4_k: {t_mmq * 1e6:.1f} us/iter -> {STATE['value']} GB/s")
@@ -138,7 +143,8 @@ def work():
     # activations in-kernel).
     t_aq = slope_time(
         mmq_loop(lambda w_, x_: mmq_q4_k(w_, x_, precision="high",
-                                         act_quant=True), n, m, x0),
+                                         act_quant=True, block_m=bm,
+                                         block_k=bk), n, m, x0),
         (w, x0), lo=50, hi=650, deadline=deadline())
     STATE["value_act_quant"] = round(wbytes / t_aq / 1e9, 2)
     log(f"mmq_q4_k act_quant+high: {t_aq * 1e6:.1f} us/iter -> "

@@ -103,14 +103,12 @@ def iso_variant(kind):
     iso_vpu line): with constant block index maps the dequant chain's inputs
     are grid-step-invariant and Mosaic hoists the WHOLE chain out of the
     32-step grid loop (the dot survives only because it accumulates). A
-    dynamic-sublane-slice fix failed to compile (and where it compiled it
-    inflated the chain with misaligned-load copies). Fix that measures
-    clean: the u8 source is a 1024-row buffer whose 512-row HALF is chosen
-    by step parity under @pl.when — static slices, no extra per-element
-    work, and predicated regions don't hoist; the per-32-block scale is
-    additionally perturbed by program_id (one op on a (32,2048) operand) so
-    every downstream op is step-dependent. The final consume sums ALL
-    scratch rows so no store is dead."""
+    dynamic-sublane-slice fix and a @pl.when parity-branch fix both crashed
+    the Mosaic compiler for the big-concat variants. Final design: the u8
+    source STREAMS through an alternating block index map (i % 2 over a
+    1024-row buffer) — the loaded data changes every step so nothing can
+    hoist, the body stays exactly the shape that compiles, and the 1MB
+    alternating DMA hides under the chain compute."""
 
     def kern(w_ref, x_ref, s_ref, b_ref, o_ref, acc_ref, acc2_ref):
         i = pl.program_id(0)
@@ -119,25 +117,32 @@ def iso_variant(kind):
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        sp = s_ref[:] * (1.0 + i.astype(jnp.float32) * 1e-9)
-
-        def chain_half(half):
-            vi = x_ref[half * (BK // 2):(half + 1) * (BK // 2), :] \
-                .astype(jnp.int32)
+        def chain():
+            vi = x_ref[:].astype(jnp.int32)
             parts = []
             for sb in range(SBT):
                 sl = vi[sb * 128:(sb + 1) * 128, :]
-                se = pltpu.repeat(sp[sb * 8:(sb + 1) * 8, :], 16, axis=0)
+                se = pltpu.repeat(s_ref[sb * 8:(sb + 1) * 8, :], 16, axis=0)
                 parts.append((sl & 0xF).astype(jnp.float32) * se)
                 parts.append((sl >> 4).astype(jnp.float32) * se)
             return jnp.concatenate(parts, axis=0).astype(jnp.bfloat16)
 
-        def ilv_half(half):
-            vi = x_ref[half * (BK // 2):(half + 1) * (BK // 2), :] \
-                .astype(jnp.int32)
+        if kind == "dot":
+            acc_ref[:] += jax.lax.dot_general(
+                b_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        elif kind == "vpu":
+            acc2_ref[:] = chain()
+        elif kind == "both":
+            acc2_ref[:] = chain()
+            acc_ref[:] += jax.lax.dot_general(
+                b_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:  # both_ilv: alternate independent dot/dequant chunks
+            vi = x_ref[:].astype(jnp.int32)
             for c in range(SBT):
                 sl = vi[c * 128:(c + 1) * 128, :]
-                se = pltpu.repeat(sp[c * 8:(c + 1) * 8, :], 16, axis=0)
+                se = pltpu.repeat(s_ref[c * 8:(c + 1) * 8, :], 16, axis=0)
                 wd = jnp.concatenate(
                     [(sl & 0xF).astype(jnp.float32) * se,
                      (sl >> 4).astype(jnp.float32) * se],
@@ -149,40 +154,14 @@ def iso_variant(kind):
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
-        if kind == "dot":
-            acc_ref[:] += jax.lax.dot_general(
-                b_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        elif kind in ("vpu", "both"):
-            @pl.when(i % 2 == 0)
-            def _():
-                acc2_ref[:] = chain_half(0)
-
-            @pl.when(i % 2 == 1)
-            def _():
-                acc2_ref[:] = chain_half(1)
-            if kind == "both":
-                acc_ref[:] += jax.lax.dot_general(
-                    b_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-        else:  # both_ilv: alternate independent dot/dequant chunks
-            @pl.when(i % 2 == 0)
-            def _():
-                ilv_half(0)
-
-            @pl.when(i % 2 == 1)
-            def _():
-                ilv_half(1)
-
         @pl.when(i == ISO_STEPS - 1)
         def _():
             if kind == "dot":
                 o_ref[:] = acc_ref[:]
+            elif kind == "vpu":
+                o_ref[:] = acc2_ref[:N, :].astype(jnp.float32)
             else:
-                tot = jnp.broadcast_to(
-                    jnp.sum(acc2_ref[:].astype(jnp.float32), axis=0,
-                            keepdims=True), (N, BM))
-                o_ref[:] = (tot if kind == "vpu" else acc_ref[:] + tot)
+                o_ref[:] = acc_ref[:] + acc2_ref[:N, :].astype(jnp.float32)
 
     w = jnp.asarray(rng.standard_normal((BK, BM)), jnp.bfloat16)
     x = jnp.asarray(rng.integers(0, 255, (BK, BM)), jnp.uint8)
@@ -194,7 +173,9 @@ def iso_variant(kind):
         kern, grid=(ISO_STEPS,),
         in_specs=[
             pl.BlockSpec((BK, BM), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((BK, BM), const2, memory_space=pltpu.VMEM),
+            # alternating half: streamed, so the chain can never hoist
+            pl.BlockSpec((BK // 2, BM), lambda i: (i % 2, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((SBT * 8, BM), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((N, BK), const2, memory_space=pltpu.VMEM),
         ],

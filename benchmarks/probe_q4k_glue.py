@@ -233,12 +233,58 @@ def ink_pmat_op(w, d, dm, sc, mn, b):
     )(w, d, dm, sc, mn, b, P256)
 
 
+# ---- round-4 variant: the WHOLE glue (permute + bsum) as ONE dot against
+# a fused block-diagonal 0/1 matrix (ops/mmq_q4_k.py:_glue_matrix) — the
+# glue cost at decode widths is dot-ISSUE-dominated (5 small dots/step in
+# ink_pmat), not FLOP-dominated.
+def ink_bigg_kern(w_ref, d_ref, dm_ref, sc_ref, mn_ref, b_ref, g_ref,
+                  o_ref, acc_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+    scale32, min32 = prep_scales(d_ref, dm_ref, sc_ref, mn_ref)
+    wsc = unpack_scaled(w_ref, scale32)
+    bb = b_ref[:].astype(jnp.bfloat16)
+    bo = jnp.dot(bb, g_ref[:], preferred_element_type=jnp.float32)
+    bp = bo[:, :BK].astype(jnp.bfloat16)
+    bsum = bo[:, BK:BK + NBLK]
+    acc_ref[:] += jnp.dot(bp, wsc.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    acc_ref[:] -= jax.lax.dot_general(
+        bsum, min32, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == STEPS - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _bigg():
+    from gguf_tpu.ops.mmq_q4_k import _glue_matrix, _plane_perm_np
+    return _glue_matrix(BK, _plane_perm_np(), 5)
+
+
+g_spec = pl.BlockSpec((BK, BK + 128), lambda i: (0, 0),
+                      memory_space=pltpu.VMEM)
+
+
+def ink_bigg_op(w, d, dm, sc, mn, b):
+    return pl.pallas_call(
+        ink_bigg_kern, grid=(STEPS,),
+        in_specs=[w_spec, d_spec, d_spec, s_spec, s_spec, bK_spec, g_spec],
+        out_specs=o_spec, out_shape=o_shape,
+        scratch_shapes=[pltpu.VMEM((N, BM), jnp.float32)],
+    )(w, d, dm, sc, mn, b, _bigg())
+
+
 if __name__ == "__main__":
     # correctness cross-check first (cheap, interpreter-free: tiny on-chip)
     bp_ref, bs_ref_v = xla_glue(b_nat)
     ref = minsep_op(w_u8, d16, dm16, sc_u8, mn_u8, bs_ref_v, bp_ref)
     ok = []
-    for name, op in [("ink_pmat", ink_pmat_op)]:
+    for name, op in [("ink_pmat", ink_pmat_op), ("ink_bigg", ink_bigg_op)]:
         try:
             got = op(w_u8, d16, dm16, sc_u8, mn_u8, b_nat)
             err = float(jnp.max(jnp.abs(got - ref))

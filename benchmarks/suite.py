@@ -171,7 +171,8 @@ def bench_mmq(ns, quick=False):
             f"{gbps:6.1f} GB/s")
 
 
-def bench_decode(quick=False, model="tinyllama", batch=16):
+def bench_decode(quick=False, model="tinyllama", batch=16,
+                 contract=False):
     """Decode throughput: tokens/s. Full mode runs real model geometries
     (BASELINE configs: TinyLlama-1.1B Q4_K_M, or --7b for Llama-2-7B
     Q4_K_M, ~3.9GB weights — the checkpoint quantizes once and is cached);
@@ -234,7 +235,10 @@ def bench_decode(quick=False, model="tinyllama", batch=16):
     # all slots start at 0 so the span contract (pos + 1 <= span) holds
     # for any iteration count slope_time picks (< span steps)
     pos0 = jnp.zeros(batch, dtype=jnp.int32)
-    opts = MMOpts(precision="fast")
+    # contract=True scores the reference numeric mode (in-chain Q8_1
+    # fake-quant + f32 MXU passes) instead of the bf16 serving default
+    opts = (MMOpts(act_quant=True, precision="high") if contract
+            else MMOpts(precision="fast"))
     span = None if quick else 128
 
     def make(iters):
@@ -270,12 +274,13 @@ def bench_decode(quick=False, model="tinyllama", batch=16):
 
     t_prefill = slope_time(make_pf, (params, toks_pf, cache_pf),
                            lo=5, hi=30, reps=5)
-    emit(metric=f"{name} prefill t={t_pf}",
+    tag = " act_quant=q8_1 precision=high" if contract else ""
+    emit(metric=f"{name} prefill t={t_pf}{tag}",
          value=round(t_pf / t_prefill, 1), unit="tokens/s",
          ms=round(t_prefill * 1e3, 2))
     log(f"  prefill {name}: {t_prefill*1e3:.2f}ms for {t_pf} tokens "
         f"= {t_pf/t_prefill:,.0f} tokens/s")
-    emit(metric=f"{name} decode batch={batch}",
+    emit(metric=f"{name} decode batch={batch}{tag}",
          value=round(batch / t, 1), unit="tokens/s",
          step_us=round(t * 1e6, 1),
          weight_stream_gbps=round(wbytes / t / 1e9, 1))

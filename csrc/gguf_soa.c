@@ -220,6 +220,13 @@ static inline uint8_t q2k_elem(const uint8_t *qs, int e) {
     return (uint8_t)((qs[32 * h + l] >> (2 * s)) & 3);
 }
 
+/* q2/q3 plane order (layouts.py _Q23_PLANE_E): SoA byte row j, shift 2s
+ * holds element (j%16)*16 + s*4 + j/16, so unpacked row u = s*64 + j has
+ * 16-block id u%16 and the kernel's per-16 scale is a repeat-tile. */
+static inline int q23_plane_elem(int s, int j) {
+    return (j % 16) * 16 + s * 4 + j / 16;
+}
+
 void q2_k_to_soa_c(const uint8_t *src, int64_t m, int64_t sb,
                    uint16_t *d_out, uint16_t *dmin_out,
                    uint8_t *sc_out, uint8_t *mn_out, uint8_t *qs_out) {
@@ -241,10 +248,11 @@ void q2_k_to_soa_c(const uint8_t *src, int64_t m, int64_t sb,
                 }
                 const uint8_t *qs = b + 16;
                 for (int j = 0; j < 64; j++)
-                    qst[j][t] = (uint8_t)(q2k_elem(qs, j)
-                                          | (q2k_elem(qs, j + 64) << 2)
-                                          | (q2k_elem(qs, j + 128) << 4)
-                                          | (q2k_elem(qs, j + 192) << 6));
+                    qst[j][t] = (uint8_t)(
+                        q2k_elem(qs, q23_plane_elem(0, j))
+                        | (q2k_elem(qs, q23_plane_elem(1, j)) << 2)
+                        | (q2k_elem(qs, q23_plane_elem(2, j)) << 4)
+                        | (q2k_elem(qs, q23_plane_elem(3, j)) << 6));
             }
             memcpy(d_out + si * m + mi0, dt, tw * sizeof(uint16_t));
             memcpy(dmin_out + si * m + mi0, dmt, tw * sizeof(uint16_t));
@@ -281,16 +289,29 @@ void q3_k_to_soa_c(const uint8_t *src, int64_t m, int64_t sb,
                     int hi = (sc[8 + (j & 3)] >> (2 * (j >> 2))) & 3;
                     sct[j][t] = (int8_t)((lo | (hi << 4)) - 32);
                 }
-                /* low-2-bit plane: same on-disk packing as q2_k's qs */
+                /* low-2-bit plane: same on-disk packing as q2_k's qs,
+                 * re-laid into the q23 plane order */
                 const uint8_t *qs = b + 32;
                 for (int j = 0; j < 64; j++)
-                    qst[j][t] = (uint8_t)(q2k_elem(qs, j)
-                                          | (q2k_elem(qs, j + 64) << 2)
-                                          | (q2k_elem(qs, j + 128) << 4)
-                                          | (q2k_elem(qs, j + 192) << 6));
-                /* hmask bytes already have the SoA qh bit layout */
-                for (int j = 0; j < 32; j++)
-                    qht[j][t] = b[j];
+                    qst[j][t] = (uint8_t)(
+                        q2k_elem(qs, q23_plane_elem(0, j))
+                        | (q2k_elem(qs, q23_plane_elem(1, j)) << 2)
+                        | (q2k_elem(qs, q23_plane_elem(2, j)) << 4)
+                        | (q2k_elem(qs, q23_plane_elem(3, j)) << 6));
+                /* qh plane (layouts.py _Q3K_QH_E): byte r bit bb = high
+                 * bit of the element the crumb plane pins to unpacked row
+                 * bb*32 + r; disk hmask holds elem e's bit at
+                 * hmask[e%32] >> (e/32) */
+                for (int r = 0; r < 32; r++) {
+                    uint8_t acc = 0;
+                    for (int bb = 0; bb < 8; bb++) {
+                        int u = bb * 32 + r;
+                        int e = q23_plane_elem(u / 64, u % 64);
+                        acc |= (uint8_t)(((b[e % 32] >> (e / 32)) & 1)
+                                         << bb);
+                    }
+                    qht[r][t] = acc;
+                }
             }
             memcpy(d_out + si * m + mi0, dt, tw * sizeof(uint16_t));
             for (int j = 0; j < 16; j++)

@@ -54,11 +54,16 @@ class MMOpts(NamedTuple):
 
 def linear(w, x: jax.Array, opts: MMOpts = MMOpts()) -> jax.Array:
     """y = x @ W^T for W (out, in): MMQ kernel for QuantTensors, plain dot
-    for float weights."""
+    for float weights. Tile sizes come from the measured per-shape table
+    (ops/common.py:TILE_TABLE) at decode widths, opts otherwise."""
     if isinstance(w, QuantTensor):
+        from ..ops.common import pick_tiles
+
+        bm, bk = pick_tiles(w.lanes, w.shape[1],
+                            opts.block_m, opts.block_k, x.shape[0])
         return MMQ[w.fmt](
             w, x, act_quant=opts.act_quant, precision=opts.precision,
-            block_m=opts.block_m, block_k=opts.block_k,
+            block_m=bm, block_k=bk,
         ).astype(x.dtype)
     return jax.lax.dot_general(
         x, w.astype(x.dtype), (((1,), (1,)), ((), ())),

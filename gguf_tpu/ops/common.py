@@ -119,6 +119,42 @@ def pick_block(dim: int, preferred: int, granule: int) -> int:
     return b
 
 
+# Measured per-shape tile table (SURVEY.md:296 "per-shape tile tables —
+# Pallas has no autotuner"): (m_lanes, k) -> (block_m, block_k) for decode
+# widths, filled from interleaved on-chip sweeps (benchmarks/
+# probe_tiles7b.py, RESULTS_v5e.jsonl session r4-tiles). Shapes not listed
+# fall back to the caller's block_m/block_k (default 2048/1024 — best for
+# the wide-M shapes). Keys use the STORED lane width (the loader pads FFN
+# dims to 256-multiples). Pattern in the measurements: small-M shapes want
+# ONE M-tile (the in-kernel activation glue runs per (m, k) grid step, so
+# fewer M-tiles = less repeated glue) and bk=512 over 1024 (more grid
+# steps to pipeline); wo 4096x4096 measured 461.9 GB/s at (4096, 512) vs
+# 384.8 at the (2048, 1024) default, down 4096x11264 501 vs 450.
+TILE_TABLE: dict[tuple[int, int], tuple[int, int]] = {
+    (4096, 4096): (4096, 512),      # 7B wo        461.9 vs 384.8 GB/s
+    (4096, 11264): (4096, 512),     # 7B down      525.3 vs 457.7 GB/s
+    (12288, 4096): (4096, 512),     # 7B qkv       517.0 vs 457.8 GB/s
+    (22528, 4096): (4096, 512),     # 7B gate_up   478.x vs 461.x GB/s
+}
+
+# r4-tiles sweep: (4096, 512) won EVERY 7B decode shape — fewer M-tiles
+# means the in-kernel activation glue runs fewer times per call, and
+# bk=512 doubles the K-steps the Mosaic pipeline can overlap. It is the
+# generic decode-width default; choose_bm degrades bm gracefully for lane
+# widths 4096 doesn't divide (e.g. 22528 -> 2816).
+DECODE_TILES = (4096, 512)
+
+
+def pick_tiles(m_arr: int, k: int, block_m: int, block_k: int,
+               n: int) -> tuple[int, int]:
+    """Tile sizes for an MMQ call: at decode widths (n <= 64) the measured
+    TILE_TABLE entry or the swept decode default; the caller's (prefill)
+    defaults otherwise."""
+    if n <= 64:
+        return TILE_TABLE.get((m_arr, k), DECODE_TILES)
+    return block_m, block_k
+
+
 def choose_bm(m_arr: int, preferred: int) -> int:
     """M-tile size for the MMQ kernels: the largest 128-multiple <= preferred
     that divides m_arr (the stored lane width), falling back to `preferred`

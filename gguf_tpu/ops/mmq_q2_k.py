@@ -5,13 +5,22 @@ Q8_0/Q4_K/Q6_K — /root/reference/kernels/); this extends the same kernel
 contract (mmq_q4_k.py:240: C = (A @ B.T).T, A = quantized (M, K) weights,
 B = (N, K) float activations) to llama.cpp's smallest K-quant.
 
+Round-4 rework (VERDICT r3 #4 — q2_k was the slowest kernel of the 12 at
+180-233 GB/s): the qs codes now live in PLANE order (layouts.py
+_Q23_PLANE_E — unpacked row u of a superblock carries element
+(u%16)*16 + (u//64)*4 + (u%64)//16, so every row's 16-block id is u%16).
+The per-16 scale/min multiply then becomes a pltpu.repeat copy-tile per
+64-row crumb plane instead of the (SBt*16, 16, TM) reshape-broadcast the
+round-2 kernel used — the same Mosaic-lowering win the Q4_K/Q6_K plane
+layouts measured (~14%, benchmarks/probe_q4k_ab.py). The matching
+activation-column permutation runs as one XLA transpose at prefill widths
+and as an in-kernel (N, 256) x (256, 256) 0/1-matrix MXU matmul at decode
+widths (exact selection — mmq_q4_k.py ink path rationale).
+
 Shape notes vs mmq_q4_k.py: Q2_K's affine params (scale AND min) are per
-16 elements — twice the granularity of Q4_K — so the broadcast-multiply
-views are (SBt*16, 16, TM) and the min-term matmul contracts over K/16-row
-activation sums. The 2-bit codes unpack 4-per-byte with a whole-tile
-shift/mask concat (common.py:unpack_crumbs_tile); at 2 bits there is no
-second bit plane, making this the cheapest dequant chain of the family
-(2 VPU ops per code vs 3-4 for the 4/5/6-bit formats).
+16 elements — twice the granularity of Q4_K — so the min-term matmul
+contracts over K/16-row activation sums. At 2 bits there is no second bit
+plane, making this the cheapest dequant chain of the family.
 """
 
 from __future__ import annotations
@@ -26,13 +35,33 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
 from .common import (
-    choose_bm, fp16_bits_to_f32, ink_block_sums, pad_cols, pad_rows,
+    choose_bm, fp16_bits_to_f32, pad_cols, pad_rows,
     pick_block, regroup_rows, round_up, running_interpreted,
-    unpack_crumbs_tile,
 )
 from .mmq_q4_k import INK_GLUE_MAX_N
 
 QK_K = 256
+
+
+def permute_acts_q23(b: jax.Array) -> jax.Array:
+    """Reorder activation columns to the q2/q3 plane qs layout: within each
+    superblock, element (c*16 + s*4 + a) moves to column (s*64 + a*16 + c).
+    One XLA transpose on the small (N, K) side."""
+    n, k = b.shape
+    return b.reshape(n, k // QK_K, 16, 4, 4).transpose(0, 1, 3, 4, 2) \
+            .reshape(n, k)
+
+
+def _plane_perm_np_q23():
+    """(256, 256) 0/1 numpy matrix P with b_plane = b_natural @ P per
+    superblock (permute_acts_q23's column map as an MXU op)."""
+    import numpy as np
+
+    p = np.zeros((QK_K, QK_K), np.float32)
+    c, s, a = np.meshgrid(np.arange(16), np.arange(4), np.arange(4),
+                          indexing="ij")
+    p[(c * 16 + s * 4 + a).ravel(), (s * 64 + a * 16 + c).ravel()] = 1.0
+    return p
 
 
 def _affine16_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref):
@@ -48,11 +77,44 @@ def _affine16_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref):
     return scale16, min16
 
 
+def _unpack_affine_q2k(sbt, qs_ref, scale16, min16):
+    """Plane crumb unpack + affine dequant: per superblock, 4 shift/mask
+    planes of 64 rows, each dequantized by the repeat-tiled per-16-block
+    scale/min rows — the min rides the multiply as an fma (zero extra
+    per-element ops, the r4 min-fold; mmq_q4_k.py:_unpack_scaled)."""
+    vi = qs_ref[:].astype(jnp.int32)
+    parts = []
+    for s in range(sbt):
+        sl = vi[s * 64:(s + 1) * 64, :]
+        se = pltpu.repeat(scale16[s * 16:(s + 1) * 16, :], 4, axis=0)
+        me = pltpu.repeat(min16[s * 16:(s + 1) * 16, :], 4, axis=0)
+        parts.extend(((sl >> sh) & 3).astype(jnp.float32) * se - me
+                     for sh in (0, 2, 4, 6))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _ink_b_prep_q23(fast, sbt, b_ref, p_ref):
+    """Decode-path activation glue, in-kernel: per-superblock (BN, 256) x
+    (256, 256) 0/1-matrix permute dots (exact selection). With the affine
+    min folded into the weight dequant there is no other glue (a fused
+    block-diagonal one-dot variant measured 31% slower — its zeros cost
+    real MXU tile loads; q4k_glue ink_bigg, r4 session)."""
+    bt = b_ref[:]                                  # (BN, BK) f32, natural
+
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    bc = bt.astype(jnp.bfloat16) if fast else bt
+    pm = p_ref[:].astype(bc.dtype)
+    return jnp.concatenate(
+        [jax.lax.dot_general(
+            bc[:, s * QK_K:(s + 1) * QK_K], pm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+         for s in range(sbt)], axis=1)
+
+
 def _kernel(fast, ink, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
             *rest):
-    # rest = (bsum_ref, out_ref, acc_ref) in glue mode / (out_ref, acc_ref)
-    # in ink mode (bsum computed in-kernel from the natural-order b tile)
-    bsum_ref = None if ink else rest[0]
+    # rest = (out_ref, acc_ref) in glue mode / (p_ref, out_ref, acc_ref)
+    # in ink mode (the plane permute runs in-kernel)
     out_ref, acc_ref = rest[-2], rest[-1]
     k_idx = pl.program_id(2)
 
@@ -61,29 +123,16 @@ def _kernel(fast, ink, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     scale16, min16 = _affine16_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref)
-    tm = scale16.shape[-1]
-    q = unpack_crumbs_tile(qs_ref[:], sbt).astype(jnp.float32)   # (TK, TM)
-    w = (q.reshape(sbt * 16, 16, tm) * scale16[:, None, :]).reshape(sbt * 256, tm)
+    w = _unpack_affine_q2k(sbt, qs_ref, scale16, min16)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
-    if ink:   # decode path: bsum + bf16 cast in-kernel (q2_k has no
-        # activation permute — its unpack lands in element order)
-        bt = b_ref[:]                                        # (BN, BK) f32
-        bsum = ink_block_sums(bt, sbt * 16, 4)               # (BN, SBt*16)
-        bb = bt.astype(wd.dtype)
-        min_dims = (((1,), (0,)), ((), ()))
+    if ink:
+        bb = _ink_b_prep_q23(fast, sbt, b_ref, rest[0]).astype(wd.dtype)
     else:
         bb = b_ref[:]
-        bsum = bsum_ref[:]
-        min_dims = (((0,), (0,)), ((), ()))
     acc_ref[:] += jax.lax.dot_general(
         bb, wd, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-    # min term: bsum x min16 -> (N, TM)
-    acc_ref[:] -= jax.lax.dot_general(
-        bsum, min16, min_dims,
         preferred_element_type=jnp.float32, precision=precision,
     )
 
@@ -126,15 +175,10 @@ def mmq_q2_k(
     bn = min(n_pad, 256)
     n_pad = round_up(n_pad, bn)
     ink = n_pad <= INK_GLUE_MAX_N
-    if ink:
-        bsum_t = None
-    else:
-        # per-16-block activation sums for the min term (exact: fake-
-        # quantized values are d*q, so the half-block sum = dB*sum_16(qb))
-        bsum = jnp.sum(b.reshape(n, k // 16, 16), axis=-1)
+    if not ink:
+        b = permute_acts_q23(b)
         if fast:
             b = b.astype(jnp.bfloat16)
-        bsum_t = pad_rows(bsum, n_pad).T                     # (K/16, n_pad)
     b = pad_rows(b, n_pad)
 
     bm = choose_bm(w.qs.shape[-1], block_m)
@@ -162,10 +206,10 @@ def mmq_q2_k(
         pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j), memory_space=pltpu.VMEM),
     ]
     tail = ()
-    if not ink:
-        specs.append(pl.BlockSpec((sbt * 16, bn), lambda ni, i, j: (j, ni),
+    if ink:
+        specs.append(pl.BlockSpec((QK_K, QK_K), lambda ni, i, j: (0, 0),
                                   memory_space=pltpu.VMEM))
-        tail = (bsum_t,)
+        tail = (jnp.asarray(_plane_perm_np_q23(), jnp.bfloat16),)
 
     out = pl.pallas_call(
         functools.partial(_kernel, fast, ink, sbt),

@@ -28,27 +28,27 @@ TPU-first design — not a translation of the CUDA/Triton kernel:
   half the weight tile, so its scale-combine costs more VPU work than the
   in-tile multiply it replaces, and 32-deep batched dots starve the MXU;
   see docs/DESIGN.md §2a.)
-* The min-correction term never touches the K dimension: since
-  sum_k min[m,blk(k)]*b[n,k] = sum_blk min32[blk,m] * bsum[blk,n], it is a
-  single (NBt, N) x (NBt, TM) matmul against per-32-block activation sums
-  computed once per call — the same trick as Q8_1's precomputed `s` field
-  (reference q8_1.py:1-13), but MXU-shaped.
+* The per-32-block affine min FOLDS INTO the dequant multiply as an fma
+  (w = q*scale - min_expanded, _unpack_scaled) — zero extra per-element
+  ops, mathematically identical to the reference's Q8_1 `s`-field
+  correction (sum_k min*b = min * blocksum; reference q8_1.py:1-13) up to
+  the fp16 rounding of the stored s, far inside the 1% contract. Rounds
+  2-3 carried the correction as a separate bsum stream + min-term matmul;
+  the r4 overlap probes showed that machinery was pure glue overhead at
+  decode widths (benchmarks/probe_overlap.py part2/part4), so it is gone.
 * Activation quantization is hoisted out of the kernel (ops/activation.py)
   instead of being redone per M-tile as the CUDA grid must (reference
   :202-207): `act_quant=True` reproduces the reference numeric contract;
   False skips the fake-quant for pure bf16/f32 serving.
-* At decode widths (n <= 64) the per-call XLA glue — the (N, K) plane
-  permute, the per-32-block activation sums for the min term, and the bf16
-  cast — moves INSIDE the kernel: the permute is a per-superblock
-  (N, 256) x (256, 256) permutation-matrix matmul (exact on the MXU; 0/1
-  entries are exact in bf16 and every output selects one addend), bsum is
-  an (N, bk) x (bk, bk/32) dot against an iota-built 0/1 block-sum matrix
-  (Mosaic rejects 3D lane reshapes; the MXU does this for free at decode
-  widths). Measured interleaved on-chip: the XLA glue cost 7.1 us/call on
-  a 4096x4096 GEMM where the kernel itself took 11.3 us; in-kernel it is
-  +0.5 us (benchmarks/probe_q4k_glue.py, RESULTS session r3b-glue).
-  Prefill keeps the XLA-side glue: at large N the MXU is FLOP-bound and
-  the +K/8 permute FLOPs would cost more than the amortized glue.
+* At decode widths (n <= 64) the remaining per-call XLA glue — the (N, K)
+  plane permute and the bf16 cast — moves INSIDE the kernel: the permute
+  is a per-superblock (N, 256) x (256, 256) permutation-matrix matmul
+  (exact on the MXU; 0/1 entries are exact in bf16 and every output
+  selects one addend). A fused block-diagonal single-dot variant measured
+  31% slower (its zeros cost real MXU tile loads; q4k_glue ink_bigg vs
+  ink_pmat, r4 session). Prefill keeps the XLA-side glue: at large N the
+  MXU is FLOP-bound and the +K/8 permute FLOPs would cost more than the
+  amortized glue.
 
 Grid: (N/TN, M/TM, K/TK), K innermost; f32 accumulator in VMEM scratch,
 output tile written once on the last K step. N-tiling keeps prefill-sized
@@ -70,7 +70,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
 from .common import (
-    choose_bm, fp16_bits_to_f32, ink_block_sums, pad_cols, pad_rows,
+    choose_bm, fp16_bits_to_f32, pad_cols, pad_rows,
     pick_block, regroup_rows, round_up, running_interpreted,
 )
 
@@ -89,16 +89,40 @@ def permute_acts_q4k(b: jax.Array) -> jax.Array:
             .reshape(n, k)
 
 
-def _plane_perm_matrix() -> jax.Array:
-    """(256, 256) 0/1 matrix P with b_plane = b_natural @ P per superblock
-    (the permute_acts_q4k column map as an MXU op for the in-kernel path)."""
+def _plane_perm_np():
+    """(256, 256) 0/1 numpy matrix P with b_plane = b_natural @ P per
+    superblock (the permute_acts_q4k column map as an MXU op)."""
     import numpy as np
 
     p = np.zeros((QK_K, QK_K), np.float32)
     g, h, pp = np.meshgrid(np.arange(8), np.arange(2), np.arange(16),
                            indexing="ij")
     p[(g * 32 + h * 16 + pp).ravel(), (h * 128 + pp * 8 + g).ravel()] = 1.0
-    return jnp.asarray(p, jnp.bfloat16)
+    return p
+
+
+def _glue_matrix(bk: int, perm256, log2_blk: int | None) -> jax.Array:
+    """(bk, bk [+128]) 0/1 matrix G fusing the WHOLE in-kernel activation
+    glue into ONE MXU dot: b_nat @ G = [b_plane | blocksums]. Columns
+    0..bk hold the per-superblock permutation as a block diagonal; when
+    log2_blk is given, 128 extra columns (lane-padded) hold the
+    per-2^log2_blk-column sum indicators. Replaces sbt permute dots + one
+    HIGHEST bsum dot per K-step with a single issue — at decode widths the
+    glue cost is dot-ISSUE-dominated, not FLOP-dominated (r4 measurement:
+    shipped ink kernel 21.6us vs its no-glue equivalent 19.0us at 4096^2
+    n=16, benchmarks/probe_overlap.py part2). 0/1 entries are exact in
+    bf16; every output column selects (or sums) exact addends."""
+    import numpy as np
+
+    sbt = bk // QK_K
+    ncol = bk + (128 if log2_blk is not None else 0)
+    g = np.zeros((bk, ncol), np.float32)
+    p = np.asarray(perm256, np.float32)
+    for s in range(sbt):
+        g[s * QK_K:(s + 1) * QK_K, s * QK_K:(s + 1) * QK_K] = p
+    if log2_blk is not None:
+        g[np.arange(bk), bk + (np.arange(bk) >> log2_blk)] = 1.0
+    return jnp.asarray(g, jnp.bfloat16)
 
 
 def _scale_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref):
@@ -116,22 +140,29 @@ def _scale_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref):
     return scale32, min32
 
 
-def _unpack_scaled(sbt, qs_ref, scale32):
-    """Plane unpack + scale: rows of each 128-row plane carry block
-    (row % 8), so the per-32-block scale is the 16x copy-tile of the
-    superblock's 8 scale rows — a pltpu.repeat, not a reshape-broadcast."""
+def _unpack_scaled(sbt, qs_ref, scale32, min32):
+    """Plane unpack + affine dequant: rows of each 128-row plane carry
+    block (row % 8), so the per-32-block scale AND min are 16x copy-tiles
+    of the superblock's 8 scale rows — pltpu.repeat, not a
+    reshape-broadcast. The min rides the scale multiply as an fma
+    (q*se - me), so the affine correction costs ZERO extra per-element ops
+    — round 4 removed the separate bsum/min-term matmul machinery this
+    fold obsoletes (r4 ablation: the min term was pure overhead in the ink
+    glue and ~free only when fully overlapped; folding deletes the bsum
+    stream, its XLA prefill computation, and the min-term dot)."""
     vi = qs_ref[:].astype(jnp.int32)
     parts = []
     for s in range(sbt):
         sl = vi[s * 128:(s + 1) * 128, :]
         se = pltpu.repeat(scale32[s * 8:(s + 1) * 8, :], 16, axis=0)
-        parts.append((sl & 0xF).astype(jnp.float32) * se)
-        parts.append((sl >> 4).astype(jnp.float32) * se)
+        me = pltpu.repeat(min32[s * 8:(s + 1) * 8, :], 16, axis=0)
+        parts.append((sl & 0xF).astype(jnp.float32) * se - me)
+        parts.append((sl >> 4).astype(jnp.float32) * se - me)
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
 def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
-            bsum_ref, out_ref, acc_ref):
+            out_ref, acc_ref):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -139,17 +170,12 @@ def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     scale32, min32 = _scale_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref)
-    w = _unpack_scaled(sbt, qs_ref, scale32)
+    w = _unpack_scaled(sbt, qs_ref, scale32, min32)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
     acc_ref[:] += jax.lax.dot_general(
         b_ref[:], wd, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-    # min term: bsum (SBt*8, N) x min32 (SBt*8, TM) -> (N, TM)
-    acc_ref[:] -= jax.lax.dot_general(
-        bsum_ref[:], min32, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
 
@@ -160,24 +186,25 @@ def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
 
 def _ink_b_prep(fast, sbt, b_ref, p_ref):
     """In-kernel activation glue for the decode path: from a NATURAL-order
-    f32 b tile, produce (bp, bsum) — the plane-permuted dot operand and the
-    per-32-block sums for the min term. bsum is an MXU dot against an
-    iota-built 0/1 matrix (Mosaic rejects 3D lane reshapes) at HIGHEST so
-    the correction stays f32-exact in both precision modes; the permute is
-    a per-superblock (BN, 256) x (256, 256) 0/1 matmul — exact selection
-    (the bf16 operand is pre-rounded in fast mode)."""
+    f32 b tile, produce the plane-permuted dot operand via per-superblock
+    (BN, 256) x (256, 256) 0/1-matrix matmuls — exact selection in either
+    precision (0/1 entries are exact in bf16 and every output selects one
+    addend). With the affine min folded into the weight dequant
+    (_unpack_scaled), the permute is the ONLY remaining glue: no block
+    sums, no min-term dot. A fused block-diagonal one-dot variant was
+    measured 31% SLOWER (q4k_glue ink_bigg 15.95us vs ink_pmat 12.15us,
+    r4 session) — its off-diagonal zeros cost real MXU weight-tile loads,
+    so per-superblock dots stay."""
     bt = b_ref[:]                                  # (BN, BK) f32, natural
-    bsum = ink_block_sums(bt, sbt * 8, 5)          # (BN, SBt*8)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     bc = bt.astype(jnp.bfloat16) if fast else bt
     pm = p_ref[:].astype(bc.dtype)
-    bp = jnp.concatenate(
+    return jnp.concatenate(
         [jax.lax.dot_general(
             bc[:, s * QK_K:(s + 1) * QK_K], pm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
          for s in range(sbt)], axis=1)
-    return bp, bsum
 
 
 def _kernel_ink(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
@@ -192,17 +219,13 @@ def _kernel_ink(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     scale32, min32 = _scale_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref)
-    w = _unpack_scaled(sbt, qs_ref, scale32)
-    bp, bsum = _ink_b_prep(fast, sbt, b_ref, p_ref)
+    w = _unpack_scaled(sbt, qs_ref, scale32, min32)
+    bp = _ink_b_prep(fast, sbt, b_ref, p_ref)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
     acc_ref[:] += jax.lax.dot_general(
         bp.astype(wd.dtype), wd, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-    acc_ref[:] -= jax.lax.dot_general(
-        bsum, min32, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
 
@@ -249,21 +272,14 @@ def mmq_q4_k(
     n_pad = round_up(n_pad, bn)
     ink = n_pad <= INK_GLUE_MAX_N
     if ink:
-        # decode path: b stays natural-order f32; permute/bsum/bf16 cast
-        # all happen in-kernel (module docstring)
+        # decode path: b stays natural-order f32; permute + bf16 cast
+        # happen in-kernel (module docstring)
         b = pad_rows(b, n_pad)
-        bsum_t = None
     else:
-        # per-32-block activation sums for the min term (exact:
-        # fake-quantized values are d*q, so the block sum equals Q8_1's
-        # s = d*sum(q)) — computed BEFORE the plane permutation (block sums
-        # are order-invariant but the 32-grouping must be the natural one)
-        bsum = jnp.sum(b.reshape(n, k // 32, 32), axis=-1)
         b = permute_acts_q4k(b)
         if fast:
             b = b.astype(jnp.bfloat16)
         b = pad_rows(b, n_pad)
-        bsum_t = pad_rows(bsum, n_pad).T                     # (K/32, n_pad)
 
     bm = choose_bm(w.qs.shape[-1], block_m)
     m_pad = round_up(max(m, w.qs.shape[-1]), bm)
@@ -294,12 +310,10 @@ def mmq_q4_k(
         kern = functools.partial(_kernel_ink, fast, sbt)
         specs.append(pl.BlockSpec((QK_K, QK_K), lambda ni, i, j: (0, 0),
                                   memory_space=pltpu.VMEM))
-        tail = (_plane_perm_matrix(),)
+        tail = (jnp.asarray(_plane_perm_np(), jnp.bfloat16),)
     else:
         kern = functools.partial(_kernel, fast, sbt)
-        specs.append(pl.BlockSpec((sbt * 8, bn), lambda ni, i, j: (j, ni),
-                                  memory_space=pltpu.VMEM))
-        tail = (bsum_t,)
+        tail = ()
 
     out = pl.pallas_call(
         kern,

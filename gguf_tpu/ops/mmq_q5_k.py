@@ -30,17 +30,19 @@ from .common import (
     regroup_rows, round_up, running_interpreted,
 )
 from .mmq_q4_k import (
-    INK_GLUE_MAX_N, _ink_b_prep, _plane_perm_matrix, _scale_prep,
+    INK_GLUE_MAX_N, _ink_b_prep, _plane_perm_np, _scale_prep,
     permute_acts_q4k,
 )
 
 QK_K = 256
 
 
-def _unpack_scaled_q5(sbt, qs_ref, qh_ref, scale32):
-    """Plane unpack + scale (same structure as mmq_q4_k): every row's
-    32-block id is (row % 8), so the per-32 scale is a copy-tile; the 5th
-    bit comes from qh's 8-way bitplane in the same plane-row order."""
+def _unpack_scaled_q5(sbt, qs_ref, qh_ref, scale32, min32):
+    """Plane unpack + affine dequant (same structure as mmq_q4_k): every
+    row's 32-block id is (row % 8), so the per-32 scale AND min are
+    copy-tiles and the min rides the scale multiply as an fma (zero extra
+    per-element ops — the r4 min-fold, mmq_q4_k.py:_unpack_scaled); the
+    5th bit comes from qh's 8-way bitplane in the same plane-row order."""
     lo_i = qs_ref[:].astype(jnp.int32)                       # (SBt*128, TM)
     hi_i = qh_ref[:].astype(jnp.int32)                       # (SBt*32, TM)
     parts = []
@@ -48,17 +50,18 @@ def _unpack_scaled_q5(sbt, qs_ref, qh_ref, scale32):
         sl = lo_i[s * 128:(s + 1) * 128, :]
         hs = hi_i[s * 32:(s + 1) * 32, :]
         se = pltpu.repeat(scale32[s * 8:(s + 1) * 8, :], 16, axis=0)
+        me = pltpu.repeat(min32[s * 8:(s + 1) * 8, :], 16, axis=0)
         f_lo = jnp.concatenate([(hs >> b) & 1 for b in range(4)], axis=0)
         f_hi = jnp.concatenate([(hs >> b) & 1 for b in range(4, 8)], axis=0)
         q_lo = (sl & 0xF) | (f_lo << 4)
         q_hi = (sl >> 4) | (f_hi << 4)
-        parts.append(q_lo.astype(jnp.float32) * se)
-        parts.append(q_hi.astype(jnp.float32) * se)
+        parts.append(q_lo.astype(jnp.float32) * se - me)
+        parts.append(q_hi.astype(jnp.float32) * se - me)
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
 def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qh_ref,
-            b_ref, bsum_ref, out_ref, acc_ref):
+            b_ref, out_ref, acc_ref):
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -66,16 +69,12 @@ def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qh_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     scale32, min32 = _scale_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref)
-    w = _unpack_scaled_q5(sbt, qs_ref, qh_ref, scale32)
+    w = _unpack_scaled_q5(sbt, qs_ref, qh_ref, scale32, min32)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
     acc_ref[:] += jax.lax.dot_general(
         b_ref[:], wd, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-    acc_ref[:] -= jax.lax.dot_general(
-        bsum_ref[:], min32, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
 
@@ -95,17 +94,13 @@ def _kernel_ink(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qh_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     scale32, min32 = _scale_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref)
-    w = _unpack_scaled_q5(sbt, qs_ref, qh_ref, scale32)
-    bp, bsum = _ink_b_prep(fast, sbt, b_ref, p_ref)
+    w = _unpack_scaled_q5(sbt, qs_ref, qh_ref, scale32, min32)
+    bp = _ink_b_prep(fast, sbt, b_ref, p_ref)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
     acc_ref[:] += jax.lax.dot_general(
         bp.astype(wd.dtype), wd, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-    acc_ref[:] -= jax.lax.dot_general(
-        bsum, min32, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
 
@@ -148,14 +143,11 @@ def mmq_q5_k(
     ink = n_pad <= INK_GLUE_MAX_N
     if ink:
         b = pad_rows(b, n_pad)
-        bsum_t = None
     else:
-        bsum = jnp.sum(b.reshape(n, k // 32, 32), axis=-1)
         b = permute_acts_q4k(b)  # plane qs layout, same pattern as q4_k
         if fast:
             b = b.astype(jnp.bfloat16)
         b = pad_rows(b, n_pad)
-        bsum_t = pad_rows(bsum, n_pad).T
 
     bm = choose_bm(w.qs.shape[-1], block_m)
     m_pad = round_up(max(m, w.qs.shape[-1]), bm)
@@ -187,12 +179,10 @@ def mmq_q5_k(
         kern = functools.partial(_kernel_ink, fast, sbt)
         specs.append(pl.BlockSpec((QK_K, QK_K), lambda ni, i, j: (0, 0),
                                   memory_space=pltpu.VMEM))
-        tail = (_plane_perm_matrix(),)
+        tail = (jnp.asarray(_plane_perm_np(), jnp.bfloat16),)
     else:
         kern = functools.partial(_kernel, fast, sbt)
-        specs.append(pl.BlockSpec((sbt * 8, bn), lambda ni, i, j: (j, ni),
-                                  memory_space=pltpu.VMEM))
-        tail = (bsum_t,)
+        tail = ()
 
     out = pl.pallas_call(
         kern,

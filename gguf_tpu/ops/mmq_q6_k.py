@@ -50,17 +50,17 @@ def permute_acts_q6k(b: jax.Array) -> jax.Array:
             .reshape(n, k)
 
 
-def _plane_perm_matrix_q6k() -> jax.Array:
-    """(256, 256) 0/1 matrix P with b_plane = b_natural @ P per superblock
-    (the permute_acts_q6k column map as an MXU op for the in-kernel decode
-    path — see mmq_q4_k.py module docstring for the measured rationale)."""
+def _plane_perm_np_q6k():
+    """(256, 256) 0/1 numpy matrix P with b_plane = b_natural @ P per
+    superblock (the permute_acts_q6k column map as an MXU op — see
+    mmq_q4_k.py module docstring for the measured rationale)."""
     import numpy as np
 
     p = np.zeros((QK_K, QK_K), np.float32)
     blk, h, pp = np.meshgrid(np.arange(16), np.arange(2), np.arange(8),
                              indexing="ij")
     p[(blk * 16 + h * 8 + pp).ravel(), (h * 128 + pp * 16 + blk).ravel()] = 1.0
-    return jnp.asarray(p, jnp.bfloat16)
+    return p
 
 
 def _kernel(fast, sbt, d_ref, sc_ref, ql_ref, qh_ref, b_ref, out_ref, acc_ref):
@@ -86,12 +86,17 @@ def _kernel(fast, sbt, d_ref, sc_ref, ql_ref, qh_ref, b_ref, out_ref, acc_ref):
         sl = lo_i[s * 128:(s + 1) * 128, :]
         hs = hi_i[s * 64:(s + 1) * 64, :]
         se = pltpu.repeat(scale16[s * 16:(s + 1) * 16, :], 8, axis=0)
-        h01 = jnp.concatenate([hs & 3, (hs >> 2) & 3], axis=0)   # rows 0..127
+        # the -32 offset rides the scale multiply as an fma against a
+        # 16-row-amortized 32*scale bias (r4 min-fold: one int sub per
+        # element saved; see mmq_q4_k.py:_unpack_scaled)
+        b32 = pltpu.repeat(32.0 * scale16[s * 16:(s + 1) * 16, :], 8,
+                           axis=0)
+        h01 = jnp.concatenate([hs & 3, (hs >> 2) & 3], axis=0)
         h23 = jnp.concatenate([(hs >> 4) & 3, (hs >> 6) & 3], axis=0)
-        q_lo = ((sl & 0xF) | (h01 << 4)) - 32
-        q_hi = ((sl >> 4) | (h23 << 4)) - 32
-        parts.append(q_lo.astype(jnp.float32) * se)
-        parts.append(q_hi.astype(jnp.float32) * se)
+        q_lo = (sl & 0xF) | (h01 << 4)
+        q_hi = (sl >> 4) | (h23 << 4)
+        parts.append(q_lo.astype(jnp.float32) * se - b32)
+        parts.append(q_hi.astype(jnp.float32) * se - b32)
     w = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
@@ -129,23 +134,26 @@ def _kernel_ink(fast, sbt, d_ref, sc_ref, ql_ref, qh_ref, b_ref, p_ref,
         sl = lo_i[s * 128:(s + 1) * 128, :]
         hs = hi_i[s * 64:(s + 1) * 64, :]
         se = pltpu.repeat(scale16[s * 16:(s + 1) * 16, :], 8, axis=0)
+        # the -32 offset rides the scale multiply as an fma against a
+        # 16-row-amortized 32*scale bias (r4 min-fold: one int sub per
+        # element saved; see mmq_q4_k.py:_unpack_scaled)
+        b32 = pltpu.repeat(32.0 * scale16[s * 16:(s + 1) * 16, :], 8,
+                           axis=0)
         h01 = jnp.concatenate([hs & 3, (hs >> 2) & 3], axis=0)
         h23 = jnp.concatenate([(hs >> 4) & 3, (hs >> 6) & 3], axis=0)
-        q_lo = ((sl & 0xF) | (h01 << 4)) - 32
-        q_hi = ((sl >> 4) | (h23 << 4)) - 32
-        parts.append(q_lo.astype(jnp.float32) * se)
-        parts.append(q_hi.astype(jnp.float32) * se)
+        q_lo = (sl & 0xF) | (h01 << 4)
+        q_hi = (sl >> 4) | (h23 << 4)
+        parts.append(q_lo.astype(jnp.float32) * se - b32)
+        parts.append(q_hi.astype(jnp.float32) * se - b32)
     w = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     bt = b_ref[:]                                  # (BN, BK) f32, natural
     bc = bt.astype(jnp.bfloat16) if fast else bt
-    pm = p_ref[:].astype(bc.dtype)
-    bp = jnp.concatenate(
-        [jax.lax.dot_general(
-            bc[:, s * QK_K:(s + 1) * QK_K], pm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-         for s in range(sbt)], axis=1)
+    gm = p_ref[:].astype(bc.dtype)     # block-diag glue (mmq_q4_k.py)
+    bp = jax.lax.dot_general(
+        bc, gm, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
     wd = w.astype(jnp.bfloat16) if fast else w
     acc_ref[:] += jax.lax.dot_general(
         bp.astype(wd.dtype), wd, (((1,), (0,)), ((), ())),
@@ -219,9 +227,11 @@ def mmq_q6_k(
     ]
     if ink:
         kern = functools.partial(_kernel_ink, fast, sbt)
-        specs.append(pl.BlockSpec((QK_K, QK_K), lambda ni, i, j: (0, 0),
+        from .mmq_q4_k import _glue_matrix
+
+        specs.append(pl.BlockSpec((bk, bk), lambda ni, i, j: (0, 0),
                                   memory_space=pltpu.VMEM))
-        tail = (_plane_perm_matrix_q6k(),)
+        tail = (_glue_matrix(bk, _plane_perm_np_q6k(), None),)
     else:
         kern = functools.partial(_kernel, fast, sbt)
         tail = ()

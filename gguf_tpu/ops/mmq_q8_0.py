@@ -50,14 +50,15 @@ def permute_acts_q8_0(b: jax.Array) -> jax.Array:
     return b.reshape(n, k // QK_G, 8, 32).transpose(0, 1, 3, 2).reshape(n, k)
 
 
-def _plane_perm_matrix_q8() -> jax.Array:
-    """(256, 256) 0/1 matrix P with b_plane = b_natural @ P per 256-group."""
+def _plane_perm_np_q8():
+    """(256, 256) 0/1 numpy matrix P with b_plane = b_natural @ P per
+    256-group."""
     import numpy as np
 
     p = np.zeros((QK_G, QK_G), np.float32)
     g, pp = np.meshgrid(np.arange(8), np.arange(32), indexing="ij")
     p[(g * 32 + pp).ravel(), (pp * 8 + g).ravel()] = 1.0
-    return jnp.asarray(p, jnp.bfloat16)
+    return p
 
 
 def _kernel(fast, d_ref, qs_ref, b_ref, out_ref, acc_ref):
@@ -131,12 +132,10 @@ def _kernel_ink(fast, sbt, d_ref, qs_ref, b_ref, p_ref, out_ref, acc_ref):
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     bt = b_ref[:]                                   # (BN, BK) f32, natural
     bc = bt.astype(jnp.bfloat16) if fast else bt
-    pm = p_ref[:].astype(bc.dtype)
-    bp = jnp.concatenate(
-        [jax.lax.dot_general(
-            bc[:, s * QK_G:(s + 1) * QK_G], pm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-         for s in range(sbt)], axis=1)
+    gm = p_ref[:].astype(bc.dtype)     # block-diag glue (mmq_q4_k.py)
+    bp = jax.lax.dot_general(
+        bc, gm, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
     wd = w.astype(jnp.bfloat16) if fast else w
     acc_ref[:] += jax.lax.dot_general(
         bp.astype(wd.dtype), wd, (((1,), (0,)), ((), ())),
@@ -205,9 +204,11 @@ def mmq_q8_0(
     ]
     if ink:
         kern = functools.partial(_kernel_ink, fast, sbt)
-        specs.append(pl.BlockSpec((QK_G, QK_G), lambda ni, i, j: (0, 0),
+        from .mmq_q4_k import _glue_matrix
+
+        specs.append(pl.BlockSpec((bk, bk), lambda ni, i, j: (0, 0),
                                   memory_space=pltpu.VMEM))
-        tail = (_plane_perm_matrix_q8(),)
+        tail = (_glue_matrix(bk, _plane_perm_np_q8(), None),)
     elif plane:
         kern = functools.partial(_kernel_plane, fast, sbt)
         tail = ()

@@ -95,6 +95,13 @@ class QuantTensor:
         codes = self.ql if self.fmt == "q6_k" else self.qs
         return (codes.shape[1], codes.shape[0] * 2)
 
+    @property
+    def lanes(self) -> int:
+        """STORED lane width (M incl. any loader padding) — the value the
+        kernels' choose_bm tiles against; key for ops.common.TILE_TABLE."""
+        codes = self.ql if self.fmt == "q6_k" else self.qs
+        return codes.shape[-1]
+
     def dequantize(self) -> jax.Array:
         """Pure-jnp dequantize to float32 (M, K); jit/shard_map friendly."""
         return _DEQUANT[self.fmt](self)
@@ -336,6 +343,61 @@ def _repack_crumbs(codes: np.ndarray) -> np.ndarray:
     return out
 
 
+# Q2_K/Q3_K "plane" packing: the kernel's fixed 4-way crumb unpack (shift
+# 2s, byte row j -> unpacked row u = s*64 + j) lands element
+# (j % 16)*16 + s*4 + j//16, so every unpacked row's 16-block id is
+# (row % 16) and the per-16 scale multiply is pltpu.repeat(scale16, 4) per
+# 64-row plane — the same copy-tile trick as the Q4_K/Q6_K plane layouts
+# (the 3D reshape-broadcast it replaces cost ~14% of the q4_k kernel,
+# benchmarks/probe_q4k_ab.py). The matching activation-column permutation
+# is one XLA transpose (prefill) or an in-kernel 0/1-matrix matmul
+# (decode) in ops/mmq_q2_k.py / mmq_q3_k.py.
+_Q23_PLANE_E = ((np.arange(64)[None, :] % 16) * 16
+                + np.arange(4)[:, None] * 4
+                + np.arange(64)[None, :] // 16)          # (4, 64): elem(s, j)
+
+# Q3_K high-bit plane in the SAME element order: qh byte row r, bit b holds
+# the high bit of the element at unpacked row u = b*32 + r of the 8-way
+# 1-bit unpack (common.py:unpack_bitplanes_tile), which the crumb layout
+# pins to element (r%16)*16 + (b//2)*4 + (b%2)*2 + r//16.
+_Q3K_QH_E = ((np.arange(32)[None, :] % 16) * 16
+             + (np.arange(8)[:, None] // 2) * 4
+             + (np.arange(8)[:, None] % 2) * 2
+             + np.arange(32)[None, :] // 16)             # (8, 32): elem(b, r)
+
+
+def _repack_crumbs_plane(codes: np.ndarray) -> np.ndarray:
+    """(nb, 256) 2-bit codes -> (nb, 64) bytes in q2/q3 plane order."""
+    out = np.zeros((codes.shape[0], 64), np.uint8)
+    for s in range(4):
+        out |= (codes[:, _Q23_PLANE_E[s]] << (2 * s)).astype(np.uint8)
+    return out
+
+
+def _unpack_crumbs_plane(packed: np.ndarray) -> np.ndarray:
+    """(nb, 64) plane bytes -> (nb, 256) codes, inverting the above."""
+    codes = np.empty((packed.shape[0], QK_K), np.uint8)
+    for s in range(4):
+        codes[:, _Q23_PLANE_E[s]] = (packed >> (2 * s)) & 3
+    return codes
+
+
+def _repack_hmask_plane(hibit: np.ndarray) -> np.ndarray:
+    """(nb, 256) 0/1 high bits -> (nb, 32) qh bytes in q3 plane order."""
+    out = np.zeros((hibit.shape[0], 32), np.uint8)
+    for b in range(8):
+        out |= (hibit[:, _Q3K_QH_E[b]] << b).astype(np.uint8)
+    return out
+
+
+def _unpack_hmask_plane(qh: np.ndarray) -> np.ndarray:
+    """(nb, 32) plane qh bytes -> (nb, 256) 0/1 high bits."""
+    hibit = np.empty((qh.shape[0], QK_K), np.uint8)
+    for b in range(8):
+        hibit[:, _Q3K_QH_E[b]] = (qh >> b) & 1
+    return hibit
+
+
 def q2_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     from .q2_k import parse_q2_k_codes
 
@@ -347,7 +409,7 @@ def q2_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     sc = blocks[:, :16] & 0x0F
     mn = blocks[:, :16] >> 4
     codes = parse_q2_k_codes(qbytes)               # (nb, 256) in [0, 4)
-    qs = _repack_crumbs(codes).reshape(m, k // 4)
+    qs = _repack_crumbs_plane(codes).reshape(m, k // 4)
     t = lambda a: jnp.asarray(np.ascontiguousarray(a.T))
     return QuantTensor(
         fmt="q2_k",
@@ -364,9 +426,7 @@ def soa_to_q2_k(t: QuantTensor) -> np.ndarray:
     sb = k // QK_K
     nb = m * sb
     packed = np.asarray(t.qs).T.reshape(nb, 64)
-    codes = np.empty((nb, QK_K), dtype=np.uint8)
-    for s in range(4):
-        codes[:, 64 * s:64 * (s + 1)] = (packed >> (2 * s)) & 3
+    codes = _unpack_crumbs_plane(packed)
 
     out = np.empty((nb, Q2K_BYTES), dtype=np.uint8)
     out[:, :16] = ((np.asarray(t.sc).T.reshape(nb, 16) & 0x0F)
@@ -391,8 +451,8 @@ def q3_k_to_soa(qbytes: np.ndarray, m: int, k: int) -> QuantTensor:
     sc = unpack_q3_k_scales(blocks[:, 96:108]).astype(np.int8)  # [-32, 32)
     codes = parse_q3_k_codes(qbytes)               # (nb, 256) signed [-4, 4)
     full = (codes.astype(np.int16) + 4).astype(np.uint8)        # [0, 8)
-    qs = _repack_crumbs(full & 3).reshape(m, k // 4)
-    qh = np.ascontiguousarray(blocks[:, 0:32]).reshape(m, k // 8)
+    qs = _repack_crumbs_plane(full & 3).reshape(m, k // 4)
+    qh = _repack_hmask_plane(full >> 2).reshape(m, k // 8)
     t = lambda a: jnp.asarray(np.ascontiguousarray(a.T))
     return QuantTensor(
         fmt="q3_k",
@@ -409,16 +469,26 @@ def soa_to_q3_k(t: QuantTensor) -> np.ndarray:
     sb = k // QK_K
     nb = m * sb
     packed = np.asarray(t.qs).T.reshape(nb, 64)
-    low2 = np.empty((nb, QK_K), dtype=np.uint8)
-    for s in range(4):
-        low2[:, 64 * s:64 * (s + 1)] = (packed >> (2 * s)) & 3
+    low2 = _unpack_crumbs_plane(packed)
+    hibit = _unpack_hmask_plane(np.asarray(t.qh).T.reshape(nb, 32))
 
     out = np.empty((nb, Q3K_BYTES), dtype=np.uint8)
-    out[:, 0:32] = np.asarray(t.qh).T.reshape(nb, 32)
+    # disk hmask: byte r bit b = high bit of element b*32 + r
+    out[:, 0:32] = _repack_bitplanes_disk(hibit)
     out[:, 32:96] = _disk_pack_q3_qs(low2)
     out[:, 96:108] = pack_q3_k_scales(np.asarray(t.sc).T.reshape(nb, 16))
     out[:, 108:110] = np.ascontiguousarray(np.asarray(t.d_bits).T).reshape(nb).view(np.uint8).reshape(nb, 2)
     return out.reshape(-1)
+
+
+def _repack_bitplanes_disk(hibit: np.ndarray) -> np.ndarray:
+    """(nb, 256) 0/1 bits -> (nb, 32) disk hmask: byte r bit b = elem
+    b*32 + r (llama.cpp's q3_k hmask layout)."""
+    c = hibit.reshape(-1, 8, 32)
+    out = np.zeros((c.shape[0], 32), np.uint8)
+    for b in range(8):
+        out |= (c[:, b, :] << b).astype(np.uint8)
+    return out
 
 
 def _disk_pack_q3_qs(low2: np.ndarray) -> np.ndarray:
@@ -871,7 +941,10 @@ def _dequant_q2_k(t: QuantTensor) -> jax.Array:
     dmin = fp16_bits_to_f32(t.dmin_bits.T)
     scale16 = _expand_scales(d, 16) * t.sc.T.astype(jnp.float32)  # (M, SB*16)
     min16 = _expand_scales(dmin, 16) * t.mn.T.astype(jnp.float32)
-    q = _unpack_crumbs_jnp(t.qs, sb).astype(jnp.float32)
+    rows = _unpack_crumbs_jnp(t.qs, sb).reshape(m, sb, QK_K)  # plane rows
+    inv = np.argsort(_Q23_PLANE_E.ravel())
+    q = jnp.take(rows, jnp.asarray(inv), axis=-1).reshape(m, k) \
+        .astype(jnp.float32)
     return _expand_scales(scale16, 16) * q - _expand_scales(min16, 16)
 
 
@@ -880,11 +953,16 @@ def _dequant_q3_k(t: QuantTensor) -> jax.Array:
     sb = k // QK_K
     d = fp16_bits_to_f32(t.d_bits.T)                    # (M, SB)
     scale16 = _expand_scales(d, 16) * t.sc.T.astype(jnp.float32)  # (M, SB*16)
-    low2 = _unpack_crumbs_jnp(t.qs, sb)                 # (M, K) in [0, 4)
+    low2 = _unpack_crumbs_jnp(t.qs, sb)                 # (M, K) plane rows
     h = t.qh.T.reshape(m, sb, 32)
     hib = jnp.concatenate(
         [(h >> b) & jnp.uint8(1) for b in range(8)], axis=-1).reshape(m, k)
-    q = (low2 | (hib << 2)).astype(jnp.int8) - jnp.int8(4)
+    # the crumb and qh plane layouts agree row-for-row (_Q3K_QH_E), so the
+    # combine happens in plane-row order and one take restores element order
+    rows = (low2 | (hib << 2)).reshape(m, sb, QK_K)
+    inv = np.argsort(_Q23_PLANE_E.ravel())
+    q = jnp.take(rows, jnp.asarray(inv), axis=-1).reshape(m, k) \
+        .astype(jnp.int8) - jnp.int8(4)
     return _expand_scales(scale16, 16) * q.astype(jnp.float32)
 
 

@@ -103,6 +103,19 @@ def main():
     assert np.isfinite(np.asarray(out)).all()
     print("tiled attention window/softcap: ok")
 
+    # 2b'. long-span boundary classes (VERDICT r3 #7: span=1024 once hit an
+    # unpinned Mosaic failure, RESULTS line 65 — pin every serving-range
+    # span bucket on-chip so the tiled dispatch can't regress silently)
+    for span in (2048, 4096):
+        b2 = 4
+        z8 = jnp.zeros((b2, kvh, span, hd), jnp.int8)
+        zf = jnp.zeros((b2, kvh, span), jnp.float32)
+        q2 = jnp.asarray(rng.standard_normal((b2, h, 1, hd)), jnp.float32)
+        out = decode_attention_tiled(q2, z8, zf, z8, zf,
+                                     jnp.zeros(b2, jnp.int32), span=span)
+        assert np.isfinite(np.asarray(out)).all()
+        print(f"tiled attention span={span} MHA: ok")
+
     # 3. the engine end to end (prefill + chunked decode + sampler)
     import os
     import tempfile
