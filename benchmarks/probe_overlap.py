@@ -547,6 +547,164 @@ def run_part4():
               "shape": "4096x4096 n=16 q4_k ablation"})
 
 
+def flat_mf(bm, bk, xpipe=False):
+    """Min-fold flat Q4_K (full r4 math: plane unpack + fma affine, b
+    pre-permuted bf16 outside, no bsum). xpipe=True restructures into a
+    CROSS-K-STEP software pipeline: grid gets one drain step; each body
+    invocation dequants THIS step's tile into a rotating (2, bk, bm)
+    VMEM scratch slot and dots the PREVIOUS step's slot — the two halves
+    are dataflow-INDEPENDENT, the structure iso_both measured at
+    overlap_fraction 0.945. Expected floor: max(dot, dequant, stream)
+    per step instead of the dependent-chain residue."""
+    nblk = bk // 32
+    sbt = bk // 256
+    steps = K // bk
+    gsteps = steps + 1 if xpipe else steps
+
+    def prep(d_ref, dm_ref, sc_ref, mn_ref):
+        d = fp16_bits_to_f32(d_ref[:sbt, :])
+        dmin = fp16_bits_to_f32(dm_ref[:sbt, :])
+        sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)
+        mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+        scale32 = (d[:, None, :] * sc.reshape(sbt, 8, bm)).reshape(nblk, bm)
+        min32 = (dmin[:, None, :] * mn.reshape(sbt, 8, bm)).reshape(nblk, bm)
+        return scale32, min32
+
+    def parts_of(vi, scale32, min32, s):
+        sl = vi[s * 128:(s + 1) * 128, :]
+        se = pltpu.repeat(scale32[s * 8:(s + 1) * 8, :], 16, axis=0)
+        me = pltpu.repeat(min32[s * 8:(s + 1) * 8, :], 16, axis=0)
+        return ((sl & 0xF).astype(jnp.float32) * se - me,
+                (sl >> 4).astype(jnp.float32) * se - me)
+
+    if not xpipe:
+        def kern(w_ref, d_ref, dm_ref, sc_ref, mn_ref, b_ref, o_ref,
+                 acc_ref):
+            i = pl.program_id(1)
+
+            @pl.when(i == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+            scale32, min32 = prep(d_ref, dm_ref, sc_ref, mn_ref)
+            vi = w_ref[:].astype(jnp.int32)
+            parts = []
+            for s in range(sbt):
+                parts.extend(parts_of(vi, scale32, min32, s))
+            wd = (jnp.concatenate(parts, 0) if len(parts) > 1
+                  else parts[0]).astype(jnp.bfloat16)
+            acc_ref[:] += jax.lax.dot_general(
+                b_ref[:], wd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            @pl.when(i == steps - 1)
+            def _():
+                o_ref[:] = acc_ref[:]
+        scratch = [pltpu.VMEM((N, bm), jnp.float32)]
+    else:
+        def kern(w_ref, d_ref, dm_ref, sc_ref, mn_ref, b_ref, o_ref,
+                 acc_ref, wd_ref):
+            i = pl.program_id(1)
+
+            @pl.when(i == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+            # dequant THIS step (index maps clamp the drain step to a
+            # re-read; its slot is never consumed) — slice stores, the
+            # shape that compiles under mixed scheduling
+            scale32, min32 = prep(d_ref, dm_ref, sc_ref, mn_ref)
+            vi = w_ref[:].astype(jnp.int32)
+            slot = i % 2
+            for s in range(sbt):
+                lo, hi = parts_of(vi, scale32, min32, s)
+                wd_ref[slot, s * 256:s * 256 + 128, :] = \
+                    lo.astype(jnp.bfloat16)
+                wd_ref[slot, s * 256 + 128:(s + 1) * 256, :] = \
+                    hi.astype(jnp.bfloat16)
+
+            # dot the PREVIOUS step's slot — independent of the dequant
+            @pl.when(i > 0)
+            def _():
+                acc_ref[:] += jax.lax.dot_general(
+                    b_ref[:], wd_ref[(i + 1) % 2], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            @pl.when(i == gsteps - 1)
+            def _():
+                o_ref[:] = acc_ref[:]
+        scratch = [pltpu.VMEM((N, bm), jnp.float32),
+                   pltpu.VMEM((2, bk, bm), jnp.bfloat16)]
+
+    w = jnp.asarray(rng.integers(0, 255, (K // 2, M)), jnp.uint8)
+    g8 = 8
+    d16 = jnp.asarray(rng.integers(2**13, 2**14, (steps * g8, M)),
+                      jnp.uint16)
+    dm16 = jnp.asarray(rng.integers(2**13, 2**14, (steps * g8, M)),
+                       jnp.uint16)
+    sc8 = jnp.asarray(rng.integers(0, 63, (K // 32, M)), jnp.uint8)
+    mn8 = jnp.asarray(rng.integers(0, 63, (K // 32, M)), jnp.uint8)
+    b0 = jnp.asarray(rng.standard_normal((N, K)), jnp.bfloat16)
+
+    last = steps - 1
+    kq = (lambda mi, i: (jnp.minimum(i, last), mi)) if xpipe \
+        else (lambda mi, i: (i, mi))
+    kb = (lambda mi, i: (0, jnp.maximum(i - 1, 0))) if xpipe \
+        else (lambda mi, i: (0, i))
+    in_specs = [
+        pl.BlockSpec((bk // 2, bm), kq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((g8, bm), kq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((g8, bm), kq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nblk, bm), kq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nblk, bm), kq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, bk), kb, memory_space=pltpu.VMEM),
+    ]
+
+    def op(w, d, dm, sc, mn, b):
+        return pl.pallas_call(
+            kern, grid=(M // bm, gsteps),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((N, bm), lambda mi, i: (0, mi),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N, M), jnp.float32),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )(w, d, dm, sc, mn, b)
+
+    return op, (w, d16, dm16, sc8, mn8, b0)
+
+
+def run_part5():
+    """Cross-K-step software pipeline vs the min-fold flat control, at the
+    legacy and the r4-tuned tile shapes."""
+    log("part 5: cross-step pipeline")
+    variants = {}
+    for bm, bk in ((2048, 1024), (4096, 512)):
+        variants[f"mf_{bm}x{bk}"] = flat_mf(bm, bk, xpipe=False)
+        variants[f"xp_{bm}x{bk}"] = flat_mf(bm, bk, xpipe=True)
+    results = {kk: [] for kk in variants}
+    for rnd in range(3):
+        for name, (op, args) in variants.items():
+            try:
+                sec = time_op(op, args)
+                results[name].append(sec)
+                log(f"round {rnd} {name}: {sec*1e6:.2f} us "
+                    f"({BYTES_Q4K/sec/1e9:.0f} GB/s)")
+            except Exception as e:  # noqa: BLE001
+                log(f"round {rnd} {name}: ERROR {repr(e)[:300]}")
+                results[name].append(None)
+    for name, secs in results.items():
+        good = [x for x in secs if x]
+        if not good:
+            emit({"probe": f"overlap {name}", "error": "all rounds failed"})
+            continue
+        med = float(np.median(good))
+        emit({"probe": f"overlap {name}",
+              "us_median": round(med * 1e6, 2),
+              "gbps_median": round(BYTES_Q4K / med / 1e9, 1),
+              "us_rounds": [round(x * 1e6, 2) for x in good],
+              "shape": "4096x4096 n=16 q4_k full math, min-fold"})
+
+
 def run_part3():
     log("part 3: emit_pipeline")
     try:
@@ -581,4 +739,6 @@ if __name__ == "__main__":
         run_part3()
     if which == "part4":
         run_part4()
+    if which == "part5":
+        run_part5()
     log("done")

@@ -47,12 +47,19 @@ from gguf_tpu.utils.benchmark import mmq_loop, slope_time
 N = 16
 
 # the four MMQ classes of a Llama-2-7B decode layer (ffn padded to 11264
-# for tp-aligned superblocks, models/loader.py), m = output features
+# for tp-aligned superblocks, models/loader.py), m = output features;
+# 1b_* rows are the TinyLlama-1.1B classes (dim 2048, ffn 5632) + its
+# untied lm head
 SHAPES = {
     "wo": (4096, 4096),
     "down": (4096, 11264),
     "qkv": (12288, 4096),
     "gate_up": (22528, 4096),
+    "1b_qkv": (2560, 2048),
+    "1b_wo": (2048, 2048),
+    "1b_gate_up": (11264, 2048),
+    "1b_down": (2048, 5632),
+    "1b_lm": (32000, 2048),
 }
 
 # (bm, bk) candidates; first entry is the shipping heuristic (control).

@@ -51,6 +51,11 @@ def stage_ablate():
     probe_overlap.run_part4()
 
 
+def stage_xpipe():
+    import probe_overlap
+    probe_overlap.run_part5()
+
+
 def stage_empipe():
     import probe_overlap
     probe_overlap.run_part3()
@@ -66,6 +71,11 @@ def stage_tiles1():
 
 def stage_tiles2():
     run_script(f"{HERE}/probe_tiles7b.py", ["qkv", "gate_up"])
+
+
+def stage_tiles1b():
+    run_script(f"{HERE}/probe_tiles7b.py",
+               ["1b_qkv", "1b_wo", "1b_gate_up", "1b_down", "1b_lm"])
 
 
 def stage_contract():

@@ -50,8 +50,53 @@ def fake_quantize_q8_1(x: jax.Array) -> jax.Array:
     """Round-trip x through Q8_1 (float in, float out). Feeding the MMQ
     kernels fake-quantized activations reproduces the reference correctness
     contract (CPU golden consumes pre-quantized Q8_1 activations,
-    /root/reference/test/test_mmq_q4_k.py:31-34)."""
+    /root/reference/test/test_mmq_q4_k.py:31-34).
+
+    At decode widths this runs as ONE Pallas kernel instead of the XLA op
+    chain: the chain's ~25 tiny ops cost 10.9 us/call of pure issue/layout
+    latency on a (16, 4096) activation (r4-s1 `contract decomposition`) —
+    2/3 of the act_quant mode's overhead over the serving path. Bit
+    identity with the XLA path is pinned by tests (same op sequence, same
+    integer-emulated fp16 rounding points)."""
     *lead, k = x.shape
+    n = 1
+    for s in lead:
+        n *= s
+    if n <= 64 and k % BLOCK == 0 and k <= 16384:
+        return _fake_quantize_pallas(
+            x.reshape(n, k).astype(jnp.float32)).reshape(*lead, k)
     q, d, _ = quantize_q8_1_act(x)
     g = q.reshape(*lead, k // BLOCK, BLOCK).astype(jnp.float32)
     return (g * d[..., None]).reshape(*lead, k)
+
+
+def _fq_kernel(x_ref, o_ref):
+    from ..quant.layouts import fp16_round as _f16
+
+    n, k = x_ref.shape
+    # per-32-block ops need the blocks on SUBLANES: transpose, reshape the
+    # sublane dim (lane dim stays n — legal in Mosaic), reduce axis 1
+    g = x_ref[:].T.reshape(k // BLOCK, BLOCK, n)
+    gf = _f16(g)
+    amax = jnp.max(jnp.abs(gf), axis=1, keepdims=True)   # (k/32, 1, n)
+    d = _f16(amax / 127.0)
+    d_safe = jnp.where(d == 0.0, 1.0, d)
+    q = jnp.clip(jnp.rint(_f16(gf / d_safe)), -127, 127)
+    o_ref[:] = (q * d).reshape(k, n).T
+
+
+@jax.jit
+def _fake_quantize_pallas(x: jax.Array) -> jax.Array:
+    from .common import running_interpreted
+
+    n, k = x.shape
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        _fq_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, k), jnp.float32),
+        interpret=running_interpreted(),
+    )(x)

@@ -148,10 +148,15 @@ DECODE_TILES = (4096, 512)
 def pick_tiles(m_arr: int, k: int, block_m: int, block_k: int,
                n: int) -> tuple[int, int]:
     """Tile sizes for an MMQ call: at decode widths (n <= 64) the measured
-    TILE_TABLE entry or the swept decode default; the caller's (prefill)
-    defaults otherwise."""
+    TILE_TABLE entry, or the swept decode default within the swept regime
+    (k >= 4096 — the r4-tiles shapes); the caller's defaults otherwise
+    (small-k model shapes keep (2048, 1024) until swept)."""
     if n <= 64:
-        return TILE_TABLE.get((m_arr, k), DECODE_TILES)
+        hit = TILE_TABLE.get((m_arr, k))
+        if hit:
+            return hit
+        if k >= 4096:
+            return DECODE_TILES
     return block_m, block_k
 
 

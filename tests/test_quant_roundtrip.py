@@ -359,3 +359,22 @@ def test_legacy_all_zero_block():
         q = getattr(lg, f"quantize_{fmt}")(x)
         y = getattr(lg, f"dequantize_{fmt}")(q, (64,))
         np.testing.assert_array_equal(y, 0.0)
+
+
+def test_fake_quantize_pallas_bit_identical():
+    """The decode-width Pallas fake-quant kernel must emit EXACTLY the XLA
+    chain's values (same fp16 rounding points; r4 — the chain cost 10.9
+    us/call of op-issue latency, `contract decomposition` RESULTS line)."""
+    import jax.numpy as jnp
+
+    from gguf_tpu.ops.activation import (_fake_quantize_pallas,
+                                         quantize_q8_1_act)
+
+    rng = np.random.default_rng(7)
+    for n, k in ((1, 256), (16, 1024), (64, 4096)):
+        x = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32)) * 5
+        q, d, _ = quantize_q8_1_act(x)
+        ref = (q.reshape(n, k // 32, 32).astype(jnp.float32)
+               * d[..., None]).reshape(n, k)
+        got = _fake_quantize_pallas(x)
+        assert (np.asarray(got) == np.asarray(ref)).all(), (n, k)
