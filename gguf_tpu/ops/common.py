@@ -135,6 +135,15 @@ TILE_TABLE: dict[tuple[int, int], tuple[int, int]] = {
     (4096, 11264): (4096, 512),     # 7B down      525.3 vs 457.7 GB/s
     (12288, 4096): (4096, 512),     # 7B qkv       517.0 vs 457.8 GB/s
     (22528, 4096): (4096, 512),     # 7B gate_up   478.x vs 461.x GB/s
+    # TinyLlama-1.1B classes (r4-s3 sweep): the k=2048 regime does NOT
+    # follow the 7B "one M-tile + bk=512" rule uniformly — gate_up wants
+    # bk = whole-K and a SMALL bm (one K-step, many cheap M-tiles), while
+    # the short-M shapes still want one M-tile.
+    (2560, 2048): (4096, 512),      # 1B qkv       381.3 vs 348.1 GB/s
+    (2048, 2048): (4096, 512),      # 1B wo        341.3 vs 338.7 GB/s
+    (11264, 2048): (1024, 2048),    # 1B gate_up   457.2 vs 432.1 GB/s
+    (2048, 5632): (4096, 512),      # 1B down      409.8 vs r3 default
+    (32000, 2048): (4096, 512),     # 1B lm_head   452.0 vs 443 GB/s
 }
 
 # r4-tiles sweep: (4096, 512) won EVERY 7B decode shape — fewer M-tiles
