@@ -705,6 +705,269 @@ def run_part5():
               "shape": "4096x4096 n=16 q4_k full math, min-fold"})
 
 
+def xp_ablate(bm, bk, mode):
+    """Round-5 xpipe AUTOPSY (VERDICT r4 weak #3): the cross-K-step
+    rotating-scratch pipeline measured 172-185 GB/s — 2.5x WORSE than
+    flat — with no archived diagnosis. These ablations isolate the
+    mechanism:
+
+      flat       min-fold control (no scratch round-trip)
+      xp         the original: dequant into slot j%2 (slice stores), dot
+                 slot (j+1)%2 — dynamic slot index on a (2, bk, bm) ref
+      xp_static2 TWO static scratch refs + pl.when parity (no dynamic
+                 leading index; Mosaic can disambiguate aliasing)
+      xp_nodot   dequant + rotating stores only (dot replaced by a
+                 resident-tile dot) — isolates store/layout cost
+      xp_nostore dequant consumed by a cheap reduce, dot from the OTHER
+                 resident tile — isolates the when/grid structure cost
+    """
+    nblk = bk // 32
+    sbt = bk // 256
+    steps = K // bk
+    xp = mode != "flat"
+    gsteps = steps + 1 if xp else steps
+
+    def prep(d_ref, dm_ref, sc_ref, mn_ref):
+        d = fp16_bits_to_f32(d_ref[:sbt, :])
+        dmin = fp16_bits_to_f32(dm_ref[:sbt, :])
+        sc = sc_ref[:].astype(jnp.int32).astype(jnp.float32)
+        mn = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+        scale32 = (d[:, None, :] * sc.reshape(sbt, 8, bm)).reshape(nblk, bm)
+        min32 = (dmin[:, None, :] * mn.reshape(sbt, 8, bm)).reshape(nblk, bm)
+        return scale32, min32
+
+    def parts_of(vi, scale32, min32, s):
+        sl = vi[s * 128:(s + 1) * 128, :]
+        se = pltpu.repeat(scale32[s * 8:(s + 1) * 8, :], 16, axis=0)
+        me = pltpu.repeat(min32[s * 8:(s + 1) * 8, :], 16, axis=0)
+        return ((sl & 0xF).astype(jnp.float32) * se - me,
+                (sl >> 4).astype(jnp.float32) * se - me)
+
+    def dequant_into(vi, scale32, min32, dst, slot=None):
+        for s in range(sbt):
+            lo, hi = parts_of(vi, scale32, min32, s)
+            if slot is None:
+                dst[s * 256:s * 256 + 128, :] = lo.astype(jnp.bfloat16)
+                dst[s * 256 + 128:(s + 1) * 256, :] = hi.astype(jnp.bfloat16)
+            else:
+                dst[slot, s * 256:s * 256 + 128, :] = lo.astype(jnp.bfloat16)
+                dst[slot, s * 256 + 128:(s + 1) * 256, :] = \
+                    hi.astype(jnp.bfloat16)
+
+    if mode == "flat":
+        def kern(w_ref, d_ref, dm_ref, sc_ref, mn_ref, b_ref, o_ref,
+                 acc_ref):
+            j = pl.program_id(1)
+
+            @pl.when(j == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+            scale32, min32 = prep(d_ref, dm_ref, sc_ref, mn_ref)
+            vi = w_ref[:].astype(jnp.int32)
+            parts = []
+            for s in range(sbt):
+                parts.extend(parts_of(vi, scale32, min32, s))
+            wd = (jnp.concatenate(parts, 0) if len(parts) > 1
+                  else parts[0]).astype(jnp.bfloat16)
+            acc_ref[:] += jax.lax.dot_general(
+                b_ref[:], wd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            @pl.when(j == steps - 1)
+            def _():
+                o_ref[:] = acc_ref[:]
+        scratch = [pltpu.VMEM((N, bm), jnp.float32)]
+    elif mode == "xp":
+        def kern(w_ref, d_ref, dm_ref, sc_ref, mn_ref, b_ref, o_ref,
+                 acc_ref, wd_ref):
+            j = pl.program_id(1)
+
+            @pl.when(j == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+            scale32, min32 = prep(d_ref, dm_ref, sc_ref, mn_ref)
+            vi = w_ref[:].astype(jnp.int32)
+            slot = j % 2
+            dequant_into(vi, scale32, min32, wd_ref, slot)
+
+            @pl.when(j > 0)
+            def _():
+                acc_ref[:] += jax.lax.dot_general(
+                    b_ref[:], wd_ref[(j + 1) % 2],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            @pl.when(j == gsteps - 1)
+            def _():
+                o_ref[:] = acc_ref[:]
+        scratch = [pltpu.VMEM((N, bm), jnp.float32),
+                   pltpu.VMEM((2, bk, bm), jnp.bfloat16)]
+    elif mode == "xp_static2":
+        def kern(w_ref, d_ref, dm_ref, sc_ref, mn_ref, b_ref, o_ref,
+                 acc_ref, wa_ref, wb_ref):
+            j = pl.program_id(1)
+
+            @pl.when(j == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+            scale32, min32 = prep(d_ref, dm_ref, sc_ref, mn_ref)
+            vi = w_ref[:].astype(jnp.int32)
+
+            @pl.when(j % 2 == 0)
+            def _():
+                dequant_into(vi, scale32, min32, wa_ref)
+
+                @pl.when(j > 0)
+                def _():
+                    acc_ref[:] += jax.lax.dot_general(
+                        b_ref[:], wb_ref[:], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+            @pl.when(j % 2 == 1)
+            def _():
+                dequant_into(vi, scale32, min32, wb_ref)
+                acc_ref[:] += jax.lax.dot_general(
+                    b_ref[:], wa_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            @pl.when(j == gsteps - 1)
+            def _():
+                o_ref[:] = acc_ref[:]
+        scratch = [pltpu.VMEM((N, bm), jnp.float32),
+                   pltpu.VMEM((bk, bm), jnp.bfloat16),
+                   pltpu.VMEM((bk, bm), jnp.bfloat16)]
+    elif mode == "xp_nodot":
+        def kern(w_ref, d_ref, dm_ref, sc_ref, mn_ref, b_ref, o_ref,
+                 acc_ref, wd_ref, cst_ref):
+            j = pl.program_id(1)
+
+            @pl.when(j == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+            scale32, min32 = prep(d_ref, dm_ref, sc_ref, mn_ref)
+            vi = w_ref[:].astype(jnp.int32)
+            slot = j % 2
+            dequant_into(vi, scale32, min32, wd_ref, slot)
+            # dot from a CONSTANT resident tile: same MXU work, no
+            # dependence on the rotating scratch
+            acc_ref[:] += jax.lax.dot_general(
+                b_ref[:], cst_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            @pl.when(j == gsteps - 1)
+            def _():
+                o_ref[:] = acc_ref[:]
+        scratch = [pltpu.VMEM((N, bm), jnp.float32),
+                   pltpu.VMEM((2, bk, bm), jnp.bfloat16),
+                   pltpu.VMEM((bk, bm), jnp.bfloat16)]
+    elif mode == "xp_nostore":
+        def kern(w_ref, d_ref, dm_ref, sc_ref, mn_ref, b_ref, o_ref,
+                 acc_ref, cst_ref):
+            j = pl.program_id(1)
+
+            @pl.when(j == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+            scale32, min32 = prep(d_ref, dm_ref, sc_ref, mn_ref)
+            vi = w_ref[:].astype(jnp.int32)
+            parts = []
+            for s in range(sbt):
+                parts.extend(parts_of(vi, scale32, min32, s))
+            wd = (jnp.concatenate(parts, 0) if len(parts) > 1
+                  else parts[0]).astype(jnp.bfloat16)
+            # consume the chain cheaply (a (8, bm) running max) and dot
+            # from the resident tile — chain and dot are independent,
+            # mirroring the iso probe but inside the xp grid structure
+            acc_ref[1:2, :] += jnp.max(
+                wd.reshape(bk // 8, 8, bm), axis=0).max(
+                    axis=0, keepdims=True).astype(jnp.float32)
+            acc_ref[:] += jax.lax.dot_general(
+                b_ref[:], cst_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            @pl.when(j == gsteps - 1)
+            def _():
+                o_ref[:] = acc_ref[:]
+        scratch = [pltpu.VMEM((N, bm), jnp.float32),
+                   pltpu.VMEM((bk, bm), jnp.bfloat16)]
+
+    w = jnp.asarray(rng.integers(0, 255, (K // 2, M)), jnp.uint8)
+    g8 = 8
+    d16 = jnp.asarray(rng.integers(2**13, 2**14, (steps * g8, M)),
+                      jnp.uint16)
+    dm16 = jnp.asarray(rng.integers(2**13, 2**14, (steps * g8, M)),
+                       jnp.uint16)
+    sc8 = jnp.asarray(rng.integers(0, 63, (K // 32, M)), jnp.uint8)
+    mn8 = jnp.asarray(rng.integers(0, 63, (K // 32, M)), jnp.uint8)
+    b0 = jnp.asarray(rng.standard_normal((N, K)), jnp.bfloat16)
+
+    last = steps - 1
+    kq = (lambda mi, i: (jnp.minimum(i, last), mi)) if xp \
+        else (lambda mi, i: (i, mi))
+    kb = (lambda mi, i: (0, jnp.maximum(i - 1, 0))) if xp \
+        else (lambda mi, i: (0, i))
+    in_specs = [
+        pl.BlockSpec((bk // 2, bm), kq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((g8, bm), kq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((g8, bm), kq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nblk, bm), kq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nblk, bm), kq, memory_space=pltpu.VMEM),
+        pl.BlockSpec((N, bk), kb, memory_space=pltpu.VMEM),
+    ]
+
+    def op(w, d, dm, sc, mn, b):
+        return pl.pallas_call(
+            kern, grid=(M // bm, gsteps),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((N, bm), lambda mi, i: (0, mi),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N, M), jnp.float32),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )(w, d, dm, sc, mn, b)
+
+    return op, (w, d16, dm16, sc8, mn8, b0)
+
+
+def run_part6():
+    """xpipe autopsy: which mechanism makes the cross-step pipeline 2.5x
+    slower? (VERDICT r4 #2 precondition for ROADMAP's acceptance clause)"""
+    log("part 6: xpipe autopsy")
+    modes = ["flat", "xp", "xp_static2", "xp_nodot", "xp_nostore"]
+    for bm, bk in ((4096, 512), (2048, 1024)):
+        built = {}
+        for mode in modes:
+            try:
+                built[mode] = xp_ablate(bm, bk, mode)
+            except Exception as e:  # noqa: BLE001
+                log(f"{mode} ({bm},{bk}) BUILD FAILED: {repr(e)[:300]}")
+                emit({"probe": f"xpauto {mode} {bm}x{bk}",
+                      "error": "build: " + repr(e)[:250]})
+        results = {kk: [] for kk in built}
+        for rnd in range(3):
+            for mode, (op, args) in built.items():
+                try:
+                    sec = time_op(op, args)
+                    results[mode].append(sec)
+                    log(f"({bm},{bk}) round {rnd} {mode}: "
+                        f"{sec*1e6:.2f} us ({BYTES_Q4K/sec/1e9:.0f} GB/s)")
+                except Exception as e:  # noqa: BLE001
+                    log(f"({bm},{bk}) round {rnd} {mode}: ERROR "
+                        f"{repr(e)[:250]}")
+        for mode, secs in results.items():
+            good = [x for x in secs if x]
+            if not good:
+                emit({"probe": f"xpauto {mode} {bm}x{bk}",
+                      "error": "all rounds failed"})
+                continue
+            med = float(np.median(good))
+            emit({"probe": f"xpauto {mode} {bm}x{bk}",
+                  "us_median": round(med * 1e6, 2),
+                  "gbps_median": round(BYTES_Q4K / med / 1e9, 1),
+                  "us_rounds": [round(x * 1e6, 2) for x in good]})
+
+
 def run_part3():
     log("part 3: emit_pipeline")
     try:
@@ -741,4 +1004,6 @@ if __name__ == "__main__":
         run_part4()
     if which == "part5":
         run_part5()
+    if which == "part6":
+        run_part6()
     log("done")

@@ -41,6 +41,11 @@ class MMOpts(NamedTuple):
     act_quant: bool = False
     block_m: int = 2048
     block_k: int = 1024
+    # consult the measured per-shape TILE_TABLE at decode widths. Only
+    # applies while block_m/block_k carry their defaults: explicit
+    # per-call tiles are always honored (ADVICE r4). False pins the
+    # defaults everywhere — the control arm for tile-table e2e A/Bs.
+    use_tile_table: bool = True
     axis_name: str | None = None
     # context parallelism: mesh axis the KV cache's sequence dim is sharded
     # over (contiguous shards). attention() then inserts only shard-owned
@@ -59,8 +64,12 @@ def linear(w, x: jax.Array, opts: MMOpts = MMOpts()) -> jax.Array:
     if isinstance(w, QuantTensor):
         from ..ops.common import pick_tiles
 
-        bm, bk = pick_tiles(w.lanes, w.shape[1],
-                            opts.block_m, opts.block_k, x.shape[0])
+        if opts.use_tile_table and (opts.block_m, opts.block_k) == (2048, 1024):
+            bm, bk = pick_tiles(w.lanes, w.shape[1],
+                                opts.block_m, opts.block_k, x.shape[0],
+                                fmt=w.fmt)
+        else:
+            bm, bk = opts.block_m, opts.block_k
         return MMQ[w.fmt](
             w, x, act_quant=opts.act_quant, precision=opts.precision,
             block_m=bm, block_k=bk,

@@ -586,8 +586,14 @@ def write_random_llama_gguf(
     seed: int = 0,
     extra_metadata: dict | None = None,
     arch: str = "llama",
+    weight_fn=None,
 ) -> None:
     """Create a random llama-schema GGUF checkpoint (tests / benchmarks).
+
+    `weight_fn(rng, shape, scale) -> np.ndarray` overrides the gaussian
+    projection-weight generator — the hook the hostile-statistics accuracy
+    probes use to write heavy-tailed / outlier-channel checkpoints
+    (benchmarks/probe_ppl_hostile.py; VERDICT r4 #5).
 
     Projection weights are quantized to `fmt`; norms stay F32, the output
     head uses Q6_K when `fmt` is K-quant (mirroring llama.cpp's Q4_K_M
@@ -602,6 +608,9 @@ def write_random_llama_gguf(
     scale = 0.5 / np.sqrt(d)
 
     def w(shape):
+        if weight_fn is not None:
+            return np.ascontiguousarray(
+                weight_fn(rng, shape, scale).astype(np.float32))
         return (rng.standard_normal(shape) * scale).astype(np.float32)
 
     head_fmt = (GGMLType.Q6_K if fmt in (GGMLType.Q4_K, GGMLType.Q5_K,

@@ -70,6 +70,59 @@ def fake_quantize_q8_1(x: jax.Array) -> jax.Array:
     return (g * d[..., None]).reshape(*lead, k)
 
 
+def quantize_q8_1_codes(x: jax.Array):
+    """Q8_1-quantize a decode-width activation, returning the CODES:
+    (q: int8 (n, K), d: f32 (n, K/32), s: f32 (n, K/32) — the fp16-rounded
+    d*sum(q) field). Same bit-exact math as quantize_q8_1_act (one Pallas
+    pass at decode widths); feeds the int8-MXU MMQ path, which needs raw
+    codes rather than the fake-quantized float round-trip."""
+    *lead, k = x.shape
+    n = 1
+    for sdim in lead:
+        n *= sdim
+    if n <= 64 and k % BLOCK == 0 and k <= 16384:
+        q, d, s = _quantize_codes_pallas(x.reshape(n, k).astype(jnp.float32))
+    else:
+        q, d, s = quantize_q8_1_act(x.reshape(n, k))
+    return (q.reshape(*lead, k), d.reshape(*lead, k // BLOCK),
+            s.reshape(*lead, k // BLOCK))
+
+
+def _codes_kernel(x_ref, q_ref, d_ref, s_ref):
+    from ..quant.layouts import fp16_round as _f16
+
+    n, k = x_ref.shape
+    g = x_ref[:].T.reshape(k // BLOCK, BLOCK, n)
+    gf = _f16(g)
+    amax = jnp.max(jnp.abs(gf), axis=1, keepdims=True)   # (k/32, 1, n)
+    d = _f16(amax / 127.0)
+    d_safe = jnp.where(d == 0.0, 1.0, d)
+    q = jnp.clip(jnp.rint(_f16(gf / d_safe)), -127, 127)
+    sum_q = jnp.sum(q, axis=1, keepdims=True)            # exact in f32
+    q_ref[:] = q.reshape(k, n).T.astype(jnp.int8)
+    d_ref[:] = d[:, 0, :].T
+    s_ref[:] = _f16(d * sum_q)[:, 0, :].T
+
+
+@jax.jit
+def _quantize_codes_pallas(x: jax.Array):
+    from .common import running_interpreted
+
+    n, k = x.shape
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        _codes_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n, k), jnp.int8),
+                   jax.ShapeDtypeStruct((n, k // BLOCK), jnp.float32),
+                   jax.ShapeDtypeStruct((n, k // BLOCK), jnp.float32)],
+        interpret=running_interpreted(),
+    )(x)
+
+
 def _fq_kernel(x_ref, o_ref):
     from ..quant.layouts import fp16_round as _f16
 

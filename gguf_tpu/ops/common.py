@@ -154,18 +154,43 @@ TILE_TABLE: dict[tuple[int, int], tuple[int, int]] = {
 DECODE_TILES = (4096, 512)
 
 
+# Formats whose in-kernel decode glue is ONE (bk, bk) block-diagonal
+# matrix (mmq_q3_k/q6_k/q8_0) rather than per-superblock (256, 256) dots:
+# their VMEM glue operand grows O(bk^2), so table entries swept on q4_k
+# (per-superblock glue) must not hand them bk > the measured 1024
+# (ADVICE r4: the (11264, 2048) -> bk=2048 entry would mean an 8 MiB
+# double-buffered glue operand).
+_BLOCKDIAG_GLUE_FMTS = frozenset({"q3_k", "q6_k", "q8_0"})
+
+_TILE_MISSES: set[tuple[int, int]] = set()
+
+
 def pick_tiles(m_arr: int, k: int, block_m: int, block_k: int,
-               n: int) -> tuple[int, int]:
+               n: int, fmt: str | None = None) -> tuple[int, int]:
     """Tile sizes for an MMQ call: at decode widths (n <= 64) the measured
     TILE_TABLE entry, or the swept decode default within the swept regime
     (k >= 4096 — the r4-tiles shapes); the caller's defaults otherwise
-    (small-k model shapes keep (2048, 1024) until swept)."""
+    (small-k model shapes keep (2048, 1024) until swept). Decode shapes
+    outside both the table and the swept regime log once so untuned
+    geometries are visible (VERDICT r4 #7)."""
     if n <= 64:
         hit = TILE_TABLE.get((m_arr, k))
+        if hit is None and k >= 4096:
+            hit = DECODE_TILES
         if hit:
-            return hit
-        if k >= 4096:
-            return DECODE_TILES
+            bm, bk = hit
+            if fmt in _BLOCKDIAG_GLUE_FMTS and bk > 1024:
+                bk = 1024
+            return bm, bk
+        if (m_arr, k) not in _TILE_MISSES:
+            _TILE_MISSES.add((m_arr, k))
+            import logging
+
+            logging.getLogger("gguf_tpu").info(
+                "mmq decode shape (%d, %d) has no TILE_TABLE entry and is "
+                "outside the swept k>=4096 regime; running untuned "
+                "(%d, %d). Sweep it with benchmarks/probe_tiles7b.py.",
+                m_arr, k, block_m, block_k)
     return block_m, block_k
 
 

@@ -21,13 +21,19 @@ TPU-first design — not a translation of the CUDA/Triton kernel:
   GB/s at 4096x4096 n=16). The matching activation-column permutation is one
   XLA transpose on the (N, K) side — 128x smaller than the weight side.
 * The Triton kernel does per-32-block int8 `tl.dot`s with 2x2 output tiles.
-  The MXU wants large contractions: the scaled tile is dequantized in VMEM
-  and one (TN, TK) x (TK, TM) dot runs per grid step with f32 accumulation.
-  (An int8-MXU formulation — dot raw codes, rescale per-32-block partials —
-  was costed and rejected: at decode N=16 the per-block partial tensor is
-  half the weight tile, so its scale-combine costs more VPU work than the
-  in-tile multiply it replaces, and 32-deep batched dots starve the MXU;
-  see docs/DESIGN.md §2a.)
+  The MXU wants large contractions: for the float serving path the scaled
+  tile is dequantized in VMEM and one (TN, TK) x (TK, TM) dot runs per
+  grid step with f32 accumulation. The int8-MXU formulation the reference
+  contract implies was MEASURED in round 5 (benchmarks/probe_i8bd.py,
+  r5-s1): a block-partial restructuring (Bd = repeat+mask of the Q8_1
+  codes, per-superblock (8n, 256) x (256, TM) int8 dots -> int32 partials,
+  f32 scale combine) keeps full-depth contractions and one MXU row-tile at
+  n <= 16, and runs AT the bf16 path's speed (427 vs 435 GB/s same-stage)
+  — the partial-tensor VMEM traffic spends what the halved MXU ingest
+  saves, so it does NOT beat bf16 for serving (the same probe's bf16
+  block-partial variant measured 354, slower than flat). It therefore
+  ships as the act_quant+high CONTRACT path (_kernel_i8), where it
+  replaces an f32-HIGHEST emulation 2.5x slower; see docs/DESIGN.md §2b.
 * The per-32-block affine min FOLDS INTO the dequant multiply as an fma
   (w = q*scale - min_expanded, _unpack_scaled) — zero extra per-element
   ops, mathematically identical to the reference's Q8_1 `s`-field
@@ -193,8 +199,13 @@ def _ink_b_prep(fast, sbt, b_ref, p_ref):
     (_unpack_scaled), the permute is the ONLY remaining glue: no block
     sums, no min-term dot. A fused block-diagonal one-dot variant was
     measured 31% SLOWER (q4k_glue ink_bigg 15.95us vs ink_pmat 12.15us,
-    r4 session) — its off-diagonal zeros cost real MXU weight-tile loads,
-    so per-superblock dots stay."""
+    r4 session) — but that number is for the bsum-AUGMENTED (bk, bk+128)
+    matrix the pre-min-fold kernel needed, whose 128 always-dense extra
+    columns make every weight-tile load unavoidable. The PURE (bk, bk)
+    block diagonal was never the losing variant and WON for
+    q3_k/q6_k/q8_0 (messier per-plane permutes); q4_k/q2_k keep
+    per-superblock (256, 256) dots, which the same session measured
+    fastest for this kernel's 2-plane reorder (ADVICE r4 note)."""
     bt = b_ref[:]                                  # (BN, BK) f32, natural
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
@@ -234,6 +245,148 @@ def _kernel_ink(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _kernel_i8(n16, sbt, sb_total, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref,
+               qb_ref, db_ref, sf_ref, out_ref, acc_ref, s32_ref, mn32_ref):
+    """Int8-MXU contract path (r5): the reference's integer-dot semantics
+    (/root/reference/kernels/mmq_q4_k.py:202-221) done TPU-natively.
+
+    Per superblock, a BLOCK-PARTIAL dot — Bd[(c*16 + i), k] =
+    qb[i, k] * (k's 32-block == c), built by pltpu.repeat + a static iota
+    mask — contracts the FULL 256 columns at once: int8 x int8 -> int32
+    partials p[(c,i), m] with one MXU row-tile at n<=16 (8*16 = 128 rows),
+    refuting both legs of the old rejection (32-deep dots / VPU combine
+    cost; see benchmarks/probe_i8bd.py, r5-s1). The int32 partials are
+    exact; f32 combine applies the per-32-block weight scale s32 = d*sc
+    and activation scale db, and the Q8_1 s-field x min32 dot on the last
+    K-step supplies the affine min term — bit-faithful to the golden's
+    math (quant/golden.py:mmq_q4_k_q8_1_golden) up to f32 mult ordering.
+
+    Kernel-only throughput matches the bf16 serving path (427 vs 435 GB/s
+    same-stage) instead of paying the f32-HIGHEST MXU emulation the old
+    contract path used (173.5 GB/s, r4-s3 aT_high)."""
+    j = pl.program_id(1)
+    nblk = sbt * 8
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        scf = sc_ref[:].astype(jnp.int32).astype(jnp.float32)
+        mnf = mn_ref[:].astype(jnp.int32).astype(jnp.float32)
+        d = fp16_bits_to_f32(d_ref[:])
+        dm = fp16_bits_to_f32(dmin_ref[:])
+        for sb in range(sb_total):
+            s32_ref[sb * 8:(sb + 1) * 8, :] = \
+                scf[sb * 8:(sb + 1) * 8, :] * d[sb:sb + 1, :]
+            mn32_ref[sb * 8:(sb + 1) * 8, :] = \
+                mnf[sb * 8:(sb + 1) * 8, :] * dm[sb:sb + 1, :]
+
+    vi = qs_ref[:].astype(jnp.int32)
+    qb = qb_ref[:]                                   # (n16, bk) i8, plane
+    dbs = db_ref[:]                                  # (n16, 128) f32
+
+    # plane order puts element k of a superblock in 32-block (k % 8)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (8 * n16, QK_K), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (8 * n16, QK_K), 1)
+    keep = (cc & 7) == (rr // n16)
+
+    s32_step = s32_ref[pl.ds(j * nblk, nblk), :]     # (nblk, bm) f32
+
+    for s in range(sbt):
+        sl = vi[s * 128:(s + 1) * 128, :]
+        w8 = jnp.concatenate(
+            [(sl & 0xF).astype(jnp.int8),
+             (sl >> 4).astype(jnp.int8)], axis=0)    # (256, bm) i8
+        brep = pltpu.repeat(qb[:, s * QK_K:(s + 1) * QK_K], 8, axis=0)
+        bd = jnp.where(keep, brep, jnp.int8(0))
+        p = jax.lax.dot_general(
+            bd, w8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)        # (8*n16, bm) exact
+        tot = None
+        for c in range(8):
+            g = s * 8 + c
+            pc = p[c * n16:(c + 1) * n16, :].astype(jnp.float32) * \
+                dbs[:, g:g + 1]
+            term = pc * s32_step[g:g + 1, :]
+            tot = term if tot is None else tot + term
+        acc_ref[:] += tot
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = acc_ref[:] - jax.lax.dot_general(
+            sf_ref[:], mn32_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _mmq_q4_k_i8(w: QuantTensor, b: jax.Array, block_m: int, block_k: int,
+                 out_dtype) -> jax.Array:
+    """Wrapper for the int8-MXU contract path (n <= 16 decode widths)."""
+    from .activation import quantize_q8_1_codes
+
+    m, k = w.shape
+    n = b.shape[0]
+    n16 = 16
+    qb, d_act, sf = quantize_q8_1_codes(b)
+    qb = pad_rows(permute_acts_q4k(qb), n16)         # (16, k) i8, plane
+    sf = pad_rows(sf, n16)                           # (16, k/32) f32
+
+    sb = k // QK_K
+    ell = sb * 8                                     # total 32-blocks
+    # mn32/s32 live whole-K in f32 scratch; cap bm so both fit in ~6MB
+    bm_cap = max(128, (6 * 2**20 // (8 * ell)) // 128 * 128)
+    bm = choose_bm(w.qs.shape[-1], min(block_m, bm_cap))
+    m_pad = round_up(max(m, w.qs.shape[-1]), bm)
+    bk = pick_block(k, block_k, QK_K)
+    sbt = bk // QK_K
+    steps = k // bk
+    nblk = sbt * 8
+
+    db = d_act.reshape(n, steps, nblk).transpose(1, 0, 2)
+    db = jnp.pad(db, ((0, 0), (0, n16 - n), (0, 128 - nblk)))
+    db = db.reshape(steps * n16, 128)
+
+    sb8 = max(8, round_up(sb, 8))
+    d_bits = pad_rows(pad_cols(w.d_bits, m_pad), sb8)
+    dmin_bits = pad_rows(pad_cols(w.dmin_bits, m_pad), sb8)
+    sc = pad_cols(w.sc, m_pad)
+    mn = pad_cols(w.mn, m_pad)
+    qs = pad_cols(w.qs, m_pad)
+
+    grid = (m_pad // bm, steps)
+    specs = [
+        pl.BlockSpec((sb8, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((sb8, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ell, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ell, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk // 2, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n16, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n16, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n16, ell), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_i8, n16, sbt, sb),
+        grid=grid,
+        in_specs=specs,
+        out_specs=pl.BlockSpec((n16, bm), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n16, m_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((n16, bm), jnp.float32),
+                        pltpu.VMEM((ell, bm), jnp.float32),
+                        pltpu.VMEM((ell, bm), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n16 * 8,
+            bytes_accessed=m_pad * sb * 144 + n16 * k + n16 * m_pad * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=running_interpreted(),
+    )(d_bits, dmin_bits, sc, mn, qs, qb, db, sf)
+
+    return out[:n, :m]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("act_quant", "block_m", "block_k", "out_dtype", "precision"),
@@ -260,6 +413,12 @@ def mmq_q4_k(
     assert b.shape[1] == k, (b.shape, w.shape)
     assert k % QK_K == 0, f"K must be a multiple of {QK_K}, got {k}"
     assert block_m % 128 == 0
+
+    if act_quant and precision == "high" and n <= 16:
+        # the int8-MXU block-partial path: exact integer-dot contract at
+        # bf16-path speed (427 GB/s kernel-only vs the 173.5 the f32
+        # HIGHEST emulation managed, probe_i8bd r5-s1)
+        return _mmq_q4_k_i8(w, b, block_m, block_k, out_dtype)
 
     if act_quant:
         b = fake_quantize_q8_1(b)

@@ -137,6 +137,20 @@ def test_mmq_multi_tile_grid(rng, fmt):
 @pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k",
                                  "q4_0", "q4_1", "q5_0", "q5_1",
                                  "iq4_nl", "iq4_xs"])
+@pytest.mark.parametrize("n", [40, 96])
+def test_mmq_glue_arms_parity(rng, fmt, n):
+    """Pin BOTH activation-glue dispatch arms (ADVICE r4): n=40 pads to 64
+    and takes the in-kernel decode glue above the int8-path width; n=96
+    exceeds INK_GLUE_MAX_N=64 and takes the XLA-side prefill glue. The
+    main sweep stops at n=16, so without these a prefill-glue regression
+    would pass CI."""
+    got, want = _run(rng, fmt, 16, n, 512)
+    assert allclose_rel(got, want, 0.01), max_rel_err(got, want)
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q2_k", "q3_k", "q4_k", "q5_k", "q6_k",
+                                 "q4_0", "q4_1", "q5_0", "q5_1",
+                                 "iq4_nl", "iq4_xs"])
 def test_mmq_no_act_quant_matches_dequant_matmul(rng, fmt):
     """act_quant=False: kernel must equal dequantized-weights x float B."""
     quantize, _, kernel, _, _ = CASES[fmt]

@@ -378,3 +378,26 @@ def test_fake_quantize_pallas_bit_identical():
                * d[..., None]).reshape(n, k)
         got = _fake_quantize_pallas(x)
         assert (np.asarray(got) == np.asarray(ref)).all(), (n, k)
+
+
+def test_quantize_codes_pallas_bit_identical():
+    """The codes-emitting Pallas kernel (the int8-MXU MMQ path's
+    activation side, r5) must produce EXACTLY the XLA chain's q/d/s —
+    same fp16 rounding points, same clip, same s-field."""
+    import jax.numpy as jnp
+
+    from gguf_tpu.ops.activation import (quantize_q8_1_act,
+                                         quantize_q8_1_codes)
+
+    rng = np.random.default_rng(11)
+    for n, k in ((1, 256), (16, 1024), (64, 4096)):
+        x = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32)) * 5
+        qr, dr, sr = quantize_q8_1_act(x)
+        qg, dg, sg = quantize_q8_1_codes(x)
+        assert (np.asarray(qg) == np.asarray(qr)).all(), (n, k)
+        assert (np.asarray(dg) == np.asarray(dr)).all(), (n, k)
+        assert (np.asarray(sg) == np.asarray(sr)).all(), (n, k)
+    # the zero-block guard: d == 0 must emit zero codes, not NaNs
+    x0 = jnp.zeros((8, 256), jnp.float32)
+    qg, dg, sg = quantize_q8_1_codes(x0)
+    assert (np.asarray(qg) == 0).all() and (np.asarray(dg) == 0).all()

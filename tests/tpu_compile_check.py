@@ -46,7 +46,12 @@ def main():
             x = jnp.asarray(rng.standard_normal((n, 512)).astype(np.float32))
             out = np.asarray(MMQ[fmt](w, x, precision="fast"))
             assert np.isfinite(out).all(), (fmt, n)
-        print(f"mmq_{fmt}: ok (n=1/16/300)")
+        # the contract mode (act_quant + high) is its own Mosaic class —
+        # for q4_k it lowers the int8-MXU block-partial kernel (r5)
+        x = jnp.asarray(rng.standard_normal((16, 512)).astype(np.float32))
+        out = np.asarray(MMQ[fmt](w, x, precision="high", act_quant=True))
+        assert np.isfinite(out).all(), (fmt, "contract")
+        print(f"mmq_{fmt}: ok (n=1/16/300 + contract)")
 
     # 2. fused attention at every engine shape class
     from gguf_tpu.ops.attention import decode_attention, decode_attention_update
