@@ -103,10 +103,14 @@ def step_timer(cfg, params, cache):
 
 
 def gemm_timer(m, k):
+    from gguf_tpu.ops.common import pick_tiles
+
     wq = quantize_q4_k(rng.standard_normal((m, k)).astype(np.float32))
     w = jax.tree_util.tree_map(jnp.asarray, q4_k_to_soa(wq, m, k))
     x0 = jnp.asarray(rng.standard_normal((BATCH, k)), jnp.float32)
-    op = functools.partial(mmq_q4_k, act_quant=False, precision="fast")
+    bm, bk = pick_tiles(w.lanes, k, 2048, 1024, BATCH, fmt="q4_k")
+    op = functools.partial(mmq_q4_k, act_quant=False, precision="fast",
+                           block_m=bm, block_k=bk)
     return lambda: slope_time(mmq_loop(op, BATCH, m, x0), (w, x0),
                               reps=3)
 
@@ -143,11 +147,15 @@ def attn_timer():
 
 
 if __name__ == "__main__":
+    # r5 (VERDICT r4 #6): the r4 probe differenced 2L-1L, below the
+    # slope-harness resolution at 1B scale (negative component medians).
+    # v2 differences 5L-1L (4 layers of signal) and keeps the two step
+    # timers adjacent so load drift mostly cancels.
     cfg1, p1, c1 = model_at(1)
-    cfg2, p2, c2 = model_at(2)
+    cfg5, p5, c5 = model_at(5)
     timers = {
         "t1L": step_timer(cfg1, p1, c1),
-        "t2L": step_timer(cfg2, p2, c2),
+        "t5L": step_timer(cfg5, p5, c5),
         "qkv": gemm_timer(2560, DIM),
         "wo": gemm_timer(DIM, DIM),
         "gate_up": gemm_timer(2 * FFN, DIM),
@@ -167,18 +175,21 @@ if __name__ == "__main__":
                 extra = f" ({gbps:.0f} GB/s)"
             log(f"round {r} {name}: {vals[name]*1e6:.1f} us{extra}")
         gemm = vals["qkv"] + vals["wo"] + vals["gate_up"] + vals["down"]
-        per_layer = vals["t2L"] - vals["t1L"]
+        per_layer = (vals["t5L"] - vals["t1L"]) / 4
         other = per_layer - gemm - vals["attn"]
+        head = vals["t1L"] - per_layer
         rounds.append({
             "per_layer_us": round(per_layer * 1e6, 1),
             "gemm_us": round(gemm * 1e6, 1),
             "attn_us": round(vals["attn"] * 1e6, 1),
             "other_us": round(other * 1e6, 1),
+            "head_us": round(head * 1e6, 1),
         })
         emit({"probe": f"budget1b round {r}", **rounds[-1],
               **{k: round(v * 1e6, 1) for k, v in vals.items()}})
     med = {k: float(np.median([r[k] for r in rounds]))
            for k in rounds[0]}
     emit({"probe": "budget1b median", **med,
-          "note": "interleaved per round; other = norms/rope/act-glue/"
+          "note": "v2 (r5): per_layer = (t5L - t1L)/4, adjacent timers, "
+                  "gemms through pick_tiles; other = norms/rope/act-glue/"
                   "wrapper ops per layer; 22 layers + head = full model"})

@@ -73,6 +73,11 @@ CANDS = [
     (512, 1024),
     (4096, 512),
     (1024, 2048),
+    # r5: the e2e factor-separation A/B (probe_tiles_e2e) found bk=512
+    # NET SLOWER in the full model while bm=4096 helps — these two were
+    # never isolated-swept in r4 and complete the factor grid
+    (4096, 1024),
+    (4096, 2048),
 ]
 
 

@@ -73,23 +73,48 @@ def step_timer(cfg, params, cache, opts):
                               lo=10, hi=60, reps=3)
 
 
+ARMSETS = {
+    # round-5 factor separation (r5-s1 archived: bk=512 is the culprit,
+    # (4096, 1024) wins: 1435 tok/s vs table-4096x512's 1322)
+    "factors": {
+        "table": MMOpts(precision="fast"),
+        "bm2048_bk512": MMOpts(precision="fast", block_m=2048, block_k=512),
+        "bm4096_bk1024": MMOpts(precision="fast", block_m=4096,
+                                block_k=1024),
+        "default_2048x1024": MMOpts(precision="fast", use_tile_table=False),
+    },
+    # confirmation of the revised TILE_TABLE (per-shape entries) vs its
+    # uniform approximation and the pre-r4 default
+    "confirm": {
+        "table": MMOpts(precision="fast"),
+        "uniform_4096x1024": MMOpts(precision="fast", block_m=4096,
+                                    block_k=1024),
+        "default_2048x1024": MMOpts(precision="fast", use_tile_table=False),
+        "old_4096x512": MMOpts(precision="fast", block_m=4096,
+                               block_k=512),
+    },
+}
+
+MODELS = {
+    "7b": ("/tmp/gguf_tpu_flagship/llama2_7b_q4km.gguf", "llama2-7b"),
+    "1b": ("/tmp/gguf_tpu_flagship/tinyllama_1p1b_q4km.gguf", "tinyllama"),
+}
+
 if __name__ == "__main__":
     nrounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    path = "/tmp/gguf_tpu_flagship/llama2_7b_q4km.gguf"
+    model = sys.argv[2] if len(sys.argv) > 2 else "7b"
+    armset = sys.argv[3] if len(sys.argv) > 3 else "factors"
+    path, mname = MODELS[model]
     cfg, params = load_llama(path)
     params = fuse_llama_params(params)
     cache = init_kv_cache(cfg, batch=BATCH, max_seq=256)
     wbytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize
                  for a in jax.tree_util.tree_leaves(params))
-    wbytes -= sum(int(np.prod(a.shape)) * a.dtype.itemsize
-                  for a in jax.tree_util.tree_leaves(params["token_embd"]))
-    arms = {
-        "table_4096x512": MMOpts(precision="fast"),
-        "bm2048_bk512": MMOpts(precision="fast", block_m=2048, block_k=512),
-        "bm4096_bk1024": MMOpts(precision="fast", block_m=4096,
-                                block_k=1024),
-        "default_2048x1024": MMOpts(precision="fast", use_tile_table=False),
-    }
+    if params["output"] is not params["token_embd"]:
+        wbytes -= sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for a in jax.tree_util.tree_leaves(params["token_embd"]))
+    arms = ARMSETS[armset]
     timers = {name: step_timer(cfg, params, cache, o)
               for name, o in arms.items()}
     results = {name: [] for name in arms}
@@ -101,9 +126,9 @@ if __name__ == "__main__":
                 f"({BATCH/sec:.0f} tok/s, {wbytes/sec/1e9:.1f} GB/s)")
     for name, secs in results.items():
         med = float(np.median(secs))
-        emit({"probe": f"tiles_e2e {name}",
+        emit({"probe": f"tiles_e2e_{model} {name}",
               "step_us": round(med * 1e6, 1),
               "tokens_per_s": round(BATCH / med, 1),
               "weight_stream_gbps": round(wbytes / med / 1e9, 1),
               "us_rounds": [round(x * 1e6, 1) for x in secs],
-              "shape": "llama2-7b q4_k_m decode batch16 span128"})
+              "shape": f"{mname} q4_k_m decode batch16 span128"})

@@ -121,37 +121,37 @@ def pick_block(dim: int, preferred: int, granule: int) -> int:
 
 # Measured per-shape tile table (SURVEY.md:296 "per-shape tile tables —
 # Pallas has no autotuner"): (m_lanes, k) -> (block_m, block_k) for decode
-# widths, filled from interleaved on-chip sweeps (benchmarks/
-# probe_tiles7b.py, RESULTS_v5e.jsonl session r4-tiles). Shapes not listed
-# fall back to the caller's block_m/block_k (default 2048/1024 — best for
-# the wide-M shapes). Keys use the STORED lane width (the loader pads FFN
-# dims to 256-multiples). Pattern in the measurements: small-M shapes want
-# ONE M-tile (the in-kernel activation glue runs per (m, k) grid step, so
-# fewer M-tiles = less repeated glue) and bk=512 over 1024 (more grid
-# steps to pipeline); wo 4096x4096 measured 461.9 GB/s at (4096, 512) vs
-# 384.8 at the (2048, 1024) default, down 4096x11264 501 vs 450.
+# widths. Keys use the STORED lane width (the loader pads FFN dims to
+# 256-multiples). Shapes not listed fall back to the caller's
+# block_m/block_k (default 2048/1024).
+#
+# ROUND-5 REVISION: the r4 entries (bm=4096, bk=512) were chosen from
+# ISOLATED kernel sweeps; the round-5 interleaved full-model A/B
+# (benchmarks/probe_tiles_e2e.py, r5-s1) found bk=512 NET SLOWER e2e
+# (7B decode 1322 tok/s vs 1435 at (4096, 1024), 3/3 rounds), and the
+# completed isolated factor grid (r5 tiles7b with the never-swept
+# (4096, 1024)/(4096, 2048) candidates) agrees: big bm helps — fewer
+# M-tiles replay the in-kernel activation glue fewer times — but bk
+# wants 1024-2048, not 512. The r4 "(4096, 512) wins every shape"
+# result did not reproduce in either measurement and is superseded.
 TILE_TABLE: dict[tuple[int, int], tuple[int, int]] = {
-    (4096, 4096): (4096, 512),      # 7B wo        461.9 vs 384.8 GB/s
-    (4096, 11264): (4096, 512),     # 7B down      525.3 vs 457.7 GB/s
-    (12288, 4096): (4096, 512),     # 7B qkv       517.0 vs 457.8 GB/s
-    (22528, 4096): (4096, 512),     # 7B gate_up   478.x vs 461.x GB/s
-    # TinyLlama-1.1B classes (r4-s3 sweep): the k=2048 regime does NOT
-    # follow the 7B "one M-tile + bk=512" rule uniformly — gate_up wants
-    # bk = whole-K and a SMALL bm (one K-step, many cheap M-tiles), while
-    # the short-M shapes still want one M-tile.
-    (2560, 2048): (4096, 512),      # 1B qkv       381.3 vs 348.1 GB/s
-    (2048, 2048): (4096, 512),      # 1B wo        341.3 vs 338.7 GB/s
+    (4096, 4096): (4096, 1024),     # 7B wo
+    (4096, 11264): (4096, 1024),    # 7B down
+    (12288, 4096): (4096, 1024),    # 7B qkv     484.8 vs 461 (bk=512)
+    (22528, 4096): (4096, 2048),    # 7B gate_up 515.2 vs 454 (bk=512)
+    # TinyLlama-1.1B classes: r4-s3 isolated sweep; the r5 e2e arms probe
+    # (tiles1b_e2e) re-validates these against the bk>=1024 rule.
+    (2560, 2048): (4096, 1024),     # 1B qkv
+    (2048, 2048): (4096, 1024),     # 1B wo
     (11264, 2048): (1024, 2048),    # 1B gate_up   457.2 vs 432.1 GB/s
-    (2048, 5632): (4096, 512),      # 1B down      409.8 vs r3 default
-    (32000, 2048): (4096, 512),     # 1B lm_head   452.0 vs 443 GB/s
+    (2048, 5632): (4096, 2816),     # 1B down (5632 = 2x2816; 1024 ∤ 5632)
+    (32000, 2048): (4096, 1024),    # 1B lm_head
 }
 
-# r4-tiles sweep: (4096, 512) won EVERY 7B decode shape — fewer M-tiles
-# means the in-kernel activation glue runs fewer times per call, and
-# bk=512 doubles the K-steps the Mosaic pipeline can overlap. It is the
-# generic decode-width default; choose_bm degrades bm gracefully for lane
-# widths 4096 doesn't divide (e.g. 22528 -> 2816).
-DECODE_TILES = (4096, 512)
+# Generic decode-width default within the swept regime: one M-tile
+# (choose_bm degrades bm gracefully for lane widths 4096 doesn't divide,
+# e.g. 22528 -> 2816) with the e2e-validated bk=1024.
+DECODE_TILES = (4096, 1024)
 
 
 # Formats whose in-kernel decode glue is ONE (bk, bk) block-diagonal

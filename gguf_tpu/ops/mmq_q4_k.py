@@ -245,8 +245,7 @@ def _kernel_ink(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _kernel_i8(n16, sbt, sb_total, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref,
-               qb_ref, db_ref, sf_ref, out_ref, acc_ref, s32_ref, mn32_ref):
+def _kernel_i8(n16, sbt, sb_total, has_qh, *args):
     """Int8-MXU contract path (r5): the reference's integer-dot semantics
     (/root/reference/kernels/mmq_q4_k.py:202-221) done TPU-natively.
 
@@ -263,7 +262,18 @@ def _kernel_i8(n16, sbt, sb_total, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref,
 
     Kernel-only throughput matches the bf16 serving path (427 vs 435 GB/s
     same-stage) instead of paying the f32-HIGHEST MXU emulation the old
-    contract path used (173.5 GB/s, r4-s3 aT_high)."""
+    contract path used (173.5 GB/s, r4-s3 aT_high).
+
+    `has_qh` adds the Q5_K fifth-bit plane ((sl>>4|f<<4) codes, same
+    per-32 affine structure) — Q5_K rides the identical partial-dot
+    machinery, codes 0..31 still exact in int8."""
+    if has_qh:
+        (d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qh_ref, qb_ref, db_ref,
+         sf_ref, out_ref, acc_ref, s32_ref, mn32_ref) = args
+    else:
+        (d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, qb_ref, db_ref,
+         sf_ref, out_ref, acc_ref, s32_ref, mn32_ref) = args
+        qh_ref = None
     j = pl.program_id(1)
     nblk = sbt * 8
 
@@ -290,12 +300,22 @@ def _kernel_i8(n16, sbt, sb_total, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref,
     keep = (cc & 7) == (rr // n16)
 
     s32_step = s32_ref[pl.ds(j * nblk, nblk), :]     # (nblk, bm) f32
+    hi_i = qh_ref[:].astype(jnp.int32) if has_qh else None
 
     for s in range(sbt):
         sl = vi[s * 128:(s + 1) * 128, :]
-        w8 = jnp.concatenate(
-            [(sl & 0xF).astype(jnp.int8),
-             (sl >> 4).astype(jnp.int8)], axis=0)    # (256, bm) i8
+        if has_qh:
+            hs = hi_i[s * 32:(s + 1) * 32, :]
+            f_lo = jnp.concatenate([(hs >> b) & 1 for b in range(4)], axis=0)
+            f_hi = jnp.concatenate([(hs >> b) & 1 for b in range(4, 8)],
+                                   axis=0)
+            w8 = jnp.concatenate(
+                [((sl & 0xF) | (f_lo << 4)).astype(jnp.int8),
+                 ((sl >> 4) | (f_hi << 4)).astype(jnp.int8)], axis=0)
+        else:
+            w8 = jnp.concatenate(
+                [(sl & 0xF).astype(jnp.int8),
+                 (sl >> 4).astype(jnp.int8)], axis=0)    # (256, bm) i8
         brep = pltpu.repeat(qb[:, s * QK_K:(s + 1) * QK_K], 8, axis=0)
         bd = jnp.where(keep, brep, jnp.int8(0))
         p = jax.lax.dot_general(
@@ -319,7 +339,8 @@ def _kernel_i8(n16, sbt, sb_total, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref,
 
 def _mmq_q4_k_i8(w: QuantTensor, b: jax.Array, block_m: int, block_k: int,
                  out_dtype) -> jax.Array:
-    """Wrapper for the int8-MXU contract path (n <= 16 decode widths)."""
+    """Wrapper for the int8-MXU contract path (n <= 16 decode widths).
+    Serves q4_k AND q5_k (w.qh present -> fifth-bit plane in-kernel)."""
     from .activation import quantize_q8_1_codes
 
     m, k = w.shape
@@ -350,6 +371,8 @@ def _mmq_q4_k_i8(w: QuantTensor, b: jax.Array, block_m: int, block_k: int,
     sc = pad_cols(w.sc, m_pad)
     mn = pad_cols(w.mn, m_pad)
     qs = pad_cols(w.qs, m_pad)
+    has_qh = w.qh is not None
+    qh_ops = (pad_cols(w.qh, m_pad),) if has_qh else ()
 
     grid = (m_pad // bm, steps)
     specs = [
@@ -358,13 +381,18 @@ def _mmq_q4_k_i8(w: QuantTensor, b: jax.Array, block_m: int, block_k: int,
         pl.BlockSpec((ell, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((ell, bm), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((bk // 2, bm), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+    ]
+    if has_qh:
+        specs.append(pl.BlockSpec((bk // 8, bm), lambda i, j: (j, i),
+                                  memory_space=pltpu.VMEM))
+    specs += [
         pl.BlockSpec((n16, bk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((n16, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n16, ell), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
 
     out = pl.pallas_call(
-        functools.partial(_kernel_i8, n16, sbt, sb),
+        functools.partial(_kernel_i8, n16, sbt, sb, has_qh),
         grid=grid,
         in_specs=specs,
         out_specs=pl.BlockSpec((n16, bm), lambda i, j: (0, i),
@@ -375,14 +403,15 @@ def _mmq_q4_k_i8(w: QuantTensor, b: jax.Array, block_m: int, block_k: int,
                         pltpu.VMEM((ell, bm), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n16 * 8,
-            bytes_accessed=m_pad * sb * 144 + n16 * k + n16 * m_pad * 4,
+            bytes_accessed=m_pad * sb * (176 if has_qh else 144)
+            + n16 * k + n16 * m_pad * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=running_interpreted(),
-    )(d_bits, dmin_bits, sc, mn, qs, qb, db, sf)
+    )(d_bits, dmin_bits, sc, mn, qs, *qh_ops, qb, db, sf)
 
     return out[:n, :m]
 

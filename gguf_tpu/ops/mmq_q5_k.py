@@ -131,6 +131,14 @@ def mmq_q5_k(
     assert k % QK_K == 0, f"K must be a multiple of {QK_K}, got {k}"
     assert block_m % 128 == 0
 
+    if act_quant and precision == "high" and n <= 16:
+        # int8-MXU block-partial contract path (mmq_q4_k.py:_kernel_i8):
+        # q5_k rides the q4_k machinery with the fifth-bit plane added
+        # in-kernel — codes 0..31 exact in int8
+        from .mmq_q4_k import _mmq_q4_k_i8
+
+        return _mmq_q4_k_i8(w, b, block_m, block_k, out_dtype)
+
     if act_quant:
         b = fake_quantize_q8_1(b)
     b = b.astype(jnp.float32)
