@@ -93,6 +93,11 @@ ARMSETS = {
         "old_4096x512": MMOpts(precision="fast", block_m=4096,
                                block_k=512),
     },
+    # r5 GLU fusion (act(gate)*up inside the down kernel) on/off
+    "glu": {
+        "glu_on": MMOpts(precision="fast"),
+        "glu_off": MMOpts(precision="fast", fuse_glu=False),
+    },
 }
 
 MODELS = {

@@ -46,6 +46,9 @@ class MMOpts(NamedTuple):
     # per-call tiles are always honored (ADVICE r4). False pins the
     # defaults everywhere — the control arm for tile-table e2e A/Bs.
     use_tile_table: bool = True
+    # fuse the gated-MLP activation into the down GEMM at decode widths
+    # (mmq_q4_k glu=...); False = the XLA split/act/mul chain (A/B arm).
+    fuse_glu: bool = True
     axis_name: str | None = None
     # context parallelism: mesh axis the KV cache's sequence dim is sharded
     # over (contiguous shards). attention() then inserts only shard-owned
@@ -748,6 +751,35 @@ def mlp(layer, x, opts: MMOpts, act_fn: str = "silu",
     xf = x.reshape(b * t, -1)
     if "gate_up" in layer:  # fused projection (see fuse_llama_params)
         gu = linear(layer["gate_up"], xf, opts)
+        # decode-width GLU fusion (r5): hand the raw gate_up output to the
+        # down kernel, which computes act(gate)*up in-kernel per K-step —
+        # the split/act/mul XLA fusions and h's HBM round-trip disappear.
+        # The kernel falls back to identical XLA math outside its gate
+        # (prefill widths, act_quant), so this branch only needs the
+        # structural preconditions.
+        down_w = layer["down"]
+        if (opts.fuse_glu and not return_mid and "bup" not in layer
+                and isinstance(down_w, QuantTensor) and down_w.fmt == "q4_k"
+                and act_fn in ("silu", "gelu")
+                and gu.shape[-1] == 2 * down_w.shape[1]):
+            from ..ops.common import pick_tiles
+
+            if opts.use_tile_table and \
+                    (opts.block_m, opts.block_k) == (2048, 1024):
+                bm, bk = pick_tiles(down_w.lanes, down_w.shape[1],
+                                    opts.block_m, opts.block_k, xf.shape[0],
+                                    fmt="q4_k")
+            else:
+                bm, bk = opts.block_m, opts.block_k
+            down = MMQ["q4_k"](
+                down_w, gu, act_quant=opts.act_quant,
+                precision=opts.precision, block_m=bm, block_k=bk,
+                glu=act_fn).astype(x.dtype)
+            if opts.axis_name:
+                down = jax.lax.psum(down, opts.axis_name)
+            if "bdown" in layer:
+                down = down + layer["bdown"].astype(down.dtype)
+            return down.reshape(b, t, -1)
         g, u = jnp.split(gu, 2, axis=-1)
     elif "gate" in layer:
         g = linear(layer["gate"], xf, opts)

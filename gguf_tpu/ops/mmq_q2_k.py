@@ -77,30 +77,46 @@ def _affine16_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref):
     return scale16, min16
 
 
-def _unpack_affine_q2k(sbt, qs_ref, scale16, min16):
+def _unpack_affine_q2k(sbt, qs_ref, scale16, min16, fold_min=True):
     """Plane crumb unpack + affine dequant: per superblock, 4 shift/mask
     planes of 64 rows, each dequantized by the repeat-tiled per-16-block
-    scale/min rows — the min rides the multiply as an fma (zero extra
-    per-element ops, the r4 min-fold; mmq_q4_k.py:_unpack_scaled)."""
+    scale/min rows.
+
+    r5 (probe_kq_ops): this kernel is VPU element-rate-bound, so ops ARE
+    time. Two measured removals:
+    - micro elision: plane sh=0 needs no shift and sh=6 no mask (u8
+      source guarantees clear high bits);
+    - fold_min=False drops the `- me` from the per-element fma entirely
+      (+11.8% alone): the decode path restores the min as one small
+      bsum x min16 dot per K-step instead (kqops nome/combo lines).
+      The r4 "min-fold always wins" finding was q4_k-specific — with 5
+      chain ops per element and per-16 granularity the tradeoff
+      reverses. Prefill keeps the fold (MXU-bound, chain time hidden)."""
     vi = qs_ref[:].astype(jnp.int32)
     parts = []
     for s in range(sbt):
         sl = vi[s * 64:(s + 1) * 64, :]
         se = pltpu.repeat(scale16[s * 16:(s + 1) * 16, :], 4, axis=0)
-        me = pltpu.repeat(min16[s * 16:(s + 1) * 16, :], 4, axis=0)
-        parts.extend(((sl >> sh) & 3).astype(jnp.float32) * se - me
-                     for sh in (0, 2, 4, 6))
+        me = pltpu.repeat(min16[s * 16:(s + 1) * 16, :], 4, axis=0) \
+            if fold_min else None
+        for sh in (0, 2, 4, 6):
+            q = (sl & 3 if sh == 0
+                 else sl >> 6 if sh == 6
+                 else (sl >> sh) & 3).astype(jnp.float32)
+            parts.append(q * se - me if fold_min else q * se)
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
 def _ink_b_prep_q23(fast, sbt, b_ref, p_ref):
-    """Decode-path activation glue, in-kernel: per-superblock (BN, 256) x
-    (256, 256) 0/1-matrix permute dots (exact selection). With the affine
-    min folded into the weight dequant there is no other glue (a fused
-    block-diagonal one-dot variant measured 31% slower — its zeros cost
-    real MXU tile loads; q4k_glue ink_bigg, r4 session)."""
-    bt = b_ref[:]                                  # (BN, BK) f32, natural
+    return _ink_b_prep_q23_val(fast, sbt, b_ref[:], p_ref)
 
+
+def _ink_b_prep_q23_val(fast, sbt, bt, p_ref):
+    """Decode-path activation glue, in-kernel: per-superblock (BN, 256) x
+    (256, 256) 0/1-matrix permute dots (exact selection). (A fused
+    block-diagonal one-dot variant measured 31% slower in its
+    bsum-augmented form — its zeros cost real MXU tile loads; q4k_glue
+    ink_bigg, r4 session.)"""
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     bc = bt.astype(jnp.bfloat16) if fast else bt
     pm = p_ref[:].astype(bc.dtype)
@@ -123,12 +139,21 @@ def _kernel(fast, ink, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     scale16, min16 = _affine16_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref)
-    w = _unpack_affine_q2k(sbt, qs_ref, scale16, min16)
+    w = _unpack_affine_q2k(sbt, qs_ref, scale16, min16, fold_min=not ink)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
     if ink:
-        bb = _ink_b_prep_q23(fast, sbt, b_ref, rest[0]).astype(wd.dtype)
+        from .common import ink_block_sums
+
+        bt = b_ref[:]
+        bb = _ink_b_prep_q23_val(fast, sbt, bt, rest[0]).astype(wd.dtype)
+        # min term off the per-element chain (r5 nome): one small
+        # bsum16 x min16 dot per K-step on the NATURAL-order b tile
+        bsum16 = ink_block_sums(bt, sbt * 16, 4)       # (BN, SBt*16) f32
+        acc_ref[:] -= jax.lax.dot_general(
+            bsum16, min16, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     else:
         bb = b_ref[:]
     acc_ref[:] += jax.lax.dot_general(

@@ -66,19 +66,29 @@ def _kernel(fast, ink, sbt, d_ref, sc_ref, qs_ref, qh_ref, b_ref, *rest):
         sl = vi[s * 64:(s + 1) * 64, :]
         hl = hi[s * 32:(s + 1) * 32, :]
         se = pltpu.repeat(scale16[s * 16:(s + 1) * 16, :], 4, axis=0)
-        bias = 4.0 * se                                      # folds the -4
+        bias = None if ink else 4.0 * se                     # folds the -4
         for c in range(4):                 # crumb plane c = unpack rows
-            low = (sl >> (2 * c)) & 3     # u = c*64 .. c*64+64
-            h64 = jnp.concatenate(
-                [(hl >> (2 * c)) & 1, (hl >> (2 * c + 1)) & 1], axis=0)
+            # micro elision (r5, probe_kq_ops): c=0 skips the shift, c=3
+            # skips the crumb mask and bit-7's mask (u8 source)
+            low = (sl & 3 if c == 0
+                   else sl >> 6 if c == 3
+                   else (sl >> (2 * c)) & 3)
+            hi_b = (hl >> 7 if c == 3
+                    else (hl >> (2 * c + 1)) & 1)
+            h64 = jnp.concatenate([(hl >> (2 * c)) & 1, hi_b], axis=0)
             q = (low | (h64 << 2)).astype(jnp.float32)
-            parts.append(q * se - bias)
+            # ink (decode): the -4 offset moves OFF the per-element chain
+            # (r5 nome — this kernel is element-rate-bound): restored
+            # below as one bsum x (4*scale16) dot per K-step
+            parts.append(q * se if ink else q * se - bias)
     w = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
     if ink:   # decode: natural-order f32 b; permute + bf16 cast in-kernel
         # as ONE block-diagonal 0/1 matmul (mmq_q4_k.py:_glue_matrix)
+        from .common import ink_block_sums
+
         bt = b_ref[:]
         bc = bt.astype(jnp.bfloat16) if fast else bt
         gm = rest[0][:].astype(bc.dtype)
@@ -86,6 +96,10 @@ def _kernel(fast, ink, sbt, d_ref, sc_ref, qs_ref, qh_ref, b_ref, *rest):
             bc, gm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision).astype(wd.dtype)
+        bsum16 = ink_block_sums(bt, sbt * 16, 4)       # (BN, SBt*16) f32
+        acc_ref[:] -= 4.0 * jax.lax.dot_general(
+            bsum16, scale16, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     else:
         bb = b_ref[:]
     acc_ref[:] += jax.lax.dot_general(

@@ -191,6 +191,10 @@ def _kernel(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
 
 
 def _ink_b_prep(fast, sbt, b_ref, p_ref):
+    return _ink_b_prep_val(fast, sbt, b_ref[:], p_ref)
+
+
+def _ink_b_prep_val(fast, sbt, bt, p_ref):
     """In-kernel activation glue for the decode path: from a NATURAL-order
     f32 b tile, produce the plane-permuted dot operand via per-superblock
     (BN, 256) x (256, 256) 0/1-matrix matmuls — exact selection in either
@@ -206,8 +210,6 @@ def _ink_b_prep(fast, sbt, b_ref, p_ref):
     q3_k/q6_k/q8_0 (messier per-plane permutes); q4_k/q2_k keep
     per-superblock (256, 256) dots, which the same session measured
     fastest for this kernel's 2-plane reorder (ADVICE r4 note)."""
-    bt = b_ref[:]                                  # (BN, BK) f32, natural
-
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     bc = bt.astype(jnp.bfloat16) if fast else bt
     pm = p_ref[:].astype(bc.dtype)
@@ -218,11 +220,23 @@ def _ink_b_prep(fast, sbt, b_ref, p_ref):
          for s in range(sbt)], axis=1)
 
 
-def _kernel_ink(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
-                p_ref, out_ref, acc_ref):
+def _kernel_ink(fast, sbt, glu, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref,
+                *rest):
     """Decode-width variant: b arrives in NATURAL column order (f32); the
     plane permute, per-32-block sums, and bf16 cast run in-kernel (see
-    module docstring — saves ~7 us/call of XLA glue at 4096^2)."""
+    module docstring — saves ~7 us/call of XLA glue at 4096^2).
+
+    `glu` ("silu"/"gelu") fuses the gated-MLP activation into the b prep
+    (r5, VERDICT #1c "attack the other term"): the caller passes the raw
+    fused gate_up projection output and TWO b BlockSpecs window its gate
+    and up halves per K-step, so h = act(gate) * up is computed on the
+    (BN, BK) tile in-kernel — the XLA split/act/mul fusions and the h
+    round-trip through HBM disappear from the layer. f32 math, identical
+    to the XLA path's (jax.nn.silu on f32)."""
+    if glu:
+        g_ref, u_ref, p_ref, out_ref, acc_ref = rest
+    else:
+        b_ref, p_ref, out_ref, acc_ref = rest
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
@@ -231,7 +245,13 @@ def _kernel_ink(fast, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
 
     scale32, min32 = _scale_prep(sbt, d_ref, dmin_ref, sc_ref, mn_ref)
     w = _unpack_scaled(sbt, qs_ref, scale32, min32)
-    bp = _ink_b_prep(fast, sbt, b_ref, p_ref)
+    if glu:
+        g = g_ref[:]
+        bt = (jax.nn.silu(g) if glu == "silu"
+              else jax.nn.gelu(g, approximate=True)) * u_ref[:]
+        bp = _ink_b_prep_val(fast, sbt, bt, p_ref)
+    else:
+        bp = _ink_b_prep(fast, sbt, b_ref, p_ref)
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
@@ -418,7 +438,8 @@ def _mmq_q4_k_i8(w: QuantTensor, b: jax.Array, block_m: int, block_k: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act_quant", "block_m", "block_k", "out_dtype", "precision"),
+    static_argnames=("act_quant", "block_m", "block_k", "out_dtype",
+                     "precision", "glu"),
 )
 def mmq_q4_k(
     w: QuantTensor,
@@ -429,17 +450,34 @@ def mmq_q4_k(
     block_k: int = 1024,
     out_dtype=jnp.float32,
     precision: str = "high",
+    glu: str | None = None,
 ) -> jax.Array:
     """C = (A @ B.T).T for Q4_K weights A (M, K SoA layout) and float B (N, K).
 
     Returns (N, M). K must be a multiple of 256 (the superblock size, same
     contract as the reference, mmq_q4_k.py:263). precision='high' keeps f32
     MXU passes (accurate to ~2^-24); 'fast' uses single-pass bf16.
+
+    glu="silu"/"gelu": b is the RAW fused gate_up projection (N, 2K) and
+    h = act(b[:, :K]) * b[:, K:] is computed in-kernel at decode widths
+    (two BlockSpec windows over the same operand) — the gated-MLP
+    activation chain and its HBM round-trip fold into the down GEMM.
+    Falls back to the identical XLA math at prefill widths / act_quant.
     """
     assert w.fmt == "q4_k"
     m, k = w.shape
     n = b.shape[0]
-    assert b.shape[1] == k, (b.shape, w.shape)
+    if glu is not None:
+        assert b.shape[1] == 2 * k, (b.shape, w.shape)
+        if act_quant or max(8, round_up(n, 8)) > INK_GLUE_MAX_N:
+            g, u = jnp.split(b, 2, axis=-1)
+            gf = g.astype(jnp.float32)
+            b = ((jax.nn.silu(gf) if glu == "silu"
+                  else jax.nn.gelu(gf, approximate=True))
+                 * u.astype(jnp.float32))
+            glu = None
+    else:
+        assert b.shape[1] == k, (b.shape, w.shape)
     assert k % QK_K == 0, f"K must be a multiple of {QK_K}, got {k}"
     assert block_m % 128 == 0
 
@@ -492,10 +530,22 @@ def mmq_q4_k(
         pl.BlockSpec((sbt * 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((sbt * 8, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((bk // 2, bm), lambda ni, i, j: (j, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j), memory_space=pltpu.VMEM),
     ]
+    if glu is not None:
+        # gate and up halves of the SAME (n_pad, 2k) operand, windowed
+        # per K-step (up's block index offset by `steps`)
+        specs.append(pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j),
+                                  memory_space=pltpu.VMEM))
+        specs.append(pl.BlockSpec(
+            (bn, bk), lambda ni, i, j, st=steps: (ni, st + j),
+            memory_space=pltpu.VMEM))
+        b_ops = (b, b)
+    else:
+        specs.append(pl.BlockSpec((bn, bk), lambda ni, i, j: (ni, j),
+                                  memory_space=pltpu.VMEM))
+        b_ops = (b,)
     if ink:
-        kern = functools.partial(_kernel_ink, fast, sbt)
+        kern = functools.partial(_kernel_ink, fast, sbt, glu)
         specs.append(pl.BlockSpec((QK_K, QK_K), lambda ni, i, j: (0, 0),
                                   memory_space=pltpu.VMEM))
         tail = (jnp.asarray(_plane_perm_np(), jnp.bfloat16),)
@@ -519,6 +569,6 @@ def mmq_q4_k(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=running_interpreted(),
-    )(d_bits, dmin_bits, sc, mn, qs, b, *tail)
+    )(d_bits, dmin_bits, sc, mn, qs, *b_ops, *tail)
 
     return out[:n, :m]

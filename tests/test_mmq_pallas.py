@@ -188,3 +188,28 @@ def test_compat_reference_signature(rng, fmt):
         qa, b, m, n, k, precision="high"))
     assert got.shape == (n, m)
     assert allclose_rel(got, want, 0.01)
+
+
+def test_mmq_q4_k_glu_fusion_matches_xla(rng):
+    """The in-kernel GLU path (glu="silu": raw (N, 2K) gate_up operand,
+    act(gate)*up computed per K-step inside the down kernel, r5) must
+    reproduce the XLA split/act/mul chain exactly — same f32 math, same
+    glue dots — at decode widths, and fall back to that chain above
+    INK_GLUE_MAX_N and under act_quant."""
+    import jax.numpy as jnp
+
+    from gguf_tpu.ops import mmq_q4_k
+
+    m, k = 128, 512
+    a = rng.standard_normal((m, k)).astype(np.float16)
+    w = to_soa("q4_k", quantize_q4_k(a), m, k)
+    for n, aq in ((1, False), (16, False), (96, False), (16, True)):
+        gu = rng.standard_normal((n, 2 * k)).astype(np.float32) * 2
+        g, u = gu[:, :k], gu[:, k:]
+        import jax
+        h = np.asarray(jax.nn.silu(jnp.asarray(g)) * jnp.asarray(u))
+        want = np.asarray(mmq_q4_k(w, jnp.asarray(h), act_quant=aq,
+                                   precision="fast"))
+        got = np.asarray(mmq_q4_k(w, jnp.asarray(gu), act_quant=aq,
+                                  precision="fast", glu="silu"))
+        assert allclose_rel(got, want, 1e-4), (n, aq, max_rel_err(got, want))
