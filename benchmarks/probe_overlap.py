@@ -836,6 +836,72 @@ def xp_ablate(bm, bk, mode):
         scratch = [pltpu.VMEM((N, bm), jnp.float32),
                    pltpu.VMEM((bk, bm), jnp.bfloat16),
                    pltpu.VMEM((bk, bm), jnp.bfloat16)]
+    elif mode == "xp_flatwhen":
+        # static two-ref rotation with FLAT pl.when blocks (the nested
+        # form crashes this Mosaic's remote compiler)
+        def kern(w_ref, d_ref, dm_ref, sc_ref, mn_ref, b_ref, o_ref,
+                 acc_ref, wa_ref, wb_ref):
+            j = pl.program_id(1)
+
+            @pl.when(j == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+            scale32, min32 = prep(d_ref, dm_ref, sc_ref, mn_ref)
+            vi = w_ref[:].astype(jnp.int32)
+
+            @pl.when(j % 2 == 0)
+            def _():
+                dequant_into(vi, scale32, min32, wa_ref)
+
+            @pl.when(j % 2 == 1)
+            def _():
+                dequant_into(vi, scale32, min32, wb_ref)
+
+            @pl.when((j % 2 == 0) & (j > 0))
+            def _():
+                acc_ref[:] += jax.lax.dot_general(
+                    b_ref[:], wb_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            @pl.when(j % 2 == 1)
+            def _():
+                acc_ref[:] += jax.lax.dot_general(
+                    b_ref[:], wa_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            @pl.when(j == gsteps - 1)
+            def _():
+                o_ref[:] = acc_ref[:]
+        scratch = [pltpu.VMEM((N, bm), jnp.float32),
+                   pltpu.VMEM((bk, bm), jnp.bfloat16),
+                   pltpu.VMEM((bk, bm), jnp.bfloat16)]
+    elif mode == "xp_dotfirst":
+        # original rotating scratch, but the dot (previous slot) ISSUES
+        # before the dequant stores — turns RAW ordering into WAR
+        def kern(w_ref, d_ref, dm_ref, sc_ref, mn_ref, b_ref, o_ref,
+                 acc_ref, wd_ref):
+            j = pl.program_id(1)
+
+            @pl.when(j == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            @pl.when(j > 0)
+            def _():
+                acc_ref[:] += jax.lax.dot_general(
+                    b_ref[:], wd_ref[(j + 1) % 2],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            scale32, min32 = prep(d_ref, dm_ref, sc_ref, mn_ref)
+            vi = w_ref[:].astype(jnp.int32)
+            dequant_into(vi, scale32, min32, wd_ref, j % 2)
+
+            @pl.when(j == gsteps - 1)
+            def _():
+                o_ref[:] = acc_ref[:]
+        scratch = [pltpu.VMEM((N, bm), jnp.float32),
+                   pltpu.VMEM((2, bk, bm), jnp.bfloat16)]
     elif mode == "xp_nodot":
         def kern(w_ref, d_ref, dm_ref, sc_ref, mn_ref, b_ref, o_ref,
                  acc_ref, wd_ref, cst_ref):
@@ -934,7 +1000,10 @@ def run_part6():
     """xpipe autopsy: which mechanism makes the cross-step pipeline 2.5x
     slower? (VERDICT r4 #2 precondition for ROADMAP's acceptance clause)"""
     log("part 6: xpipe autopsy")
-    modes = ["flat", "xp", "xp_static2", "xp_nodot", "xp_nostore"]
+    import os
+
+    modes = os.environ.get(
+        "XPAUTO_MODES", "flat,xp,xp_static2,xp_nodot,xp_nostore").split(",")
     for bm, bk in ((4096, 512), (2048, 1024)):
         built = {}
         for mode in modes:

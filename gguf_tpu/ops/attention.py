@@ -490,6 +490,131 @@ def decode_attention_tiled(
     return out.reshape(b, h, 1, hd)
 
 
+# small-KV envelope for the ONE-KERNEL insert+attend fusion: the whole
+# per-batch span block writes back every step (out blocks are written
+# whole), so the fusion only pays at geometries where that block is small
+# — 1B-class GQA (KVH*span*hd <= 2^17 i8 elements ~ 128KB x2 caches).
+# At 7B/MHA shapes the split pair stays (the r2 finding: full-block
+# write-back was ~half the attention-path HBM traffic there).
+FUSED_ATTN_MAX_ELEMS = 2 ** 17
+
+
+def _fused_attn_kernel(kvh, g, scale, fast, window, softcap,
+                       q_ref, kn_ref, vn_ref, k_ref, ks_ref, v_ref, vs_ref,
+                       pos_ref, out_ref, ko_ref, kso_ref, vo_ref, vso_ref):
+    """t=1 insert+attend in ONE launch (r5, VERDICT r4 #6): at 1B scale
+    the split pair is dispatch-bound (17.6us/layer vs ~3us of KV bytes,
+    budget1b v2), so the second launch is pure overhead. The insert is
+    the same head-vectorized select the insert kernel uses, over the span
+    prefix block this kernel already holds; attention then runs the cross
+    form on the updated VALUES (no re-read). Positions >= span never
+    row-match (finished slots: insert no-ops, output unused)."""
+    i = pl.program_id(0)
+    pos = pos_ref[i, 0]
+    s = k_ref.shape[2]
+    hd = k_ref.shape[3]
+    dt = jnp.bfloat16 if fast else jnp.float32
+    prec = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+
+    row_abs = jax.lax.broadcasted_iota(jnp.int32, (kvh, s, 1), 1)
+    col_abs = jax.lax.broadcasted_iota(jnp.int32, (kvh, 1, s), 2)
+
+    def upd(c_ref, sc_ref, new):          # new (KVH, 1, hd) f32
+        amax = jnp.max(jnp.abs(new), axis=-1)
+        sc_new = amax / 127.0
+        safe = jnp.where(sc_new == 0, 1.0, sc_new)
+        qn = jnp.clip(jnp.rint(new / safe[..., None]), -127, 127
+                      ).astype(jnp.int8)
+        c = jnp.where(row_abs == pos, qn, c_ref[0])
+        scv = jnp.where(col_abs == pos, sc_new[:, 0][:, None, None],
+                        sc_ref[0])
+        return c, scv
+
+    k2, ks2 = upd(k_ref, ks_ref, kn_ref[0].astype(jnp.float32))
+    ko_ref[0] = k2
+    kso_ref[0] = ks2
+    v2, vs2 = upd(v_ref, vs_ref, vn_ref[0].astype(jnp.float32))
+    vo_ref[0] = v2
+    vso_ref[0] = vs2
+
+    # cross-head attention on the updated values (ops/attention.py
+    # _attn_kernel cross branch, operating on values instead of refs)
+    r = kvh * g
+    q = q_ref[0].reshape(r, hd).astype(dt)
+    k2f = k2.reshape(kvh * s, hd).astype(dt)
+    v2f = v2.reshape(kvh * s, hd).astype(dt)
+    scores = jax.lax.dot_general(
+        q, k2f, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    scores = scores * (ks2.reshape(1, kvh * s).astype(jnp.float32) * scale)
+    if softcap:
+        scores = softcap * jnp.tanh(scores * (1.0 / softcap))
+    rr = jax.lax.broadcasted_iota(jnp.int32, (r, kvh * s), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (r, kvh * s), 1)
+    own = (cc // s) == (rr // g)
+    causal = (cc % s) <= pos
+    if window:
+        causal &= (cc % s) > pos - window
+    scores = jnp.where(own & causal, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    pv = (p * vs2.reshape(1, kvh * s).astype(jnp.float32)).astype(dt)
+    out = jax.lax.dot_general(
+        pv, v2f, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    out_ref[0] = out.reshape(kvh, g, hd)
+
+
+def _decode_attention_fused(q, k_new, v_new, k, k_scale, v, v_scale, pos,
+                            span, precision, window, softcap):
+    b, h, _, hd = q.shape
+    _, kvh, s, _ = k.shape
+    g = h // kvh
+    scale = 1.0 / (hd ** 0.5)
+    qr = q.reshape(b, kvh, g, hd)
+    ks4 = k_scale.reshape(b, kvh, 1, s)
+    vs4 = v_scale.reshape(b, kvh, 1, s)
+
+    blk = lambda *shape: pl.BlockSpec(
+        (1, *shape), lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+
+    out, ko, kso, vo, vso = pl.pallas_call(
+        functools.partial(_fused_attn_kernel, kvh, g, scale,
+                          precision == "fast", window, softcap),
+        grid=(b,),
+        in_specs=[
+            blk(kvh, g, hd),
+            blk(kvh, 1, hd),
+            blk(kvh, 1, hd),
+            blk(kvh, span, hd),             # span prefix, aliased out
+            blk(kvh, 1, span),
+            blk(kvh, span, hd),
+            blk(kvh, 1, span),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pos (B, 1)
+        ],
+        out_specs=(blk(kvh, g, hd), blk(kvh, span, hd), blk(kvh, 1, span),
+                   blk(kvh, span, hd), blk(kvh, 1, span)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, kvh, g, hd), jnp.float32),
+            jax.ShapeDtypeStruct(k.shape, jnp.int8),
+            jax.ShapeDtypeStruct(ks4.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.int8),
+            jax.ShapeDtypeStruct(vs4.shape, jnp.float32),
+        ),
+        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=running_interpreted(),
+    )(qr, k_new, v_new, k, ks4, v, vs4,
+      pos.reshape(b, 1).astype(jnp.int32))
+
+    return (out.reshape(b, h, 1, hd), ko, kso.reshape(b, kvh, s),
+            vo, vso.reshape(b, kvh, s))
+
+
 @functools.partial(jax.jit, static_argnames=("t", "precision", "span",
                                              "window", "softcap"))
 def decode_attention_update(
@@ -512,7 +637,19 @@ def decode_attention_update(
     int8, writes them at pos..pos+t-1 (block-windowed, aliased — no full
     cache write-back), and attends over the first `span` rows of the
     updated cache. Returns (out (B, H, t, hd) f32, k, k_scale, v,
-    v_scale)."""
+    v_scale).
+
+    At t=1 small-KV geometries (KVH*span*hd <= FUSED_ATTN_MAX_ELEMS) the
+    pair fuses into ONE kernel — at 1B scale the two launches are
+    dispatch-bound (budget1b v2), and the fused form's full span-block
+    write-back is cheap there (~32KB/batch)."""
+    s = k.shape[2]
+    eff_span = s if span is None else min(span, s)
+    if (t == 1 and (eff_span % 128 == 0 or eff_span == s)
+            and k.shape[1] * eff_span * k.shape[3] <= FUSED_ATTN_MAX_ELEMS):
+        return _decode_attention_fused(
+            q, k_new, v_new, k, k_scale, v, v_scale, pos,
+            eff_span, precision, window, softcap)
     k, k_scale, v, v_scale = kv_cache_insert(
         k_new, v_new, k, k_scale, v, v_scale, pos, t=t)
     out = decode_attention(q, k, k_scale, v, v_scale, pos, t=t,
