@@ -146,6 +146,40 @@ def attn_timer():
                               lo=20, hi=220, reps=3)
 
 
+def argmax_timer():
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 32000)), jnp.float32)
+
+    def make(iters):
+        def many(x):
+            def body(i, carry):
+                acc, xx = carry
+                nxt = jnp.argmax(xx, axis=-1)
+                return acc + nxt, xx + (nxt[:1] % 2).astype(jnp.float32) * 1e-30
+            acc, _ = jax.lax.fori_loop(
+                0, iters, body, (jnp.zeros(BATCH, jnp.int32), x))
+            return acc.sum()
+        return many
+    return lambda: slope_time(make, (x0,), reps=3)
+
+
+def norm_timer():
+    x0 = jnp.asarray(rng.standard_normal((BATCH, DIM)), jnp.float32)
+    w = jnp.ones((DIM,), jnp.float32)
+
+    def make(iters):
+        def many(x, w):
+            def body(i, carry):
+                acc, xx = carry
+                from gguf_tpu.models.llama import rms_norm
+                out = rms_norm(xx[:, None, :], w, 1e-5)[:, 0]
+                return acc + out, xx + acc[:1, :1] * 1e-30
+            acc, _ = jax.lax.fori_loop(
+                0, iters, body, (jnp.zeros((BATCH, DIM), jnp.float32), x))
+            return acc.sum()
+        return many
+    return lambda: slope_time(make, (x0, w), reps=3)
+
+
 if __name__ == "__main__":
     # r5 (VERDICT r4 #6): the r4 probe differenced 2L-1L, below the
     # slope-harness resolution at 1B scale (negative component medians).
@@ -161,6 +195,11 @@ if __name__ == "__main__":
         "gate_up": gemm_timer(2 * FFN, DIM),
         "down": gemm_timer(DIM, FFN),
         "attn": attn_timer(),
+        # head components (r5): locate the ~84us of head time that is
+        # not the lm_head GEMM
+        "lm": gemm_timer(32000, DIM),
+        "argmax": argmax_timer(),
+        "onorm": norm_timer(),
     }
     wb = {"qkv": 2560 * DIM, "wo": DIM * DIM, "gate_up": 2 * FFN * DIM,
           "down": DIM * FFN}
@@ -184,6 +223,9 @@ if __name__ == "__main__":
             "attn_us": round(vals["attn"] * 1e6, 1),
             "other_us": round(other * 1e6, 1),
             "head_us": round(head * 1e6, 1),
+            "head_resid_us": round(
+                (head - vals["lm"] - vals["argmax"] - vals["onorm"]) * 1e6,
+                1),
         })
         emit({"probe": f"budget1b round {r}", **rounds[-1],
               **{k: round(v * 1e6, 1) for k, v in vals.items()}})

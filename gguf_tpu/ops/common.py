@@ -210,6 +210,19 @@ def choose_bm(m_arr: int, preferred: int) -> int:
     return preferred
 
 
+def block16_indicator(bk: int) -> jax.Array:
+    """(bk, bk/16) 0/1 bf16 matrix: column j marks natural columns in
+    per-16 block j. Streamed as a CONSTANT kernel operand so the q2_k/q3_k
+    decode min-term bsum is one DEFAULT-precision dot — the in-kernel
+    iota+HIGHEST form cost as much as the chain ops it saved (r5 suite
+    regression vs probe_kq_ops)."""
+    import numpy as np
+
+    r = np.arange(bk)
+    m = (r[:, None] // 16 == np.arange(bk // 16)[None, :])
+    return jnp.asarray(m.astype(np.float32), jnp.bfloat16)
+
+
 def ink_block_sums(bt: jax.Array, nblk: int, log2_blk: int) -> jax.Array:
     """Per-2^log2_blk-column sums of a natural-order (BN, BK) VMEM tile as
     an MXU dot against an iota-built 0/1 matrix — Mosaic rejects the 3D

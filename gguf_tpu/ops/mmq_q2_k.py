@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.layouts import QuantTensor
 from .activation import fake_quantize_q8_1
 from .common import (
+    block16_indicator as _block16_indicator,
     choose_bm, fp16_bits_to_f32, pad_cols, pad_rows,
     pick_block, regroup_rows, round_up, running_interpreted,
 )
@@ -144,13 +145,18 @@ def _kernel(fast, ink, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     wd = w.astype(jnp.bfloat16) if fast else w
     if ink:
-        from .common import ink_block_sums
-
         bt = b_ref[:]
         bb = _ink_b_prep_q23_val(fast, sbt, bt, rest[0]).astype(wd.dtype)
         # min term off the per-element chain (r5 nome): one small
-        # bsum16 x min16 dot per K-step on the NATURAL-order b tile
-        bsum16 = ink_block_sums(bt, sbt * 16, 4)       # (BN, SBt*16) f32
+        # bsum16 x min16 dot per K-step on the NATURAL-order b tile.
+        # bsum via the CONSTANT (bk, nblk16) 0/1 indicator operand — the
+        # first shipped form built an iota mask + HIGHEST dot per step,
+        # which ate the chain saving (suite r5: q2_k 259 vs the probe's
+        # 293; q3_k regressed outright)
+        bc2 = bt.astype(jnp.bfloat16) if fast else bt
+        bsum16 = jax.lax.dot_general(
+            bc2, rest[1][:].astype(bc2.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (BN, SBt*16)
         acc_ref[:] -= jax.lax.dot_general(
             bsum16, min16, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -234,7 +240,10 @@ def mmq_q2_k(
     if ink:
         specs.append(pl.BlockSpec((QK_K, QK_K), lambda ni, i, j: (0, 0),
                                   memory_space=pltpu.VMEM))
-        tail = (jnp.asarray(_plane_perm_np_q23(), jnp.bfloat16),)
+        specs.append(pl.BlockSpec((bk, sbt * 16), lambda ni, i, j: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        tail = (jnp.asarray(_plane_perm_np_q23(), jnp.bfloat16),
+                _block16_indicator(bk))
 
     out = pl.pallas_call(
         functools.partial(_kernel, fast, ink, sbt),

@@ -36,6 +36,7 @@ from .activation import fake_quantize_q8_1
 from .mmq_q4_k import INK_GLUE_MAX_N, _glue_matrix
 from .mmq_q2_k import _plane_perm_np_q23, permute_acts_q23
 from .common import (
+    block16_indicator as _block16_indicator,
     choose_bm, fp16_bits_to_f32, pad_cols, pad_rows, pick_block,
     regroup_rows, round_up, running_interpreted,
 )
@@ -87,8 +88,6 @@ def _kernel(fast, ink, sbt, d_ref, sc_ref, qs_ref, qh_ref, b_ref, *rest):
     wd = w.astype(jnp.bfloat16) if fast else w
     if ink:   # decode: natural-order f32 b; permute + bf16 cast in-kernel
         # as ONE block-diagonal 0/1 matmul (mmq_q4_k.py:_glue_matrix)
-        from .common import ink_block_sums
-
         bt = b_ref[:]
         bc = bt.astype(jnp.bfloat16) if fast else bt
         gm = rest[0][:].astype(bc.dtype)
@@ -96,7 +95,12 @@ def _kernel(fast, ink, sbt, d_ref, sc_ref, qs_ref, qh_ref, b_ref, *rest):
             bc, gm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision).astype(wd.dtype)
-        bsum16 = ink_block_sums(bt, sbt * 16, 4)       # (BN, SBt*16) f32
+        # -4 offset off the per-element chain (r5 nome): bsum via the
+        # CONSTANT indicator operand (common.py:block16_indicator — the
+        # iota+HIGHEST form regressed the suite)
+        bsum16 = jax.lax.dot_general(
+            bc, rest[1][:].astype(bc.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (BN, SBt*16)
         acc_ref[:] -= 4.0 * jax.lax.dot_general(
             bsum16, scale16, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -173,7 +177,10 @@ def mmq_q3_k(
     if ink:
         specs.append(pl.BlockSpec((bk, bk), lambda ni, i, j: (0, 0),
                                   memory_space=pltpu.VMEM))
-        tail = (_glue_matrix(bk, _plane_perm_np_q23(), None),)
+        specs.append(pl.BlockSpec((bk, sbt * 16), lambda ni, i, j: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        tail = (_glue_matrix(bk, _plane_perm_np_q23(), None),
+                _block16_indicator(bk))
 
     out = pl.pallas_call(
         functools.partial(_kernel, fast, ink, sbt),
