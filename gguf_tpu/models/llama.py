@@ -938,7 +938,21 @@ def fuse_llama_params(params: dict, tp: int = 1) -> dict:
         if "gate" in layer and fusable([layer["gate"], layer["up"]]):
             layer["gate_up"] = fuse([layer.pop("gate"), layer.pop("up")])
         layers.append(layer)
-    return {**params, "layers": layers}
+    out = {**params, "layers": layers}
+    # r5: the embedding table's K-major SoA makes a decode-step embed a
+    # 16-LANE gather over the vocab lane axis — measured 57us/step at 1B
+    # (budget1b head_resid). For untied checkpoints, materialize the
+    # table dequantized (f32 — bit-identical values to the row-wise
+    # dequant path, so fused-vs-unfused equivalence holds exactly) and
+    # let embed() take contiguous rows instead. Gated on table size so
+    # HBM-starved configs (13B) keep the compact form; tied checkpoints
+    # keep the QuantTensor (it doubles as the lm_head MMQ weight).
+    emb = out.get("token_embd")
+    if (isinstance(emb, QuantTensor)
+            and out.get("output") is not emb
+            and emb.shape[0] * emb.shape[1] * 4 <= 600 * 2**20):
+        out["token_embd"] = emb.dequantize()
+    return out
 
 
 def forward(

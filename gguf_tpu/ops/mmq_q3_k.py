@@ -67,10 +67,15 @@ def _kernel(fast, ink, sbt, d_ref, sc_ref, qs_ref, qh_ref, b_ref, *rest):
         sl = vi[s * 64:(s + 1) * 64, :]
         hl = hi[s * 32:(s + 1) * 32, :]
         se = pltpu.repeat(scale16[s * 16:(s + 1) * 16, :], 4, axis=0)
-        bias = None if ink else 4.0 * se                     # folds the -4
+        bias = 4.0 * se                                      # folds the -4
         for c in range(4):                 # crumb plane c = unpack rows
             # micro elision (r5, probe_kq_ops): c=0 skips the shift, c=3
-            # skips the crumb mask and bit-7's mask (u8 source)
+            # skips the crumb mask and bit-7's mask (u8 source). The
+            # q2_k-style nome (offset via a per-step bsum dot) was
+            # measured and REVERTED here: q3_k's 3-plane chain amortizes
+            # the fma over more ops, and the added dots cost more than
+            # the saved subtract (r5recheck 201-209 GB/s vs the folded
+            # kernel's 231.6 same-stage r4-s4)
             low = (sl & 3 if c == 0
                    else sl >> 6 if c == 3
                    else (sl >> (2 * c)) & 3)
@@ -78,10 +83,7 @@ def _kernel(fast, ink, sbt, d_ref, sc_ref, qs_ref, qh_ref, b_ref, *rest):
                     else (hl >> (2 * c + 1)) & 1)
             h64 = jnp.concatenate([(hl >> (2 * c)) & 1, hi_b], axis=0)
             q = (low | (h64 << 2)).astype(jnp.float32)
-            # ink (decode): the -4 offset moves OFF the per-element chain
-            # (r5 nome — this kernel is element-rate-bound): restored
-            # below as one bsum x (4*scale16) dot per K-step
-            parts.append(q * se if ink else q * se - bias)
+            parts.append(q * se - bias)
     w = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
@@ -95,15 +97,6 @@ def _kernel(fast, ink, sbt, d_ref, sc_ref, qs_ref, qh_ref, b_ref, *rest):
             bc, gm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision).astype(wd.dtype)
-        # -4 offset off the per-element chain (r5 nome): bsum via the
-        # CONSTANT indicator operand (common.py:block16_indicator — the
-        # iota+HIGHEST form regressed the suite)
-        bsum16 = jax.lax.dot_general(
-            bc, rest[1][:].astype(bc.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (BN, SBt*16)
-        acc_ref[:] -= 4.0 * jax.lax.dot_general(
-            bsum16, scale16, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
     else:
         bb = b_ref[:]
     acc_ref[:] += jax.lax.dot_general(
@@ -177,10 +170,7 @@ def mmq_q3_k(
     if ink:
         specs.append(pl.BlockSpec((bk, bk), lambda ni, i, j: (0, 0),
                                   memory_space=pltpu.VMEM))
-        specs.append(pl.BlockSpec((bk, sbt * 16), lambda ni, i, j: (0, 0),
-                                  memory_space=pltpu.VMEM))
-        tail = (_glue_matrix(bk, _plane_perm_np_q23(), None),
-                _block16_indicator(bk))
+        tail = (_glue_matrix(bk, _plane_perm_np_q23(), None),)
 
     out = pl.pallas_call(
         functools.partial(_kernel, fast, ink, sbt),

@@ -372,8 +372,11 @@ def _mmq_q4_k_i8(w: QuantTensor, b: jax.Array, block_m: int, block_k: int,
 
     sb = k // QK_K
     ell = sb * 8                                     # total 32-blocks
-    # mn32/s32 live whole-K in f32 scratch; cap bm so both fit in ~6MB
-    bm_cap = max(128, (6 * 2**20 // (8 * ell)) // 128 * 128)
+    # mn32/s32 live whole-K in f32 scratch; cap bm so both fit in ~4.5MB
+    # alongside the resident scale planes and double-buffered qs —
+    # measured envelope on this Mosaic: (4096, k=4096) = 4MB compiles,
+    # (2048, k=11264) = 5.8MB aborts the remote compiler (r5-s1 bisect)
+    bm_cap = max(128, (9 * 2**19 // (8 * ell)) // 128 * 128)
     bm = choose_bm(w.qs.shape[-1], min(block_m, bm_cap))
     m_pad = round_up(max(m, w.qs.shape[-1]), bm)
     bk = pick_block(k, block_k, QK_K)
