@@ -70,6 +70,10 @@ def patched(name):
                 .astype(x.dtype)}
     if name == "no_rope":
         return {"apply_rope": lambda q, cos, sin, neox: q}
+    if name == "no_glu":
+        # price the XLA split/act/mul chain the r5 GLU fusion removes:
+        # base runs fuse_glu (default True), this arm disables it
+        return {}
     if name == "no_attn":
         def fake_attention(layer, x, cfg, cache_l, pos, opts, rope=None,
                            span=None, window=0, return_pre_proj=False):
@@ -93,7 +97,13 @@ class Step:
             for k, v in pat.items():
                 setattr(L, k, v)
             try:
-                opts = MMOpts(precision="fast", block_k=blk)
+                # use_tile_table=False for EVERY variant: with the r5
+                # honored-explicit-tiles rule, a default-tiled base would
+                # consult the TILE_TABLE while the salted variants bypass
+                # it — all arms must run the same (2048, blk->1024) tiles
+                opts = MMOpts(precision="fast", block_k=blk,
+                              use_tile_table=False,
+                              fuse_glu=(variant != "no_glu"))
 
                 def body(i, carry):
                     toks, pos, cache = carry
@@ -121,7 +131,7 @@ if __name__ == "__main__":
     # jitted mmq cache cannot alias traces; base2 reuses base's compiled
     # program on purpose (re-measures it under end-of-run load)
     variants = [("base", 1024), ("no_norm", 1280), ("no_rope", 1536),
-                ("no_attn", 1792), ("base2", 1024)]
+                ("no_attn", 1792), ("no_glu", 1024), ("base2", 1024)]
     for name, blk in variants:
         per = {}
         for n in (1, 2):

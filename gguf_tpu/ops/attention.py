@@ -645,7 +645,12 @@ def decode_attention_update(
     write-back is cheap there (~32KB/batch)."""
     s = k.shape[2]
     eff_span = s if span is None else min(span, s)
-    if (t == 1 and (eff_span % 128 == 0 or eff_span == s)
+    # eff_span must be a 128-multiple STRICTLY: the kernel's cross-form
+    # (KVH, 1, span) -> (1, KVH*span) scale reshape merges into the lane
+    # dim, which Mosaic only lowers at span % 128 == 0 (a whole-cache
+    # span of e.g. 64 compiles in interpret mode but aborts the real
+    # compiler — caught by tpu_compile_check, r5-s1)
+    if (t == 1 and eff_span % 128 == 0
             and k.shape[1] * eff_span * k.shape[3] <= FUSED_ATTN_MAX_ELEMS):
         return _decode_attention_fused(
             q, k_new, v_new, k, k_scale, v, v_scale, pos,
