@@ -20,6 +20,7 @@ family's GGUF reproduces llama.cpp logits.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, NamedTuple
 
@@ -224,6 +225,30 @@ def rope_for_cfg(positions: jax.Array, cfg, theta: float | None = None):
         attn_factor=attn_factor, freq_factors=cfg.rope_freq_factors)
 
 
+@functools.lru_cache(maxsize=8)
+def _rope_swap_matrix_np(hd: int, neox: bool):
+    """(hd, hd) +-1/0 numpy matrix P with (x @ P)[j] = the signed partner
+    value the rotation needs: -x[j+1]/+x[j-1] for NORM pairs,
+    -x[j+h]/+x[j-h] for NEOX rotate-half. Cached as NUMPY — a cached jnp
+    constant would leak tracers across jit scopes."""
+    import numpy as np
+
+    p = np.zeros((hd, hd), np.float32)
+    if neox:
+        h = hd // 2
+        p[np.arange(h) + h, np.arange(h)] = -1.0
+        p[np.arange(h), np.arange(h) + h] = 1.0
+    else:
+        ev = np.arange(0, hd, 2)
+        p[ev + 1, ev] = -1.0
+        p[ev, ev + 1] = 1.0
+    return p
+
+
+def _rope_swap_matrix(hd: int, neox: bool):
+    return jnp.asarray(_rope_swap_matrix_np(hd, neox))
+
+
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
                neox: bool = False) -> jax.Array:
     """Rotary embedding. x: (..., H, head_dim), cos/sin broadcastable to
@@ -233,19 +258,31 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
     dim pair (2j, 2j+1) rotates by angle j. The llama-family contract:
     their GGUF converters permute q/k rows into this order.
     neox=True: rotate-half (ROPE_TYPE_NEOX) — dims (j, j+hd/2) rotate by
-    angle j, the unpermuted HF order that qwen/gemma/phi GGUFs keep."""
+    angle j, the unpermuted HF order that qwen/gemma/phi GGUFs keep.
+
+    TPU-first form (r5): the lane deinterleave/reinterleave the textbook
+    even/odd formulation needs is an expensive TPU lane shuffle on every
+    q/k tensor (the 7B other_budget attributed ~50us/layer to the rope
+    region). Instead the signed partner value comes from ONE tiny exact
+    matmul against a +-1 permutation matrix (HIGHEST precision: each
+    output is a single exact product) and cos/sin are expanded to
+    head_dim on their (tiny) side: out = x*cos2 + (x @ P)*sin2 —
+    bit-identical products and sums to the old form, no lane shuffles on
+    the big tensor."""
     xf = x.astype(jnp.float32)
+    hd = xf.shape[-1]
     if neox:
-        half = xf.shape[-1] // 2
-        x1, x2 = xf[..., :half], xf[..., half:]
-        return jnp.concatenate(
-            [x1 * cos - x2 * sin, x1 * sin + x2 * cos],
-            axis=-1).astype(x.dtype)
-    x2 = xf.reshape(*xf.shape[:-1], -1, 2)
-    x_even, x_odd = x2[..., 0], x2[..., 1]
-    out_even = x_even * cos - x_odd * sin
-    out_odd = x_even * sin + x_odd * cos
-    return jnp.stack([out_even, out_odd], axis=-1).reshape(x.shape).astype(x.dtype)
+        cos2 = jnp.concatenate([cos, cos], axis=-1)
+        sin2 = jnp.concatenate([sin, sin], axis=-1)
+    else:
+        # interleave on the SMALL cos/sin side: (..., hd/2) -> (..., hd)
+        cos2 = jnp.stack([cos, cos], axis=-1).reshape(*cos.shape[:-1], hd)
+        sin2 = jnp.stack([sin, sin], axis=-1).reshape(*sin.shape[:-1], hd)
+    partner = jax.lax.dot_general(
+        xf, _rope_swap_matrix(hd, neox), (((xf.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    return (xf * cos2 + partner * sin2).astype(x.dtype)
 
 
 # one batch element's span-prefix K/V cache elements that still fit the
