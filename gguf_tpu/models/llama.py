@@ -136,7 +136,13 @@ def _norm(x, layer_or_params, name: str, cfg: LlamaConfig) -> jax.Array:
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     # gemma's (1 + w) convention needs no switch here: llama.cpp's GGUF
-    # converter bakes the +1 into the stored norm weights at convert time
+    # converter bakes the +1 into the stored norm weights at convert time.
+    # A Pallas one-block variant (ops/activation.py:rms_norm_pallas) was
+    # measured NET SLOWER e2e at decode widths (7B 1481 vs 1510 tok/s,
+    # norm_ab 3/3 rounds, r5-s1): the per-launch dispatch exceeds what
+    # the XLA form actually costs — the ~17us/norm the 2L-1L ablation
+    # attributed was drift, unlike the rope shuffles which the same
+    # protocol confirmed. The XLA form stays.
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     return (xf * jax.lax.rsqrt(var + eps) * weight).astype(x.dtype)

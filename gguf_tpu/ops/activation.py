@@ -14,6 +14,8 @@ magic-number `round_to_nearest_int` (mmq_q8_0.py:7-10) and GGML's
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -121,6 +123,36 @@ def _quantize_codes_pallas(x: jax.Array):
                    jax.ShapeDtypeStruct((n, k // BLOCK), jnp.float32)],
         interpret=running_interpreted(),
     )(x)
+
+
+def _rmsnorm_kernel(eps, x_ref, w_ref, o_ref):
+    xf = x_ref[:].astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    o_ref[:] = xf * jax.lax.rsqrt(var + eps) * \
+        w_ref[:].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def rms_norm_pallas(x: jax.Array, weight: jax.Array, eps: float):
+    """One-block RMSNorm ((n <= 64, d) f32 out). MEASURED NET SLOWER than
+    the XLA form in-model (7B decode 1481 vs 1510 tok/s, norm_ab r5-s1,
+    3/3 interleaved rounds — per-launch dispatch > the XLA norm's real
+    cost) and therefore NOT routed from models/llama.py:rms_norm; kept
+    with its probe as the archived negative result."""
+    from .common import running_interpreted
+
+    n, d = x.shape
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        functools.partial(_rmsnorm_kernel, eps),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=running_interpreted(),
+    )(x.astype(jnp.float32), weight.reshape(1, d))
 
 
 def _fq_kernel(x_ref, o_ref):
