@@ -327,8 +327,8 @@ def _kernel_i8(n16, sbt, sb_total, has_qh, *args):
         if has_qh:
             hs = hi_i[s * 32:(s + 1) * 32, :]
             f_lo = jnp.concatenate([(hs >> b) & 1 for b in range(4)], axis=0)
-            f_hi = jnp.concatenate([(hs >> b) & 1 for b in range(4, 8)],
-                                   axis=0)
+            f_hi = jnp.concatenate(
+                [(hs >> b) & 1 for b in range(4, 7)] + [hs >> 7], axis=0)
             w8 = jnp.concatenate(
                 [((sl & 0xF) | (f_lo << 4)).astype(jnp.int8),
                  ((sl >> 4) | (f_hi << 4)).astype(jnp.int8)], axis=0)

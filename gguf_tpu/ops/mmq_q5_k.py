@@ -51,8 +51,10 @@ def _unpack_scaled_q5(sbt, qs_ref, qh_ref, scale32, min32):
         hs = hi_i[s * 32:(s + 1) * 32, :]
         se = pltpu.repeat(scale32[s * 8:(s + 1) * 8, :], 16, axis=0)
         me = pltpu.repeat(min32[s * 8:(s + 1) * 8, :], 16, axis=0)
+        # micro elision (r5): bit 7 needs no mask on u8 sources
         f_lo = jnp.concatenate([(hs >> b) & 1 for b in range(4)], axis=0)
-        f_hi = jnp.concatenate([(hs >> b) & 1 for b in range(4, 8)], axis=0)
+        f_hi = jnp.concatenate(
+            [(hs >> b) & 1 for b in range(4, 7)] + [hs >> 7], axis=0)
         q_lo = (sl & 0xF) | (f_lo << 4)
         q_hi = (sl >> 4) | (f_hi << 4)
         parts.append(q_lo.astype(jnp.float32) * se - me)

@@ -91,8 +91,10 @@ def _kernel(fast, sbt, d_ref, sc_ref, ql_ref, qh_ref, b_ref, out_ref, acc_ref):
         # element saved; see mmq_q4_k.py:_unpack_scaled)
         b32 = pltpu.repeat(32.0 * scale16[s * 16:(s + 1) * 16, :], 8,
                            axis=0)
+        # micro elisions (r5, probe_kq_ops): top crumb (hs >> 6) and the
+        # hi nibble (sl >> 4) need no mask on u8 sources
         h01 = jnp.concatenate([hs & 3, (hs >> 2) & 3], axis=0)
-        h23 = jnp.concatenate([(hs >> 4) & 3, (hs >> 6) & 3], axis=0)
+        h23 = jnp.concatenate([(hs >> 4) & 3, hs >> 6], axis=0)
         q_lo = (sl & 0xF) | (h01 << 4)
         q_hi = (sl >> 4) | (h23 << 4)
         parts.append(q_lo.astype(jnp.float32) * se - b32)
@@ -139,8 +141,10 @@ def _kernel_ink(fast, sbt, d_ref, sc_ref, ql_ref, qh_ref, b_ref, p_ref,
         # element saved; see mmq_q4_k.py:_unpack_scaled)
         b32 = pltpu.repeat(32.0 * scale16[s * 16:(s + 1) * 16, :], 8,
                            axis=0)
+        # micro elisions (r5, probe_kq_ops): top crumb (hs >> 6) and the
+        # hi nibble (sl >> 4) need no mask on u8 sources
         h01 = jnp.concatenate([hs & 3, (hs >> 2) & 3], axis=0)
-        h23 = jnp.concatenate([(hs >> 4) & 3, (hs >> 6) & 3], axis=0)
+        h23 = jnp.concatenate([(hs >> 4) & 3, hs >> 6], axis=0)
         q_lo = (sl & 0xF) | (h01 << 4)
         q_hi = (sl >> 4) | (h23 << 4)
         parts.append(q_lo.astype(jnp.float32) * se - b32)
