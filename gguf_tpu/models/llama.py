@@ -61,19 +61,25 @@ class MMOpts(NamedTuple):
     ep_axis: str | None = None
 
 
+def _tiles_for(w: QuantTensor, opts: MMOpts, n: int) -> tuple[int, int]:
+    """The ONE tile-selection policy (linear() and mlp()'s fused-GLU call
+    share it — self-review r5): the measured TILE_TABLE applies at decode
+    widths while opts carry the documented defaults; explicit per-call
+    tiles are always honored (ADVICE r4)."""
+    if opts.use_tile_table and (opts.block_m, opts.block_k) == (2048, 1024):
+        from ..ops.common import pick_tiles
+
+        return pick_tiles(w.lanes, w.shape[1], opts.block_m, opts.block_k,
+                          n, fmt=w.fmt)
+    return opts.block_m, opts.block_k
+
+
 def linear(w, x: jax.Array, opts: MMOpts = MMOpts()) -> jax.Array:
     """y = x @ W^T for W (out, in): MMQ kernel for QuantTensors, plain dot
     for float weights. Tile sizes come from the measured per-shape table
     (ops/common.py:TILE_TABLE) at decode widths, opts otherwise."""
     if isinstance(w, QuantTensor):
-        from ..ops.common import pick_tiles
-
-        if opts.use_tile_table and (opts.block_m, opts.block_k) == (2048, 1024):
-            bm, bk = pick_tiles(w.lanes, w.shape[1],
-                                opts.block_m, opts.block_k, x.shape[0],
-                                fmt=w.fmt)
-        else:
-            bm, bk = opts.block_m, opts.block_k
+        bm, bk = _tiles_for(w, opts, x.shape[0])
         return MMQ[w.fmt](
             w, x, act_quant=opts.act_quant, precision=opts.precision,
             block_m=bm, block_k=bk,
@@ -274,7 +280,10 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
     output is a single exact product) and cos/sin are expanded to
     head_dim on their (tiny) side: out = x*cos2 + (x @ P)*sin2 —
     bit-identical products and sums to the old form, no lane shuffles on
-    the big tensor."""
+    the big tensor. Applied at ALL widths: the partner dot's FLOPs are
+    2*hd per element (hd/dim ~ 3% of the qkv GEMM even at HIGHEST), and
+    the prefill measurement agrees — 7B 512-token prefill went 50.1 ->
+    47.3 ms with this form (suite r5-s1 batches run)."""
     xf = x.astype(jnp.float32)
     hd = xf.shape[-1]
     if neox:
@@ -805,15 +814,7 @@ def mlp(layer, x, opts: MMOpts, act_fn: str = "silu",
                 and isinstance(down_w, QuantTensor) and down_w.fmt == "q4_k"
                 and act_fn in ("silu", "gelu")
                 and gu.shape[-1] == 2 * down_w.shape[1]):
-            from ..ops.common import pick_tiles
-
-            if opts.use_tile_table and \
-                    (opts.block_m, opts.block_k) == (2048, 1024):
-                bm, bk = pick_tiles(down_w.lanes, down_w.shape[1],
-                                    opts.block_m, opts.block_k, xf.shape[0],
-                                    fmt="q4_k")
-            else:
-                bm, bk = opts.block_m, opts.block_k
+            bm, bk = _tiles_for(down_w, opts, xf.shape[0])
             down = MMQ["q4_k"](
                 down_w, gu, act_quant=opts.act_quant,
                 precision=opts.precision, block_m=bm, block_k=bk,
@@ -991,9 +992,14 @@ def fuse_llama_params(params: dict, tp: int = 1) -> dict:
     # HBM-starved configs (13B) keep the compact form; tied checkpoints
     # keep the QuantTensor (it doubles as the lm_head MMQ weight).
     emb = out.get("token_embd")
-    if (isinstance(emb, QuantTensor)
+    if (tp == 1
+            and isinstance(emb, QuantTensor)
             and out.get("output") is not emb
             and emb.shape[0] * emb.shape[1] * 4 <= 600 * 2**20):
+        # tp > 1 keeps the compact QuantTensor: the f32 table would be
+        # REPLICATED per chip (hundreds of MB each) while the sharded
+        # weight budget shrinks — the 57us gather amortizes over tp
+        # chips' aggregate throughput anyway (self-review r5)
         out["token_embd"] = emb.dequantize()
     return out
 

@@ -180,7 +180,12 @@ def pick_tiles(m_arr: int, k: int, block_m: int, block_k: int,
         if hit:
             bm, bk = hit
             if fmt in _BLOCKDIAG_GLUE_FMTS and bk > 1024:
+                # clamp to the largest VALID divisor <= 1024 so the
+                # kernel's pick_block cannot silently degrade further
+                # (e.g. a naive 1024 clamp at k=5632 would land on 512)
                 bk = 1024
+                while bk > 256 and k % bk:
+                    bk -= 256
             return bm, bk
         if (m_arr, k) not in _TILE_MISSES:
             _TILE_MISSES.add((m_arr, k))

@@ -130,8 +130,9 @@ def _ink_b_prep_q23_val(fast, sbt, bt, p_ref):
 
 def _kernel(fast, ink, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
             *rest):
-    # rest = (out_ref, acc_ref) in glue mode / (p_ref, out_ref, acc_ref)
-    # in ink mode (the plane permute runs in-kernel)
+    # rest = (out_ref, acc_ref) in glue mode / (p_ref, ind_ref, out_ref,
+    # acc_ref) in ink mode (plane permute + per-16 bsum indicator
+    # constants run in-kernel)
     out_ref, acc_ref = rest[-2], rest[-1]
     k_idx = pl.program_id(2)
 
@@ -153,13 +154,17 @@ def _kernel(fast, ink, sbt, d_ref, dmin_ref, sc_ref, mn_ref, qs_ref, b_ref,
         # first shipped form built an iota mask + HIGHEST dot per step,
         # which ate the chain saving (suite r5: q2_k 259 vs the probe's
         # 293; q3_k regressed outright)
+        # precision follows the kernel mode: fast = bf16 b codes through
+        # a DEFAULT dot; high keeps f32 + HIGHEST so the affine-min term
+        # stays at the documented f32 contract accuracy (self-review r5)
         bc2 = bt.astype(jnp.bfloat16) if fast else bt
         bsum16 = jax.lax.dot_general(
             bc2, rest[1][:].astype(bc2.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (BN, SBt*16)
+            preferred_element_type=jnp.float32,
+            precision=precision)                       # (BN, SBt*16)
         acc_ref[:] -= jax.lax.dot_general(
             bsum16, min16, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=precision)
     else:
         bb = b_ref[:]
     acc_ref[:] += jax.lax.dot_general(
