@@ -60,6 +60,11 @@ def main():
                                   (1, 8, 2, 128, 64, 1),   # decode b=1
                                   (16, 32, 4, 256, 64, 1),  # decode GQA
                                   (16, 32, 32, 256, 128, 1),  # decode MHA
+                                  # fused insert+attend envelope BOUNDARY
+                                  # (KVH*span*hd == 2^17; r5): the
+                                  # mistral-7B GQA class — compiled the
+                                  # r5 fused kernel on-chip
+                                  (16, 32, 8, 256, 128, 1),
                                   (4, 8, 2, 64, 64, 4),     # short chunk
                                   (4, 8, 2, 64, 64, 1)]:    # decode, S%128!=0
         q = jnp.asarray(rng.standard_normal((b, h, t, hd)), jnp.float32)
